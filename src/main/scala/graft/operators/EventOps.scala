@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, Tables}
+
+/** Batch analogs of every streaming-dataflow operator in the reference
+  * (SURVEY.md §2), re-expressed over the driver's `events` table
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * Column mapping (SURVEY.md §7.2): user ↔ `user_id`, operation/action ↔
+  * `event_type`, timestamp ↔ `ts`, duration ↔ `value`. All queries are
+  * deterministic (ordered by `ts, event_id` where sequence matters, never
+  * wall-clock) so the DuckDB oracle hash-compares exactly.
+  *
+  * Scale notes are inline per query: these run on 1000 rows locally but are
+  * written for a partitioned 100 TB `events` table — single shuffle per
+  * aggregation, window functions partitioned by high-cardinality keys,
+  * filters that push to the parquet scan.
+  */
+object EventOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+
+  // ---------------------------------------------------------------------
+  // S1 source + P2 projection: scan with predicate + projection pushdown.
+  // Reference: continuous file source + map-to-tuple
+  // (BasicStreamingOperations.java:50-67, KeyedStreamOperations.java:62-66).
+  private val s1 = GQuery(
+    "s1_source_project",
+    (s, dir) =>
+      events(s, dir)
+        .filter(col("user_id") === 3)
+        .select(col("event_id"), col("ts"), col("event_type")),
+    Some("""SELECT event_id, ts, event_type FROM events WHERE user_id = 3"""),
+    "File-source scan analog; filter + projection reach the parquet reader.")
+
+  // P1: parse a string payload into typed fields (AuditTrail.java:15-30 CSV
+  // parse analog — here the `props` JSON-ish payload via regexp extraction).
+  private val p1 = GQuery(
+    "p1_parse_props",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k")),
+    Some("""SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k FROM events"""),
+    "Row-transform parse: string payload → typed column.")
+
+  // P3: filter predicate (StatefulOperations.java:120-126).
+  private val p3 = GQuery(
+    "p3_filter",
+    (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type") =!= "error" && col("value") > 50.0)
+        .select(col("event_id"), col("user_id"), col("value")),
+    Some("""SELECT event_id, user_id, value FROM events WHERE event_type <> 'error' AND value > 50.0"""))
+
+  // P5: date/string formatting (WindowingOperations.java:98-100,
+  // EventTimeOperations.java:165-168).
+  private val p5 = GQuery(
+    "p5_format",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "HH:mm:ss").as("t_str"),
+        concat(col("event_type"), lit("#"), col("user_id").cast("string")).as("msg")),
+    Some("""SELECT event_id, strftime(ts, '%H:%M:%S') AS t_str, concat(event_type, '#', CAST(user_id AS VARCHAR)) AS msg FROM events"""))
+
+  // M1: stream split via side output (StreamSplitAndCombine.java:72-100) —
+  // two filters over one source; Catalyst prunes each branch's columns.
+  private val m1a = GQuery(
+    "m1_split_main",
+    (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+    Some("""SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'"""))
+
+  private val m1b = GQuery(
+    "m1_split_side",
+    (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), lit(1).as("one")),
+    Some("""SELECT event_id, user_id, 1 AS one FROM events WHERE event_type <> 'purchase'"""))
+
+  // M2: connect/CoMap heterogeneous merge (StreamSplitAndCombine.java:112-128)
+  // = project both sides to a common schema, unionByName.
+  private val m2 = GQuery(
+    "m2_merge_union",
+    (s, dir) => {
+      val e = events(s, dir)
+      val a = e.filter(col("event_type") === "purchase")
+        .select(lit("Stream-1").as("src"), col("event_id"), col("user_id"))
+      val b = e.filter(col("event_type") === "view")
+        .select(lit("Stream-2").as("src"), col("event_id"), col("user_id"))
+      a.unionByName(b)
+    },
+    Some("""SELECT 'Stream-1' AS src, event_id, user_id FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'Stream-2' AS src, event_id, user_id FROM events WHERE event_type = 'view'"""))
+
+  // A1/W1: global tumbling window count (MapCountPrinter.java:15-34).
+  // 5-minute windows on the data's own timestamp (SURVEY.md §2.7 PT→ET).
+  private val a1 = GQuery(
+    "a1_window_count_5m",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("cnt")),
+    Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, count(*) AS cnt FROM events GROUP BY 1"""))
+
+  // A2: keyed running reduce emitting per input record
+  // (KeyedStreamOperations.java:62-68) = prefix-sum window function. At scale
+  // this is one shuffle on user_id + an in-partition sort; no collect.
+  private val a2 = GQuery(
+    "a2_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+    },
+    Some("""SELECT user_id, event_id, ts,
+round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events"""))
+
+  // A3: multi-aggregate reduce — count/min/max (WindowingOperations.java:87-92).
+  private val a3 = GQuery(
+    "a3_multi_agg",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts")),
+    Some("""SELECT event_type, count(*) AS cnt, min(ts) AS min_ts, max(ts) AS max_ts FROM events GROUP BY event_type"""))
+
+  // A4/W1: composite-key tumbling window count (CourseUseCase.java:90-104).
+  private val a4 = GQuery(
+    "a4_user_action_window",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"), window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("event_type"), col("window.start").as("win_start"), col("cnt")),
+    Some("""SELECT user_id, event_type, time_bucket(INTERVAL '10 minutes', ts) AS win_start, count(*) AS cnt
+FROM events GROUP BY 1, 2, 3"""))
+
+  // W2: sliding window (size 10 m, slide 5 m) (WindowingOperations.java:84-86).
+  // Spark assigns each row to size/slide windows; oracle enumerates the same
+  // two shifted buckets.
+  private val w2 = GQuery(
+    "w2_sliding_count",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("cnt")),
+    Some("""WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5 FROM events),
+w AS (SELECT b5 AS win_start FROM b UNION ALL SELECT b5 - INTERVAL '5 minutes' FROM b)
+SELECT win_start, count(*) AS cnt FROM w GROUP BY 1"""))
+
+  // W3: keyed session window, 30-minute inactivity gap
+  // (WindowingOperations.java:122-123). Spark session_window end = last event
+  // + gap; the oracle reproduces that with gaps-and-islands.
+  private val w3 = GQuery(
+    "w3_session_window",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("cnt")),
+    Some("""WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM o
+), g AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM f
+)
+SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS cnt
+FROM g GROUP BY user_id, sid"""))
+
+  // W4: event-time tumbling window with an aggregate payload
+  // (EventTimeOperations.java:158) — 1-hour windows, count + sum.
+  private val w4 = GQuery(
+    "w4_hour_window",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("win_start"), col("cnt"), col("total_value")),
+    Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, count(*) AS cnt, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1"""))
+
+  // J1: windowed stream-stream equi inner join (WindowJoins.java:106-121):
+  // clicks × purchases by the same user inside the same 10-minute window.
+  // At scale both sides shuffle once on (user_id, window) — the join key
+  // carries the window so no range condition / broadcast needed.
+  private val j1 = GQuery(
+    "j1_window_join",
+    (s, dir) => {
+      val e = events(s, dir)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), window(col("ts"), "10 minutes").getField("start").as("win_start"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), window(col("ts"), "10 minutes").getField("start").as("win_start"))
+      c.join(p, Seq("user_id", "win_start"))
+        .groupBy(col("user_id"), col("win_start"))
+        .agg(count(lit(1)).as("pairs"))
+    },
+    Some("""WITH c AS (SELECT user_id, time_bucket(INTERVAL '10 minutes', ts) AS win_start FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, time_bucket(INTERVAL '10 minutes', ts) AS win_start FROM events WHERE event_type = 'purchase')
+SELECT c.user_id AS user_id, c.win_start AS win_start, count(*) AS pairs
+FROM c JOIN p ON c.user_id = p.user_id AND c.win_start = p.win_start
+GROUP BY 1, 2"""))
+
+  // J2 (beyond the reference): AS-OF join — each click matched to the latest
+  // prior purchase by the same user. Spark-first plan: tag + union + running
+  // last_value(ignoreNulls), ONE shuffle on user_id, no point-in-time
+  // cross/range join. DuckDB verifies with its native ASOF LEFT JOIN.
+  private val j2 = GQuery(
+    "j2_asof_join",
+    (s, dir) => {
+      val e = events(s, dir)
+      val tagged = e.filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          // purchases sort before clicks at equal ts => asof is inclusive (>=)
+          when(col("event_type") === "purchase", 0).otherwise(1).as("tag"),
+          when(col("event_type") === "purchase", col("ts")).as("p_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"), col("purchase_ts"))
+    },
+    Some("""SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.ts"""))
+
+  // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
+  // batch analog: lag() per user over the filtered event class; alert when two
+  // 'error's land within 6 hours.
+  private val x1 = GQuery(
+    "x1_double_event_alert",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("event_type") === "error")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .filter(col("prev_ts").isNotNull && col("gap_us") < 21600000000L)
+        .select(col("user_id"), col("event_id"), col("ts"), col("gap_us"))
+    },
+    Some("""WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT user_id, event_id, ts, epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+FROM e WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) < 21600000000"""))
+
+  // X2: keyed two-slot ValueState sessionizer (CourseUseCase.java:120-176)
+  // batch analog. 'error' plays Logout (clears state): the event after it —
+  // like the first event ever — emits ("None", 0); otherwise emit the
+  // previous action and the elapsed time since it.
+  private val x2 = GQuery(
+    "x2_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .select(
+          col("user_id"), col("event_id"),
+          when(col("prev_type").isNull || col("prev_type") === "error", lit("None"))
+            .otherwise(col("prev_type")).as("prev_action"),
+          when(col("prev_type").isNull || col("prev_type") === "error", lit(0L))
+            .otherwise(unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("duration_us"))
+    },
+    Some("""WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CASE WHEN prev_type IS NULL OR prev_type = 'error' THEN 'None' ELSE prev_type END AS prev_action,
+       CASE WHEN prev_type IS NULL OR prev_type = 'error' THEN 0 ELSE epoch_us(ts) - epoch_us(prev_ts) END AS duration_us
+FROM o"""))
+
+  // Set ops beyond the reference's union (M2): distinct + except.
+  private val qDistinct = GQuery(
+    "q_distinct_pairs",
+    (s, dir) => events(s, dir).select(col("user_id"), col("event_type")).distinct(),
+    Some("""SELECT DISTINCT user_id, event_type FROM events"""))
+
+  private val qExcept = GQuery(
+    "q_except_users",
+    (s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'"""))
+
+  val all: Seq[GQuery] = Seq(
+    s1, p1, p3, p5, m1a, m1b, m2,
+    a1, a2, a3, a4, w2, w3, w4,
+    j1, j2, x1, x2, qDistinct, qExcept)
+}

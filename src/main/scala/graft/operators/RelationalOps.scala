@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, Tables}
+
+/** Relational generalizations over the TPC-H-ish fixture tables. The
+  * reference's surface stops at keyed aggregation + one windowed equi join
+  * (SURVEY.md §2.5, §2.8); these exercise the same engine paths Spark users
+  * need at 100 TB: multi-way joins with broadcast of small dims, partial/
+  * final hash aggregation, rollup, semi/anti joins, and top-k via window
+  * functions (never a driver-side sort).
+  *
+  * Float discipline: every FP aggregate is rounded to 2 decimals in BOTH the
+  * Spark plan and the oracle SQL so summation-order differences between
+  * engines can't break the hash compare.
+  */
+object RelationalOps {
+
+  private def t(name: String)(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  // TPC-H Q1-style pricing summary: single scan, partial+final hash agg.
+  private val q1 = GQuery(
+    "q1_pricing_summary",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+round(sum(l_quantity), 2) AS sum_qty,
+round(sum(l_extendedprice), 2) AS sum_base_price,
+round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+round(avg(l_quantity), 2) AS avg_qty,
+round(avg(l_discount), 4) AS avg_disc,
+count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""))
+
+  // TPC-H Q3-style: 3-way join, agg, top-10 by revenue (deterministic
+  // tiebreak on o_orderkey). customer is the small side → broadcast.
+  private val q3 = GQuery(
+    "q3_top_orders",
+    (s, dir) => {
+      val c = t("customer")(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = t("orders")(s, dir)
+        .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      val l = t("lineitem")(s, dir)
+        .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10"""))
+
+  // TPC-H Q5-style: 6-way join through nation/region (tiny dims →
+  // broadcast), revenue per nation.
+  private val q5 = GQuery(
+    "q5_region_revenue",
+    (s, dir) => {
+      val c = t("customer")(s, dir)
+      val o = t("orders")(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t("lineitem")(s, dir)
+      val su = t("supplier")(s, dir)
+      val n = t("nation")(s, dir)
+      val r = t("region")(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+    Some("""SELECT n_name,
+round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name"""))
+
+  // Broadcast star join over tiny dims: suppliers per region.
+  private val qBroadcast = GQuery(
+    "q_broadcast_star",
+    (s, dir) =>
+      t("supplier")(s, dir)
+        .join(broadcast(t("nation")(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t("region")(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"), round(sum(col("s_acctbal")), 2).as("total_acctbal")),
+    Some("""SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""))
+
+  // Top-k per group via window function (distributed; no global sort).
+  private val qTopk = GQuery(
+    "q_topk_per_brand",
+    (s, dir) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t("part")(s, dir)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    },
+    Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3"""))
+
+  // Rollup (grouping-set aggregation the reference lacks; SURVEY.md §2.5).
+  private val qRollup = GQuery(
+    "q_rollup_orders",
+    (s, dir) =>
+      t("orders")(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total_price")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""))
+
+  // Left-semi join (EXISTS): customers holding at least one big order.
+  private val qSemi = GQuery(
+    "q_semi_join",
+    (s, dir) => {
+      val bigOrders = t("orders")(s, dir).filter(col("o_totalprice") > 300000.0)
+      t("customer")(s, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)"""))
+
+  // Left-anti join (NOT EXISTS): customers with no orders at all.
+  private val qAnti = GQuery(
+    "q_anti_join",
+    (s, dir) =>
+      t("customer")(s, dir)
+        .join(t("orders")(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+    Some("""SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  val all: Seq[GQuery] =
+    Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti)
+}
