@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** A named query: the Spark implementation plus (when SQL-expressible) the
   * equivalent DuckDB oracle SQL over the same parquet tables. Queries with
@@ -19,5 +20,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright. Read it as a long
+    * (legacy conf) and rebuild a TimestampType column at microsecond
+    * precision — lossless for this data (no sub-µs components) and
+    * required for `window()`/`date_format`/watermarks downstream.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

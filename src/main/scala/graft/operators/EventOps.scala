@@ -46,7 +46,7 @@ object EventOps {
       events(s, dir).select(
         col("event_id"),
         regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k")),
-    Some("""SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k FROM events"""),
+    Some("""SELECT event_id, TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k FROM events"""),
     "Row-transform parse: string payload → typed column.")
 
   // P3: filter predicate (StatefulOperations.java:120-126).
