@@ -1,9 +1,149 @@
 package graft.operators
 
-import graft.GQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Similarity-search / ANN operators over the `embeddings` table
-  * (placeholder — filled in this round; see SURVEY.md §7.3 step 4). */
+import graft.{GQuery, Tables}
+
+/** Similarity-search operators over the `embeddings` table
+  * (`vec_id, embedding ARRAY<FLOAT> (64-dim), label`): brute-force cosine
+  * top-k (the exactness baseline), random-hyperplane LSH ANN (the scale
+  * path), embedding-cosine near-dup pairs, and per-label centroids.
+  *
+  * Determinism: all math is double-precision with identical fold order on
+  * both engines; cosine is rounded to 6 decimals BEFORE ranking, with
+  * vec_id tie-breaks, so rank boundaries can't flip on 1e-15 noise. The 8
+  * LSH hyperplanes are seeded Scala constants embedded as string-cast
+  * literals in both the Spark expression and the DuckDB oracle — parsed to
+  * bit-identical doubles by both engines.
+  *
+  * Scale notes (100 TB): brute-force kNN broadcasts the (tiny) query set
+  * and scans the big table ONCE (BroadcastNestedLoopJoin) — no shuffle of
+  * the corpus. The LSH variant computes each row's bucket as a pure map
+  * expression, then equi-joins on bucket — candidate generation touches
+  * only same-bucket rows, the standard recall/cost ANN tradeoff. Centroids
+  * are partial-aggregated per partition before the single shuffle.
+  */
 object EmbeddingOps {
-  val all: Seq[GQuery] = Seq()
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+
+  /** 8 random hyperplanes in [-1,1]^64, fixed seed — 256 LSH buckets. */
+  private val planes: Seq[Seq[Double]] = {
+    val r = new scala.util.Random(42)
+    Seq.fill(8)(Seq.fill(64)(r.nextDouble() * 2 - 1))
+  }
+  private def planeLitS(j: Int): String =
+    planes(j).map(v => s"cast('$v' as double)").mkString("array(", ", ", ")")
+  private def planeLitD(j: Int): String =
+    planes(j).map(v => s"'$v'::DOUBLE").mkString("[", ", ", "]")
+  /** Sign-bit bucket id (0..255), Spark side. Pure map — no shuffle. */
+  private val bucketS: String = (0 until 8).map { j =>
+    s"(CASE WHEN aggregate(zip_with(ed, ${planeLitS(j)}, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+  /** Same bucket id, DuckDB side. */
+  private val bucketD: String = (0 until 8).map { j =>
+    s"(CASE WHEN list_aggregate(list_transform(range(64), i -> ed[i + 1] * (${planeLitD(j)})[i + 1]), 'sum') > 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Cast to double + L2 norm, shared by every query. */
+  private def prepped(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(aggregate(ed, cast(0 as double), (acc, x) -> acc + x * x))"))
+
+  private val duckPrep =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ed FROM embeddings),
+n AS (SELECT vec_id, label, ed, sqrt(list_aggregate(list_transform(ed, x -> x * x), 'sum')) AS nrm FROM e)"""
+
+  private val cosSpark =
+    "round(aggregate(zip_with(qe, ed, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (qn * nrm), 6)"
+
+  // Brute-force cosine top-5 for queries vec_id < 10: the exact baseline.
+  private val eKnnBrute = GQuery(
+    "e_knn_brute",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"))
+      base.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim", expr(cosSpark))
+        .select(col("qid"), col("vec_id"), col("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+    },
+    Some(s"""$duckPrep,
+q AS (SELECT vec_id AS qid, ed AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+p AS (SELECT q.qid, n.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> q.qe[i + 1] * n.ed[i + 1]), 'sum') / (q.qn * n.nrm), 6) AS cos_sim
+      FROM q, n WHERE n.vec_id <> q.qid)
+SELECT qid, vec_id, cos_sim, rnk
+FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM p)
+WHERE rnk <= 5"""),
+    "Exact cosine top-5: broadcast queries, single corpus scan.")
+
+  // LSH-bucketed ANN top-3: candidates limited to the query's bucket.
+  private val eKnnLsh = GQuery(
+    "e_knn_lsh",
+    (s, dir) => {
+      val base = prepped(s, dir).withColumn("bkt", expr(bucketS))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"), col("bkt"))
+      base.join(broadcast(q), Seq("bkt"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim", expr(cosSpark))
+        .select(col("qid"), col("vec_id"), col("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 3)
+    },
+    Some(s"""$duckPrep,
+b AS (SELECT vec_id, ed, nrm, $bucketD AS bkt FROM n),
+q AS (SELECT vec_id AS qid, ed AS qe, nrm AS qn, bkt FROM b WHERE vec_id < 10),
+p AS (SELECT q.qid, b.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> q.qe[i + 1] * b.ed[i + 1]), 'sum') / (q.qn * b.nrm), 6) AS cos_sim
+      FROM q JOIN b ON q.bkt = b.bkt AND b.vec_id <> q.qid)
+SELECT qid, vec_id, cos_sim, rnk
+FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM p)
+WHERE rnk <= 3"""),
+    "ANN top-3 via 8-hyperplane LSH buckets (256 buckets).")
+
+  // Embedding-cosine near-dup pairs inside LSH buckets, threshold 0.4.
+  private val eNeardup = GQuery(
+    "e_neardup_cosine",
+    (s, dir) => {
+      val base = prepped(s, dir).withColumn("bkt", expr(bucketS))
+      val a = base.select(col("vec_id").as("vec_a"), col("ed").as("qe"), col("nrm").as("qn"), col("bkt"))
+      val b = base.select(col("vec_id").as("vec_b"), col("ed"), col("nrm"), col("bkt"))
+      a.join(b, Seq("bkt"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos_sim", expr(cosSpark))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    },
+    Some(s"""$duckPrep,
+b AS (SELECT vec_id, ed, nrm, $bucketD AS bkt FROM n),
+p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        round(list_aggregate(list_transform(range(64), i -> x.ed[i + 1] * y.ed[i + 1]), 'sum') / (x.nrm * y.nrm), 6) AS cos_sim
+      FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4"""),
+    "Embedding near-dup pairs (cos >= 0.4) within LSH buckets.")
+
+  // Per-label centroids: posexplode + partial/final hash agg, one shuffle.
+  private val eCentroids = GQuery(
+    "e_centroids",
+    (s, dir) =>
+      prepped(s, dir)
+        .select(col("label"), posexplode(col("ed")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("v")), 6).as("centroid"), count(lit(1)).as("cnt")),
+    Some(s"""$duckPrep
+SELECT label, i AS pos, round(avg(ed[i + 1]), 6) AS centroid, count(*) AS cnt
+FROM n, range(64) t(i) GROUP BY 1, 2"""),
+    "Per-label mean vector, one dimension per output row.")
+
+  val all: Seq[GQuery] = Seq(eKnnBrute, eKnnLsh, eNeardup, eCentroids)
 }

@@ -1,9 +1,264 @@
 package graft.operators
 
-import graft.GQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** LLM-pipeline text operators over the `documents` table (placeholder —
-  * filled in this round; see SURVEY.md §7.3 step 4). */
+import graft.{GQuery, Tables}
+
+/** LLM-training-data text operators over the `documents` table
+  * (`doc_id, text, lang, source, n_chars`): token/quality statistics,
+  * language-ID heuristics, fingerprinting, exact + near-duplicate
+  * detection (n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Cross-engine determinism: every hash is derived from md5 (identical in
+  * Spark and DuckDB) — `H(x) = first 8 hex digits of md5(x) as uint32`.
+  * The Spark expression text and the DuckDB oracle SQL are generated from
+  * the same Scala constants so the two sides cannot drift.
+  *
+  * Scale notes (100 TB): every per-document computation here is a pure
+  * map — shingling, MinHash signatures, SimHash, fingerprints run inside
+  * the scan with NO shuffle. Only the candidate-pair stages shuffle, and
+  * only on band/bucket keys (never all-pairs): LSH bands for MinHash,
+  * (lang, length-bucket) blocks for the exact-Jaccard verifier.
+  */
 object TextOps {
-  val all: Seq[GQuery] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** 2^31-1 — modulus for the rolling fingerprint. */
+  private val P31 = 2147483647L
+  /** Smallest prime above 2^32 — modulus for MinHash permutations. */
+  private val MP = 4294967311L
+  /** 16 MinHash permutations h_i(x) = (a_i*x + b_i) mod MP, 4 bands x 4 rows. */
+  private val perms: Seq[(Long, Long)] =
+    (0 until 16).map(i => (2L * i + 3L, 1000003L * i + 12345L))
+
+  /** Base hash, Spark side: uint32 from the md5 hex prefix. */
+  private def hS(x: String) = s"cast(conv(substring(md5($x),1,8),16,10) as bigint)"
+  /** Base hash, DuckDB side — same value bit-for-bit. */
+  private def hD(x: String) = s"(('0x'||substr(md5($x),1,8))::BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // Token counting + length statistics (pure map; columnar scan → codegen).
+  private val tTextStats = GQuery(
+    "t_text_stats",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .selectExpr(
+          "doc_id",
+          "size(toks) AS n_tokens",
+          "n_chars",
+          "size(array_distinct(toks)) AS n_distinct",
+          "round(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) / cast(size(toks) AS double), 4) AS avg_tok_len"),
+    Some("""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, n_chars, len(list_distinct(toks)) AS n_distinct,
+       round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') / len(toks)::DOUBLE, 4) AS avg_tok_len
+FROM t"""),
+    "Whitespace tokenizer + per-doc length stats.")
+
+  // Quality scoring: stopword ratio, short-token ratio, lexical diversity,
+  // combined into one deterministic score. Same arithmetic both engines.
+  private val tQuality = GQuery(
+    "t_quality_score",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("cast(size(toks) AS double)"))
+        .selectExpr(
+          "doc_id",
+          "round(size(filter(toks, t -> t IN ('the', 'a'))) / n, 4) AS stop_ratio",
+          "round(size(filter(toks, t -> length(t) <= 3)) / n, 4) AS short_ratio",
+          "round(size(array_distinct(toks)) / n, 4) AS distinct_ratio",
+          "round(0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n), 4) AS quality_score"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' '))::DOUBLE AS n FROM documents)
+SELECT doc_id,
+       round(len(list_filter(toks, t -> t IN ('the', 'a'))) / n, 4) AS stop_ratio,
+       round(len(list_filter(toks, t -> length(t) <= 3)) / n, 4) AS short_ratio,
+       round(len(list_distinct(toks)) / n, 4) AS distinct_ratio,
+       round(0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n), 4) AS quality_score
+FROM t"""),
+    "Length/stopword/diversity quality heuristics for corpus filtering.")
+
+  // Language-ID: marker-token n-gram heuristic with a deterministic argmax.
+  private val langCase =
+    """CASE WHEN en_c >= greatest(es_c, de_c) AND en_c > 0 THEN 'en'
+            WHEN es_c >= de_c AND es_c > 0 THEN 'es'
+            WHEN de_c > 0 THEN 'de'
+            ELSE 'und' END"""
+  private val tLangid = GQuery(
+    "t_langid",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("en_c", expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and')))"))
+        .withColumn("es_c", expr("size(filter(toks, t -> t IN ('el', 'la', 'los', 'de')))"))
+        .withColumn("de_c", expr("size(filter(toks, t -> t IN ('der', 'die', 'das', 'und')))"))
+        .selectExpr("doc_id", "lang AS declared_lang", "en_c", "es_c", "de_c",
+          s"$langCase AS pred_lang"),
+    Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, lang,
+        len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) AS en_c,
+        len(list_filter(toks, t -> t IN ('el', 'la', 'los', 'de'))) AS es_c,
+        len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und'))) AS de_c
+      FROM t)
+SELECT doc_id, lang AS declared_lang, en_c, es_c, de_c, $langCase AS pred_lang
+FROM c"""),
+    "Marker-token language ID with deterministic tie-break.")
+
+  // Document fingerprinting: md5 content fingerprint + order-sensitive
+  // rolling polynomial hash over token hashes (mod 2^31-1).
+  private val tFingerprint = GQuery(
+    "t_fingerprint",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) > 0"))
+        .selectExpr(
+          "doc_id",
+          "md5(text) AS md5_fp",
+          s"aggregate(transform(toks, t -> ${hS("t")} % $P31), 0L, (acc, h) -> (acc * 31 + h) % $P31) AS roll_fp"),
+    Some(s"""SELECT doc_id, md5(text) AS md5_fp,
+       list_reduce(list_transform(string_split(text, ' '), t -> ${hD("t")} % $P31),
+                   (acc, h) -> (acc * 31 + h) % $P31) AS roll_fp
+FROM documents WHERE len(string_split(text, ' ')) > 0"""),
+    "Content digest + order-sensitive rolling hash (seeded fold matches DuckDB's list_reduce).")
+
+  // Exact dedup: group by normalized-content digest, keep lowest doc_id.
+  // At 100 TB: one shuffle on the 128-bit digest (never on the text).
+  private val dExactDedup = GQuery(
+    "d_exact_dedup",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("fp", expr("md5(lower(trim(text)))"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1"""),
+    "Exact dedup via content digest; keeps min doc_id per group.")
+
+  // n-gram Jaccard near-dup: exact token-trigram Jaccard, but only inside
+  // (lang, length-bucket) blocks — the all-pairs verifier you run on
+  // candidates, never on the full corpus.
+  private val dNgramJaccard = GQuery(
+    "d_ngram_jaccard",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 3"))
+        .withColumn("tri", expr(
+          "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(chr(1), slice(toks, i + 1, 3))))"))
+        .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"), col("tri"))
+      val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("lb"), col("tri").as("tri_a"))
+      val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("lb"), col("tri").as("tri_b"))
+      a.join(b, Seq("lang", "lb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jac", expr(
+          "round(size(array_intersect(tri_a, tri_b)) / cast(size(array_union(tri_a, tri_b)) AS double), 4)"))
+        .filter(col("jac") >= 0.1)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb,
+         list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
+           i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], chr(1)))) AS tri
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.tri, b.tri)) / len(list_distinct(list_concat(a.tri, b.tri)))::DOUBLE, 4) AS jac
+FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.tri, b.tri)) / len(list_distinct(list_concat(a.tri, b.tri)))::DOUBLE, 4) >= 0.1"""),
+    "Blocked exact trigram-Jaccard near-dup pairs (threshold 0.1).")
+
+  // MinHash signature digest: 16 permutation minima per doc, computed as a
+  // pure map (array_min over the shingle hash array — zero shuffles).
+  private def mhSparkExprs: Seq[String] = perms.zipWithIndex.map { case ((a, b), i) =>
+    s"array_min(transform(hs, h -> ($a * h + $b) % $MP)) AS mh$i"
+  }
+  private def mhDuckExprs: Seq[String] = perms.zipWithIndex.map { case ((a, b), i) =>
+    s"list_aggregate(list_transform(hs, h -> ($a * h + $b) % $MP), 'min') AS mh$i"
+  }
+  private val shingleSpark =
+    s"transform(array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(chr(1), slice(toks, i + 1, 3)))), s -> ${hS("s")})"
+  private val shingleDuck =
+    s"list_transform(list_distinct(list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1:i + 3], chr(1)))), s -> ${hD("s")})"
+
+  private val dMinhashSig = GQuery(
+    "d_minhash_sig",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 3"))
+        .withColumn("hs", expr(shingleSpark))
+        .selectExpr("doc_id" +: mhSparkExprs: _*)
+        .selectExpr("doc_id",
+          s"concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS sig"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
+h AS (SELECT doc_id, $shingleDuck AS hs FROM t),
+m AS (SELECT doc_id, ${mhDuckExprs.mkString(", ")} FROM h)
+SELECT doc_id, concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS sig FROM m"""),
+    "16-permutation MinHash signature per document (map-only).")
+
+  // MinHash + LSH banded candidate pairs: 4 bands x 4 rows; docs sharing any
+  // band key become candidates; est similarity = fraction of equal minhashes.
+  // Shuffle is on band keys only — never an all-pairs join.
+  private val dMinhashLsh = GQuery(
+    "d_minhash_lsh_pairs",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 3"))
+        .withColumn("hs", expr(shingleSpark))
+        .selectExpr("doc_id" +: mhSparkExprs: _*)
+        .withColumn("mharr", expr(s"array(${(0 until 16).map("mh" + _).mkString(", ")})"))
+        .withColumn("bands", expr(
+          s"array(${(0 until 4).map(z => s"concat_ws('_', ${(4 * z until 4 * z + 4).map("mh" + _).mkString(", ")})").mkString(", ")})"))
+        .select(col("doc_id"), col("mharr"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      val a = sig.select(col("doc_id").as("doc_a"), col("mharr").as("ma"), col("band_idx"), col("band_key"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("mharr").as("mb"), col("band_idx"), col("band_key"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("est_sim", expr("round(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) / cast(16 as double), 4)"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("est_sim")).as("est_sim"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
+h AS (SELECT doc_id, $shingleDuck AS hs FROM t),
+m AS (SELECT doc_id, ${mhDuckExprs.mkString(", ")} FROM h),
+bands AS (${(0 until 4).map(z =>
+        s"SELECT doc_id, $z AS band_idx, concat_ws('_', ${(4 * z until 4 * z + 4).map("mh" + _).mkString(", ")}) AS band_key FROM m").mkString("\nUNION ALL\n")}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       round((${(0 until 16).map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0::DOUBLE, 4) AS est_sim
+FROM cand c JOIN m x ON c.doc_a = x.doc_id JOIN m y ON c.doc_b = y.doc_id"""),
+    "LSH-banded MinHash candidate pairs with estimated Jaccard.")
+
+  // SimHash: 32-bit signature; bit j set when the token-frequency-weighted
+  // sum of (+/-1 for bit j of each token hash) is positive. Pure map.
+  private def simhashTerms(sumExpr: Int => String): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN ${sumExpr(j)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  private val tSimhash = GQuery(
+    "t_simhash",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) > 0"))
+        .withColumn("th", expr(s"transform(toks, t -> ${hS("t")})"))
+        .selectExpr("doc_id",
+          simhashTerms(j =>
+            s"aggregate(th, 0, (acc, h) -> acc + (CASE WHEN ((shiftright(h, $j) & 1) = 1) THEN 1 ELSE -1 END))") + " AS simhash"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) > 0),
+h AS (SELECT doc_id, list_transform(toks, t -> ${hD("t")}) AS th FROM t)
+SELECT doc_id, ${simhashTerms(j =>
+        s"list_sum(list_transform(th, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END))")} AS simhash
+FROM h"""),
+    "32-bit SimHash signature per document (map-only).")
+
+  val all: Seq[GQuery] = Seq(
+    tTextStats, tQuality, tLangid, tFingerprint,
+    dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, tSimhash)
 }
