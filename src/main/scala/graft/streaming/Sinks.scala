@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sinks (SURVEY.md §2.2) + T4/T5 semantics. Every writer takes a
+  * checkpoint location: Structured Streaming's checkpoint + WAL is the
+  * analog of the reference's 1 s checkpointing
+  * (BasicStreamingOperations.java:42) and gives exactly-once file sinks /
+  * at-least-once Kafka (the reference's transactional Kafka sink,
+  * EventTimeOperations.java:182-208, is exactly-once — a documented
+  * semantic gap; downstream idempotence or foreachBatch + transactional
+  * producer closes it).
+  */
+object Sinks {
+
+  /** K3: console sink (KeyedStreamOperations.java:71). */
+  def console(df: DataFrame, mode: OutputMode, checkpointDir: String): StreamingQuery =
+    df.writeStream.outputMode(mode)
+      .option("checkpointLocation", checkpointDir)
+      .format("console").start()
+
+  /** K1: streaming file sink, rolling part files per micro-batch
+    * (BasicStreamingOperations.java:88-97). Append mode only — exactly-once
+    * via the sink manifest. */
+  def file(df: DataFrame, path: String, checkpointDir: String,
+      format: String = "parquet"): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", path)
+      .format(format).start()
+
+  /** K2: Kafka sink (EventTimeOperations.java:182-208). At-least-once. */
+  def kafka(df: DataFrame, servers: String, topic: String,
+      checkpointDir: String): StreamingQuery =
+    df.selectExpr("cast(null as string) AS key", "to_json(struct(*)) AS value")
+      .writeStream
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .format("kafka").start()
+
+  /** Test sink: named in-memory table. */
+  def memory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
+    df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+
+  /** K4: log-side-effect sink (MapCountPrinter.java:28-34) as foreachBatch. */
+  def logBatches(df: DataFrame, tag: String, mode: OutputMode,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream.outputMode(mode)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.collect().foreach(r => println(s"[$tag] batch=$id $r"))
+      }.start()
+}
+
+/** T4: late-data side output (EventTimeOperations.java:148-176,
+  * sideOutputLateData). Structured Streaming silently drops rows older
+  * than the watermark inside windowed aggregations; this router surfaces
+  * them instead. It tracks the max event time seen in completed batches —
+  * the same "max seen − delay" watermark Flink's bounded-out-of-orderness
+  * strategy uses — and splits each micro-batch into on-time/late BEFORE
+  * any aggregation, routing each side to a caller-supplied consumer
+  * (typically: on-time → the windowed agg via a second query or sink;
+  * late → a quarantine table).
+  *
+  * The watermark var lives on the driver — foreachBatch runs there, so no
+  * distributed state is needed; the split itself executes on executors.
+  */
+final class LateDataRouter(
+    delayUs: Long,
+    onTime: DataFrame => Unit,
+    late: DataFrame => Unit) extends Serializable {
+
+  @volatile private var maxSeenUs: Long = Long.MinValue
+
+  /** foreachBatch body; watermark advances only after a batch completes,
+    * matching Flink's periodic watermark emission. */
+  def process(batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      val cutoff = if (maxSeenUs == Long.MinValue) Long.MinValue else maxSeenUs - delayUs
+      late(batch.filter(unix_micros(col("ts")) < cutoff))
+      onTime(batch.filter(unix_micros(col("ts")) >= cutoff))
+      val mx: Row = batch.agg(max(unix_micros(col("ts")))).head()
+      if (!mx.isNullAt(0)) maxSeenUs = math.max(maxSeenUs, mx.getLong(0))
+    } finally batch.unpersist()
+  }
+
+  def start(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(process _)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+}

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the reference's seven streaming
+  * jobs (SURVEY.md §2). Every transformation is `DataFrame => DataFrame`
+  * over the event schema `(event_id, ts, user_id, event_type, value)` and
+  * is source-agnostic: the same function runs over a file stream, a Kafka
+  * stream, a MemoryStream (tests), or a bounded batch frame — Spark's
+  * unified API. Watermarks make every aggregation's state bounded, which
+  * is what lets these run indefinitely on a real cluster.
+  *
+  * Reference citations per operator are on each method.
+  */
+object StreamingPipelines {
+
+  /** Event schema shared by sources and tests (TESTDATA.md `events`). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  // -------------------------------------------------------------------
+  // Sources (S1, S2). The file source lists new files per micro-batch —
+  // the exact analog of Flink's monitorContinuously
+  // (BasicStreamingOperations.java:50-60).
+
+  /** S1: continuous CSV-file source over a monitored directory. */
+  def csvFileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 16)
+      .csv(dir)
+
+  /** S1 (raw-line flavor): text source + explicit parse — the shape of the
+    * reference's string-stream + map(AuditTrail.parse). */
+  def textFileSource(spark: SparkSession, dir: String): DataFrame =
+    parseCsvLines(spark.readStream.text(dir))
+
+  /** S2: Kafka source config (WindowingOperations.java:47-60). Compiles
+    * against the bundled Kafka connector; no broker exists in this sandbox
+    * so coverage comes from MemoryStream tests over the same downstream
+    * transforms. */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    parseCsvLines(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+        .select(col("value").cast("string").as("value")))
+
+  // -------------------------------------------------------------------
+  // P1: CSV line -> typed record (AuditTrail.java:15-30). Quote-strip,
+  // split, positional cast; epoch-micros long -> timestamp.
+  def parseCsvLines(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("f", split(regexp_replace(col("value"), "\"", ""), ","))
+      .select(
+        element_at(col("f"), 1).cast("long").as("event_id"),
+        timestamp_micros(element_at(col("f"), 2).cast("long")).as("ts"),
+        element_at(col("f"), 3).cast("long").as("user_id"),
+        element_at(col("f"), 4).as("event_type"),
+        element_at(col("f"), 5).cast("double").as("value"))
+
+  // -------------------------------------------------------------------
+  // T2: bounded out-of-orderness watermark (EventTimeOperations.java:82-94).
+  def watermarked(events: DataFrame, delay: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  // A1/W1/W4: tumbling window count (MapCountPrinter.java:15-34,
+  // EventTimeOperations.java:158). Event-time with watermark so state is
+  // dropped once the window closes (bounded state at 100 TB/day rates).
+  def windowCount(events: DataFrame, size: String = "5 seconds",
+      delay: String = "10 seconds"): DataFrame =
+    watermarked(events, delay)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"), col("cnt"))
+
+  // W2: sliding window (WindowingOperations.java:84-86).
+  def slidingCount(events: DataFrame, size: String = "10 seconds",
+      slide: String = "5 seconds", delay: String = "10 seconds"): DataFrame =
+    watermarked(events, delay)
+      .groupBy(window(col("ts"), size, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+
+  // W3: keyed session window (WindowingOperations.java:122-123).
+  def sessionCount(events: DataFrame, gap: String = "5 seconds",
+      delay: String = "10 seconds"): DataFrame =
+    watermarked(events, delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("cnt"))
+
+  // A2: keyed running reduce (KeyedStreamOperations.java:62-68). Spark
+  // emits updated sums per micro-batch (outputMode update) instead of per
+  // record — the documented cadence difference (SURVEY.md §2.5).
+  def runningSum(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("running_value"))
+
+  // A3: multi-aggregate reduce (WindowingOperations.java:87-92).
+  def multiAgg(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+
+  // A4: composite-key windowed count (CourseUseCase.java:90-104).
+  def userActionWindowCount(events: DataFrame, size: String = "10 seconds",
+      delay: String = "10 seconds"): DataFrame =
+    watermarked(events, delay)
+      .groupBy(col("user_id"), col("event_type"), window(col("ts"), size))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("event_type"), col("window.start").as("win_start"), col("cnt"))
+
+  // M1: split via side output (StreamSplitAndCombine.java:72-100) — two
+  // predicates over one stream; each branch becomes its own sink/query.
+  def splitMain(events: DataFrame, keep: String = "purchase"): DataFrame =
+    events.filter(col("event_type") === keep)
+  def splitSide(events: DataFrame, drop: String = "purchase"): DataFrame =
+    events.filter(col("event_type") =!= drop)
+      .select(col("event_id"), col("user_id"), lit(1).as("one"))
+
+  // M2: connect/CoMap merge (StreamSplitAndCombine.java:112-128) =
+  // project to common schema + unionByName.
+  def tagAndMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val left = a.select(lit("Stream-1").as("src"), col("event_id"), col("user_id"))
+    val right = b.select(lit("Stream-2").as("src"), col("event_id"), col("user_id"))
+    left.unionByName(right)
+  }
+
+  // J1: windowed stream-stream equi inner join (WindowJoins.java:106-121).
+  // Both sides watermarked; join key includes the tumbling window so
+  // Spark's state store can evict closed windows.
+  def windowJoin(clicks: DataFrame, purchases: DataFrame,
+      size: String = "5 seconds", delay: String = "10 seconds"): DataFrame = {
+    val c = watermarked(clicks, delay)
+      .select(col("user_id"), window(col("ts"), size).as("win"))
+    val p = watermarked(purchases, delay)
+      .select(col("user_id").as("p_user_id"), window(col("ts"), size).as("p_win"))
+    c.join(p, col("user_id") === col("p_user_id") && col("win") === col("p_win"))
+      .select(col("user_id"), col("win.start").as("win_start"), lit(1).as("one"))
+  }
+}
