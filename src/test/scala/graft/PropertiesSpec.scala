@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.streaming.{Ev, StreamingPipelines}
+
+/** Property tests (SURVEY.md §5.2): parse round-trip, window-count
+  * conservation, sessionizer non-negativity. scalacheck generators drive
+  * the cases; sampling is manual (no scalatest-scalacheck bridge in the
+  * offline dependency set).
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private val genEv: Gen[Ev] = for {
+    id <- Gen.choose(1L, 1000000L)
+    sec <- Gen.choose(0L, 100000L)
+    user <- Gen.choose(1L, 50L)
+    typ <- Gen.oneOf("click", "view", "purchase", "error", "signup")
+    v <- Gen.choose(0, 10000).map(_ / 100.0)
+  } yield Ev(id, new Timestamp(sec * 1000L), user, typ, v)
+
+  private def sample[A](g: Gen[A]): A =
+    Iterator.continually(g.sample).flatten.next()
+
+  test("property: CSV parse round-trips every generated record") {
+    val s = spark
+    import s.implicits._
+    (1 to 20).foreach { _ =>
+      val evs = sample(Gen.listOfN(30, genEv))
+      val lines = evs.map(e =>
+        s""""${e.event_id}","${e.ts.getTime * 1000L}","${e.user_id}","${e.event_type}","${e.value}"""")
+        .toDF("value")
+      val parsed = StreamingPipelines.parseCsvLines(lines)
+        .selectExpr("event_id", "cast(ts AS long) * 1000000", "user_id", "event_type", "value")
+        .as[(Long, Long, Long, String, Double)].collect()
+        .map(t => Ev(t._1, new Timestamp(t._2 / 1000L), t._3, t._4, t._5)).toSet
+      assert(parsed === evs.toSet)
+    }
+  }
+
+  test("property: tumbling window counts conserve the row total") {
+    val s = spark
+    import s.implicits._
+    (1 to 10).foreach { _ =>
+      val evs = sample(Gen.listOfN(200, genEv))
+      val df = s.createDataset(evs).toDF()
+      val windowed = df.groupBy(window(col("ts"), "5 minutes")).count()
+      assert(windowed.agg(sum("count")).as[Long].head() === evs.size.toLong)
+    }
+  }
+
+  test("property: sessionizer durations are non-negative and first-per-user is (None,0)") {
+    val s = spark
+    import s.implicits._
+    (1 to 10).foreach { _ =>
+      val evs = sample(Gen.listOfN(60, genEv))
+        .groupBy(e => (e.user_id, e.ts, e.event_id)).map(_._2.head).toSeq // dedup key collisions
+      val out = graft.streaming.StatefulOps
+        .sessionizeActions(s.createDataset(evs), clearOn = "error")
+        .collect() // batch execution of the streaming operator
+      assert(out.forall(_.duration_us >= 0L))
+      val firstPerUser = evs.groupBy(_.user_id).map { case (_, es) =>
+        es.minBy(e => (e.ts.getTime, e.event_id))
+      }.map(_.event_id).toSet
+      out.filter(o => firstPerUser(o.event_id)).foreach { o =>
+        assert(o.prev_action === "None" && o.duration_us === 0L)
+      }
+    }
+  }
+}
