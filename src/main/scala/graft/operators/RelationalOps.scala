@@ -175,6 +175,55 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
     Some("""SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
 
+  // Cube over two dims (full grouping-set lattice; SURVEY.md §2.5 notes
+  // these come free from Spark where the reference has nothing).
+  private val qCube = GQuery(
+    "q_cube_orders",
+    (s, dir) =>
+      t("orders")(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
+
+  // Exact distinct count per group — the oracle-checkable side of
+  // cardinality estimation.
+  private val qCountDistinct = GQuery(
+    "q_count_distinct",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag"""))
+
+  // HLL sketch distinct (approx_count_distinct): the 100 TB cardinality
+  // path — single pass, fixed memory, no distinct shuffle. Sketches are
+  // engine-specific, so the driver records the weaker rows-only check.
+  private val qHll = GQuery(
+    "q_hll_distinct",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+    None,
+    "HLL++ cardinality estimate; cross-engine sketch values differ by design.")
+
+  // Interpolated percentiles (both engines use linear interpolation).
+  private val qPercentiles = GQuery(
+    "q_percentiles",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90")),
+    Some("""SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[GQuery] =
-    Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti)
+    Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
+      qCube, qCountDistinct, qHll, qPercentiles)
 }

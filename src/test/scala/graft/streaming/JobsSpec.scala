@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** End-to-end job wiring: generator -> monitored dir -> parse -> transform
+  * -> file sink, the reference's full job shape (generator thread + job,
+  * BasicStreamingOperations.java:103-109).
+  */
+class JobsSpec extends SparkSpec {
+
+  private def tmp(tag: String) = Files.createTempDirectory(tag).toString
+
+  test("job 1: generated CSV files flow through window count to the file sink") {
+    val d = Jobs.Dirs(tmp("j1-in"), tmp("j1-out"), tmp("j1-ckpt"))
+    Generators.writeCsvFiles(d.in, seed = 7, files = 4, perFile = 25)
+    val q = Jobs.basicStreaming(spark, d)
+    try q.processAllAvailable() finally q.stop()
+    // 100 seeded events over ~100 s: open windows are withheld by the
+    // watermark, but the early ones must have closed and been written.
+    val out = spark.read.parquet(d.out)
+    assert(out.columns.toSeq === Seq("win_start", "win_end", "cnt"))
+    val emitted = out.selectExpr("sum(cnt)").head().getLong(0)
+    assert(emitted > 0 && emitted <= 100)
+  }
+
+  test("job 8: capstone counts + sessionized durations run off one source") {
+    val d = Jobs.Dirs(tmp("j8-in"), tmp("j8-out"), tmp("j8-ckpt"))
+    Generators.writeCsvFiles(d.in, seed = 11, files = 2, perFile = 30)
+    val (counts, durations) = Jobs.courseUseCase(spark, d)
+    try {
+      counts.processAllAvailable()
+      durations.processAllAvailable()
+    } finally { counts.stop(); durations.stop() }
+    val dur = spark.read.parquet(s"${d.out}/durations")
+    assert(dur.count() === 60) // sessionizer emits once per input event
+    assert(dur.filter("prev_action = 'None' AND duration_us = 0").count() > 0)
+    assert(dur.filter("duration_us < 0").count() === 0)
+  }
+}
