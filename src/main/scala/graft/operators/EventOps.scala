@@ -130,6 +130,38 @@ SELECT 'Stream-2' AS src, event_id, user_id FROM events WHERE event_type = 'view
 round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
 FROM events"""))
 
+  // A2 skew-tolerant variant: two-phase range-split prefix sum. The plain
+  // analytic window (a2) partitions by user_id alone — at 100 TB one hot
+  // user is one straggler task. Here each user's history is split into
+  // daily buckets: phase 1 computes prefix sums within (user, day) — the
+  // hot user now spreads across as many tasks as days — and phase 2 adds
+  // per-bucket offsets derived from a tiny (users x days) aggregate that
+  // broadcasts. Output is IDENTICAL to a2 (same oracle), only the plan
+  // shape changes: no per-user serialization point.
+  private val a2b = GQuery(
+    "a2b_running_sum_salted",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      val local = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = Window.partitionBy("user_id").orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dayTotals = ev.groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value")).as("day_total"))
+        .withColumn("offset", coalesce(sum(col("day_total")).over(offsets), lit(0.0)))
+        .select(col("user_id"), col("day"), col("offset"))
+      ev.withColumn("local_rs", sum(col("value")).over(local))
+        .join(broadcast(dayTotals), Seq("user_id", "day"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("local_rs") + col("offset"), 2).as("running_value"))
+    },
+    Some("""SELECT user_id, event_id, ts,
+round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events"""))
+
   // A3: multi-aggregate reduce — count/min/max (WindowingOperations.java:87-92).
   private val a3 = GQuery(
     "a3_multi_agg",
@@ -326,6 +358,6 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
 
   val all: Seq[GQuery] = Seq(
     s1, p1, p3, p5, m1a, m1b, m2,
-    a1, a2, a3, a4, w2, w3, w4,
+    a1, a2, a2b, a3, a4, w2, w3, w4,
     j1, j2, x1, x2, qDistinct, qExcept)
 }
