@@ -17,6 +17,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (untimed): scan every table once and run one higher-order-
+    // function-heavy query so codegen/JIT/interpreted-expression paths are
+    // compiled before timing starts — otherwise the alphabetically-first
+    // query absorbs ~4 s of one-time cost and round-over-round comparisons
+    // drift with query naming.
+    Tables.all.foreach { t =>
+      try Tables.t(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+    SparkEntry.queries.get("d_minhash_sig").foreach { fn =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,164 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Compiled kernels for the text-hashing operators. Semantics are locked
+  * to the DuckDB oracle SQL: the base hash is the first 8 md5 hex digits
+  * as uint32 (== first 4 digest bytes big-endian), shingles are token
+  * trigrams joined by , permutations are (a*u + b) mod prime.
+  *
+  * Why a custom Expression (SURVEY.md §4.2 escape hatch): the equivalent
+  * higher-order-function pipeline (transform/aggregate/array_min over
+  * ~300-element arrays, 16 permutations) evaluates interpreted with
+  * per-element boxing, and its call sites go megamorphic as more queries
+  * run in the JVM — measured 10-30x slowdowns mid-benchmark. One codegen
+  * call into a tight JVM loop removes all of it.
+  */
+object TextHashUtil {
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  /** First 4 md5 digest bytes as an unsigned 32-bit value — identical to
+    * `conv(substring(md5(x),1,8),16,10)` / `('0x'||substr(md5(x),1,8))::BIGINT`. */
+  def hash32(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** MinHash signature over token-trigram shingles, one pass: for each
+    * i in [0, n-3], shingle = toks[i]  toks[i+1]  toks[i+2];
+    * sig_k = min over shingles of (a_k*u + b_k) mod prime. (Shingle
+    * dedup is a no-op under min, so none is needed.) */
+  def minhashSig(toks: ArrayData, a: Array[Long], b: Array[Long], prime: Long): ArrayData = {
+    val k = a.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = toks.numElements()
+    var i = 0
+    while (i <= n - 3) {
+      val t0 = toks.getUTF8String(i).getBytes
+      val t1 = toks.getUTF8String(i + 1).getBytes
+      val t2 = toks.getUTF8String(i + 2).getBytes
+      val buf = new Array[Byte](t0.length + t1.length + t2.length + 2)
+      System.arraycopy(t0, 0, buf, 0, t0.length)
+      buf(t0.length) = 1
+      System.arraycopy(t1, 0, buf, t0.length + 1, t1.length)
+      buf(t0.length + t1.length + 1) = 1
+      System.arraycopy(t2, 0, buf, t0.length + t1.length + 2, t2.length)
+      val u = hash32(buf)
+      var j = 0
+      while (j < k) {
+        val h = (a(j) * u + b(j)) % prime
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First 15 md5 hex digits (60 bits) — fits a signed BIGINT in both
+    * engines: == `('0x'||substr(md5(x),1,15))::BIGINT`. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Sorted distinct 60-bit hashes of the token-trigram shingles — the
+    * per-document set representation for exact Jaccard verification
+    * (8 bytes/shingle through the shuffle instead of a ~25-byte string). */
+  def trigramHashes(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val m = math.max(0, n - 2)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t0 = toks.getUTF8String(i).getBytes
+      val t1 = toks.getUTF8String(i + 1).getBytes
+      val t2 = toks.getUTF8String(i + 2).getBytes
+      val buf = new Array[Byte](t0.length + t1.length + t2.length + 2)
+      System.arraycopy(t0, 0, buf, 0, t0.length)
+      buf(t0.length) = 1
+      System.arraycopy(t1, 0, buf, t0.length + 1, t1.length)
+      buf(t0.length + t1.length + 1) = 1
+      System.arraycopy(t2, 0, buf, t0.length + t1.length + 2, t2.length)
+      hs(i) = hash60(buf)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted array
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Intersection size of two sorted distinct long arrays (linear merge). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** 32-bit SimHash over ALL tokens (frequency-weighted): bit j is set
+    * when sum over tokens of +/-1 (bit j of the token hash) is positive. */
+  def simhash32(toks: ArrayData): Long = {
+    val counters = new Array[Int](32)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val u = hash32(toks.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 32) {
+        if (((u >> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (counters(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** Public Column API, delegating to the Expression definitions that live
+  * under the org.apache.spark.sql namespace (Catalyst's Expression SPI
+  * types are private[sql]). */
+object GraftFunctions {
+  def minhashSig(tokens: org.apache.spark.sql.Column, a: Seq[Long], b: Seq[Long],
+      prime: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.minhashSig(tokens, a, b, prime)
+
+  def simhash32(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.simhash32(tokens)
+
+  def trigramHashes(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.trigramHashes(tokens)
+
+  def sortedIntersectCount(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.sortedIntersectCount(a, b)
+}

@@ -140,47 +140,55 @@ FROM documents GROUP BY 1"""),
 
   // n-gram Jaccard near-dup: exact token-trigram Jaccard, but only inside
   // (lang, length-bucket) blocks — the all-pairs verifier you run on
-  // candidates, never on the full corpus.
+  // candidates, never on the full corpus. Trigram sets are represented as
+  // SORTED DISTINCT 60-bit md5 hashes computed once per document by a
+  // native expression ([[graft.functions.TextHashUtil.trigramHashes]]);
+  // per pair a compiled linear merge counts the intersection — 8 bytes
+  // per shingle through the shuffle and no interpreted set ops. The
+  // oracle works in the same hash domain (collision odds ~1e-12).
   private val dNgramJaccard = GQuery(
     "d_ngram_jaccard",
     (s, dir) => {
       val base = docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .filter(expr("size(toks) >= 3"))
-        .withColumn("tri", expr(
-          "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(chr(1), slice(toks, i + 1, 3))))"))
+        .withColumn("tri", graft.functions.GraftFunctions.trigramHashes(col("toks")))
         .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"), col("tri"))
       val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("lb"), col("tri").as("tri_a"))
       val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("lb"), col("tri").as("tri_b"))
       a.join(b, Seq("lang", "lb"))
         .filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          graft.functions.GraftFunctions.sortedIntersectCount(col("tri_a"), col("tri_b")))
         .withColumn("jac", expr(
-          "round(size(array_intersect(tri_a, tri_b)) / cast(size(array_union(tri_a, tri_b)) AS double), 4)"))
+          "round(inter / cast(size(tri_a) + size(tri_b) - inter AS double), 4)"))
         .filter(col("jac") >= 0.1)
         .select(col("doc_a"), col("doc_b"), col("jac"))
     },
     Some("""WITH t AS (
   SELECT doc_id, lang, n_chars // 100 AS lb,
-         list_distinct(list_transform(range(len(string_split(text, ' ')) - 2),
-           i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], chr(1)))) AS tri
+         list_sort(list_distinct(list_transform(
+           list_transform(range(len(string_split(text, ' ')) - 2),
+             i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], chr(1))),
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS tri
   FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.tri, b.tri)) AS inter,
+         len(a.tri) AS na, len(b.tri) AS nb
+  FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.tri, b.tri)) / len(list_distinct(list_concat(a.tri, b.tri)))::DOUBLE, 4) AS jac
-FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.tri, b.tri)) / len(list_distinct(list_concat(a.tri, b.tri)))::DOUBLE, 4) >= 0.1"""),
-    "Blocked exact trigram-Jaccard near-dup pairs (threshold 0.1).")
+SELECT doc_a, doc_b, round(inter / (na + nb - inter)::DOUBLE, 4) AS jac
+FROM p WHERE round(inter / (na + nb - inter)::DOUBLE, 4) >= 0.1"""),
+    "Blocked exact trigram-Jaccard near-dup pairs (threshold 0.1), hashed shingle sets.")
 
-  // MinHash signature digest: 16 permutation minima per doc, computed as a
-  // pure map (array_min over the shingle hash array — zero shuffles).
-  private def mhSparkExprs: Seq[String] = perms.zipWithIndex.map { case ((a, b), i) =>
-    s"array_min(transform(hs, h -> ($a * h + $b) % $MP)) AS mh$i"
-  }
+  // MinHash signature digest: 16 permutation minima per doc. Spark side is
+  // the native MinHashSig expression (one compiled pass, zero shuffles);
+  // the oracle recomputes the same minima declaratively.
   private def mhDuckExprs: Seq[String] = perms.zipWithIndex.map { case ((a, b), i) =>
     s"list_aggregate(list_transform(hs, h -> ($a * h + $b) % $MP), 'min') AS mh$i"
   }
-  private val shingleSpark =
-    s"transform(array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(chr(1), slice(toks, i + 1, 3)))), s -> ${hS("s")})"
   private val shingleDuck =
     s"list_transform(list_distinct(list_transform(range(len(toks) - 2), i -> array_to_string(toks[i + 1:i + 3], chr(1)))), s -> ${hD("s")})"
 
@@ -190,10 +198,10 @@ WHERE round(len(list_intersect(a.tri, b.tri)) / len(list_distinct(list_concat(a.
       docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .filter(expr("size(toks) >= 3"))
-        .withColumn("hs", expr(shingleSpark))
-        .selectExpr("doc_id" +: mhSparkExprs: _*)
+        .withColumn("mharr", graft.functions.GraftFunctions.minhashSig(
+          col("toks"), perms.map(_._1), perms.map(_._2), MP))
         .selectExpr("doc_id",
-          s"concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS sig"),
+          "array_join(transform(mharr, x -> cast(x AS string)), '_') AS sig"),
     Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
 h AS (SELECT doc_id, $shingleDuck AS hs FROM t),
 m AS (SELECT doc_id, ${mhDuckExprs.mkString(", ")} FROM h)
@@ -225,9 +233,8 @@ SELECT doc_id, concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS s
       val sig = docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .filter(expr("size(toks) >= 3"))
-        .withColumn("hs", expr(shingleSpark))
-        .selectExpr("doc_id",
-          s"array(${mhSparkExprs.map(_.split(" AS ")(0)).mkString(", ")}) AS mharr")
+        .withColumn("mharr", graft.functions.GraftFunctions.minhashSig(
+          col("toks"), perms.map(_._1), perms.map(_._2), MP))
         .select(col("doc_id"), col("mharr"), explode(expr("sequence(0, 3)")).as("band_idx"))
         .withColumn("band_key", expr("concat_ws('_', slice(mharr, band_idx * 4 + 1, 4))"))
       sig
@@ -269,10 +276,8 @@ FROM cand c JOIN m x ON c.doc_a = x.doc_id JOIN m y ON c.doc_b = y.doc_id"""),
       docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .filter(expr("size(toks) > 0"))
-        .withColumn("th", expr(s"transform(toks, t -> ${hS("t")})"))
-        .selectExpr("doc_id",
-          simhashTerms(j =>
-            s"aggregate(th, 0, (acc, h) -> acc + (CASE WHEN ((shiftright(h, $j) & 1) = 1) THEN 1 ELSE -1 END))") + " AS simhash"),
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhash32(col("toks")).as("simhash")),
     Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) > 0),
 h AS (SELECT doc_id, list_transform(toks, t -> ${hD("t")}) AS th FROM t)
 SELECT doc_id, ${simhashTerms(j =>

@@ -1,0 +1,109 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
+
+import graft.functions.TextHashUtil
+
+/** Native Catalyst expressions for the graft text-hash kernels. Located
+  * under org.apache.spark.sql because ExpectsInputTypes/AbstractDataType
+  * and the Column<->Expression bridge are private[sql]. Logic lives in
+  * [[graft.functions.TextHashUtil]]; these classes only bind it into
+  * whole-stage codegen (doGenCode emits a single static call).
+  */
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.minhashSig(input.asInstanceOf[ArrayData], aArr, bArr, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.minhashSig($c, $aRef, $bRef, ${prime}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class SimHash32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.simhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.simhash32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+case class TrigramHashes(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_trigram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.trigramHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.trigramHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}
+
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextHashUtil.sortedIntersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.TextHashUtil.sortedIntersectCount($l, $r);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object columns {
+  def minhashSig(tokens: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(tokens), a, b, prime))
+
+  def simhash32(tokens: Column): Column =
+    ExpressionUtils.column(SimHash32(ExpressionUtils.expression(tokens)))
+
+  def trigramHashes(tokens: Column): Column =
+    ExpressionUtils.column(TrigramHashes(ExpressionUtils.expression(tokens)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
