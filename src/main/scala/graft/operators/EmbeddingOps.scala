@@ -132,6 +132,54 @@ p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
 SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4"""),
     "Embedding near-dup pairs (cos >= 0.4) within LSH buckets.")
 
+  // IVF-style ANN top-3: 16 fixed coarse centroids (vec_id 10..25 — a
+  // training-free deterministic codebook), every vector assigned to its
+  // nearest centroid cell, queries probe ONLY their own cell (nprobe=1).
+  // At 100 TB: centroid set broadcasts, assignment is one scan + map-side
+  // partial agg, candidate generation touches 1/16th of the corpus per
+  // query — the standard IVF recall/cost tradeoff next to e_knn_lsh's
+  // hyperplane variant.
+  private val eKnnIvf = GQuery(
+    "e_knn_ivf",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val cents = base.filter(col("vec_id").between(10, 25))
+        .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      val assigned = base.join(broadcast(cents))
+        .withColumn("c_cos", expr(
+          "round(aggregate(zip_with(ce, ed, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (cn * nrm), 6)"))
+        .withColumn("arn", row_number().over(assignW))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("ed"), col("nrm"), col("cid").as("cell"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"), col("cell"))
+      val rankW = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim", expr(cosSpark))
+        .select(col("qid"), col("vec_id"), col("cos_sim"))
+        .withColumn("rnk", row_number().over(rankW))
+        .filter(col("rnk") <= 3)
+    },
+    Some(s"""$duckPrep,
+c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 10 AND 25),
+asg AS (
+  SELECT vec_id, ed, nrm, cid AS cell FROM (
+    SELECT n.vec_id, n.ed, n.nrm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             round(list_aggregate(list_transform(range(64), i -> c.ce[i + 1] * n.ed[i + 1]), 'sum') / (c.cn * n.nrm), 6) DESC, c.cid) AS arn
+    FROM n, c)
+  WHERE arn = 1),
+q AS (SELECT vec_id AS qid, ed AS qe, nrm AS qn, cell FROM asg WHERE vec_id < 10),
+p AS (SELECT q.qid, a.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> q.qe[i + 1] * a.ed[i + 1]), 'sum') / (q.qn * a.nrm), 6) AS cos_sim
+      FROM q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid)
+SELECT qid, vec_id, cos_sim, rnk
+FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM p)
+WHERE rnk <= 3"""),
+    "IVF ANN: fixed coarse codebook, nprobe=1 cell probe, top-3.")
+
   // Per-label centroids: posexplode + partial/final hash agg, one shuffle.
   private val eCentroids = GQuery(
     "e_centroids",
@@ -145,5 +193,5 @@ SELECT label, i AS pos, round(avg(ed[i + 1]), 6) AS centroid, count(*) AS cnt
 FROM n, range(64) t(i) GROUP BY 1, 2"""),
     "Per-label mean vector, one dimension per output row.")
 
-  val all: Seq[GQuery] = Seq(eKnnBrute, eKnnLsh, eNeardup, eCentroids)
+  val all: Seq[GQuery] = Seq(eKnnBrute, eKnnLsh, eKnnIvf, eNeardup, eCentroids)
 }

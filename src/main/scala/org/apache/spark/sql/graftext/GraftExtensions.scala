@@ -1,0 +1,53 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the graft native
+  * functions so plain-SQL users can call them —
+  *
+  *   spark.sql.extensions=org.apache.spark.sql.graftext.GraftExtensions
+  *
+  *   SELECT graft_simhash32(split(text, ' ')) FROM documents
+  *   SELECT graft_minhash_sig(split(text, ' ')) FROM documents
+  *   SELECT graft_trigram_hashes(split(text, ' ')) FROM documents
+  *   SELECT graft_sorted_intersect_count(a, b)
+  *
+  * graft_minhash_sig uses the library's standard 16 permutations
+  * ([[graft.operators.TextOps]] constants) when called from SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private val MP = 4294967311L
+  private val perms: Seq[(Long, Long)] =
+    (0 until 16).map(i => (2L * i + 3L, 1000003L * i + 12345L))
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("org.apache.spark.sql.graftext", name)
+
+  /** (identifier, info, builder) triples shared by the extensions hook and
+    * runtime registration. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash32"), info("graft_simhash32"),
+      (args: Seq[Expression]) => SimHash32(args.head)),
+    (FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, perms.map(_._1), perms.map(_._2), MP)),
+    (FunctionIdentifier("graft_trigram_hashes"), info("graft_trigram_hashes"),
+      (args: Seq[Expression]) => TrigramHashes(args.head)),
+    (FunctionIdentifier("graft_sorted_intersect_count"), info("graft_sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+
+  /** Register into an already-built session (the extensions config only
+    * applies at session build time). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must be reachable from plain SQL via
+  * SparkSessionExtensions, and must agree with their reference semantics
+  * on literal inputs (cross-engine agreement is covered by the DuckDB
+  * oracle gate; these pin the kernels directly).
+  */
+class GraftFunctionsSpec extends AnyFunSuite {
+
+  // The extensions config only applies at session build time and the test
+  // JVM shares one session, so register through the same builder triples
+  // the extensions class injects.
+  private lazy val spark: SparkSession = {
+    val s = graft.SparkSpec.session
+    org.apache.spark.sql.graftext.GraftExtensions.registerAll(s)
+    s
+  }
+
+  test("graft functions are callable from SQL via SparkSessionExtensions") {
+    val row = spark.sql(
+      """SELECT graft_simhash32(split('a b c d', ' ')) AS sh,
+                graft_minhash_sig(split('a b c d e', ' ')) AS mh,
+                graft_trigram_hashes(split('a b c d', ' ')) AS th,
+                graft_sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) AS ic""")
+      .head()
+    assert(row.getAs[Long]("sh") != 0L)
+    assert(row.getAs[scala.collection.Seq[Long]]("mh").length === 16)
+    assert(row.getAs[scala.collection.Seq[Long]]("th").length === 2) // 'a b c' and 'b c d'
+    assert(row.getAs[Int]("ic") === 2)              // {3, 7}
+  }
+
+  test("minhash signature is permutation-consistent and order-sensitive") {
+    val df = spark.sql(
+      """SELECT graft_minhash_sig(split('x y z x y z', ' ')) AS a,
+                graft_minhash_sig(split('x y z x y z x y z', ' ')) AS b,
+                graft_minhash_sig(split('z y x z y x', ' ')) AS c""").head()
+    val a = df.getAs[scala.collection.Seq[Long]]("a")
+    // one more repetition adds only duplicate shingles ({xyz,yzx,zxy}
+    // either way) and min is dedup-invariant -> identical signature
+    assert(a === df.getAs[scala.collection.Seq[Long]]("b"))
+    // reversed token order produces different shingles -> different sig
+    assert(a !== df.getAs[scala.collection.Seq[Long]]("c"))
+  }
+
+  test("sorted intersect handles empty and disjoint arrays") {
+    val r = spark.sql(
+      """SELECT graft_sorted_intersect_count(array(1L, 2L), array(3L, 4L)) AS d,
+                graft_sorted_intersect_count(cast(array() AS array<bigint>), array(1L)) AS e""").head()
+    assert(r.getAs[Int]("d") === 0)
+    assert(r.getAs[Int]("e") === 0)
+  }
+}
