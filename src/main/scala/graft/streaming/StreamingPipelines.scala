@@ -121,6 +121,15 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("cnt"))
       .select(col("user_id"), col("event_type"), col("window.start").as("win_start"), col("cnt"))
 
+  // Streaming deduplication (LLM-pipeline operator, streaming side):
+  // exact dedup on a key with bounded state — dropDuplicatesWithinWatermark
+  // keeps a key's state only until the watermark passes it, so state
+  // doesn't grow unboundedly on an infinite stream (the batch analog is
+  // d_exact_dedup in TextOps).
+  def dedupWithinWatermark(events: DataFrame, delay: String = "10 seconds",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    watermarked(events, delay).dropDuplicatesWithinWatermark(keys)
+
   // M1: split via side output (StreamSplitAndCombine.java:72-100) — two
   // predicates over one stream; each branch becomes its own sink/query.
   def splitMain(events: DataFrame, keep: String = "purchase"): DataFrame =
