@@ -180,6 +180,46 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 3"""),
     "IVF ANN: fixed coarse codebook, nprobe=1 cell probe, top-3.")
 
+  // Int8-quantized ANN top-3: per-vector symmetric scalar quantization
+  // (scale = max|x|/127, q = round(x/scale)) then integer dot products.
+  // Cosine of quantized vectors needs NO descaling (scales cancel in the
+  // normalization), so candidate scoring runs on int8 arrays — 4x less
+  // memory/shuffle than float32 and SIMD-friendly integer math at 100 TB,
+  // with exact re-ranking as the documented follow-up stage.
+  private val eKnnQuant = GQuery(
+    "e_knn_quant",
+    (s, dir) => {
+      val qz = prepped(s, dir)
+        .withColumn("sc", expr("greatest(array_max(transform(ed, x -> abs(x))), 1e-30d) / 127.0d"))
+        .withColumn("qv", expr("transform(ed, x -> cast(round(x / sc) AS int))"))
+        .withColumn("qn", expr("sqrt(aggregate(qv, cast(0 as double), (acc, v) -> acc + cast(v AS double) * cast(v AS double)))"))
+        .select(col("vec_id"), col("qv"), col("qn"))
+      val q = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qn").as("qan"))
+      qz.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_q", expr(
+          "round(aggregate(zip_with(qa, qv, (x, y) -> cast(x AS long) * cast(y AS long)), cast(0 as long), (acc, v) -> acc + v) / (qan * qn), 6)"))
+        .select(col("qid"), col("vec_id"), col("cos_q"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_q").desc, col("vec_id"))))
+        .filter(col("rnk") <= 3)
+    },
+    Some(s"""$duckPrep,
+z AS (SELECT vec_id,
+        list_transform(ed, x -> round(x / (greatest(list_max(list_transform(ed, y -> abs(y))), 1e-30) / 127.0))::INTEGER) AS qv
+      FROM n),
+zn AS (SELECT vec_id, qv,
+        sqrt(list_aggregate(list_transform(qv, v -> v::DOUBLE * v::DOUBLE), 'sum')) AS qn
+       FROM z),
+q AS (SELECT vec_id AS qid, qv AS qa, qn AS qan FROM zn WHERE vec_id < 10),
+p AS (SELECT q.qid, zn.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> q.qa[i + 1]::BIGINT * zn.qv[i + 1]::BIGINT), 'sum') / (q.qan * zn.qn), 6) AS cos_q
+      FROM q, zn WHERE zn.vec_id <> q.qid)
+SELECT qid, vec_id, cos_q, rnk
+FROM (SELECT qid, vec_id, cos_q, row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, vec_id) AS rnk FROM p)
+WHERE rnk <= 3"""),
+    "Int8 scalar-quantized cosine top-3 (scales cancel in cosine).")
+
   // Per-label centroids: posexplode + partial/final hash agg, one shuffle.
   private val eCentroids = GQuery(
     "e_centroids",
@@ -193,5 +233,6 @@ SELECT label, i AS pos, round(avg(ed[i + 1]), 6) AS centroid, count(*) AS cnt
 FROM n, range(64) t(i) GROUP BY 1, 2"""),
     "Per-label mean vector, one dimension per output row.")
 
-  val all: Seq[GQuery] = Seq(eKnnBrute, eKnnLsh, eKnnIvf, eNeardup, eCentroids)
+  val all: Seq[GQuery] =
+    Seq(eKnnBrute, eKnnLsh, eKnnIvf, eKnnQuant, eNeardup, eCentroids)
 }

@@ -222,47 +222,100 @@ SELECT doc_id, concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS s
   // a degenerate band (thousands of identical docs) belongs to exact-dedup,
   // and the cap bounds the quadratic expansion at any scale.
   private val lshBucketCap = 1000
-  private val dMinhashLsh = GQuery(
-    "d_minhash_lsh_pairs",
-    (s, dir) => {
-      // Explode the (literal) band indexes FIRST: the Generate operator is
-      // an optimizer barrier, so `mharr` crosses it as a materialized
-      // attribute and the band keys above it cost 4 slices — deriving the
-      // keys below the explode let projection collapse re-inline the 16
-      // minhash expressions into every band (≈15x slower, measured).
-      val sig = docs(s, dir)
-        .withColumn("toks", expr("split(text, ' ')"))
-        .filter(expr("size(toks) >= 3"))
-        .withColumn("mharr", graft.functions.GraftFunctions.minhashSig(
-          col("toks"), perms.map(_._1), perms.map(_._2), MP))
-        .select(col("doc_id"), col("mharr"), explode(expr("sequence(0, 3)")).as("band_idx"))
-        .withColumn("band_key", expr("concat_ws('_', slice(mharr, band_idx * 4 + 1, 4))"))
-      sig
-        .groupBy(col("band_idx"), col("band_key"))
-        .agg(collect_list(struct(col("doc_id"), col("mharr"))).as("ds"))
-        .filter(size(col("ds")).between(2, lshBucketCap))
-        .withColumn("pair", explode(expr(
-          """flatten(transform(sequence(0, size(ds) - 2), i ->
-             transform(sequence(i + 1, size(ds) - 1), j ->
-               struct(element_at(ds, i + 1) AS x, element_at(ds, j + 1) AS y))))""")))
-        .select(
-          least(col("pair.x.doc_id"), col("pair.y.doc_id")).as("doc_a"),
-          greatest(col("pair.x.doc_id"), col("pair.y.doc_id")).as("doc_b"),
-          expr("round(size(filter(zip_with(pair.x.mharr, pair.y.mharr, (x, y) -> x = y), v -> v)) / cast(16 as double), 4)").as("est_sim"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(min(col("est_sim")).as("est_sim"))
-    },
-    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
+
+  /** LSH candidate pairs DataFrame (doc_a, doc_b, est_sim) — shared by the
+    * pairs query and the dedup-groups connected components. */
+  private def lshPairsDF(s: SparkSession, dir: String): DataFrame = {
+    // Explode the (literal) band indexes FIRST: the Generate operator is
+    // an optimizer barrier, so `mharr` crosses it as a materialized
+    // attribute and the band keys above it cost 4 slices — deriving the
+    // keys below the explode let projection collapse re-inline the 16
+    // minhash expressions into every band (≈15x slower, measured).
+    val sig = docs(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("mharr", graft.functions.GraftFunctions.minhashSig(
+        col("toks"), perms.map(_._1), perms.map(_._2), MP))
+      .select(col("doc_id"), col("mharr"), explode(expr("sequence(0, 3)")).as("band_idx"))
+      .withColumn("band_key", expr("concat_ws('_', slice(mharr, band_idx * 4 + 1, 4))"))
+    sig
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(struct(col("doc_id"), col("mharr"))).as("ds"))
+      .filter(size(col("ds")).between(2, lshBucketCap))
+      .withColumn("pair", explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2), i ->
+           transform(sequence(i + 1, size(ds) - 1), j ->
+             struct(element_at(ds, i + 1) AS x, element_at(ds, j + 1) AS y))))""")))
+      .select(
+        least(col("pair.x.doc_id"), col("pair.y.doc_id")).as("doc_a"),
+        greatest(col("pair.x.doc_id"), col("pair.y.doc_id")).as("doc_b"),
+        expr("round(size(filter(zip_with(pair.x.mharr, pair.y.mharr, (x, y) -> x = y), v -> v)) / cast(16 as double), 4)").as("est_sim"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("est_sim")).as("est_sim"))
+  }
+
+  /** Matching DuckDB CTE body producing (doc_a, doc_b, est_sim). */
+  private val lshPairsOracle: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
 h AS (SELECT doc_id, $shingleDuck AS hs FROM t),
 m AS (SELECT doc_id, ${mhDuckExprs.mkString(", ")} FROM h),
 bands AS (${(0 until 4).map(z =>
-        s"SELECT doc_id, $z AS band_idx, concat_ws('_', ${(4 * z until 4 * z + 4).map("mh" + _).mkString(", ")}) AS band_key FROM m").mkString("\nUNION ALL\n")}),
+      s"SELECT doc_id, $z AS band_idx, concat_ws('_', ${(4 * z until 4 * z + 4).map("mh" + _).mkString(", ")}) AS band_key FROM m").mkString("\nUNION ALL\n")}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-SELECT c.doc_a, c.doc_b,
+         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+pairs AS (SELECT c.doc_a, c.doc_b,
        round((${(0 until 16).map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0::DOUBLE, 4) AS est_sim
-FROM cand c JOIN m x ON c.doc_a = x.doc_id JOIN m y ON c.doc_b = y.doc_id"""),
+FROM cand c JOIN m x ON c.doc_a = x.doc_id JOIN m y ON c.doc_b = y.doc_id)"""
+
+  private val dMinhashLsh = GQuery(
+    "d_minhash_lsh_pairs",
+    (s, dir) => lshPairsDF(s, dir),
+    Some(s"""WITH $lshPairsOracle
+SELECT doc_a, doc_b, est_sim FROM pairs"""),
     "LSH-banded MinHash candidate pairs with estimated Jaccard.")
+
+  // Dedup GROUPS: connected components over the LSH candidate graph
+  // (est >= 0.5), labeling every clustered document with the smallest
+  // doc_id in its component — the "pick one representative per near-dup
+  // cluster" step of a dedup pipeline. Spark side runs min-label
+  // propagation to a fixpoint (log-diameter iterations; near-dup clusters
+  // are shallow, and each iteration is one small self-join over the edge
+  // set — at 100 TB this loop runs on the pair list, typically orders of
+  // magnitude smaller than the corpus, with localCheckpoint() to cut
+  // lineage if diameters grow). Oracle: recursive-CTE transitive closure.
+  private val dDedupGroups = GQuery(
+    "d_dedup_groups",
+    (s, dir) => {
+      val edges = lshPairsDF(s, dir)
+        .filter(col("est_sim") >= 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      var comp = sym.select(col("src").as("doc_id")).distinct()
+        .withColumn("comp", col("doc_id"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = sym.join(comp, sym("dst") === comp("doc_id"))
+          .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+        // carry the previous label so convergence is read off the same
+        // (eagerly checkpointed) frame — no extra join per iteration
+        val next = comp.join(neighborMin, comp("doc_id") === neighborMin("src"), "left")
+          .select(comp("doc_id"), col("comp").as("old"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        converged = next.filter(col("comp") =!= col("old")).isEmpty
+        comp = next.select(col("doc_id"), col("comp"))
+        iter += 1
+      }
+      comp
+    },
+    Some(s"""WITH RECURSIVE $lshPairsOracle,
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_sim >= 0.5
+      UNION SELECT doc_b, doc_a FROM pairs WHERE est_sim >= 0.5),
+r(src, dst) AS (SELECT src, dst FROM e
+                UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src)
+SELECT src AS doc_id, least(src, min(dst)) AS comp FROM r GROUP BY src"""),
+    "Near-dup clusters: connected components over LSH pairs, min-id label.")
 
   // SimHash: 32-bit signature; bit j set when the token-frequency-weighted
   // sum of (+/-1 for bit j of each token hash) is positive. Pure map.
@@ -287,5 +340,5 @@ FROM h"""),
 
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint,
-    dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, tSimhash)
+    dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups, tSimhash)
 }

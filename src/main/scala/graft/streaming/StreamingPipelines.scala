@@ -146,6 +146,13 @@ object StreamingPipelines {
     left.unionByName(right)
   }
 
+  // Stream-static enrichment join: each micro-batch joins against a
+  // (re-read) static dimension — broadcast when small. The standard
+  // pattern for decorating an event stream with slowly-changing reference
+  // data; no watermark needed on the static side.
+  def staticEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   // J1: windowed stream-stream equi inner join (WindowJoins.java:106-121).
   // Both sides watermarked; join key includes the tumbling window so
   // Spark's state store can evict closed windows.

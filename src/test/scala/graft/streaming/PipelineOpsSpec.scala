@@ -45,6 +45,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(merged === Set(("Stream-1", 1L), ("Stream-2", 2L)))
   }
 
+  test("stream-static enrichment join decorates each micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = StreamingPipelines.staticEnrich(in.toDF(), dim, Seq("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      in.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 2, "view", 1.0), ev(3, 3, 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = s.table("enriched").selectExpr("event_id", "tier")
+        .as[(Long, String)].collect().toSet
+      // user 9 has no dimension row -> inner join drops it
+      assert(rows === Set((1L, "gold"), (2L, "silver")))
+    } finally q.stop()
+  }
+
   test("A2: keyed running sum emits updated totals per micro-batch (update mode)") {
     val s = spark
     import s.implicits._
