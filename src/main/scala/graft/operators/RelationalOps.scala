@@ -223,7 +223,64 @@ FROM lineitem GROUP BY l_returnflag"""))
        round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
 FROM lineitem GROUP BY l_returnflag"""))
 
+  // Left outer join with aggregation over the nullable side.
+  private val qOuter = GQuery(
+    "q_outer_join",
+    (s, dir) =>
+      t("customer")(s, dir)
+        .join(t("orders")(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent")),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey"""))
+
+  // Pivot: one column per order status, counts per priority. Spark's
+  // relational pivot == conditional aggregation; the oracle spells out
+  // the same conditional aggregates (statuses are the fixed domain O/F/P).
+  private val qPivot = GQuery(
+    "q_pivot_status",
+    (s, dir) =>
+      t("orders")(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+    Some("""SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'O') AS "O",
+       count(*) FILTER (o_orderstatus = 'F') AS "F",
+       count(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority"""))
+
+  // Analytic-function suite: rank/dense_rank/lead/first_value in one
+  // pass over a single window spec (one shuffle + one sort).
+  private val qWindowSuite = GQuery(
+    "q_window_suite",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t("orders")(s, dir)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first(col("o_orderkey")).over(w).as("top_key"))
+        .filter(col("rnk") <= 5)
+    },
+    Some("""SELECT o_orderstatus, o_orderkey, rnk, drnk, next_key, top_key FROM (
+  SELECT o_orderstatus, o_orderkey,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         lead(o_orderkey, 1) OVER w AS next_key,
+         first_value(o_orderkey) OVER w AS top_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rnk <= 5"""))
+
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
-      qCube, qCountDistinct, qHll, qPercentiles)
+      qCube, qCountDistinct, qHll, qPercentiles,
+      qOuter, qPivot, qWindowSuite)
 }

@@ -338,7 +338,25 @@ SELECT doc_id, ${simhashTerms(j =>
 FROM h"""),
     "32-bit SimHash signature per document (map-only).")
 
+  // Corpus token frequency: explode + count — the vocabulary-statistics
+  // pass of a training pipeline. Top-20 with deterministic tiebreak. At
+  // 100 TB: partial aggregation absorbs the explosion map-side; the
+  // shuffle carries only (token, partial_count) pairs.
+  private val tTokenFreq = GQuery(
+    "t_token_freq",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(expr("split(text, ' ')")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20),
+    Some("""SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""),
+    "Top-20 corpus vocabulary with counts.")
+
   val all: Seq[GQuery] = Seq(
-    tTextStats, tQuality, tLangid, tFingerprint,
+    tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups, tSimhash)
 }

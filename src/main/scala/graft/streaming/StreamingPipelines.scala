@@ -165,4 +165,20 @@ object StreamingPipelines {
     c.join(p, col("user_id") === col("p_user_id") && col("win") === col("p_win"))
       .select(col("user_id"), col("win.start").as("win_start"), lit(1).as("one"))
   }
+
+  /** J1 variant: stream-stream LEFT OUTER windowed join. Unmatched left
+    * rows are held in state and emitted with nulls only once the
+    * watermark proves no match can still arrive — the state-eviction
+    * semantics that make outer stream joins safe at scale. */
+  def windowJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      size: String = "5 seconds", delay: String = "10 seconds"): DataFrame = {
+    val c = watermarked(clicks, delay)
+      .select(col("event_id"), col("user_id"), window(col("ts"), size).as("win"))
+    val p = watermarked(purchases, delay)
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        window(col("ts"), size).as("p_win"))
+    c.join(p, col("user_id") === col("p_user_id") && col("win") === col("p_win"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        col("win.start").as("win_start"), col("p_event_id"))
+  }
 }

@@ -100,6 +100,33 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingPipelines
+      .windowJoinOuter(clicks.toDF(), purchases.toDF(), size = "5 seconds", delay = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_joined").start()
+    try {
+      clicks.addData(ev(1, 2, user = 1), ev(2, 3, user = 2)) // user 2 will never match
+      purchases.addData(ev(10, 3, user = 1))
+      q.processAllAvailable()
+      // push both watermarks far past window [0,5)
+      clicks.addData(ev(3, 60, user = 9))
+      purchases.addData(ev(11, 60, user = 9))
+      q.processAllAvailable()
+      val rows = s.table("outer_joined")
+        .selectExpr("event_id", "user_id", "p_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 1L, 10L)))  // matched pair
+      assert(rows.contains((2L, 2L, -1L)))  // unmatched left, null right
+    } finally q.stop()
+  }
+
   test("windowed stream-stream equi join matches same user + window (J1/W5)") {
     val s = spark
     import s.implicits._
