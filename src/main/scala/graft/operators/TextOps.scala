@@ -286,9 +286,12 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
   private val dDedupGroups = GQuery(
     "d_dedup_groups",
     (s, dir) => {
+      // Materialize the edge list ONCE — the propagation loop joins
+      // against it every iteration and must not re-run the LSH pipeline.
       val edges = lshPairsDF(s, dir)
         .filter(col("est_sim") >= 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .localCheckpoint()
       val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       var comp = sym.select(col("src").as("doc_id")).distinct()
         .withColumn("comp", col("doc_id"))
