@@ -341,6 +341,58 @@ SELECT doc_id, ${simhashTerms(j =>
 FROM h"""),
     "32-bit SimHash signature per document (map-only).")
 
+  // Capstone: full corpus curation — the end-to-end filter a training-data
+  // pipeline runs, composed from the operators above in ONE query:
+  //   1. quality gate  (stopword/length/diversity score >= 0.5)
+  //   2. exact dedup   (keep min doc_id per content digest)
+  //   3. near-dup dedup (keep only each LSH cluster's min-id representative)
+  // Output = the curated document set. At 100 TB each stage is the same
+  // plan shape it has standalone: map-side scoring, one digest shuffle,
+  // LSH band shuffles + the small label-propagation loop — and the final
+  // anti-join against the (tiny) rejected-id set broadcasts.
+  private val dCurate = GQuery(
+    "d_curate_corpus",
+    (s, dir) => {
+      val quality = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("cast(size(toks) AS double)"))
+        .withColumn("score", expr(
+          "round(0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n), 4)"))
+        .filter(col("score") >= 0.62)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val exactKeepers = quality
+        .withColumn("fp", expr("md5(lower(trim(text)))"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+        .select(col("keeper").as("doc_id"))
+      // near-dup representatives: drop any doc whose component label is a
+      // smaller doc_id (the representative itself has comp == doc_id)
+      val nearDupLosers = dDedupGroups.impl(s, dir)
+        .filter(col("comp") =!= col("doc_id"))
+        .select(col("doc_id"))
+      quality
+        .join(exactKeepers, Seq("doc_id"), "left_semi")
+        .join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    Some(s"""WITH RECURSIVE $lshPairsOracle,
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_sim >= 0.5
+      UNION SELECT doc_b, doc_a FROM pairs WHERE est_sim >= 0.5),
+r(src, dst) AS (SELECT src, dst FROM e
+                UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+losers AS (SELECT src AS doc_id FROM r GROUP BY src HAVING least(src, min(dst)) <> src),
+q AS (SELECT doc_id, lang, n_chars, text FROM (
+        SELECT doc_id, lang, n_chars, text,
+               round(0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n), 4) AS score
+        FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' '))::DOUBLE AS n FROM documents))
+      WHERE score >= 0.62),
+keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text))))
+SELECT q.doc_id, q.lang, q.n_chars
+FROM q
+JOIN keepers k ON q.doc_id = k.doc_id
+WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)"""),
+    "End-to-end corpus curation: quality gate + exact dedup + near-dup representative selection.")
+
   // Corpus token frequency: explode + count — the vocabulary-statistics
   // pass of a training pipeline. Top-20 with deterministic tiebreak. At
   // 100 TB: partial aggregation absorbs the explosion map-side; the
@@ -361,5 +413,6 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""),
 
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
-    dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups, tSimhash)
+    dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
+    dCurate, tSimhash)
 }
