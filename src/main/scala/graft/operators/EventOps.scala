@@ -49,6 +49,20 @@ object EventOps {
     Some("""SELECT event_id, TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k FROM events"""),
     "Row-transform parse: string payload → typed column.")
 
+  // P1 (typed flavor): schema-aware JSON parse of the props payload —
+  // from_json with an explicit schema beats regex extraction (p1) and
+  // stays codegen-friendly; the struct field prunes to just `k`.
+  private val p2 = GQuery(
+    "p2_parse_json",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k")),
+    Some("""SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k FROM events"""),
+    "Typed JSON payload parse with explicit schema.")
+
   // P3: filter predicate (StatefulOperations.java:120-126).
   private val p3 = GQuery(
     "p3_filter",
@@ -357,7 +371,7 @@ EXCEPT
 SELECT user_id FROM events WHERE event_type = 'purchase'"""))
 
   val all: Seq[GQuery] = Seq(
-    s1, p1, p3, p5, m1a, m1b, m2,
+    s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, w2, w3, w4,
     j1, j2, x1, x2, qDistinct, qExcept)
 }
