@@ -58,15 +58,51 @@ object StreamingPipelines {
   // -------------------------------------------------------------------
   // P1: CSV line -> typed record (AuditTrail.java:15-30). Quote-strip,
   // split, positional cast; epoch-micros long -> timestamp.
+  // try_cast throughout: under ANSI mode (Spark 4 default) a plain cast
+  // THROWS on a malformed field and would kill a streaming query on one
+  // bad line; null-on-failure + the quarantine split below is the
+  // production behavior.
   def parseCsvLines(lines: DataFrame): DataFrame =
     lines
       .withColumn("f", split(regexp_replace(col("value"), "\"", ""), ","))
       .select(
-        element_at(col("f"), 1).cast("long").as("event_id"),
-        timestamp_micros(element_at(col("f"), 2).cast("long")).as("ts"),
-        element_at(col("f"), 3).cast("long").as("user_id"),
-        element_at(col("f"), 4).as("event_type"),
-        element_at(col("f"), 5).cast("double").as("value"))
+        expr("try_cast(try_element_at(f, 1) AS long)").as("event_id"),
+        timestamp_micros(expr("try_cast(try_element_at(f, 2) AS long)")).as("ts"),
+        expr("try_cast(try_element_at(f, 3) AS long)").as("user_id"),
+        expr("try_element_at(f, 4)").as("event_type"),
+        expr("try_cast(try_element_at(f, 5) AS double)").as("value"))
+
+  /** P1 with quarantine: split parsed rows from malformed input instead
+    * of silently nulling fields — the production posture for an untrusted
+    * feed. `good` carries fully-typed rows; `bad` carries the ORIGINAL
+    * line for reprocessing. Works identically on batch and streaming
+    * frames (two predicates over one parse, like M1's split). */
+  def parseCsvQuarantine(lines: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = lines
+      .withColumn("f", split(regexp_replace(col("value"), "\"", ""), ","))
+      .withColumn("event_id", expr("try_cast(try_element_at(f, 1) AS long)"))
+      .withColumn("ts_us", expr("try_cast(try_element_at(f, 2) AS long)"))
+      .withColumn("user_id", expr("try_cast(try_element_at(f, 3) AS long)"))
+      .withColumn("event_type", expr("try_element_at(f, 4)"))
+      .withColumn("value_d", expr("try_cast(try_element_at(f, 5) AS double)"))
+    val ok = col("event_id").isNotNull && col("ts_us").isNotNull &&
+      col("user_id").isNotNull && col("event_type").isNotNull &&
+      col("value_d").isNotNull && expr("size(f) = 5")
+    val good = parsed.filter(ok).select(
+      col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+      col("user_id"), col("event_type"), col("value_d").as("value"))
+    val bad = parsed.filter(!ok).select(col("value"))
+    (good, bad)
+  }
+
+  /** Observability: attach named metrics to any frame — row count, null
+    * keys, value sum — readable per-batch from StreamingQueryProgress (or
+    * QueryExecution.observedMetrics in batch) without a second scan. */
+  def withObservedMetrics(df: DataFrame, name: String = "graft_metrics"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("rows"),
+      count(when(col("user_id").isNull, 1)).as("null_users"),
+      round(sum(col("value")), 2).as("value_sum"))
 
   // -------------------------------------------------------------------
   // T2: bounded out-of-orderness watermark (EventTimeOperations.java:82-94).

@@ -13,6 +13,14 @@ class ScaleFeaturesSpec extends SparkSpec {
 
   test("bucketed tables join with ZERO exchanges (co-located join)") {
     val s = spark
+    // clear both catalog entries AND any stale managed location left by a
+    // previously-interrupted run (DROP alone won't remove an orphan dir)
+    Seq("li_b", "ord_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) scala.reflect.io.Directory(loc).deleteRecursively()
+    }
     val li = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val ord = s.read.parquet("/root/testdata/sf0.001/orders.parquet")
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

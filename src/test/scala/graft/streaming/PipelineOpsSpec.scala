@@ -45,6 +45,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(merged === Set(("Stream-1", 1L), ("Stream-2", 2L)))
   }
 
+  test("P1 quarantine: malformed lines route to the bad side intact") {
+    val s = spark
+    import s.implicits._
+    val lines = Seq(
+      "\"1\",\"5000000\",\"3\",\"click\",\"2.5\"", // good
+      "garbage line",                             // wrong arity
+      "\"x\",\"5000000\",\"3\",\"click\",\"2.5\"", // unparseable id
+      "\"2\",\"6000000\",\"4\",\"view\",\"1.0\"").toDF("value")
+    val (good, bad) = StreamingPipelines.parseCsvQuarantine(lines)
+    assert(good.select("event_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(bad.as[String].collect().toSet ===
+      Set("garbage line", "\"x\",\"5000000\",\"3\",\"click\",\"2.5\""))
+  }
+
+  test("observed metrics report rows and sums without a second scan") {
+    val s = spark
+    import s.implicits._
+    val df = StreamingPipelines.withObservedMetrics(
+      Seq(ev(1, 1, 1, "click", 2.0), ev(2, 2, 1, "view", 3.5)).toDF())
+    df.collect()
+    val m = df.queryExecution.observedMetrics("graft_metrics")
+    assert(m.getAs[Long]("rows") === 2L)
+    assert(m.getAs[Long]("null_users") === 0L)
+    assert(m.getAs[Double]("value_sum") === 5.5)
+  }
+
   test("stream-static enrichment join decorates each micro-batch") {
     val s = spark
     import s.implicits._
