@@ -45,7 +45,9 @@ object EventOps {
     (s, dir) =>
       events(s, dir).select(
         col("event_id"),
-        regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k")),
+        // try_cast: regexp_extract yields '' on no match, and ANSI cast('')
+        // throws — null-on-failure matches the TRY_CAST oracle semantics.
+        expr("try_cast(regexp_extract(props, '([0-9]+)', 1) AS int)").as("k")),
     Some("""SELECT event_id, TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k FROM events"""),
     "Row-transform parse: string payload → typed column.")
 
