@@ -2,7 +2,9 @@ package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 /** SparkSessionExtensions entry point: registers the graft native
   * functions so plain-SQL users can call them —
@@ -18,8 +20,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * ([[graft.operators.TextOps]] constants) when called from SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => SimplifySelfIntersect)
+  }
+}
+
+/** Catalyst optimizer rule for the graft expressions: the intersection of
+  * a sorted-distinct array with itself is its own length, so
+  * `graft_sorted_intersect_count(x, x)` folds to `size(x)` — the linear
+  * merge (and any duplicated evaluation of `x`) disappears from the plan.
+  * Deliberately small: it exists to exercise the injectOptimizerRule SPI
+  * end-to-end next to the injected functions.
+  */
+object SimplifySelfIntersect extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case SortedIntersectCount(a, b) if a.deterministic && a.semanticEquals(b) =>
+        Size(a)
+    }
 }
 
 object GraftExtensions {

@@ -45,6 +45,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(a !== df.getAs[scala.collection.Seq[Long]]("c"))
   }
 
+  test("optimizer rule folds self-intersection to size(x)") {
+    val s = spark
+    // the rule is injected via extensions at build time; apply it directly
+    // here since the shared test session predates registration
+    val df = s.sql(
+      "SELECT graft_sorted_intersect_count(v, v) AS n FROM (SELECT array(1L, 2L, 3L) AS v)")
+    val optimized = org.apache.spark.sql.graftext.SimplifySelfIntersect(
+      df.queryExecution.analyzed)
+    assert(!optimized.toString.contains("graft_sorted_intersect_count"),
+      s"rule did not fire:\n$optimized")
+    assert(optimized.toString.contains("size("))
+    // and the rewrite is semantics-preserving
+    assert(df.head().getInt(0) === 3)
+  }
+
   test("sorted intersect handles empty and disjoint arrays") {
     val r = spark.sql(
       """SELECT graft_sorted_intersect_count(array(1L, 2L), array(3L, 4L)) AS d,
