@@ -25,6 +25,24 @@ class JobsSpec extends SparkSpec {
     assert(emitted > 0 && emitted <= 100)
   }
 
+  test("rate-source generator emits schema-correct synthetic events") {
+    val q = Generators.rateEvents(spark, rowsPerSecond = 200)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rate_events").start()
+    try {
+      // rate source is wall-clock driven; give it a beat then drain
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val rows = spark.table("rate_events")
+      assert(rows.columns.toSeq === Seq("event_id", "ts", "user_id", "event_type", "value"))
+      assert(rows.count() > 0)
+      assert(rows.filter("user_id < 1 OR user_id > 10").count() === 0)
+      assert(rows.filter(
+        s"event_type NOT IN (${Generators.eventTypes.map("'" + _ + "'").mkString(",")})")
+        .count() === 0)
+    } finally q.stop()
+  }
+
   test("job 8: capstone counts + sessionized durations run off one source") {
     val d = Jobs.Dirs(tmp("j8-in"), tmp("j8-out"), tmp("j8-ckpt"))
     Generators.writeCsvFiles(d.in, seed = 11, files = 2, perFile = 30)
