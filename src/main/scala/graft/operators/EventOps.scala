@@ -198,6 +198,48 @@ FROM events"""))
     Some("""SELECT user_id, event_type, time_bucket(INTERVAL '10 minutes', ts) AS win_start, count(*) AS cnt
 FROM events GROUP BY 1, 2, 3"""))
 
+  // A5 (beyond the reference): time-series gap-fill — every 5-minute
+  // bucket in each event_type's observed range, zero-filled where no
+  // events landed. The spine (sequence + explode) is derived from a tiny
+  // per-type min/max aggregate, so at 100 TB the explode multiplies a
+  // handful of rows, never the fact table.
+  private val a5 = GQuery(
+    "a5_gapfill",
+    (s, dir) => {
+      val c = events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "5 minutes").getField("start").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = c.groupBy(col("event_type"))
+        .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, interval 5 minutes)")).as("b"))
+      spine.join(c, Seq("event_type", "b"), "left")
+        .select(col("event_type"), col("b").as("win_start"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+    },
+    Some("""WITH c AS (SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS b, count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM c GROUP BY 1),
+s AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL '5 minutes')) AS b FROM r)
+SELECT s.event_type, s.b AS win_start, coalesce(c.cnt, 0) AS cnt
+FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.b = c.b"""),
+    "Dense 5-minute series per event type, zero-filled gaps.")
+
+  // A6: value histogram — fixed-width binning with a closed top bucket;
+  // one partial/final agg over a pure-map bucket expression.
+  private val a6 = GQuery(
+    "a6_histogram",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("bucket", expr("cast(least(floor(value / 10.0), 9) AS int)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 2).as("avg_value")),
+    Some("""SELECT least(floor(value / 10.0), 9)::INTEGER AS bucket,
+       count(*) AS cnt, round(avg(value), 2) AS avg_value
+FROM events GROUP BY 1"""),
+    "Fixed-width value histogram (10 buckets, closed top).")
+
   // W2: sliding window (size 10 m, slide 5 m) (WindowingOperations.java:84-86).
   // Spark assigns each row to size/slide windows; oracle enumerates the same
   // two shifted buckets.
@@ -374,6 +416,6 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
 
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
-    a1, a2, a2b, a3, a4, w2, w3, w4,
+    a1, a2, a2b, a3, a4, a5, a6, w2, w3, w4,
     j1, j2, x1, x2, qDistinct, qExcept)
 }
