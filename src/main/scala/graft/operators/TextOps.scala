@@ -71,13 +71,13 @@ FROM t"""),
           "round(size(filter(toks, t -> t IN ('the', 'a'))) / n, 4) AS stop_ratio",
           "round(size(filter(toks, t -> length(t) <= 3)) / n, 4) AS short_ratio",
           "round(size(array_distinct(toks)) / n, 4) AS distinct_ratio",
-          "round(0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n), 4) AS quality_score"),
+          "round(0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n) + 1e-9, 4) AS quality_score"),
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' '))::DOUBLE AS n FROM documents)
 SELECT doc_id,
        round(len(list_filter(toks, t -> t IN ('the', 'a'))) / n, 4) AS stop_ratio,
        round(len(list_filter(toks, t -> length(t) <= 3)) / n, 4) AS short_ratio,
        round(len(list_distinct(toks)) / n, 4) AS distinct_ratio,
-       round(0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n), 4) AS quality_score
+       round(0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n) + 1e-9, 4) AS quality_score
 FROM t"""),
     "Length/stopword/diversity quality heuristics for corpus filtering.")
 
@@ -357,7 +357,7 @@ FROM h"""),
         .withColumn("toks", expr("split(text, ' ')"))
         .withColumn("n", expr("cast(size(toks) AS double)"))
         .withColumn("score", expr(
-          "round(0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n), 4)"))
+          "round(0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n) + 1e-9, 4)"))
         .filter(col("score") >= 0.62)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       val exactKeepers = quality
@@ -382,7 +382,7 @@ r(src, dst) AS (SELECT src, dst FROM e
 losers AS (SELECT src AS doc_id FROM r GROUP BY src HAVING least(src, min(dst)) <> src),
 q AS (SELECT doc_id, lang, n_chars, text FROM (
         SELECT doc_id, lang, n_chars, text,
-               round(0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n), 4) AS score
+               round(0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n) + 1e-9, 4) AS score
         FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks,
                      len(string_split(text, ' '))::DOUBLE AS n FROM documents))
       WHERE score >= 0.62),
