@@ -32,4 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // every later query runs interpreted (10-30x slower, order-dependent).
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
+  "-Xlog:gc:file=/tmp/graft_gc.log",
 )

@@ -62,7 +62,7 @@ object EventOps {
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
           .getField("k").as("k")),
-    Some("""SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k FROM events"""),
+    Some("""SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events"""),
     "Typed JSON payload parse with explicit schema.")
 
   // P3: filter predicate (StatefulOperations.java:120-126).
@@ -138,12 +138,14 @@ SELECT 'Stream-2' AS src, event_id, user_id FROM events WHERE event_type = 'view
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // +1e-9 pre-round on BOTH engines: nudges exact .xx5 boundary values
+      // off the FP representability cliff (same pattern as quality_score)
       events(s, dir).select(
         col("user_id"), col("event_id"), col("ts"),
-        round(sum(col("value")).over(w), 2).as("running_value"))
+        round(sum(col("value")).over(w) + lit(1e-9), 2).as("running_value"))
     },
     Some("""SELECT user_id, event_id, ts,
-round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 2) AS running_value
 FROM events"""))
 
   // A2 skew-tolerant variant: two-phase range-split prefix sum. The plain
@@ -169,13 +171,16 @@ FROM events"""))
         .agg(sum(col("value")).as("day_total"))
         .withColumn("offset", coalesce(sum(col("day_total")).over(offsets), lit(0.0)))
         .select(col("user_id"), col("day"), col("offset"))
+      // same +1e-9 pre-round nudge as a2: the re-associated double summation
+      // (bucket partials + offsets) can land on the other side of a rounding
+      // boundary from the oracle's sequential sum without it
       ev.withColumn("local_rs", sum(col("value")).over(local))
         .join(broadcast(dayTotals), Seq("user_id", "day"))
         .select(col("user_id"), col("event_id"), col("ts"),
-          round(col("local_rs") + col("offset"), 2).as("running_value"))
+          round(col("local_rs") + col("offset") + lit(1e-9), 2).as("running_value"))
     },
     Some("""SELECT user_id, event_id, ts,
-round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 2) AS running_value
 FROM events"""))
 
   // A3: multi-aggregate reduce — count/min/max (WindowingOperations.java:87-92).
@@ -345,6 +350,39 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
 ON c.user_id = p.user_id AND c.ts >= p.ts"""))
 
+  // J3 (beyond the reference): INTERVAL JOIN at scale — clicks landing
+  // within 30 minutes after a purchase by the same user. The naive plan for
+  // `c.ts BETWEEN p.ts AND p.ts + 30m` is a broadcast-nested-loop (quadratic
+  // — dead at 100 TB). Spark-first shape: the interval length equals the
+  // bucket width, so each purchase spans at most 2 buckets — explode it into
+  // both, equi-join on (user_id, bucket) (ONE hash shuffle), then apply the
+  // range as a residual filter. Each click matches a purchase in exactly one
+  // bucket, so no pair dedup is needed.
+  private val j3 = GQuery(
+    "j3_interval_join",
+    (s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val pb = p.withColumn("bucket", explode(array(
+        expr("unix_micros(p_ts) div 1800000000"),
+        expr("unix_micros(p_ts) div 1800000000 + 1"))))
+      val cb = c.withColumn("bucket", expr("unix_micros(c_ts) div 1800000000"))
+      pb.join(cb, Seq("user_id", "bucket"))
+        .filter(col("c_ts") > col("p_ts") &&
+          col("c_ts") <= expr("p_ts + interval 30 minutes"))
+        .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+        .agg(count(lit(1)).as("clicks_30m"))
+    },
+    Some("""SELECT p.event_id AS p_id, p.user_id AS user_id, p.ts AS p_ts, count(*) AS clicks_30m
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL '30 minutes'
+GROUP BY 1, 2, 3"""),
+    "Bucketized interval join: post-purchase click counts, no nested loop.")
+
   // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
   // batch analog: lag() per user over the filtered event class; alert when two
   // 'error's land within 6 hours.
@@ -414,8 +452,19 @@ FROM o"""))
 EXCEPT
 SELECT user_id FROM events WHERE event_type = 'purchase'"""))
 
+  private val qIntersect = GQuery(
+    "q_intersect_users",
+    (s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'"""))
+
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, a5, a6, w2, w3, w4,
-    j1, j2, x1, x2, qDistinct, qExcept)
+    j1, j2, j3, x1, x2, qDistinct, qExcept, qIntersect)
 }

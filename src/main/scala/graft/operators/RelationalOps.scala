@@ -186,6 +186,26 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
 
+  // Explicit GROUPING SETS with grouping() disambiguation — the lattice
+  // shape cube/rollup can't express (two independent single-dim rollups,
+  // no cross product).
+  private val qGroupingSets = GQuery(
+    "q_grouping_sets",
+    (s, dir) => {
+      t("orders")(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
+       count(*) AS cnt
+FROM orders_gs
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
+       count(*) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""),
+    "Grouping-set lattice with grouping() flags.")
+
   // Exact distinct count per group — the oracle-checkable side of
   // cardinality estimation.
   private val qCountDistinct = GQuery(
@@ -208,6 +228,58 @@ FROM lineitem GROUP BY l_returnflag"""))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
     None,
     "HLL++ cardinality estimate; cross-engine sketch values differ by design.")
+
+  // Deterministic cross-engine HLL: because we control the hash (md5-derived
+  // 48-bit uint), the whole sketch is SQL-expressible and hash-matches the
+  // oracle exactly — unlike engine-native HLL++ (q_hll_distinct above) whose
+  // sketches differ by implementation. m=64 registers; bucket = low 6 bits,
+  // rho = leading-zero rank of the remaining 42 bits (integer CASE ladder —
+  // no log2/FP anywhere); estimate = alpha*m^2 / sum(2^-M_j). Every 2^-M term
+  // is an exact power of two, so the 64-term sum is order-independent in
+  // IEEE754 and identical across engines. At 100 TB this is the cardinality
+  // plan: one pass, 64 longs of state per group, no distinct shuffle.
+  private val hllM = 64
+  private def hllRho(w: String): String =
+    "(CASE " + (41 to 0 by -1).map(k => s"WHEN $w >= ${1L << k} THEN ${42 - k}")
+      .mkString(" ") + " ELSE 43 END)"
+
+  private val qHllSketch = GQuery(
+    "q_hll_sketch",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .selectExpr("l_returnflag",
+          "cast(conv(substring(md5(cast(l_partkey AS string)), 1, 12), 16, 10) AS bigint) AS h")
+        .selectExpr("l_returnflag", s"h % $hllM AS bucket", s"${hllRho("(h div 64)")} AS rho")
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rho")).as("m"))
+        .groupBy(col("l_returnflag"))
+        .agg((sum(expr("1.0 / cast(shiftleft(1L, m) AS double)"))
+          + (lit(hllM) - count(lit(1)))).as("sum_inv"))
+        .select(col("l_returnflag"),
+          round(expr(s"0.709 * $hllM * $hllM") / col("sum_inv") + lit(1e-9), 2).as("hll_est")),
+    Some(s"""WITH h AS (SELECT l_returnflag, (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT) AS h FROM lineitem),
+r AS (SELECT l_returnflag, h % $hllM AS bucket, max(${hllRho("(h // 64)")}) AS m FROM h GROUP BY 1, 2),
+e AS (SELECT l_returnflag, sum(1.0 / (1::BIGINT << m)::DOUBLE) + ($hllM - count(*)) AS sum_inv FROM r GROUP BY 1)
+SELECT l_returnflag, round(0.709 * $hllM * $hllM / sum_inv + 1e-9, 2) AS hll_est FROM e"""),
+    "Hash-deterministic HLL cardinality sketch, oracle-verified bit-for-bit.")
+
+  // Correlated scalar subquery (Catalyst decorrelates to an aggregate +
+  // join — no per-row re-execution): each customer's priciest order.
+  // The comparison is equality on STORED values (no arithmetic), so the
+  // cross-engine compare is exact, and every customer with orders matches
+  // at least one row at any scale factor.
+  private val qCorrelated = GQuery(
+    "q_correlated_sub",
+    (s, dir) => {
+      t("orders")(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders_v o
+WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders_v i WHERE i.o_custkey = o.o_custkey)""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders o
+WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)"""),
+    "Correlated scalar subquery, decorrelated by the optimizer.")
 
   // Interpolated percentiles (both engines use linear interpolation).
   private val qPercentiles = GQuery(
@@ -281,6 +353,6 @@ FROM orders GROUP BY o_orderpriority"""))
 
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
-      qCube, qCountDistinct, qHll, qPercentiles,
-      qOuter, qPivot, qWindowSuite)
+      qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
+      qPercentiles, qOuter, qPivot, qWindowSuite)
 }

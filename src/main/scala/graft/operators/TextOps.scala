@@ -261,8 +261,11 @@ h AS (SELECT doc_id, $shingleDuck AS hs FROM t),
 m AS (SELECT doc_id, ${mhDuckExprs.mkString(", ")} FROM h),
 bands AS (${(0 until 4).map(z =>
       s"SELECT doc_id, $z AS band_idx, concat_ws('_', ${(4 * z until 4 * z + 4).map("mh" + _).mkString(", ")}) AS band_key FROM m").mkString("\nUNION ALL\n")}),
+bsz AS (SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key
+        HAVING count(*) BETWEEN 2 AND $lshBucketCap),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         JOIN bsz s ON s.band_idx = a.band_idx AND s.band_key = a.band_key),
 pairs AS (SELECT c.doc_a, c.doc_b,
        round((${(0 until 16).map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0::DOUBLE, 4) AS est_sim
 FROM cand c JOIN m x ON c.doc_a = x.doc_id JOIN m y ON c.doc_b = y.doc_id)"""
@@ -297,19 +300,32 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
         .withColumn("comp", col("doc_id"))
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
+      val maxIter = 20
+      while (!converged && iter < maxIter) {
         val neighborMin = sym.join(comp, sym("dst") === comp("doc_id"))
           .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-        // carry the previous label so convergence is read off the same
-        // (eagerly checkpointed) frame — no extra join per iteration
-        val next = comp.join(neighborMin, comp("doc_id") === neighborMin("src"), "left")
+        val prop = comp.join(neighborMin, comp("doc_id") === neighborMin("src"), "left")
           .select(comp("doc_id"), col("comp").as("old"),
             least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        // pointer-doubling shortcut: comp := comp(comp). Each iteration now
+        // halves remaining path length on top of the one-hop propagation,
+        // so maxIter=20 bounds component diameters far beyond 2^20 — a
+        // chain-shaped cluster can no longer exit the loop unconverged.
+        val labels = prop.select(col("doc_id").as("l_id"), col("comp").as("l_comp"))
+        // carry the previous label so convergence is read off the same
+        // (eagerly checkpointed) frame — no extra join per iteration
+        val next = prop.join(labels, prop("comp") === labels("l_id"), "left")
+          .select(prop("doc_id"), col("old"),
+            least(prop("comp"), coalesce(col("l_comp"), prop("comp"))).as("comp"))
           .localCheckpoint()
         converged = next.filter(col("comp") =!= col("old")).isEmpty
         comp = next.select(col("doc_id"), col("comp"))
         iter += 1
       }
+      // The oracle computes the FULL transitive closure — silently returning
+      // unconverged labels would diverge without signal. Fail loudly instead.
+      if (!converged) throw new IllegalStateException(
+        s"d_dedup_groups: min-label propagation unconverged after $maxIter iterations")
       comp
     },
     Some(s"""WITH RECURSIVE $lshPairsOracle,
@@ -411,8 +427,62 @@ FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""),
     "Top-20 corpus vocabulary with counts.")
 
+  // Deterministic 10% hash sample — reproducible train/eval splits. Pure
+  // map (no shuffle, no sort, no RNG): the same doc lands in the same split
+  // on every run at any scale, and the filter runs inside the scan.
+  private val dHashSample = GQuery(
+    "d_hash_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .filter(expr(s"${hS("cast(doc_id AS string)")} % 10 = 0"))
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+WHERE ${hD("CAST(doc_id AS VARCHAR)")} % 10 = 0"""),
+    "Deterministic 10% hash split of the corpus (map-only).")
+
+  // Stratified sample: ceil(20%) per language, chosen by hash rank so the
+  // pick is deterministic and uniform within each stratum. Integer-only
+  // quota arithmetic ((n+4) div 5) — no FP ceil boundary to straddle.
+  // At 100 TB: one shuffle on lang (low cardinality → AQE coalesces);
+  // rank + count ride the same window sort.
+  private val dStratified = GQuery(
+    "d_stratified_sample",
+    (s, dir) => {
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      docs(s, dir)
+        .withColumn("hk", expr(hS("cast(doc_id AS string)")))
+        .withColumn("rn", row_number().over(byLang.orderBy(col("hk"), col("doc_id"))))
+        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .filter(expr("rn <= (n_lang + 4) div 5"))
+        .select(col("doc_id"), col("lang"))
+    },
+    Some(s"""WITH h AS (SELECT doc_id, lang, ${hD("CAST(doc_id AS VARCHAR)")} AS hk FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= (n_lang + 4) // 5"""),
+    "Stratified 20% sample per language via deterministic hash rank.")
+
+  // BPE-ish regex tokenization: letter runs / digit runs / punctuation
+  // clusters — the pre-tokenizer split a BPE pipeline applies before
+  // merges. Pattern uses only literal character classes so the Java and
+  // RE2 dialects agree. Pure map.
+  private val tRegexTokens = GQuery(
+    "t_regex_tokens",
+    (s, dir) =>
+      docs(s, dir).selectExpr(
+        "doc_id",
+        "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)) AS n_bpe_tokens",
+        "size(array_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0))) AS n_distinct"),
+    Some("""SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS n_distinct
+FROM documents"""),
+    "BPE-style pre-tokenizer counts (letter/digit/punct runs).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
-    dCurate, tSimhash)
+    dCurate, tSimhash, dHashSample, dStratified, tRegexTokens)
 }
