@@ -358,23 +358,31 @@ ON c.user_id = p.user_id AND c.ts >= p.ts"""))
   // both, equi-join on (user_id, bucket) (ONE hash shuffle), then apply the
   // range as a residual filter. Each click matches a purchase in exactly one
   // bucket, so no pair dedup is needed.
+  /** Bucketized interval-join core, factored out for literal-input tests:
+    * purchases (p_id, user_id, p_ts) x clicks (user_id, c_ts) →
+    * (p_id, user_id, p_ts, clicks_30m) for purchases with ≥1 click in
+    * (p_ts, p_ts + 30 min]. */
+  def intervalJoinClicks(p: DataFrame, c: DataFrame): DataFrame = {
+    val pb = p.withColumn("bucket", explode(array(
+      expr("unix_micros(p_ts) div 1800000000"),
+      expr("unix_micros(p_ts) div 1800000000 + 1"))))
+    val cb = c.withColumn("bucket", expr("unix_micros(c_ts) div 1800000000"))
+    pb.join(cb, Seq("user_id", "bucket"))
+      .filter(col("c_ts") > col("p_ts") &&
+        col("c_ts") <= expr("p_ts + interval 30 minutes"))
+      .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+      .agg(count(lit(1)).as("clicks_30m"))
+  }
+
   private val j3 = GQuery(
     "j3_interval_join",
     (s, dir) => {
       val e = events(s, dir)
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("c_ts"))
-      val pb = p.withColumn("bucket", explode(array(
-        expr("unix_micros(p_ts) div 1800000000"),
-        expr("unix_micros(p_ts) div 1800000000 + 1"))))
-      val cb = c.withColumn("bucket", expr("unix_micros(c_ts) div 1800000000"))
-      pb.join(cb, Seq("user_id", "bucket"))
-        .filter(col("c_ts") > col("p_ts") &&
-          col("c_ts") <= expr("p_ts + interval 30 minutes"))
-        .groupBy(col("p_id"), col("user_id"), col("p_ts"))
-        .agg(count(lit(1)).as("clicks_30m"))
+      intervalJoinClicks(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts")),
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts")))
     },
     Some("""SELECT p.event_id AS p_id, p.user_id AS user_id, p.ts AS p_ts, count(*) AS clicks_30m
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
