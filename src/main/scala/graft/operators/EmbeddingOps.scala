@@ -221,15 +221,17 @@ WHERE rnk <= 3"""),
     "Int8 scalar-quantized cosine top-3 (scales cancel in cosine).")
 
   // Per-label centroids: posexplode + partial/final hash agg, one shuffle.
+  // avg re-associates across partials vs the oracle's sequential sum, so
+  // the same +1e-9 pre-round nudge as a2b guards the rounding boundary.
   private val eCentroids = GQuery(
     "e_centroids",
     (s, dir) =>
       prepped(s, dir)
         .select(col("label"), posexplode(col("ed")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
-        .agg(round(avg(col("v")), 6).as("centroid"), count(lit(1)).as("cnt")),
+        .agg(round(avg(col("v")) + lit(1e-9), 6).as("centroid"), count(lit(1)).as("cnt")),
     Some(s"""$duckPrep
-SELECT label, i AS pos, round(avg(ed[i + 1]), 6) AS centroid, count(*) AS cnt
+SELECT label, i AS pos, round(avg(ed[i + 1]) + 1e-9, 6) AS centroid, count(*) AS cnt
 FROM n, range(64) t(i) GROUP BY 1, 2"""),
     "Per-label mean vector, one dimension per output row.")
 

@@ -202,6 +202,28 @@ object StreamingPipelines {
       .select(col("user_id"), col("win.start").as("win_start"), lit(1).as("one"))
   }
 
+  /** J3 streaming flavor: time-range (interval) stream-stream join — each
+    * purchase joins clicks by the same user within the following `range`.
+    * Unlike the windowed join (bucket equality), the range condition is the
+    * join-time predicate itself; with both sides watermarked, Spark derives
+    * the state-eviction bound from the inequality (purchase state is
+    * dropped once no future click can land inside its interval) — bounded
+    * state on an infinite stream. Batch analog: j3_interval_join, which
+    * rewrites the same semantics as a bucketized equi-join for the scan-
+    * heavy case. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+      range: String = "30 minutes", delay: String = "10 seconds"): DataFrame = {
+    val p = watermarked(purchases, delay)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"))
+    val c = watermarked(clicks, delay)
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    p.join(c, col("p_user_id") === col("c_user_id")
+        && col("c_ts") > col("p_ts")
+        && col("c_ts") <= col("p_ts") + expr(s"interval $range"))
+      .select(col("p_id"), col("p_user_id").as("user_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** J1 variant: stream-stream LEFT OUTER windowed join. Unmatched left
     * rows are held in state and emitted with nulls only once the
     * watermark proves no match can still arrive — the state-eviction
