@@ -1,7 +1,9 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** X1/X2 on Spark 4's `transformWithState` — the modern arbitrary-state
   * API and the closest analog of Flink's keyed `ValueState` (the
@@ -64,10 +66,72 @@ object StatefulProcessors {
     }
   }
 
+  /** Session closed by an event-time timer: per-user summary. */
+  final case class SessionSummary(
+      user_id: Long, start_ts: Timestamp, end_ts: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization driven by EVENT-TIME TIMERS — the Flink
+    * timer-service pattern (and what `session_window` does internally,
+    * here exposed as arbitrary state so the summary can carry anything).
+    * Each event extends the open session and (re)arms a timer at
+    * `last + gap`; when the watermark passes it, `handleExpiredTimer`
+    * emits the summary and clears state — sessions close with NO further
+    * input for that key, which a batch-driven sessionizer cannot do.
+    * Stale timers (superseded by a later event) are detected by comparing
+    * the expiry against the session's own `last + gap`. An in-batch event
+    * past the gap closes the previous session inline.
+    */
+  final class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Ev, SessionSummary] {
+
+    // (startMs, lastMs, count)
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private def summary(user: Long, s: (Long, Long, Long)): SessionSummary =
+      SessionSummary(user, new Timestamp(s._1), new Timestamp(s._2), s._3)
+
+    private def cur(): Option[(Long, Long, Long)] =
+      if (sess.exists()) Some(sess.get()) else None
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[SessionSummary] = {
+      val out = Seq.newBuilder[SessionSummary]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        cur() match {
+          case Some((start, last, n)) if t - last <= gapMs =>
+            sess.update((start, math.max(last, t), n + 1))
+          case Some(old) => // gap exceeded inside the batch: close inline
+            out += summary(user, old)
+            sess.update((t, t, 1L))
+          case None =>
+            sess.update((t, t, 1L))
+        }
+      }
+      cur().foreach { s => getHandle.registerTimer(s._2 + gapMs) }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionSummary] =
+      cur() match {
+        case Some(s) if expired.getExpiryTimeInMs() >= s._2 + gapMs =>
+          sess.clear()
+          Iterator.single(summary(user, s))
+        case _ => Iterator.empty // stale timer from a superseded session
+      }
+  }
+
   private implicit val evEnc = Encoders.product[Ev]
   private implicit val alertEnc = Encoders.product[Alert]
   private implicit val adEnc = Encoders.product[ActionDuration]
   private implicit val longEnc = Encoders.scalaLong
+  private implicit val ssEnc = Encoders.product[SessionSummary]
 
   def doubleEventAlerts(events: Dataset[Ev], watch: String = "error",
       thresholdUs: Long = 10000000L): Dataset[Alert] =
@@ -79,4 +143,14 @@ object StatefulProcessors {
     events.groupByKey(_.user_id)
       .transformWithState(new SessionizeProcessor(clearOn),
         TimeMode.None(), OutputMode.Append())
+
+  /** Timer-closed sessions; the watermark on `ts` (TimeMode.EventTime)
+    * drives timer expiry, so a session closes once event time provably
+    * moved past its gap — no further input needed for that key. */
+  def sessionSummaries(events: Dataset[Ev], gapMs: Long = 5000L,
+      delay: String = "10 seconds"): Dataset[SessionSummary] =
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
 }
