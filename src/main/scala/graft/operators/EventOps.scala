@@ -231,6 +231,40 @@ SELECT s.event_type, s.b AS win_start, coalesce(c.cnt, 0) AS cnt
 FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.b = c.b"""),
     "Dense 5-minute series per event type, zero-filled gaps.")
 
+  // A5b: gap-fill with LOCF (last observation carried forward) — the
+  // forward-fill a feature-engineering pipeline applies to sparse series.
+  // The per-bucket average is ROUNDED BEFORE the fill, so the carried
+  // value is identical in both engines; the fill itself is a running
+  // last(ignoreNulls) over the dense spine — same single-shuffle shape as
+  // the analytic windows (and the spine stays tiny, see a5).
+  private val a5b = GQuery(
+    "a5b_gapfill_locf",
+    (s, dir) => {
+      val c = events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "5 minutes").getField("start").as("b"))
+        .agg(round(avg(col("value")) + lit(1e-9), 2).as("v"))
+      val spine = c.groupBy(col("event_type"))
+        .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, interval 5 minutes)")).as("b"))
+      val w = Window.partitionBy("event_type").orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(c, Seq("event_type", "b"), "left")
+        .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("b").as("win_start"), col("v_ff"))
+    },
+    Some("""WITH c AS (SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS b,
+            round(avg(value) + 1e-9, 2) AS v FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM c GROUP BY 1),
+s AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL '5 minutes')) AS b FROM r),
+j AS (SELECT s.event_type, s.b, c.v FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.b = c.b)
+SELECT event_type, b AS win_start,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+FROM j"""),
+    "Dense series with last-observation-carried-forward values.")
+
   // A6: value histogram — fixed-width binning with a closed top bucket;
   // one partial/final agg over a pure-map bucket expression.
   private val a6 = GQuery(
@@ -244,6 +278,22 @@ FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.b = c.b"""),
        count(*) AS cnt, round(avg(value), 2) AS avg_value
 FROM events GROUP BY 1"""),
     "Fixed-width value histogram (10 buckets, closed top).")
+
+  // A7: calendar profile — activity heat by (day-of-week, hour). Exercises
+  // the date-part function surface; note the cross-engine numbering nuance:
+  // Spark dayofweek() is 1-7 with Sunday=1, DuckDB's is 0-6 with Sunday=0,
+  // so the oracle adds 1. avg re-associates across partials -> epsilon.
+  private val a7 = GQuery(
+    "a7_weekly_profile",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("value")) + lit(1e-9), 2).as("avg_value")),
+    Some("""SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, count(*) AS cnt,
+       round(avg(value) + 1e-9, 2) AS avg_value
+FROM events GROUP BY 1, 2"""),
+    "Day-of-week x hour activity heatmap (calendar functions).")
 
   // W2: sliding window (size 10 m, slide 5 m) (WindowingOperations.java:84-86).
   // Spark assigns each row to size/slide windows; oracle enumerates the same
@@ -473,6 +523,6 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
 
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
-    a1, a2, a2b, a3, a4, a5, a6, w2, w3, w4,
+    a1, a2, a2b, a3, a4, a5, a5b, a6, a7, w2, w3, w4,
     j1, j2, j3, x1, x2, qDistinct, qExcept, qIntersect)
 }
