@@ -351,8 +351,38 @@ FROM orders GROUP BY o_orderpriority"""))
   WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
 ) WHERE rnk <= 5"""))
 
+  // Window FRAME semantics beyond ROWS: a value-based RANGE frame (peers
+  // by price distance, not row position) plus the rank-family functions
+  // ntile / percent_rank / cume_dist — all ANSI-identical across engines.
+  // percent_rank/cume_dist are exact small-integer ratios in doubles, so
+  // no rounding is needed; the RANGE sum is integer (order counts).
+  private val qWindowFrames = GQuery(
+    "q_window_frames",
+    (s, dir) => {
+      // the double-valued RANGE offset needs the SQL form (the DataFrame
+      // rangeBetween API is Long-only)
+      t("orders")(s, dir).createOrReplaceTempView("orders_wf")
+      s.sql("""SELECT o_orderstatus, o_orderkey,
+       ntile(10) OVER w AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+         RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS peers_within_10k
+FROM orders_wf WHERE o_orderkey % 7 = 0
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""")
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+       ntile(10) OVER w AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+         RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS peers_within_10k
+FROM orders WHERE o_orderkey % 7 = 0
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)"""),
+    "RANGE frame + ntile/percent_rank/cume_dist window coverage.")
+
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
-      qPercentiles, qOuter, qPivot, qWindowSuite)
+      qPercentiles, qOuter, qPivot, qWindowSuite, qWindowFrames)
 }

@@ -357,6 +357,52 @@ SELECT doc_id, ${simhashTerms(j =>
 FROM h"""),
     "32-bit SimHash signature per document (map-only).")
 
+  // SimHash near-dup pairs: pigeonhole byte-banding. For a hamming
+  // threshold of 3 over a 32-bit signature, any qualifying pair must share
+  // at least one of its 4 bytes (4 bands > 3 differing bits), so
+  // candidates come from equi-joins on (band_idx, band_byte) — never
+  // all-pairs — and the exact hamming check is one xor + bit_count.
+  // All-integer arithmetic: bit-identical across engines by construction.
+  // Oversized bands are capped like the MinHash LSH buckets (mirrored in
+  // the oracle) to bound the quadratic in-bucket expansion at any scale.
+  private val dSimhashNeardup = GQuery(
+    "d_simhash_neardup",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) > 0"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhash32(col("toks")).as("sh"))
+      val banded = base
+        .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 3)")).as("bi"))
+        .withColumn("bb", expr("(sh div shiftleft(1L, bi * 8)) % 256"))
+      val small = banded.groupBy(col("bi"), col("bb"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, lshBucketCap))
+        .select(col("bi"), col("bb"))
+      val in = banded.join(small, Seq("bi", "bb"))
+      val a = in.select(col("bi"), col("bb"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = in.select(col("bi"), col("bb"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("bi", "bb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+        .filter(col("hamming") <= 3)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("hamming")).as("hamming"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) > 0),
+h AS (SELECT doc_id, list_transform(toks, t -> ${hD("t")}) AS th FROM t),
+sh AS (SELECT doc_id, ${simhashTerms(j =>
+      s"list_sum(list_transform(th, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END))")} AS sh FROM h),
+banded AS (SELECT doc_id, sh, bi, (sh // (1::BIGINT << (bi * 8))) % 256 AS bb
+           FROM sh, (SELECT unnest(range(4)) AS bi)),
+small AS (SELECT bi, bb FROM banded GROUP BY bi, bb HAVING count(*) BETWEEN 2 AND $lshBucketCap),
+inb AS (SELECT banded.* FROM banded JOIN small USING (bi, bb)),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.sh, b.sh)) AS hamming
+      FROM inb a JOIN inb b ON a.bi = b.bi AND a.bb = b.bb AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, min(hamming) AS hamming FROM p WHERE hamming <= 3 GROUP BY 1, 2"""),
+    "SimHash near-dup pairs (hamming <= 3) via pigeonhole byte bands.")
+
   // Capstone: full corpus curation — the end-to-end filter a training-data
   // pipeline runs, composed from the operators above in ONE query:
   //   1. quality gate  (stopword/length/diversity score >= 0.5)
@@ -484,5 +530,5 @@ FROM documents"""),
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
-    dCurate, tSimhash, dHashSample, dStratified, tRegexTokens)
+    dCurate, tSimhash, dSimhashNeardup, dHashSample, dStratified, tRegexTokens)
 }
