@@ -357,6 +357,36 @@ SELECT doc_id, ${simhashTerms(j =>
 FROM h"""),
     "32-bit SimHash signature per document (map-only).")
 
+  // Edit-distance verifier: exact Levenshtein over candidate pairs from
+  // the same (lang, length-bucket) blocks — the character-level cousin of
+  // the trigram-Jaccard verifier, for OCR-noise/typo-class duplicates that
+  // token hashing misses. Distance runs on an ASCII-projected 120-char
+  // prefix: Spark's levenshtein counts CODEPOINTS while DuckDB's counts
+  // BYTES, so the comparable domain is ASCII, where they coincide (the
+  // projection also bounds the quadratic cost per pair). At 100 TB this is
+  // strictly a CANDIDATE-pair stage: blocks bound the expansion exactly as
+  // in d_ngram_jaccard.
+  private val dEditDistance = GQuery(
+    "d_edit_distance_pairs",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"),
+          expr("regexp_replace(substring(text, 1, 120), '[^a-zA-Z0-9 ]', '')").as("pre"))
+      val a = base.select(col("lang"), col("lb"), col("doc_id").as("doc_a"), col("pre").as("pre_a"))
+      val b = base.select(col("lang"), col("lb"), col("doc_id").as("doc_b"), col("pre").as("pre_b"))
+      a.join(b, Seq("lang", "lb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("edit_dist", expr("levenshtein(pre_a, pre_b)"))
+        .filter(col("edit_dist") <= 30)
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, n_chars // 100 AS lb,
+            regexp_replace(substr(text, 1, 120), '[^a-zA-Z0-9 ]', '', 'g') AS pre FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, levenshtein(a.pre, b.pre) AS edit_dist
+      FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, edit_dist FROM p WHERE edit_dist <= 30"""),
+    "Blocked exact edit-distance near-dup pairs (<=30 on 120-char prefix).")
+
   // SimHash near-dup pairs: pigeonhole byte-banding. For a hamming
   // threshold of 3 over a 32-bit signature, any qualifying pair must share
   // at least one of its 4 bytes (4 bands > 3 differing bits), so
@@ -530,5 +560,6 @@ FROM documents"""),
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
-    dCurate, tSimhash, dSimhashNeardup, dHashSample, dStratified, tRegexTokens)
+    dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
+    dStratified, tRegexTokens)
 }
