@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the configuration this library is designed
+  * to run under at scale, in one place instead of scattered notebook
+  * boilerplate. Every knob has a 100 TB rationale:
+  *
+  *  - AQE on (default, asserted): runtime re-planning converts stats-blind
+  *    sort-merge joins to broadcast and splits skewed partitions — the
+  *    mechanism the skew notes in [[operators.EventOps]] (a2b) rely on.
+  *  - `skewJoin.enabled`: hot keys in shuffle joins are split into
+  *    sub-partitions instead of stalling one task.
+  *  - `coalescePartitions`: post-shuffle micro-partitions merge, so a
+  *    high `shuffle.partitions` ceiling is safe to set cluster-wide.
+  *  - `files.maxPartitionBytes` 128m: scan-task granularity that keeps a
+  *    1000-executor cluster busy on 100 TB (~800k tasks) without
+  *    per-task overhead dominating.
+  *  - `parquet.filterPushdown` / nested pruning (defaults, asserted):
+  *    every `PushedFilters` in PLANS.md depends on these.
+  *  - session timezone UTC: all fixtures and oracles are UTC; windowed
+  *    results must not depend on cluster locale.
+  *
+  * `local(n)` variants exist for tests/benchmarks; `graftExtensions`
+  * wires the `graft_*` SQL functions + optimizer rules
+  * ([[org.apache.spark.sql.graftext.GraftExtensions]]).
+  */
+object Sessions {
+
+  /** Confs applied on top of any builder. */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${128L * 1024 * 1024}")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+
+  /** Cluster entry point: caller supplies master via spark-submit. */
+  def builder(appName: String, shufflePartitions: Int = 2000): SparkSession.Builder =
+    tuned(SparkSession.builder().appName(appName), shufflePartitions)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graftext.GraftExtensions")
+
+  /** Local session for tests/benchmarks: shuffle fan-out = cores (the
+    * sf0.01-0.1 fixtures never need 200 reducers). */
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    tuned(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
