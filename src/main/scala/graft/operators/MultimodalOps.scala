@@ -29,11 +29,12 @@ FROM documents"""),
     "Opaque-payload metadata: byte length + content digest.")
 
   // Full decode pipeline: typed Dataset -> batched mapPartitions decode ->
-  // feature vectors. Deterministic fake decoder; rows-only driver check.
-  // The raw array<float> column is kept out of the registered result — the
-  // driver's pandas compare cannot hash numpy arrays — and replaced with a
-  // canonical per-row rendering (exact: every feature is a multiple of
-  // 1/128, so "%.6f" is lossless). MediaPipelineSpec covers the typed path.
+  // feature vectors, rendered as a canonical per-row string. "%.7f" is
+  // LOSSLESS here (every feature is k/128, at most 7 fractional digits),
+  // so no rounding mode is ever exercised — which is what lets the oracle
+  // recompute the fake decoder's md5-byte arithmetic in SQL and hash-match
+  // the real mapPartitions pipeline exactly. MediaPipelineSpec covers the
+  // typed Dataset path with the raw float arrays.
   private val mMediaFeatures = GQuery(
     "m_media_features",
     (s, dir) => {
@@ -47,10 +48,17 @@ FROM documents"""),
         }
       MediaPipeline.decodeAndExtract(recs)
         .map(f => (f.media_id, f.kind, f.n_bytes, f.digest,
-          f.features.map(v => "%.6f".formatLocal(java.util.Locale.ROOT, v)).mkString(",")))
+          f.features.map(v => "%.7f".formatLocal(java.util.Locale.ROOT, v)).mkString(",")))
         .toDF("media_id", "kind", "n_bytes", "digest", "features_csv")
     },
-    None,
+    Some {
+      val dims = (0 until 8).map(i =>
+        s"printf('%.7f', (('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT - 128) / 128.0)")
+      s"""SELECT doc_id AS media_id, 'text' AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS digest,
+       concat_ws(',', ${dims.mkString(", ")}) AS features_csv
+FROM documents"""
+    },
     "Batched decode + feature extraction over binary payloads (stub codec).")
 
   // Frame sampling registered end-to-end: documents pose as "video" payloads
