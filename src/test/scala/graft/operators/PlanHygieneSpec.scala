@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-quality regression guard: the registry must stay free of
+  * accidentally-quadratic join plans, and pushdown must keep reaching the
+  * scans. A query that legitimately needs a nested-loop join (tiny
+  * broadcast build side by design) must be whitelisted here WITH its
+  * justification — everything else failing this spec is a plan
+  * regression, not a style issue.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Non-equi joins whose build side is constant-size by construction:
+    * e_knn_* broadcast the <=10-row query set (brute/quant) or the 16-row
+    * coarse codebook (ivf) against one corpus scan — the intended
+    * "broadcast the tiny side, never shuffle the corpus" kNN plan. */
+  private val nestedLoopByDesign = Set("e_knn_brute", "e_knn_quant", "e_knn_ivf")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name plan has no accidental nested-loop or cartesian join") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!nestedLoopByDesign(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — whitelist it only if the build side is constant-size by design")
+    }
+  }
+
+  test("filters and projection reach the parquet scan (s1_source_project)") {
+    val plan = SparkEntry.queries("s1_source_project")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
+      "filter pushdown regressed on the source-projection query")
+  }
+
+  test("the 2-column projection prunes the documents scan (d_hash_sample)") {
+    val plan = SparkEntry.queries("d_stratified_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "column pruning regressed — the scan reads more than doc_id/lang")
+  }
+}
