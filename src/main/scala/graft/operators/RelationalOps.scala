@@ -236,27 +236,36 @@ FROM lineitem GROUP BY l_returnflag"""))
   // rho = leading-zero rank of the remaining 42 bits (integer CASE ladder —
   // no log2/FP anywhere); estimate = alpha*m^2 / sum(2^-M_j). Every 2^-M term
   // is an exact power of two, so the 64-term sum is order-independent in
-  // IEEE754 and identical across engines. At 100 TB this is the cardinality
-  // plan: one pass, 64 longs of state per group, no distinct shuffle.
+  // IEEE754 and identical across engines. Deliberately the RAW estimator:
+  // the small-range linear-counting correction needs ln(), which is not
+  // bit-reproducible across engines, so below ~2.5m (~160) distinct the
+  // estimate is biased high (PropertiesSpec pins the valid regime). At
+  // 100 TB this is the cardinality plan: one pass, 64 longs of state per
+  // group, no distinct shuffle.
   private val hllM = 64
   private def hllRho(w: String): String =
     "(CASE " + (41 to 0 by -1).map(k => s"WHEN $w >= ${1L << k} THEN ${42 - k}")
       .mkString(" ") + " ELSE 43 END)"
 
+  /** Reusable HLL core: per-`group` cardinality estimate of `valueExpr`
+    * (any SQL expression; hashed through md5 to a 48-bit uint). One pass,
+    * map-side register merge, 64 longs of state per group. Public so
+    * callers (and the property tests) can run it over arbitrary frames. */
+  def hllEstimate(df: DataFrame, group: String, valueExpr: String): DataFrame =
+    df.selectExpr(group,
+        s"cast(conv(substring(md5(cast(($valueExpr) AS string)), 1, 12), 16, 10) AS bigint) AS h")
+      .selectExpr(group, s"h % $hllM AS bucket", s"${hllRho("(h div 64)")} AS rho")
+      .groupBy(col(group), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+      .groupBy(col(group))
+      .agg((sum(expr("1.0 / cast(shiftleft(1L, m) AS double)"))
+        + (lit(hllM) - count(lit(1)))).as("sum_inv"))
+      .select(col(group),
+        round(expr(s"0.709 * $hllM * $hllM") / col("sum_inv") + lit(1e-9), 2).as("hll_est"))
+
   private val qHllSketch = GQuery(
     "q_hll_sketch",
-    (s, dir) =>
-      t("lineitem")(s, dir)
-        .selectExpr("l_returnflag",
-          "cast(conv(substring(md5(cast(l_partkey AS string)), 1, 12), 16, 10) AS bigint) AS h")
-        .selectExpr("l_returnflag", s"h % $hllM AS bucket", s"${hllRho("(h div 64)")} AS rho")
-        .groupBy(col("l_returnflag"), col("bucket"))
-        .agg(max(col("rho")).as("m"))
-        .groupBy(col("l_returnflag"))
-        .agg((sum(expr("1.0 / cast(shiftleft(1L, m) AS double)"))
-          + (lit(hllM) - count(lit(1)))).as("sum_inv"))
-        .select(col("l_returnflag"),
-          round(expr(s"0.709 * $hllM * $hllM") / col("sum_inv") + lit(1e-9), 2).as("hll_est")),
+    (s, dir) => hllEstimate(t("lineitem")(s, dir), "l_returnflag", "l_partkey"),
     Some(s"""WITH h AS (SELECT l_returnflag, (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT) AS h FROM lineitem),
 r AS (SELECT l_returnflag, h % $hllM AS bucket, max(${hllRho("(h // 64)")}) AS m FROM h GROUP BY 1, 2),
 e AS (SELECT l_returnflag, sum(1.0 / (1::BIGINT << m)::DOUBLE) + ($hllM - count(*)) AS sum_inv FROM r GROUP BY 1)

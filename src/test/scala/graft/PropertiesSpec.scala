@@ -70,4 +70,32 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: HLL sketch estimate tracks exact distinct counts") {
+    val s = spark
+    import s.implicits._
+    // m=64 registers -> ~13% standard error; assert a loose 3-sigma band.
+    // Only the raw-estimator regime (n >= 2.5m = 160) is asserted: below
+    // it, standard HLL switches to linear counting, which the sketch
+    // deliberately omits (ln() is not bit-reproducible across engines;
+    // the raw estimate is biased high there, documented behavior).
+    Seq(200, 2000, 20000).foreach { n =>
+      val df = (1 to n * 3).map(i => ("g", (i % n).toLong)).toDF("g", "v")
+      val est = graft.operators.RelationalOps.hllEstimate(df, "g", "v")
+        .collect().head.getDouble(1)
+      assert(math.abs(est - n) / n < 0.4,
+        s"HLL estimate $est too far from exact $n")
+    }
+  }
+
+  test("property: HLL sketch is deterministic across runs and partitionings") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 3000).map(i => ("g", (i % 700).toLong)).toDF("g", "v")
+    val a = graft.operators.RelationalOps.hllEstimate(df.repartition(1), "g", "v")
+      .collect().head.getDouble(1)
+    val b = graft.operators.RelationalOps.hllEstimate(df.repartition(7), "g", "v")
+      .collect().head.getDouble(1)
+    assert(a === b) // register merge is order/partitioning independent
+  }
 }
