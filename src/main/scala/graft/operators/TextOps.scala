@@ -357,35 +357,33 @@ SELECT doc_id, ${simhashTerms(j =>
 FROM h"""),
     "32-bit SimHash signature per document (map-only).")
 
-  // Edit-distance verifier: exact Levenshtein over candidate pairs from
-  // the same (lang, length-bucket) blocks — the character-level cousin of
-  // the trigram-Jaccard verifier, for OCR-noise/typo-class duplicates that
-  // token hashing misses. Distance runs on an ASCII-projected 120-char
-  // prefix: Spark's levenshtein counts CODEPOINTS while DuckDB's counts
-  // BYTES, so the comparable domain is ASCII, where they coincide (the
-  // projection also bounds the quadratic cost per pair). At 100 TB this is
-  // strictly a CANDIDATE-pair stage: blocks bound the expansion exactly as
-  // in d_ngram_jaccard.
+  // Edit-distance verifier — the generator -> verifier pipeline: exact
+  // Levenshtein runs ONLY over MinHash-LSH candidate pairs (est >= 0.3),
+  // never over blocks (an in-block all-pairs x O(L^2) verifier measured
+  // 26 s at sf0.1 and grows quadratically — the wrong plan at any scale).
+  // Distance runs on an ASCII-projected 120-char prefix: Spark's
+  // levenshtein counts CODEPOINTS while DuckDB's counts BYTES, so the
+  // projection pins both engines to the domain where they coincide.
   private val dEditDistance = GQuery(
     "d_edit_distance_pairs",
     (s, dir) => {
-      val base = docs(s, dir)
-        .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"),
-          expr("regexp_replace(substring(text, 1, 120), '[^a-zA-Z0-9 ]', '')").as("pre"))
-      val a = base.select(col("lang"), col("lb"), col("doc_id").as("doc_a"), col("pre").as("pre_a"))
-      val b = base.select(col("lang"), col("lb"), col("doc_id").as("doc_b"), col("pre").as("pre_b"))
-      a.join(b, Seq("lang", "lb"))
-        .filter(col("doc_a") < col("doc_b"))
+      val pre = docs(s, dir).select(col("doc_id"),
+        expr("regexp_replace(substring(text, 1, 120), '[^a-zA-Z0-9 ]', '')").as("pre"))
+      lshPairsDF(s, dir)
+        .filter(col("est_sim") >= 0.3)
+        .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")), Seq("doc_a"))
+        .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")), Seq("doc_b"))
         .withColumn("edit_dist", expr("levenshtein(pre_a, pre_b)"))
         .filter(col("edit_dist") <= 30)
         .select(col("doc_a"), col("doc_b"), col("edit_dist"))
     },
-    Some("""WITH t AS (SELECT doc_id, lang, n_chars // 100 AS lb,
-            regexp_replace(substr(text, 1, 120), '[^a-zA-Z0-9 ]', '', 'g') AS pre FROM documents),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, levenshtein(a.pre, b.pre) AS edit_dist
-      FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, edit_dist FROM p WHERE edit_dist <= 30"""),
-    "Blocked exact edit-distance near-dup pairs (<=30 on 120-char prefix).")
+    Some(s"""WITH $lshPairsOracle,
+pv AS (SELECT doc_id, regexp_replace(substr(text, 1, 120), '[^a-zA-Z0-9 ]', '', 'g') AS pre FROM documents),
+v AS (SELECT p.doc_a, p.doc_b, levenshtein(a.pre, b.pre) AS edit_dist
+      FROM pairs p JOIN pv a ON p.doc_a = a.doc_id JOIN pv b ON p.doc_b = b.doc_id
+      WHERE p.est_sim >= 0.3)
+SELECT doc_a, doc_b, edit_dist FROM v WHERE edit_dist <= 30"""),
+    "Edit-distance verification of LSH candidate pairs (<=30 on 120-char prefix).")
 
   // SimHash near-dup pairs: pigeonhole byte-banding. For a hamming
   // threshold of 3 over a 32-bit signature, any qualifying pair must share

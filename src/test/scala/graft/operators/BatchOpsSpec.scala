@@ -13,8 +13,9 @@ class BatchOpsSpec extends SparkSpec {
 
   /** Candidate-pair / threshold queries can be empty at tiny scale. */
   private val mayBeEmpty = Set(
-    "d_ngram_jaccard", "d_minhash_lsh_pairs", "e_neardup_cosine",
-    "x1_double_event_alert", "q_anti_join", "q_except_users")
+    "d_ngram_jaccard", "d_minhash_lsh_pairs", "d_edit_distance_pairs",
+    "e_neardup_cosine", "x1_double_event_alert", "q_anti_join",
+    "q_except_users")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 with a stable schema") {
