@@ -166,6 +166,30 @@ object StreamingPipelines {
       keys: Seq[String] = Seq("event_id")): DataFrame =
     watermarked(events, delay).dropDuplicatesWithinWatermark(keys)
 
+  // Streaming corpus curation — the LLM-pipeline ingestion path: documents
+  // arrive as a stream (doc_id, ts, text, lang), get quality-scored with
+  // the SAME expressions as the batch d_curate_corpus gate, and exact
+  // near-duplicates are dropped with bounded state (content digest within
+  // the watermark horizon). Everything is a stateless map except the
+  // dedup, whose state store holds one digest per surviving doc and
+  // evicts past the watermark — ingestion can run indefinitely. The batch
+  // capstone (TextOps.d_curate_corpus) remains the full-corpus variant
+  // with LSH near-dup clustering; MinHash banding is map-side and composes
+  // here unchanged when cross-document near-dup pruning is wanted
+  // downstream.
+  def curateDocs(docsStream: DataFrame, minScore: Double = 0.62,
+      delay: String = "10 seconds"): DataFrame =
+    docsStream
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", expr("cast(size(toks) AS double)"))
+      .withColumn("score", expr(
+        "round(0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n) + 1e-9, 4)"))
+      .filter(col("score") >= minScore)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+      .select(col("doc_id"), col("ts"), col("lang"), col("score"), col("fp"))
+
   // M1: split via side output (StreamSplitAndCombine.java:72-100) — two
   // predicates over one stream; each branch becomes its own sink/query.
   def splitMain(events: DataFrame, keep: String = "purchase"): DataFrame =
