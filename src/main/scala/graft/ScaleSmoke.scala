@@ -1,0 +1,67 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: synthesizes an N-fold copy of the sf0.1 fixtures (fact
+  * tables key-offset per copy, dimensions shared) under /tmp, then times a
+  * representative query subset against it. Purpose: observe the SCALING
+  * SHAPE of the heavy operators — map-heavy queries should scale
+  * ~linearly; the LSH pipelines run against deliberately duplicate-heavy
+  * data (every document gains N-1 exact copies), which is exactly the
+  * degenerate-bucket regime the lshBucketCap bounds. Not a correctness
+  * gate (the oracles stay on the driver fixtures) — a perf validation
+  * harness for the 100 TB design claims.
+  *
+  * Usage: sbt 'runMain graft.ScaleSmoke [mult]'   (default 16)
+  */
+object ScaleSmoke {
+
+  private def replicate(df: DataFrame, mult: Int, offsets: Map[String, Long]): DataFrame =
+    (0 until mult).map { i =>
+      offsets.foldLeft(df) { case (d, (c, base)) =>
+        d.withColumn(c, col(c) + lit(base * i))
+      }
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(16)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_sfbig_x$mult"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = Map(
+      "events" -> Map("event_id" -> 100000000L),
+      "documents" -> Map("doc_id" -> 10000000L),
+      "embeddings" -> Map("vec_id" -> 10000000L),
+      "lineitem" -> Map("l_orderkey" -> 100000000L),
+      "orders" -> Map("o_orderkey" -> 100000000L))
+    if (!new java.io.File(s"$dst/region.parquet").exists()) {
+      Tables.all.foreach { t =>
+        val base = Tables.t(spark, src, t)
+        val out = big.get(t).map(off => replicate(base, mult, off)).getOrElse(base)
+        out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      println(s"[scale] wrote x$mult fixtures to $dst")
+    } else println(s"[scale] reusing fixtures in $dst")
+
+    val subset = Seq(
+      "q1_pricing_summary", "q5_region_revenue", "q_percentiles",
+      "q_hll_sketch", "q_count_distinct", "a1_window_count_5m",
+      "a2b_running_sum_salted", "w3_session_window", "j3_interval_join",
+      "t_simhash", "d_minhash_sig", "d_minhash_lsh_pairs",
+      "d_dedup_groups", "d_curate_corpus", "e_knn_brute", "e_knn_lsh")
+    val times = subset.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dst)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[scale] $name FAILED: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s $dt%8.2f s")
+      name -> dt
+    }
+    println("{" + times.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString(",") + s""","mult":$mult}""")
+    spark.stop()
+  }
+}

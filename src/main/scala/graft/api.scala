@@ -28,10 +28,14 @@ object Tables {
     * (legacy conf) and rebuild a TimestampType column at microsecond
     * precision — lossless for this data (no sub-µs components) and
     * required for `window()`/`date_format`/watermarks downstream.
+    * Schema-gated: a re-exported events table (e.g. ScaleSmoke's scaled
+    * copy) already carries a true timestamp and passes through unchanged.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   }
 }

