@@ -73,6 +73,21 @@ object TextHashUtil {
     v >>> 4
   }
 
+  /** First 12 md5 hex digits (48 bits) == first 6 digest bytes big-endian
+    * — identical to `conv(substring(md5(x),1,12),16,10)` /
+    * `('0x'||substr(md5(x),1,12))::BIGINT`. The string-free path for the
+    * HLL bucket hash: the built-in composition allocates the 32-char hex
+    * rendering and re-parses it per row. */
+  def hash48(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v
+  }
+
   /** Sorted distinct 60-bit hashes of the token-trigram shingles — the
     * per-document set representation for exact Jaccard verification
     * (8 bytes/shingle through the shuffle instead of a ~25-byte string). */
@@ -161,4 +176,7 @@ object GraftFunctions {
   def sortedIntersectCount(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.sortedIntersectCount(a, b)
+
+  def md5Hash48(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.md5Hash48(s)
 }

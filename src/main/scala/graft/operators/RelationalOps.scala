@@ -251,12 +251,16 @@ FROM lineitem GROUP BY l_returnflag"""))
     s"(CASE WHEN $w > 0 THEN 43 - length(bin($w)) ELSE 43 END)"
 
   /** Reusable HLL core: per-`group` cardinality estimate of `valueExpr`
-    * (any SQL expression; hashed through md5 to a 48-bit uint). One pass,
-    * map-side register merge, 64 longs of state per group. Public so
-    * callers (and the property tests) can run it over arbitrary frames. */
+    * (any SQL expression; hashed through md5 to a 48-bit uint — via the
+    * native [[org.apache.spark.sql.graftext.Md5Hash48]] kernel, which
+    * skips the hex-string render + conv re-parse of the built-in
+    * composition; the DuckDB oracle computes the identical value from the
+    * hex prefix). One pass, map-side register merge, 64 longs of state
+    * per group. Public so callers (and the property tests) can run it
+    * over arbitrary frames. */
   def hllEstimate(df: DataFrame, group: String, valueExpr: String): DataFrame =
-    df.selectExpr(group,
-        s"cast(conv(substring(md5(cast(($valueExpr) AS string)), 1, 12), 16, 10) AS bigint) AS h")
+    df.select(col(group), graft.functions.GraftFunctions
+        .md5Hash48(expr(s"cast(($valueExpr) AS string)")).as("h"))
       .selectExpr(group, s"h % $hllM AS bucket", s"${hllRho("(h div 64)")} AS rho")
       .groupBy(col(group), col("bucket"))
       .agg(max(col("rho")).as("m"))

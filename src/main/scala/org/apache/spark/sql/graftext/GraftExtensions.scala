@@ -61,7 +61,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_trigram_hashes"), info("graft_trigram_hashes"),
       (args: Seq[Expression]) => TrigramHashes(args.head)),
     (FunctionIdentifier("graft_sorted_intersect_count"), info("graft_sorted_intersect_count"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    (FunctionIdentifier("graft_md5_hash48"), info("graft_md5_hash48"),
+      (args: Seq[Expression]) => Md5Hash48(args.head)))
 
   /** Register into an already-built session (the extensions config only
     * applies at session build time). */

@@ -93,6 +93,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class Md5Hash48(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_hash48"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.hash48(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.hash48($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash48 =
+    copy(child = newChild)
+}
+
 object columns {
   def minhashSig(tokens: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(tokens), a, b, prime))
@@ -106,4 +123,7 @@ object columns {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def md5Hash48(s: Column): Column =
+    ExpressionUtils.column(Md5Hash48(ExpressionUtils.expression(s)))
 }

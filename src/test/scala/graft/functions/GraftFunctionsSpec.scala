@@ -67,4 +67,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("d") === 0)
     assert(r.getAs[Int]("e") === 0)
   }
+
+  test("md5Hash48 equals the conv(substring(md5)) composition") {
+    val s = spark
+    val df = s.sql(
+      """SELECT v,
+           cast(conv(substring(md5(v), 1, 12), 16, 10) AS bigint) AS via_conv
+         FROM (SELECT cast(id * 7919 AS string) AS v FROM range(500))""")
+      .withColumn("via_native", graft.functions.GraftFunctions.md5Hash48(
+        org.apache.spark.sql.functions.col("v")))
+    assert(df.filter("via_conv <> via_native").isEmpty)
+  }
 }
