@@ -85,6 +85,34 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 5"""),
     "Exact cosine top-5: broadcast queries, single corpus scan.")
 
+  // Euclidean-metric variant of the brute-force baseline: same broadcast-
+  // queries/single-scan plan, ranking by L2 distance (ascending). Rounded
+  // before ranking with vec_id tie-break, like the cosine family; sqrt of
+  // an identically-computed sum is bit-identical across engines.
+  private val eKnnL2 = GQuery(
+    "e_knn_l2",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ed").as("qe"))
+      base.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("l2_dist", expr(
+          "round(sqrt(aggregate(zip_with(qe, ed, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)), 6)"))
+        .select(col("qid"), col("vec_id"), col("l2_dist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("l2_dist"), col("vec_id"))))
+        .filter(col("rnk") <= 5)
+    },
+    Some(s"""$duckPrep,
+q AS (SELECT vec_id AS qid, ed AS qe FROM n WHERE vec_id < 10),
+p AS (SELECT q.qid, n.vec_id,
+        round(sqrt(list_aggregate(list_transform(range(64), i -> (q.qe[i + 1] - n.ed[i + 1]) * (q.qe[i + 1] - n.ed[i + 1])), 'sum')), 6) AS l2_dist
+      FROM q, n WHERE n.vec_id <> q.qid)
+SELECT qid, vec_id, l2_dist, rnk
+FROM (SELECT qid, vec_id, l2_dist, row_number() OVER (PARTITION BY qid ORDER BY l2_dist, vec_id) AS rnk FROM p)
+WHERE rnk <= 5"""),
+    "Exact Euclidean top-5: broadcast queries, single corpus scan.")
+
   // LSH-bucketed ANN top-3: candidates limited to the query's bucket.
   private val eKnnLsh = GQuery(
     "e_knn_lsh",
@@ -236,5 +264,5 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
     "Per-label mean vector, one dimension per output row.")
 
   val all: Seq[GQuery] =
-    Seq(eKnnBrute, eKnnLsh, eKnnIvf, eKnnQuant, eNeardup, eCentroids)
+    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eNeardup, eCentroids)
 }

@@ -17,7 +17,7 @@ class PlanHygieneSpec extends SparkSpec {
     * e_knn_* broadcast the <=10-row query set (brute/quant) or the 16-row
     * coarse codebook (ivf) against one corpus scan — the intended
     * "broadcast the tiny side, never shuffle the corpus" kNN plan. */
-  private val nestedLoopByDesign = Set("e_knn_brute", "e_knn_quant", "e_knn_ivf")
+  private val nestedLoopByDesign = Set("e_knn_brute", "e_knn_l2", "e_knn_quant", "e_knn_ivf")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
