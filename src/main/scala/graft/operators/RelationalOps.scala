@@ -186,6 +186,29 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
 
+  // Statistical aggregates: sample stddev/variance + cross-column
+  // covariance/correlation per group — single pass, partial/final hash agg
+  // (Spark merges per-partition moment sketches, so no value buffering at
+  // any scale). Both engines round after the same definitions; the +1e-9
+  // nudge guards the re-associated moment sums like a2b/e_centroids.
+  private val qStatsAgg = GQuery(
+    "q_stats_agg",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")) + lit(1e-9), 2).as("price_sd"),
+          round(var_samp(col("l_quantity")) + lit(1e-9), 4).as("qty_var"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 2).as("qty_price_cov"),
+          round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 6).as("qty_price_corr")),
+    Some("""SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice) + 1e-9, 2) AS price_sd,
+       round(var_samp(l_quantity) + 1e-9, 4) AS qty_var,
+       round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 2) AS qty_price_cov,
+       round(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag"""),
+    "Moment-sketch statistical aggregates (stddev/var/covar/corr).")
+
   // Explicit GROUPING SETS with grouping() disambiguation — the lattice
   // shape cube/rollup can't express (two independent single-dim rollups,
   // no cross product).
@@ -437,5 +460,5 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)"
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
-      qPercentiles, qOuter, qPivot, qWindowSuite, qWindowFrames)
+      qStatsAgg, qPercentiles, qOuter, qPivot, qWindowSuite, qWindowFrames)
 }
