@@ -12,9 +12,35 @@ import org.apache.spark.sql.SparkSession
   * exhibits roving multi-second JVM/host stalls — the same query measured
   * 0.25 s and 30.0 s in back-to-back identical runs (round-2 driver run:
   * 218 s total; identical re-run minutes later: 54 s) — so single-shot
-  * numbers grade host noise, not plan quality. Per-pass times go to stderr
-  * for stall forensics; the stdout JSON carries the mins. */
+  * numbers grade host noise, not plan quality.
+  *
+  * Output discipline: the consumer of this benchmark captures only the
+  * LAST ~2000 characters of combined stdout+stderr, and the registry has
+  * grown past the point where a full per-query map fits (the round-3 line
+  * was ~2.9 kB and was truncated mid-JSON). So the stdout JSON line is kept
+  * compact by construction: the total covers ALL queries (comparable
+  * round-over-round), the `queries` map carries only the fixed HEADLINE
+  * subset below (3-decimal seconds), and a query that threw during timing
+  * reports as null plus an entry in `failed` instead of masquerading as a
+  * fast success. The FULL per-query map goes to stderr and to
+  * `BENCH_DETAIL.json` in the working directory for BASELINE.md upkeep.
+  */
 object Bench {
+
+  /** Fixed representative subset printed in the stdout JSON — one or two
+    * per operator family, chosen to include every heavyweight plan shape
+    * (multi-way join, window join, as-of, interval, percentile selection,
+    * HLL, LSH, kNN, curation capstone, stateful analogs, multimodal). */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q_percentiles", "q_hll_sketch", "q_window_frames", "q_outer_join",
+    "a1_window_count_5m", "a2b_running_sum_salted", "a4_user_action_window",
+    "w3_session_window", "j1_window_join", "j2_asof_join", "j3_interval_join",
+    "x1_double_event_alert", "x2_sessionize", "p1_parse_props",
+    "d_exact_dedup", "d_minhash_lsh_pairs", "d_simhash_neardup",
+    "d_curate_corpus", "d_dedup_groups", "e_knn_brute", "e_knn_ivf",
+    "t_quality_score", "t_langid", "m_media_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,24 +60,48 @@ object Bench {
       catch { case _: Throwable => }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timeOnce(pass: Int, name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Option.empty = the pass threw; a crash must never report its (fast)
+    // elapsed time as a steady-state min.
+    def timeOnce(pass: Int, name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] pass$pass $name%-28s $dt%9.3f s")
-      dt
+      System.err.println(f"[bench] pass$pass $name%-28s $dt%9.3f s${if (ok) "" else "  FAILED"}")
+      if (ok) Some(dt) else None
     }
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(1, name, fn) }.toMap
-    val results = ordered.map { case (name, fn) =>
-      name -> math.min(pass1(name), timeOnce(2, name, fn))
+    val results: Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
+      val min = (pass1(name), timeOnce(2, name, fn)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case _                  => None // either pass failed
+      }
+      name -> min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    val head = results.filter(r => headline.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$head,"sf":"$sfDir"}"""
+    // Full map for forensics/BASELINE.md (stderr + file — NOT stdout, where
+    // it would push the compact line out of the consumer's tail window).
+    System.err.println(s"[bench] detail $detail")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      f"""{"total":$total%.3f,"sf":"$sfDir","queries":$detail,"failed":$failed}""" + "\n")
+    catch { case _: Throwable => }
+    // Quiet shutdown so nothing lands after the JSON line but sbt's one
+    // [success] trailer.
+    spark.sparkContext.setLogLevel("ERROR")
+    println(line)
     spark.stop()
   }
 }

@@ -51,17 +51,21 @@ object ScaleSmoke {
       "a2b_running_sum_salted", "w3_session_window", "j3_interval_join",
       "t_simhash", "d_minhash_sig", "d_minhash_lsh_pairs",
       "d_dedup_groups", "d_curate_corpus", "e_knn_brute", "e_knn_lsh")
-    val times = subset.map { name =>
+    val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dst)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[scale] $name FAILED: ${e.getMessage}") }
+      val ok =
+        try { SparkEntry.queries(name)(spark, dst)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-28s $dt%8.2f s")
-      name -> dt
+      println(f"[scale] $name%-28s $dt%8.2f s${if (ok) "" else "  FAILED"}")
+      name -> (if (ok) Some(dt) else None) // a crash is not a timing
     }
-    println("{" + times.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    println("{" + times.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(d => f"$d%.2f").getOrElse("null") }
       .mkString(",") + s""","mult":$mult}""")
     spark.stop()
+    if (times.exists(_._2.isEmpty)) sys.exit(1)
   }
 }

@@ -330,12 +330,22 @@ WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i WHERE i.o_custkey
   // ranks per group survive the filter, and the interpolation matches
   // quantile_cont's lower + frac * (upper - lower). Every stage is
   // distributed — no per-group serialization point at any scale.
+  //
+  // The pid assignment is materialized ONCE via localCheckpoint: the
+  // row_number branch and the count/offset branch below both read it, and
+  // spark_partition_id() is nondeterministic — if the two subtrees were
+  // ever evaluated from separate exchanges (ReuseExchange miss, divergent
+  // AQE coalescing), offsets would silently misalign with local ranks.
+  // Checkpointing pins one physical partitioning for both consumers; the
+  // cost is one spill of the two-column projection, and the failure mode
+  // if a checkpoint block is lost is a loud job error, never wrong ranks.
   private val qPercentiles = GQuery(
     "q_percentiles",
     (s, dir) => {
       val v = t("lineitem")(s, dir).select(col("l_returnflag"), col("l_extendedprice").as("v"))
       val parts = v.repartitionByRange(col("l_returnflag"), col("v"))
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
       val local = parts.withColumn("lrn",
         row_number().over(Window.partitionBy("pid", "l_returnflag").orderBy(col("v"))))
       val cnt = parts.groupBy(col("pid"), col("l_returnflag")).agg(count(lit(1)).as("c"))

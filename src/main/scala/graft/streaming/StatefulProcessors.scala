@@ -73,24 +73,34 @@ object StatefulProcessors {
   /** Gap-based sessionization driven by EVENT-TIME TIMERS — the Flink
     * timer-service pattern (and what `session_window` does internally,
     * here exposed as arbitrary state so the summary can carry anything).
-    * Each event extends the open session and (re)arms a timer at
+    * Each event extends the open session and re-arms a timer at
     * `last + gap`; when the watermark passes it, `handleExpiredTimer`
     * emits the summary and clears state — sessions close with NO further
     * input for that key, which a batch-driven sessionizer cannot do.
-    * Stale timers (superseded by a later event) are detected by comparing
-    * the expiry against the session's own `last + gap`. An in-batch event
-    * past the gap closes the previous session inline.
+    *
+    * Cross-batch disorder: a late-but-within-watermark event is merged if
+    * it falls within `gap` of EITHER end of the open session, and a
+    * pre-start event min-updates `start_ts` (per-batch sorting only fixes
+    * in-batch disorder). An event more than `gap` before the session start
+    * can no longer reopen anything — it is emitted as its own singleton
+    * session. The armed timer's expiry is tracked in state so each re-arm
+    * DELETES the superseded timer first — otherwise every batch leaks one
+    * timer per active key into the timer store until natural expiry.
     */
   final class SessionTimerProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Ev, SessionSummary] {
 
     // (startMs, lastMs, count)
     @transient private var sess: ValueState[(Long, Long, Long)] = _
+    // expiry of the currently armed timer, for delete-before-rearm
+    @transient private var armed: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sess = getHandle.getValueState[(Long, Long, Long)]("sess",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
         TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     private def summary(user: Long, s: (Long, Long, Long)): SessionSummary =
       SessionSummary(user, new Timestamp(s._1), new Timestamp(s._2), s._3)
@@ -104,16 +114,26 @@ object StatefulProcessors {
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         val t = e.ts.getTime
         cur() match {
-          case Some((start, last, n)) if t - last <= gapMs =>
-            sess.update((start, math.max(last, t), n + 1))
-          case Some(old) => // gap exceeded inside the batch: close inline
+          case Some((start, last, n)) if t >= start - gapMs && t <= last + gapMs =>
+            sess.update((math.min(start, t), math.max(last, t), n + 1))
+          case Some(old) if t > old._2 + gapMs => // gap exceeded in-batch: close inline
             out += summary(user, old)
             sess.update((t, t, 1L))
+          case Some(_) => // > gap BEFORE start: too old to merge or reopen
+            out += SessionSummary(user, new Timestamp(t), new Timestamp(t), 1L)
           case None =>
             sess.update((t, t, 1L))
         }
       }
-      cur().foreach { s => getHandle.registerTimer(s._2 + gapMs) }
+      cur().foreach { s =>
+        val want = s._2 + gapMs
+        val prev = if (armed.exists()) armed.get() else -1L
+        if (prev != want) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(want)
+          armed.update(want)
+        }
+      }
       out.result().iterator
     }
 
@@ -122,6 +142,7 @@ object StatefulProcessors {
       cur() match {
         case Some(s) if expired.getExpiryTimeInMs() >= s._2 + gapMs =>
           sess.clear()
+          armed.clear()
           Iterator.single(summary(user, s))
         case _ => Iterator.empty // stale timer from a superseded session
       }

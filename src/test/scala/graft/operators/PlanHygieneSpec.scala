@@ -36,10 +36,17 @@ class PlanHygieneSpec extends SparkSpec {
       "filter pushdown regressed on the source-projection query")
   }
 
-  test("the 2-column projection prunes the documents scan (d_hash_sample)") {
+  test("the 2-column projection prunes the documents scan (d_stratified_sample)") {
     val plan = SparkEntry.queries("d_stratified_sample")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
       "column pruning regressed — the scan reads more than doc_id/lang")
+  }
+
+  test("the 3-column projection prunes the documents scan (d_hash_sample)") {
+    val plan = SparkEntry.queries("d_hash_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:"),
+      "column pruning regressed — the scan reads more than doc_id/lang/n_chars")
   }
 }
