@@ -16,6 +16,7 @@ object SparkEntry {
 
   private def registry: Seq[GQuery] =
     operators.EventOps.all ++
+      operators.AnalyticsOps.all ++
       operators.RelationalOps.all ++
       operators.TextOps.all ++
       operators.EmbeddingOps.all ++

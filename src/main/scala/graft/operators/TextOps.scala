@@ -297,8 +297,14 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
       // against it every iteration and must not re-run the LSH pipeline.
       val edges = edges0.localCheckpoint()
       val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      var comp = sym.select(col("src").as("doc_id")).distinct()
-        .withColumn("comp", col("doc_id"))
+      // Seed each label with the ONE-HOP neighborhood minimum (not self):
+      // near-dup components are mostly size 2-3, which makes the seed
+      // already the fixpoint — the loop then runs exactly one confirming
+      // iteration instead of two, and each saved iteration is two joins,
+      // an eager checkpoint and a convergence-check job.
+      var comp = sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("comp"))
+        .select(col("src").as("doc_id"), col("comp"))
       var converged = false
       var iter = 0
       val maxIter = 20
@@ -572,9 +578,77 @@ SELECT doc_id, lang FROM r WHERE rn <= (n_lang + 4) // 5"""),
 FROM documents"""),
     "BPE-style pre-tokenizer counts (letter/digit/punct runs).")
 
+  // Within-document repetition ratios — the Gopher-style quality rule
+  // "fraction of duplicated n-grams" that catches boilerplate and
+  // degenerate generations. Pure map: both ratios come from one pass over
+  // the token array inside the scan projection, no shuffle at any scale.
+  private val tRepetition = GQuery(
+    "t_repetition",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 3"))
+        .withColumn("bg", expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .withColumn("tg", expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        .selectExpr(
+          "doc_id",
+          "round(1.0 - size(array_distinct(bg)) / cast(size(bg) AS double) + 1e-9, 4) AS bigram_dup_ratio",
+          "round(1.0 - size(array_distinct(tg)) / cast(size(tg) AS double) + 1e-9, 4) AS trigram_dup_ratio"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+g AS (SELECT doc_id,
+        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+        list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tg
+      FROM t)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(bg)) / len(bg)::DOUBLE + 1e-9, 4) AS bigram_dup_ratio,
+       round(1.0 - len(list_distinct(tg)) / len(tg)::DOUBLE + 1e-9, 4) AS trigram_dup_ratio
+FROM g"""),
+    "Duplicate bigram/trigram ratios per document (repetition quality rule).")
+
+  // Corpus-LM quality score: train a bigram model ON the corpus (counts),
+  // score each document by its average conditional bigram probability
+  // P(w2|w1) = C(w1,w2)/C(w1) — the cheap statistical stand-in for
+  // perplexity-based quality filtering. Two aggregations over the exploded
+  // bigram stream build the "model"; the score join is keyed on (w1, w2)
+  // then w1. At 100 TB: partial aggregation absorbs the explosion
+  // map-side; the model tables are Zipf-distributed, so the hot-key join
+  // side is the model (small, broadcastable after aggregation), never the
+  // corpus; AQE's skew split covers the head words on the pair join.
+  private val tLmScore = GQuery(
+    "t_lm_score",
+    (s, dir) => {
+      val bg = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 2"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(avg(col("c2") / col("c1")) + lit(1e-9), 4).as("lm_score"),
+          count(lit(1)).as("n_bigrams"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> {'w1': toks[i], 'w2': toks[i + 1]}), recursive := true) FROM t),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1)
+SELECT doc_id, round(avg(c2.c2 / c1.c1::DOUBLE) + 1e-9, 4) AS lm_score,
+       count(*) AS n_bigrams
+FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id"""),
+    "Corpus-trained bigram-LM quality score (avg conditional probability per doc).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
-    dStratified, tRegexTokens)
+    dStratified, tRegexTokens, tRepetition, tLmScore)
 }

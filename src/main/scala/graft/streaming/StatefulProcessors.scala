@@ -148,6 +148,43 @@ object StatefulProcessors {
       }
   }
 
+  /** A user advancing to funnel step `step` (1-based) at `ts`. */
+  final case class FunnelAdvance(
+      user_id: Long, step: Int, step_name: String, ts: Timestamp)
+
+  /** Streaming ordered funnel — the stateful dual of the batch
+    * `a9_funnel` query: per user, a monotone stage counter advances when
+    * the NEXT expected step type arrives strictly after the previous
+    * advance, and each advance is emitted as it happens (a batch funnel
+    * can only report converted counts after the fact; the streaming one
+    * flags the conversion in-flight). One (Int, Long) slot per user —
+    * state is O(1) per key regardless of event volume.
+    */
+  final class FunnelProcessor(steps: IndexedSeq[String])
+      extends StatefulProcessor[Long, Ev, FunnelAdvance] {
+
+    // (steps completed, micros of the latest advance)
+    @transient private var stage: ValueState[(Int, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stage = getHandle.getValueState[(Int, Long)]("stage",
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[FunnelAdvance] = {
+      val out = Seq.newBuilder[FunnelAdvance]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val (done, lastUs) = if (stage.exists()) stage.get() else (0, Long.MinValue)
+        val tUs = e.ts.getTime * 1000L
+        if (done < steps.length && e.event_type == steps(done) && tUs > lastUs) {
+          stage.update((done + 1, tUs))
+          out += FunnelAdvance(user, done + 1, steps(done), e.ts)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
   private implicit val evEnc = Encoders.product[Ev]
   private implicit val alertEnc = Encoders.product[Alert]
   private implicit val adEnc = Encoders.product[ActionDuration]
@@ -168,6 +205,14 @@ object StatefulProcessors {
   /** Timer-closed sessions; the watermark on `ts` (TimeMode.EventTime)
     * drives timer expiry, so a session closes once event time provably
     * moved past its gap — no further input needed for that key. */
+  private implicit val faEnc = Encoders.product[FunnelAdvance]
+
+  def funnelAdvances(events: Dataset[Ev],
+      steps: IndexedSeq[String] = IndexedSeq("signup", "view", "click", "purchase")): Dataset[FunnelAdvance] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps),
+        TimeMode.None(), OutputMode.Append())
+
   def sessionSummaries(events: Dataset[Ev], gapMs: Long = 5000L,
       delay: String = "10 seconds"): Dataset[SessionSummary] =
     events.withWatermark("ts", delay)
