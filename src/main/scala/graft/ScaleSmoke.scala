@@ -50,7 +50,9 @@ object ScaleSmoke {
       "q_hll_sketch", "q_count_distinct", "a1_window_count_5m",
       "a2b_running_sum_salted", "w3_session_window", "j3_interval_join",
       "t_simhash", "d_minhash_sig", "d_minhash_lsh_pairs",
-      "d_dedup_groups", "d_curate_corpus", "e_knn_brute", "e_knn_lsh")
+      "d_dedup_groups", "d_curate_corpus", "e_knn_brute", "e_knn_lsh",
+      "a8_retention_cohort", "a9_funnel", "a10_zscore_outliers",
+      "t_lm_score", "t_repetition", "e_knn_rerank", "q_mode_quantity")
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()
       val ok =

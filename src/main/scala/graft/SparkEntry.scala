@@ -7,6 +7,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * `queries` / `oracleSql` maps:
   *   - [[operators.EventOps]]       — batch analogs of the reference's
   *     streaming-dataflow operators (SURVEY.md §2).
+  *   - [[operators.AnalyticsOps]]   — product analytics over the event
+  *     stream (retention, funnel, outliers, mode).
   *   - [[operators.RelationalOps]]  — relational generalizations
   *     (joins/aggs/top-k/rollup over the TPC-H-ish tables).
   *   - [[operators.TextOps]]        — LLM-pipeline text analysis + dedup.

@@ -248,6 +248,65 @@ FROM (SELECT qid, vec_id, cos_q, row_number() OVER (PARTITION BY qid ORDER BY co
 WHERE rnk <= 3"""),
     "Int8 scalar-quantized cosine top-3 (scales cancel in cosine).")
 
+  // Two-stage retrieval: int8-quantized coarse scoring keeps each query's
+  // top-10 candidates, then EXACT float cosine re-ranks them to top-3 —
+  // the production ANN shape (cheap wide recall stage, expensive narrow
+  // precision stage). At 100 TB the quantized pass is the only one that
+  // scans the corpus (integer SIMD math, 4x less memory traffic); the
+  // re-rank join touches 10 rows per query, so its exact float math is
+  // free. Candidate truncation is part of the operator's CONTRACT (same
+  // rnk<=10 in the oracle), not an approximation being hidden.
+  private val eKnnRerank = GQuery(
+    "e_knn_rerank",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val qz = base
+        .withColumn("sc", expr("greatest(array_max(transform(ed, x -> abs(x))), 1e-30d) / 127.0d"))
+        .withColumn("qv", expr("transform(ed, x -> cast(round(x / sc) AS int))"))
+        .withColumn("qzn", expr("sqrt(aggregate(qv, cast(0 as double), (acc, v) -> acc + cast(v AS double) * cast(v AS double)))"))
+        .select(col("vec_id"), col("qv"), col("qzn"))
+      val q = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qzn").as("qan"))
+      val cand = qz.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_q", expr(
+          "round(aggregate(zip_with(qa, qv, (x, y) -> cast(x AS long) * cast(y AS long)), cast(0 as long), (acc, v) -> acc + v) / (qan * qzn), 6)"))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_q").desc, col("vec_id"))))
+        .filter(col("crnk") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val ex = base.select(col("vec_id"), col("ed"), col("nrm"))
+      cand
+        .join(ex, Seq("vec_id"))
+        .join(broadcast(ex.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+        .withColumn("cos_sim", expr(cosSpark))
+        .select(col("qid"), col("vec_id"), col("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 3)
+    },
+    Some(s"""$duckPrep,
+z AS (SELECT vec_id,
+        list_transform(ed, x -> round(x / (greatest(list_max(list_transform(ed, y -> abs(y))), 1e-30) / 127.0))::INTEGER) AS qv
+      FROM n),
+zn AS (SELECT vec_id, qv,
+        sqrt(list_aggregate(list_transform(qv, v -> v::DOUBLE * v::DOUBLE), 'sum')) AS qzn
+       FROM z),
+qq AS (SELECT vec_id AS qid, qv AS qa, qzn AS qan FROM zn WHERE vec_id < 10),
+cand AS (SELECT qid, vec_id FROM (
+    SELECT qq.qid, zn.vec_id,
+           row_number() OVER (PARTITION BY qq.qid ORDER BY
+             round(list_aggregate(list_transform(range(64), i -> qq.qa[i + 1]::BIGINT * zn.qv[i + 1]::BIGINT), 'sum') / (qq.qan * zn.qzn), 6) DESC, zn.vec_id) AS crnk
+    FROM qq, zn WHERE zn.vec_id <> qq.qid)
+  WHERE crnk <= 10),
+p AS (SELECT c.qid, c.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> nq.ed[i + 1] * n.ed[i + 1]), 'sum') / (nq.nrm * n.nrm), 6) AS cos_sim
+      FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN n nq ON nq.vec_id = c.qid)
+SELECT qid, vec_id, cos_sim, rnk
+FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM p)
+WHERE rnk <= 3"""),
+    "Two-stage ANN: int8 coarse top-10 candidates, exact float re-rank to top-3.")
+
   // Per-label centroids: posexplode + partial/final hash agg, one shuffle.
   // avg re-associates across partials vs the oracle's sequential sum, so
   // the same +1e-9 pre-round nudge as a2b guards the rounding boundary.
@@ -264,5 +323,6 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
     "Per-label mean vector, one dimension per output row.")
 
   val all: Seq[GQuery] =
-    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eNeardup, eCentroids)
+    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
+      eNeardup, eCentroids)
 }
