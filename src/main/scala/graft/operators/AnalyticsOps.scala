@@ -139,5 +139,57 @@ r AS (SELECT l_returnflag, l_quantity, cnt,
 SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM r WHERE rn = 1"""),
     "Deterministic per-group mode (explicit tiebreak, unlike built-in mode()).")
 
-  val all: Seq[GQuery] = Seq(a8Retention, a9Funnel, a10Zscore, qMode)
+  // Peak concurrency per day — the sweep-line pattern: each event opens a
+  // "session" [ts, ts + value seconds]; +1/-1 deltas ordered by time, a
+  // running sum, and the day's max is the answer. Sessions count toward
+  // their START day (a rare cross-midnight tail still closes in the same
+  // partition — documented semantics, mirrored exactly in the oracle).
+  //
+  // Scale shape: a single ORDER BY t running sum would serialize each day
+  // into one window task (billions of rows/day at 100 TB). Instead the
+  // prefix sum is HIERARCHICAL, the same trick as q_percentiles' rank
+  // offsets: partition by (day, absolute-hour bucket) for the local
+  // running sums — the bucket is derived from t, so it is monotone in the
+  // sort order — then add the broadcast per-bucket delta totals' prefix
+  // as an offset. Every stage is bounded by rows/hour, not rows/day, and
+  // deeper nesting (minute buckets) extends the same recurrence if an
+  // hour is still too hot. End timestamps use exact integer microsecond
+  // arithmetic so both engines place every boundary identically; at equal
+  // t, ends (-1) sort before starts (+1), so back-to-back sessions never
+  // double-count.
+  private val a11Peak = GQuery(
+    "a11_peak_concurrency",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("ts"), expr("cast(round(value * 1e6) AS bigint)").as("dur_us"))
+      val starts = e.select(to_date(col("ts")).as("d"), col("ts").as("t"), lit(1).as("delta"))
+      val ends = e.select(to_date(col("ts")).as("d"),
+        expr("timestamp_micros(unix_micros(ts) + dur_us)").as("t"), lit(-1).as("delta"))
+      val iv = starts.unionByName(ends)
+        .withColumn("hb", expr("unix_micros(t) div 3600000000"))
+      val local = iv.withColumn("lrs",
+        sum(col("delta")).over(Window.partitionBy(col("d"), col("hb"))
+          .orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val off = iv.groupBy(col("d"), col("hb")).agg(sum(col("delta")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(
+          Window.partitionBy(col("d")).orderBy(col("hb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("d"), col("hb"), col("off"))
+      local.join(broadcast(off), Seq("d", "hb"))
+        .groupBy(col("d"))
+        .agg(max(col("lrs") + col("off")).as("peak"))
+    },
+    Some("""WITH iv AS (
+  SELECT CAST(ts AS DATE) AS d, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT CAST(ts AS DATE) AS d,
+         ts + to_microseconds(CAST(round(value * 1e6) AS BIGINT)) AS t, -1 AS delta
+  FROM events),
+s AS (SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY t, delta
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM iv)
+SELECT d, max(rs) AS peak FROM s GROUP BY d"""),
+    "Max concurrent sessions per day via hierarchical sweep-line prefix sum.")
+
+  val all: Seq[GQuery] = Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak)
 }

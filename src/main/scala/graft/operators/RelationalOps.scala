@@ -467,8 +467,62 @@ FROM orders WHERE o_orderkey % 7 = 0
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)"""),
     "RANGE frame + ntile/percent_rank/cume_dist window coverage.")
 
+  // Unpivot (wide -> long): the inverse of q_pivot_status. Spark's
+  // Dataset.unpivot emits one row per (id, value-column); a pure map-side
+  // explode — the 3x row growth happens inside the scan stage and partial
+  // aggregation collapses it before the (flag, metric) shuffle, so at
+  // 100 TB the shuffle carries 15 rows, not 3x the table.
+  private val qUnpivot = GQuery(
+    "q_unpivot",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(round(avg(col("val")) + lit(1e-9), 4).as("avg_val"),
+          count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, metric, round(avg(val) + 1e-9, 4) AS avg_val, count(*) AS n
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem) u
+GROUP BY 1, 2"""),
+    "Unpivot three measure columns to long form, aggregate per metric.")
+
+  // Manually salted shuffle join — the pre-AQE remedy for a hot join key,
+  // kept as a first-class pattern because AQE's skew split only fires on
+  // sort-merge joins inside its size thresholds. The fact side derives a
+  // deterministic salt in [0,8); the dim side is replicated 8x with
+  // explode(sequence(...)), so each (key, salt) shard lands on its own
+  // reducer: a key carrying 8 billion rows becomes 8 tasks of 1 billion.
+  // Replication costs 8x the DIM size only — the fact side is never
+  // duplicated. The oracle is the plain join: salting must be
+  // result-transparent.
+  private val qSaltedJoin = GQuery(
+    "q_salted_join",
+    (s, dir) => {
+      val li = t("lineitem")(s, dir)
+        .withColumn("salt", expr("cast((l_orderkey + l_linenumber) % 8 AS int)"))
+      val p = t("part")(s, dir)
+        .select(col("p_partkey"), col("p_brand"),
+          explode(sequence(lit(0), lit(7))).as("p_salt"))
+      li.join(p, col("l_partkey") === col("p_partkey") && col("salt") === col("p_salt"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2)
+            .as("revenue"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1"""),
+    "Deterministically salted skew join (8-way key sharding), plain-join oracle.")
+
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
-      qStatsAgg, qPercentiles, qOuter, qPivot, qWindowSuite, qWindowFrames)
+      qStatsAgg, qPercentiles, qOuter, qPivot, qWindowSuite, qWindowFrames,
+      qUnpivot, qSaltedJoin)
 }

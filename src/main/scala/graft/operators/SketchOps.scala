@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, Tables}
+import graft.functions.GraftFunctions
+
+/** Sketch- and sampling-based operators: the fixed-memory summaries a
+  * 100 TB pipeline uses where exact per-key state would not fit. Beyond
+  * the reference surface (its aggregations are exact, SURVEY.md §2.5);
+  * these follow the same cross-engine-determinism discipline as
+  * [[TextOps]] / `q_hll_sketch`: every hash derives from md5, so the
+  * DuckDB oracle recomputes the identical sketch bit-for-bit.
+  *
+  * Scale theme: each sketch is a constant-size, mergeable aggregate —
+  * partial aggregation collapses it map-side, the merged summary
+  * broadcasts, and the big side is never shuffled on a per-key basis.
+  */
+object SketchOps {
+
+  private def t(name: String)(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** 48-bit md5 base hash, DuckDB side (== GraftFunctions.md5Hash48). */
+  private def hD48(x: String) = s"(('0x'||substr(md5($x),1,12))::BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // Count-Min-Sketch heavy hitters. depth 4 x width 512 counters — 2 KiB
+  // of state regardless of input size. Row hashes are pairwise-independent
+  // (a*h + b) mod P (P = 2^61-1) over the shared 48-bit md5 base hash;
+  // a*h <= 11 * 2^48 never overflows a signed 64-bit in either engine.
+  private val cmsP = 2305843009213693951L // 2^61 - 1
+  private val cmsW = 512
+  private val cmsParams = Seq((0, 3L, 104729L), (1, 5L, 224737L), (2, 7L, 350377L), (3, 11L, 479909L))
+  private def cmsBucketS(j: Int): String = {
+    val (_, a, b) = cmsParams(j)
+    s"(($a * h + $b) % $cmsP) % $cmsW"
+  }
+
+  /** The sketch update stream is a posexplode into (row, bucket) cells,
+    * aggregated to <= depth*width rows by partial+final hash agg — the
+    * shuffle moves at most 4*512 cells per map task, NOT the input. The
+    * merged sketch broadcasts; candidate keys (one distinct) probe it and
+    * take min over rows. Top-k is TakeOrdered (per-partition heaps, no
+    * global sort). The oracle recomputes the identical sketch in SQL, so
+    * the comparison covers the estimator itself, collisions included.
+    * At 100 TB the candidate-key distinct is the only key-proportional
+    * stage; real deployments keep per-partition candidate heaps instead —
+    * documented trade-off, same estimator. */
+  private val qCmsTopk = GQuery(
+    "q_cms_topk",
+    (s, dir) => {
+      val base = t("events")(s, dir)
+        .select(col("user_id"),
+          GraftFunctions.md5Hash48(expr("cast(user_id AS string)")).as("h"))
+      val cells = array(cmsParams.map { case (j, _, _) => expr(cmsBucketS(j)) }: _*)
+      val sketch = base.select(posexplode(cells).as(Seq("j", "bucket")))
+        .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+      val keys = base.distinct()
+      keys.select(col("user_id"), posexplode(cells).as(Seq("j", "bucket")))
+        .join(broadcast(sketch), Seq("j", "bucket"))
+        .groupBy(col("user_id")).agg(min(col("c")).as("est"))
+        .orderBy(col("est").desc, col("user_id")).limit(20)
+    },
+    Some {
+      val vals = cmsParams.map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH h AS (SELECT user_id, ${hD48("CAST(user_id AS VARCHAR)")} AS h FROM events),
+p AS (SELECT * FROM (VALUES $vals) t(j, a, b)),
+sk AS (SELECT j, ((a * h + b) % $cmsP) % $cmsW AS bucket, count(*) AS c
+       FROM h CROSS JOIN p GROUP BY 1, 2),
+k AS (SELECT DISTINCT user_id, h FROM h),
+est AS (SELECT user_id, min(c) AS est
+        FROM k CROSS JOIN p
+        JOIN sk ON sk.j = p.j AND sk.bucket = ((p.a * k.h + p.b) % $cmsP) % $cmsW
+        GROUP BY 1)
+SELECT user_id, est FROM est ORDER BY est DESC, user_id LIMIT 20"""
+    },
+    "Count-Min-Sketch heavy hitters, oracle recomputes the sketch bit-for-bit.")
+
+  // ---------------------------------------------------------------------
+  // Bloom-prefiltered semi join. The 1024-bucket x 64-bit bloom bitmap of
+  // the dim-side keys (8 KiB) is built with one tiny aggregation and
+  // broadcast; the fact side tests membership BEFORE its semi-join
+  // shuffle, so at 100 TB the shuffle carries only probable matches
+  // (false-positive rate ~ |keys|/65536 here). The trailing exact semi
+  // join removes false positives, which is why the oracle is the plain
+  // semi join: the bloom stage is performance-transparent by construction
+  // — the manual version of Spark's runtime row-level filtering, usable
+  // where that rule does not fire (non-equi pre-aggregations, DSv2
+  // sources without runtime-filter support).
+  private val qBloomSemi = GQuery(
+    "q_bloom_semi",
+    (s, dir) => {
+      val cust = t("customer")(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ch = cust.select(col("c_custkey"),
+        GraftFunctions.md5Hash48(expr("cast(c_custkey AS string)")).as("h"))
+      val bloom = ch
+        .selectExpr("h % 1024 AS bucket", "shiftleft(1L, cast((h div 1024) % 64 AS int)) AS bit")
+        .groupBy(col("bucket")).agg(bit_or(col("bit")).as("mask"))
+      val orders = t("orders")(s, dir)
+        .withColumn("h", GraftFunctions.md5Hash48(expr("cast(o_custkey AS string)")))
+        .withColumn("bucket", expr("h % 1024"))
+      orders.join(broadcast(bloom), Seq("bucket"), "left")
+        .filter(expr("(mask & shiftleft(1L, cast((h div 1024) % 64 AS int))) != 0"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")) + lit(1e-9), 2).as("total"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 2) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1"""),
+    "Broadcast bloom-bitmap prefilter ahead of the exact semi join.")
+
+  // ---------------------------------------------------------------------
+  // Weighted sample without replacement (Efraimidis–Spirakis): priority
+  // ln(u)/w with u = (md5_48(doc_id) + 0.5) / 2^48, take the k largest.
+  // Deterministic u makes the sample reproducible AND oracle-checkable;
+  // only (doc_id, n_chars) are emitted so the float priority never enters
+  // the cross-engine hash. TakeOrdered keeps it one pass, no global sort;
+  // at 100 TB the same plan holds — per-partition k-heaps then a k*P
+  // driver merge, the standard distributed weighted-reservoir shape.
+  private val dWeightedSample = GQuery(
+    "d_weighted_sample",
+    (s, dir) =>
+      t("documents")(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          (log((GraftFunctions.md5Hash48(expr("cast(doc_id AS string)")) + lit(0.5))
+            / lit(281474976710656.0)) / col("n_chars")).as("p"))
+        .orderBy(col("p").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("n_chars")),
+    Some(s"""SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((${hD48("CAST(doc_id AS VARCHAR)")} + 0.5) / 281474976710656.0) / n_chars AS p
+  FROM documents WHERE n_chars > 0
+  ORDER BY p DESC, doc_id LIMIT 100) t"""),
+    "Deterministic Efraimidis–Spirakis weighted sample (weight = n_chars).")
+
+  val all: Seq[GQuery] = Seq(qCmsTopk, qBloomSemi, dWeightedSample)
+}

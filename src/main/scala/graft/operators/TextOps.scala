@@ -646,9 +646,46 @@ FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id"""),
     "Corpus-trained bigram-LM quality score (avg conditional probability per doc).")
 
+  // TF-IDF top term per document — the classic keyword extractor. Score =
+  // c * ln(N / df) from pure integer inputs, so both engines compute the
+  // identical double; exact score ties (same c, same df) break on the
+  // term string. At 100 TB: the token explode collapses into (doc, term)
+  // partial aggregation map-side; df is a term-keyed agg whose Zipf head
+  // is absorbed the same way; the tf x df join is term-keyed with AQE
+  // skew split covering stopword-class terms, and the final argmax is a
+  // per-doc window over a handful of rows. The rounded score is emitted
+  // AFTER the argmax so rounding can never change which term wins.
+  private val tTfidf = GQuery(
+    "t_tfidf",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score", col("c") * log(col("n") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          round(col("score") + lit(1e-9), 4).as("tfidf"))
+    },
+    Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT doc_id, term, count(*) AS c FROM tf GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM c GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term, c * ln(n.n / df.df) AS score FROM c JOIN df USING (term), n),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM s)
+SELECT doc_id, term AS top_term, round(score + 1e-9, 4) AS tfidf FROM r WHERE rn = 1"""),
+    "TF-IDF argmax term per document (integer-derived scores, exact tiebreak).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
-    dStratified, tRegexTokens, tRepetition, tLmScore)
+    dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf)
 }

@@ -10,11 +10,15 @@ import graft.SparkSpec
   * dedup drops exact near-duplicates (case/whitespace-normalized) within
   * the watermark, and distinct documents pass.
   */
+// Top-level so Catalyst codegen can construct it — an inner case class
+// needs the enclosing suite instance and silently falls back to
+// interpreted projections.
+case class CurateDoc(doc_id: Long, ts: Timestamp, text: String, lang: String)
+
 class CurateStreamSpec extends SparkSpec {
 
-  private case class Doc(doc_id: Long, ts: Timestamp, text: String, lang: String)
-  private def doc(id: Long, sec: Long, text: String): Doc =
-    Doc(id, new Timestamp(sec * 1000L), text, "en")
+  private def doc(id: Long, sec: Long, text: String): CurateDoc =
+    CurateDoc(id, new Timestamp(sec * 1000L), text, "en")
 
   // diverse words, long enough to clear the quality score at 0.62
   private val good =
@@ -27,7 +31,7 @@ class CurateStreamSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
 
-    val in = MemoryStream[Doc]
+    val in = MemoryStream[CurateDoc]
     val q = StreamingPipelines.curateDocs(in.toDF())
       .writeStream.outputMode("append")
       .format("memory").queryName("curated").start()
