@@ -52,7 +52,9 @@ object ScaleSmoke {
       "t_simhash", "d_minhash_sig", "d_minhash_lsh_pairs",
       "d_dedup_groups", "d_curate_corpus", "e_knn_brute", "e_knn_lsh",
       "a8_retention_cohort", "a9_funnel", "a10_zscore_outliers",
-      "t_lm_score", "t_repetition", "e_knn_rerank", "q_mode_quantity")
+      "t_lm_score", "t_repetition", "e_knn_rerank", "q_mode_quantity",
+      "q_cms_topk", "q_bloom_semi", "d_weighted_sample", "t_tfidf",
+      "a11_peak_concurrency", "q_salted_join", "q_unpivot")
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()
       val ok =

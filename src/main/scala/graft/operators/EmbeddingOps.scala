@@ -322,7 +322,52 @@ SELECT label, i AS pos, round(avg(ed[i + 1]) + 1e-9, 6) AS centroid, count(*) AS
 FROM n, range(64) t(i) GROUP BY 1, 2"""),
     "Per-label mean vector, one dimension per output row.")
 
+  // Nearest-centroid assignment (the k-means E-step) + confusion matrix
+  // against the true labels — the clustering-based curation pattern
+  // (assign -> inspect purity -> filter). Centroids are the ROUNDED
+  // per-label means (same 6-decimal pin as e_centroids) so both engines
+  // classify against bit-identical model vectors; squared-L2 uses one
+  // sequential fold per (vector, centroid) — identical order both sides —
+  // and is rounded before the argmin with a label tiebreak, so rank
+  // boundaries can't flip on 1e-15 noise. Scale shape: the 10x64 centroid
+  // table is a broadcast (two tiny aggregations), the corpus is scanned
+  // ONCE against it (constant-size nested-loop build side — the e_knn
+  // shape), and the confusion matrix is a (label, assigned) partial agg.
+  // The same plan is one k-means iteration at any corpus size; iterating
+  // re-runs it with the previous assignment as the label.
+  private val eAssign = GQuery(
+    "e_assign_confusion",
+    (s, dir) => {
+      val cent = prepped(s, dir)
+        .select(col("label").as("c_label"), posexplode(col("ed")).as(Seq("pos", "v")))
+        .groupBy(col("c_label"), col("pos"))
+        .agg(round(avg(col("v")) + lit(1e-9), 6).as("c"))
+        .groupBy(col("c_label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      prepped(s, dir).crossJoin(broadcast(cent))
+        .withColumn("d2", expr(
+          "round(aggregate(zip_with(ed, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v), 6)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("c_label").as("assigned"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(s"""$duckPrep,
+cent AS (SELECT label AS c_label, i AS pos, round(avg(ed[i + 1]) + 1e-9, 6) AS c
+         FROM n, range(64) t(i) GROUP BY 1, 2),
+cvec AS (SELECT c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+d AS (SELECT vec_id, label, c_label,
+             round(list_aggregate(list_transform(range(64),
+               i -> (ed[i + 1] - cv[i + 1]) * (ed[i + 1] - cv[i + 1])), 'sum'), 6) AS d2
+      FROM n CROSS JOIN cvec),
+a AS (SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      FROM d)
+SELECT label, c_label AS assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1, 2"""),
+    "Nearest-centroid assignment (k-means E-step) with label confusion matrix.")
+
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
-      eNeardup, eCentroids)
+      eNeardup, eCentroids, eAssign)
 }

@@ -331,28 +331,31 @@ WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i WHERE i.o_custkey
   // quantile_cont's lower + frac * (upper - lower). Every stage is
   // distributed — no per-group serialization point at any scale.
   //
-  // The pid assignment is materialized ONCE via localCheckpoint: the
-  // row_number branch and the count/offset branch below both read it, and
-  // spark_partition_id() is nondeterministic — if the two subtrees were
-  // ever evaluated from separate exchanges (ReuseExchange miss, divergent
-  // AQE coalescing), offsets would silently misalign with local ranks.
-  // Checkpointing pins one physical partitioning for both consumers; the
-  // cost is one spill of the two-column projection, and the failure mode
-  // if a checkpoint block is lost is a loud job error, never wrong ranks.
+  // The two-level rank is keyed on a DETERMINISTIC value bucket
+  // (floor(v / 1000)), not spark_partition_id(): a pid is assigned at
+  // execution time, so the local-rank subtree and the count/offset
+  // subtree could silently disagree under a ReuseExchange miss or
+  // divergent AQE coalescing (an earlier revision pinned the pid with
+  // localCheckpoint — the bucket keying removes both the hazard and the
+  // materialization). Within a (group, bucket) cell, equal values make
+  // row_number's tie order irrelevant: the VALUE at any global rank is
+  // unique regardless. Bucket skew is bounded by the value distribution;
+  // a pathological single-value hot bucket degrades to the same
+  // single-task window any rank-selection scheme has for that value, and
+  // a second bucketing level (the same recurrence) subdivides it if real
+  // data demands.
   private val qPercentiles = GQuery(
     "q_percentiles",
     (s, dir) => {
       val v = t("lineitem")(s, dir).select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      val parts = v.repartitionByRange(col("l_returnflag"), col("v"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
+      val parts = v.withColumn("bkt", expr("cast(floor(v / 1000.0) AS bigint)"))
       val local = parts.withColumn("lrn",
-        row_number().over(Window.partitionBy("pid", "l_returnflag").orderBy(col("v"))))
-      val cnt = parts.groupBy(col("pid"), col("l_returnflag")).agg(count(lit(1)).as("c"))
+        row_number().over(Window.partitionBy("bkt", "l_returnflag").orderBy(col("v"))))
+      val cnt = parts.groupBy(col("bkt"), col("l_returnflag")).agg(count(lit(1)).as("c"))
       val off = cnt.withColumn("off", coalesce(sum(col("c")).over(
-          Window.partitionBy("l_returnflag").orderBy(col("pid"))
+          Window.partitionBy("l_returnflag").orderBy(col("bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("l_returnflag"), col("off"))
+        .select(col("bkt"), col("l_returnflag"), col("off"))
       val targets = cnt.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
         .withColumn("h50", expr("(n - 1) * 0.5"))
         .withColumn("h90", expr("(n - 1) * 0.9"))
@@ -360,7 +363,7 @@ WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i WHERE i.o_custkey
         .withColumn("hi50", expr("least(cast(floor(h50) AS bigint) + 2, n)"))
         .withColumn("lo90", expr("cast(floor(h90) AS bigint) + 1"))
         .withColumn("hi90", expr("least(cast(floor(h90) AS bigint) + 2, n)"))
-      local.join(broadcast(off), Seq("pid", "l_returnflag"))
+      local.join(broadcast(off), Seq("bkt", "l_returnflag"))
         .withColumn("rn", col("lrn") + col("off"))
         .join(broadcast(targets), Seq("l_returnflag"))
         .filter(col("rn") === col("lo50") || col("rn") === col("hi50")
@@ -520,9 +523,32 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1"""),
     "Deterministically salted skew join (8-way key sharding), plain-join oracle.")
 
+  // Full outer join — both null sides exercised: the events stream has
+  // user_ids without a customer row and customers who never emitted an
+  // event. The aggregate-THEN-join order matters at scale: joining first
+  // would shuffle the full event stream against customer, aggregating
+  // first shrinks the left side to one row per user before the join.
+  private val qFullOuter = GQuery(
+    "q_full_outer",
+    (s, dir) => {
+      val ue = t("events")(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val c = t("customer")(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      ue.join(c, col("user_id") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("c_custkey")).as("id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+    },
+    Some("""WITH ue AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+SELECT coalesce(user_id, c_custkey) AS id,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(c_mktsegment, 'none') AS segment
+FROM ue FULL OUTER JOIN customer ON user_id = c_custkey"""),
+    "Full outer join with both unmatched sides present, aggregate-before-join.")
+
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qOuter, qPivot, qWindowSuite, qWindowFrames,
-      qUnpivot, qSaltedJoin)
+      qUnpivot, qSaltedJoin, qFullOuter)
 }

@@ -219,4 +219,78 @@ object StatefulProcessors {
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+
+  /** One space-saving counter: estimated count and max overestimation. */
+  final case class HeavyHitter(shard: Int, item: String, est: Long, err: Long)
+
+  /** Streaming heavy hitters with BOUNDED state — the Metwally
+    * space-saving algorithm. Unlike a per-item keyed count (state grows
+    * with the item domain), each shard keeps at most `capacity` counters:
+    * a known item increments; a new item under capacity inserts at
+    * (1, 0); at capacity it REPLACES the minimum counter, inheriting its
+    * estimate as the new item's overestimation bound `err`. Guarantees:
+    * est >= true count >= est - err, and any item with true count >
+    * shardTotal/capacity is guaranteed present — the streaming dual of
+    * the batch q_cms_topk (CMS overcounts via collisions; space-saving
+    * overcounts via inheritance, but pins the error per item).
+    *
+    * Sharding: items are partitioned by a hash of the item, so each
+    * item's full count lands in exactly one shard and shard summaries
+    * CONCATENATE (no cross-shard merge math); top-k = take the k largest
+    * over the union. Each batch emits the touched counters; downstream
+    * consumers keep the latest (est, err) per item.
+    */
+  final class SpaceSavingProcessor(capacity: Int)
+      extends StatefulProcessor[Int, Ev, HeavyHitter] {
+
+    // item -> (est, err); capacity entries max, scanned for the min on
+    // eviction (capacity is small by construction — that scan IS the
+    // algorithm's O(capacity) bound, not a scale hazard).
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[String, (Long, Long)]("counters",
+        Encoders.STRING, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(shard: Int, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[HeavyHitter] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val item = e.event_type
+        if (counters.containsKey(item)) {
+          val (est, err) = counters.getValue(item)
+          counters.updateValue(item, (est + 1, err))
+        } else {
+          val entries = counters.iterator().toSeq
+          if (entries.size < capacity) {
+            counters.updateValue(item, (1L, 0L))
+          } else {
+            val (minItem, (minEst, _)) =
+              entries.minBy { case (k, (est, _)) => (est, k) }
+            counters.removeKey(minItem)
+            counters.updateValue(item, (minEst + 1L, minEst))
+            touched -= minItem
+          }
+        }
+        touched += item
+      }
+      val out = touched.iterator.map { item =>
+        val (est, err) = counters.getValue(item)
+        HeavyHitter(shard, item, est, err)
+      }.toSeq
+      out.iterator
+    }
+  }
+
+  private implicit val hhEnc = Encoders.product[HeavyHitter]
+  private implicit val intEnc = Encoders.scalaInt
+
+  /** Heavy hitters over `event_type` with `shards * capacity` total
+    * counters of state, regardless of domain size. */
+  def heavyHitters(events: Dataset[Ev], capacity: Int = 4,
+      shards: Int = 8): Dataset[HeavyHitter] =
+    events.groupByKey(e => math.floorMod(e.event_type.hashCode, shards))
+      .transformWithState(new SpaceSavingProcessor(capacity),
+        TimeMode.None(), OutputMode.Append())
 }

@@ -98,4 +98,61 @@ class PropertiesSpec extends SparkSpec {
       .collect().head.getDouble(1)
     assert(a === b) // register merge is order/partitioning independent
   }
+
+  /** Write a random events table to a temp fixture dir so the registered
+    * queries (which read `dir/events.parquet`) can run against it. */
+  private def eventsFixture(evs: Seq[Ev]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_").toString
+    s.createDataset(evs).toDF()
+      .withColumn("props", lit("k=1"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("property: hierarchical sweep-line peak equals the naive per-day running-sum peak") {
+    val s = spark
+    import s.implicits._
+    // Cluster timestamps around hour boundaries so local sums + offsets
+    // actually cross buckets; durations long enough to straddle hours.
+    val gen = for {
+      id <- Gen.choose(1L, 1000000L)
+      sec <- Gen.choose(3000L, 11000L)
+      user <- Gen.choose(1L, 20L)
+      v <- Gen.choose(1, 500000).map(_ / 100.0) // up to ~83 min
+    } yield Ev(id, new Timestamp(sec * 1000L), user, "click", v)
+    (1 to 5).foreach { _ =>
+      val evs = sample(Gen.listOfN(300, gen))
+      val dir = eventsFixture(evs)
+      val fast = SparkEntry.queries("a11_peak_concurrency")(s, dir)
+        .as[(java.sql.Date, Long)].collect().toMap
+      val naive = s.createDataset(evs).toDF()
+        .select(to_date(col("ts")).as("d"), col("ts").as("t"), lit(1).as("delta"))
+        .unionByName(s.createDataset(evs).toDF().select(to_date(col("ts")).as("d"),
+          expr("timestamp_micros(unix_micros(ts) + cast(round(value * 1e6) AS bigint))").as("t"),
+          lit(-1).as("delta")))
+        .withColumn("rs", sum(col("delta")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("d"))
+            .orderBy(col("t"), col("delta"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("d")).agg(max(col("rs")).as("peak"))
+        .as[(java.sql.Date, Long)].collect().toMap
+      assert(fast === naive)
+    }
+  }
+
+  test("property: CMS estimates dominate exact counts (never undercount)") {
+    val s = spark
+    import s.implicits._
+    val evs = sample(Gen.listOfN(2000, genEv))
+    val dir = eventsFixture(evs)
+    val est = SparkEntry.queries("q_cms_topk")(s, dir)
+      .as[(Long, Long)].collect().toMap
+    val exact = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    est.foreach { case (user, e) =>
+      assert(e >= exact(user), s"CMS undercounted user $user: $e < ${exact(user)}")
+    }
+    assert(est.nonEmpty)
+  }
 }

@@ -18,10 +18,11 @@ class PlanHygieneSpec extends SparkSpec {
     * coarse codebook (ivf) against one corpus scan — the intended
     * "broadcast the tiny side, never shuffle the corpus" kNN plan.
     * e_knn_rerank's coarse stage shares the same shape. t_tfidf
-    * cross-joins the 1-row corpus count (a broadcast scalar). */
+    * cross-joins the 1-row corpus count (a broadcast scalar);
+    * e_assign_confusion cross-joins the 10-row centroid model. */
   private val nestedLoopByDesign =
     Set("e_knn_brute", "e_knn_l2", "e_knn_quant", "e_knn_ivf", "e_knn_rerank",
-      "t_tfidf")
+      "t_tfidf", "e_assign_confusion")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
