@@ -179,4 +179,16 @@ object GraftFunctions {
 
   def md5Hash48(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.md5Hash48(s)
+
+  def vecDot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.vecDot(a, b)
+
+  def vecL2Sq(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.vecL2Sq(a, b)
+
+  def lshBucket(v: org.apache.spark.sql.Column,
+      planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.lshBucket(v, planes)
 }

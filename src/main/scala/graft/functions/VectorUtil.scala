@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Compiled kernels for the embedding operators' inner loops. The
+  * higher-order-function formulations (`aggregate(zip_with(...))`) they
+  * replace evaluate interpreted with per-element boxing and go
+  * megamorphic as the registry grows — the same failure mode the text
+  * hash kernels ([[TextHashUtil]]) eliminated. Each kernel folds
+  * SEQUENTIALLY in index order, which is bit-for-bit the fold order of
+  * both the HOF pipeline it replaces and the DuckDB oracle's
+  * `list_aggregate(list_transform(...), 'sum')` — so swapping them in
+  * changes no query result.
+  *
+  * Length mismatches fold over the common prefix (the fixtures are
+  * fixed-dimension; `zip_with`'s null-padding semantics are unreachable
+  * there and deliberately not replicated).
+  */
+object VectorUtil {
+
+  /** Dot product: sum_i a(i)*b(i), sequential. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Squared L2 distance: sum_i (a(i)-b(i))^2, sequential. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Sign-bit LSH bucket: bit j set iff dot(v, planes(j)) > 0 — the fused
+    * form of 8 separate dot-product sign tests. */
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * p(i); i += 1 }
+      if (acc > 0) bucket |= 1 << j
+      j += 1
+    }
+    bucket
+  }
+}

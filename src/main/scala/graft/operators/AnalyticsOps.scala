@@ -191,5 +191,40 @@ s AS (SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY t, delta
 SELECT d, max(rs) AS peak FROM s GROUP BY d"""),
     "Max concurrent sessions per day via hierarchical sweep-line prefix sum.")
 
-  val all: Seq[GQuery] = Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak)
+  // EWMA smoothing over each user's last 8 values — time-series feature
+  // engineering as a window + higher-order-function composition. The
+  // frame list is reversed so the newest value takes weight 0.5^0, and
+  // the weighted fold runs SEQUENTIALLY over at most 8 elements in both
+  // engines (identical order, alpha=0.5 so every weight is an exact
+  // binary double) — cross-engine FP equality by construction, with the
+  // usual round(+1e-9) pin. Scale: one shuffle on user_id, O(frame) state
+  // per row inside the window — a hot user degrades to one task and takes
+  // the a2b salt/offset remedy if real data demands it.
+  private val a12Ewma = GQuery(
+    "a12_ewma_smooth",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("vals", collect_list(col("value")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(-7, Window.currentRow)))
+        .withColumn("rev", reverse(col("vals")))
+        .selectExpr("user_id", "event_id",
+          """round(aggregate(transform(sequence(0, size(rev) - 1), k -> element_at(rev, k + 1) * power(0.5, k)),
+                   cast(0 AS double), (a, v) -> a + v)
+             / aggregate(transform(sequence(0, size(rev) - 1), k -> power(0.5, k)),
+                   cast(0 AS double), (a, v) -> a + v) + 1e-9, 6) AS ewma"""),
+    Some("""WITH f AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+  FROM events),
+r AS (SELECT user_id, event_id, list_reverse(vals) AS rev FROM f)
+SELECT user_id, event_id,
+       round(list_aggregate(list_transform(range(len(rev)), k -> rev[k + 1] * power(0.5, k)), 'sum')
+             / list_aggregate(list_transform(range(len(rev)), k -> power(0.5, k)), 'sum') + 1e-9, 6) AS ewma
+FROM r"""),
+    "Exponentially weighted moving average (alpha=0.5) over an 8-event frame.")
+
+  val all: Seq[GQuery] =
+    Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GQuery, Tables}
+import graft.functions.GraftFunctions
 
 /** Similarity-search operators over the `embeddings` table
   * (`vec_id, embedding ARRAY<FLOAT> (64-dim), label`): brute-force cosine
@@ -39,10 +40,10 @@ object EmbeddingOps {
     planes(j).map(v => s"cast('$v' as double)").mkString("array(", ", ", ")")
   private def planeLitD(j: Int): String =
     planes(j).map(v => s"'$v'::DOUBLE").mkString("[", ", ", "]")
-  /** Sign-bit bucket id (0..255), Spark side. Pure map — no shuffle. */
-  private val bucketS: String = (0 until 8).map { j =>
-    s"(CASE WHEN aggregate(zip_with(ed, ${planeLitS(j)}, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"
-  }.mkString(" + ")
+  // Sign-bit bucket id (0..255), Spark side: the fused native kernel
+  // GraftFunctions.lshBucket(ed, planes) — 8 sequential dot products and
+  // sign tests in one codegen call (the per-plane HOF formulation ran
+  // interpreted).
   /** Same bucket id, DuckDB side. */
   private val bucketD: String = (0 until 8).map { j =>
     s"(CASE WHEN list_aggregate(list_transform(range(64), i -> ed[i + 1] * (${planeLitD(j)})[i + 1]), 'sum') > 0 THEN ${1 << j} ELSE 0 END)"
@@ -52,14 +53,17 @@ object EmbeddingOps {
   private def prepped(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
       .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", expr("sqrt(aggregate(ed, cast(0 as double), (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", sqrt(GraftFunctions.vecDot(col("ed"), col("ed"))))
 
   private val duckPrep =
     """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ed FROM embeddings),
 n AS (SELECT vec_id, label, ed, sqrt(list_aggregate(list_transform(ed, x -> x * x), 'sum')) AS nrm FROM e)"""
 
-  private val cosSpark =
-    "round(aggregate(zip_with(qe, ed, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (qn * nrm), 6)"
+  /** Cosine via the native dot kernel — identical sequential fold to the
+    * HOF pipeline it replaced (and to the DuckDB oracle), but codegen'd:
+    * one static call instead of 64 interpreted boxed lambda steps. */
+  private def cosCol =
+    round(GraftFunctions.vecDot(col("qe"), col("ed")) / (col("qn") * col("nrm")), 6)
 
   // Brute-force cosine top-5 for queries vec_id < 10: the exact baseline.
   private val eKnnBrute = GQuery(
@@ -69,7 +73,7 @@ n AS (SELECT vec_id, label, ed, sqrt(list_aggregate(list_transform(ed, x -> x * 
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"))
       base.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos_sim", expr(cosSpark))
+        .withColumn("cos_sim", cosCol)
         .select(col("qid"), col("vec_id"), col("cos_sim"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -96,8 +100,8 @@ WHERE rnk <= 5"""),
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("ed").as("qe"))
       base.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("l2_dist", expr(
-          "round(sqrt(aggregate(zip_with(qe, ed, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)), 6)"))
+        .withColumn("l2_dist",
+          round(sqrt(GraftFunctions.vecL2Sq(col("qe"), col("ed"))), 6))
         .select(col("qid"), col("vec_id"), col("l2_dist"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("l2_dist"), col("vec_id"))))
@@ -117,12 +121,12 @@ WHERE rnk <= 5"""),
   private val eKnnLsh = GQuery(
     "e_knn_lsh",
     (s, dir) => {
-      val base = prepped(s, dir).withColumn("bkt", expr(bucketS))
+      val base = prepped(s, dir).withColumn("bkt", GraftFunctions.lshBucket(col("ed"), planes))
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"), col("bkt"))
       base.join(broadcast(q), Seq("bkt"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos_sim", expr(cosSpark))
+        .withColumn("cos_sim", cosCol)
         .select(col("qid"), col("vec_id"), col("cos_sim"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -143,12 +147,12 @@ WHERE rnk <= 3"""),
   private val eNeardup = GQuery(
     "e_neardup_cosine",
     (s, dir) => {
-      val base = prepped(s, dir).withColumn("bkt", expr(bucketS))
+      val base = prepped(s, dir).withColumn("bkt", GraftFunctions.lshBucket(col("ed"), planes))
       val a = base.select(col("vec_id").as("vec_a"), col("ed").as("qe"), col("nrm").as("qn"), col("bkt"))
       val b = base.select(col("vec_id").as("vec_b"), col("ed"), col("nrm"), col("bkt"))
       a.join(b, Seq("bkt"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", expr(cosSpark))
+        .withColumn("cos_sim", cosCol)
         .filter(col("cos_sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos_sim"))
     },
@@ -175,8 +179,8 @@ SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4"""),
         .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
       val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
       val assigned = base.join(broadcast(cents))
-        .withColumn("c_cos", expr(
-          "round(aggregate(zip_with(ce, ed, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (cn * nrm), 6)"))
+        .withColumn("c_cos",
+          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
         .withColumn("arn", row_number().over(assignW))
         .filter(col("arn") === 1)
         .select(col("vec_id"), col("ed"), col("nrm"), col("cid").as("cell"))
@@ -185,7 +189,7 @@ SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4"""),
       val rankW = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
       assigned.join(broadcast(q), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos_sim", expr(cosSpark))
+        .withColumn("cos_sim", cosCol)
         .select(col("qid"), col("vec_id"), col("cos_sim"))
         .withColumn("rnk", row_number().over(rankW))
         .filter(col("rnk") <= 3)
@@ -279,7 +283,7 @@ WHERE rnk <= 3"""),
         .join(ex, Seq("vec_id"))
         .join(broadcast(ex.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"))), Seq("qid"))
-        .withColumn("cos_sim", expr(cosSpark))
+        .withColumn("cos_sim", cosCol)
         .select(col("qid"), col("vec_id"), col("cos_sim"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -345,8 +349,7 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
         .groupBy(col("c_label"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
       prepped(s, dir).crossJoin(broadcast(cent))
-        .withColumn("d2", expr(
-          "round(aggregate(zip_with(ed, cv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v), 6)"))
+        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
         .filter(col("rn") === 1)

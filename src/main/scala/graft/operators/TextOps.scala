@@ -683,9 +683,30 @@ r AS (SELECT doc_id, term, score,
 SELECT doc_id, term AS top_term, round(score + 1e-9, 4) AS tfidf FROM r WHERE rn = 1"""),
     "TF-IDF argmax term per document (integer-derived scores, exact tiebreak).")
 
+  // Redaction: mask every digit run in the payload and count what was
+  // masked — the PII-scrubbing shape of a training-data pipeline (here
+  // the pattern is digit runs; in production it is emails/phones/IDs —
+  // the mechanics are identical). Pure map inside the scan projection:
+  // codegen'd regex, no shuffle at any scale; the masked-run count rides
+  // along so downstream audits can aggregate redaction volume without
+  // re-scanning. The regex sticks to portable character-class syntax
+  // ([0-9]+) that Java's engine and DuckDB's RE2 interpret identically.
+  private val tRedact = GQuery(
+    "t_redact_digits",
+    (s, dir) =>
+      Tables.t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("redacted"),
+          expr("cast(regexp_count(props, '[0-9]+') AS bigint)").as("n_redacted")),
+    Some("""SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_redacted
+FROM events"""),
+    "Digit-run redaction with masked-run counts (PII-scrubbing mechanics).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
-    dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf)
+    dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact)
 }

@@ -63,7 +63,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sorted_intersect_count"), info("graft_sorted_intersect_count"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     (FunctionIdentifier("graft_md5_hash48"), info("graft_md5_hash48"),
-      (args: Seq[Expression]) => Md5Hash48(args.head)))
+      (args: Seq[Expression]) => Md5Hash48(args.head)),
+    (FunctionIdentifier("graft_vec_dot"), info("graft_vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("graft_vec_l2sq"), info("graft_vec_l2sq"),
+      (args: Seq[Expression]) => VecL2Sq(args(0), args(1))))
 
   /** Register into an already-built session (the extensions config only
     * applies at session build time). */

@@ -126,4 +126,81 @@ object columns {
 
   def md5Hash48(s: Column): Column =
     ExpressionUtils.column(Md5Hash48(ExpressionUtils.expression(s)))
+
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def vecL2Sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecL2Sq(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(LshBucket(ExpressionUtils.expression(v), planes))
+}
+
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType),
+      ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_vec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.functions.VectorUtil.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VectorUtil.dot($l, $r);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType),
+      ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_vec_l2sq"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.functions.VectorUtil.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VectorUtil.l2sq($l, $r);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+case class LshBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.VectorUtil.lshBucket(input.asInstanceOf[ArrayData], planeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorUtil.lshBucket($c, $pRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
 }
