@@ -39,7 +39,10 @@ object Bench {
     "x1_double_event_alert", "x2_sessionize", "p1_parse_props",
     "d_exact_dedup", "d_minhash_lsh_pairs", "d_simhash_neardup",
     "d_curate_corpus", "d_dedup_groups", "e_knn_brute", "e_knn_ivf",
-    "t_quality_score", "t_langid", "m_media_features")
+    "t_quality_score", "t_langid", "m_media_features",
+    // round-4 families
+    "q_cms_topk", "q_bloom_semi", "d_weighted_sample", "t_tfidf",
+    "a11_peak_concurrency", "e_assign_confusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -225,6 +225,40 @@ SELECT user_id, event_id,
 FROM r"""),
     "Exponentially weighted moving average (alpha=0.5) over an 8-event frame.")
 
+  // Next-event transition matrix — first-order Markov chain over each
+  // user's event sequence: P(next | current) with per-pair counts. The
+  // sequence dependency is ONE lead() window per user (co-partitioned
+  // with every other user_id-keyed stage); the matrix itself is a
+  // (from, to) aggregate of at most |types|^2 rows, and the probability
+  // normalization joins against the per-from totals computed from the
+  // SAME aggregate (tiny, broadcast). Probabilities divide two exact
+  // integer counts — identical doubles on both engines before the
+  // round pin.
+  private val a13Transition = GQuery(
+    "a13_transition_matrix",
+    (s, dir) => {
+      val nxt = events(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = nxt.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      nxt.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("tot") + lit(1e-9), 6).as("p"))
+    },
+    Some("""WITH nx AS (
+  SELECT event_type AS from_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT from_type, to_type, n, round(n / tot + 1e-9, 6) AS p
+FROM c JOIN t USING (from_type)"""),
+    "First-order Markov transition matrix over per-user event sequences.")
+
   val all: Seq[GQuery] =
-    Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma)
+    Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma, a13Transition)
 }
