@@ -15,9 +15,10 @@ import graft.functions.GraftFunctions
   * Determinism: all math is double-precision with identical fold order on
   * both engines; cosine is rounded to 6 decimals BEFORE ranking, with
   * vec_id tie-breaks, so rank boundaries can't flip on 1e-15 noise. The 8
-  * LSH hyperplanes are seeded Scala constants embedded as string-cast
-  * literals in both the Spark expression and the DuckDB oracle — parsed to
-  * bit-identical doubles by both engines.
+  * LSH hyperplanes are seeded Scala constants: the native bucket kernel
+  * receives them as raw doubles, and the DuckDB oracle embeds their
+  * Double.toString renderings as '...'::DOUBLE literals — a lossless
+  * round-trip, so both engines dot against bit-identical planes.
   *
   * Scale notes (100 TB): brute-force kNN broadcasts the (tiny) query set
   * and scans the big table ONCE (BroadcastNestedLoopJoin) — no shuffle of
@@ -36,8 +37,6 @@ object EmbeddingOps {
     val r = new scala.util.Random(42)
     Seq.fill(8)(Seq.fill(64)(r.nextDouble() * 2 - 1))
   }
-  private def planeLitS(j: Int): String =
-    planes(j).map(v => s"cast('$v' as double)").mkString("array(", ", ", ")")
   private def planeLitD(j: Int): String =
     planes(j).map(v => s"'$v'::DOUBLE").mkString("[", ", ", "]")
   // Sign-bit bucket id (0..255), Spark side: the fused native kernel

@@ -27,16 +27,21 @@ object SketchOps {
 
   // ---------------------------------------------------------------------
   // Count-Min-Sketch heavy hitters. depth 4 x width 512 counters — 2 KiB
-  // of state regardless of input size. Row hashes are pairwise-independent
-  // (a*h + b) mod P (P = 2^61-1) over the shared 48-bit md5 base hash;
-  // a*h <= 11 * 2^48 never overflows a signed 64-bit in either engine.
-  private val cmsP = 2305843009213693951L // 2^61 - 1
+  // of state regardless of input size. Each row uses its own md5-derived
+  // base hash, salted with the row index ("j:key"), so the four rows are
+  // genuinely independent. (An earlier revision used affine transforms
+  // (a*h + b) mod P of ONE shared hash — but with a <= 11 and h < 2^48
+  // the product never wraps P, so the mod was a no-op and odd `a` made
+  // every row's bucket a bijection of h mod 512: keys collided in all
+  // four rows or none, and the depth gave zero protection over depth 1.)
   private val cmsW = 512
-  private val cmsParams = Seq((0, 3L, 104729L), (1, 5L, 224737L), (2, 7L, 350377L), (3, 11L, 479909L))
-  private def cmsBucketS(j: Int): String = {
-    val (_, a, b) = cmsParams(j)
-    s"(($a * h + $b) % $cmsP) % $cmsW"
-  }
+  private val cmsDepth = 4
+  /** Row-j bucket, Spark side: md5_48("j:" + key) % W. */
+  private def cmsBucketS(j: Int): Column =
+    GraftFunctions.md5Hash48(expr(s"concat('$j:', cast(user_id AS string))")) % cmsW
+  /** Row-j bucket, DuckDB side — same value bit-for-bit. */
+  private def cmsBucketD(j: Int): String =
+    s"${hD48(s"'$j:' || CAST(user_id AS VARCHAR)")} % $cmsW"
 
   /** The sketch update stream is a posexplode into (row, bucket) cells,
     * aggregated to <= depth*width rows by partial+final hash agg — the
@@ -51,29 +56,24 @@ object SketchOps {
   private val qCmsTopk = GQuery(
     "q_cms_topk",
     (s, dir) => {
-      val base = t("events")(s, dir)
-        .select(col("user_id"),
-          GraftFunctions.md5Hash48(expr("cast(user_id AS string)")).as("h"))
-      val cells = array(cmsParams.map { case (j, _, _) => expr(cmsBucketS(j)) }: _*)
+      val base = t("events")(s, dir).select(col("user_id"))
+      val cells = array((0 until cmsDepth).map(cmsBucketS): _*)
       val sketch = base.select(posexplode(cells).as(Seq("j", "bucket")))
         .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
-      val keys = base.distinct()
-      keys.select(col("user_id"), posexplode(cells).as(Seq("j", "bucket")))
-        .join(broadcast(sketch), Seq("j", "bucket"))
+      val keys = base.select(col("user_id"), posexplode(cells).as(Seq("j", "bucket")))
+        .distinct()
+      keys.join(broadcast(sketch), Seq("j", "bucket"))
         .groupBy(col("user_id")).agg(min(col("c")).as("est"))
         .orderBy(col("est").desc, col("user_id")).limit(20)
     },
     Some {
-      val vals = cmsParams.map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
-      s"""WITH h AS (SELECT user_id, ${hD48("CAST(user_id AS VARCHAR)")} AS h FROM events),
-p AS (SELECT * FROM (VALUES $vals) t(j, a, b)),
-sk AS (SELECT j, ((a * h + b) % $cmsP) % $cmsW AS bucket, count(*) AS c
-       FROM h CROSS JOIN p GROUP BY 1, 2),
-k AS (SELECT DISTINCT user_id, h FROM h),
-est AS (SELECT user_id, min(c) AS est
-        FROM k CROSS JOIN p
-        JOIN sk ON sk.j = p.j AND sk.bucket = ((p.a * k.h + p.b) % $cmsP) % $cmsW
-        GROUP BY 1)
+      val unions = (0 until cmsDepth).map(j =>
+        s"SELECT $j AS j, ${cmsBucketD(j)} AS bucket, user_id FROM events").mkString("\n  UNION ALL ")
+      s"""WITH cells AS (
+  $unions),
+sk AS (SELECT j, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+k AS (SELECT DISTINCT j, bucket, user_id FROM cells),
+est AS (SELECT user_id, min(c) AS est FROM k JOIN sk USING (j, bucket) GROUP BY 1)
 SELECT user_id, est FROM est ORDER BY est DESC, user_id LIMIT 20"""
     },
     "Count-Min-Sketch heavy hitters, oracle recomputes the sketch bit-for-bit.")

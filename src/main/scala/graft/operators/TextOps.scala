@@ -653,8 +653,12 @@ GROUP BY doc_id"""),
   // partial aggregation map-side; df is a term-keyed agg whose Zipf head
   // is absorbed the same way; the tf x df join is term-keyed with AQE
   // skew split covering stopword-class terms, and the final argmax is a
-  // per-doc window over a handful of rows. The rounded score is emitted
-  // AFTER the argmax so rounding can never change which term wins.
+  // per-doc window over a handful of rows. The argmax ranks on the score
+  // ROUNDED to 6 decimals (+1e-9): ln() is not bit-reproducible across
+  // engines (Java Math.log tolerates 1 ulp; DuckDB's libm is correctly
+  // rounded), so mathematically-tied scores reached via different (c, df)
+  // pairs — e.g. 2*ln(10) vs ln(100) — must collapse to EQUAL pinned
+  // values and fall to the term tiebreak on both sides.
   private val tTfidf = GQuery(
     "t_tfidf",
     (s, dir) => {
@@ -666,21 +670,21 @@ GROUP BY doc_id"""),
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
       tf.join(df, Seq("term")).crossJoin(broadcast(n))
-        .withColumn("score", col("c") * log(col("n") / col("df")))
+        .withColumn("score", round(col("c") * log(col("n") / col("df")) + lit(1e-9), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("term").as("top_term"),
-          round(col("score") + lit(1e-9), 4).as("tfidf"))
+          round(col("score"), 4).as("tfidf"))
     },
     Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 c AS (SELECT doc_id, term, count(*) AS c FROM tf GROUP BY 1, 2),
 df AS (SELECT term, count(*) AS df FROM c GROUP BY 1),
 n AS (SELECT count(*) AS n FROM documents),
-s AS (SELECT doc_id, term, c * ln(n.n / df.df) AS score FROM c JOIN df USING (term), n),
+s AS (SELECT doc_id, term, round(c * ln(n.n / df.df) + 1e-9, 6) AS score FROM c JOIN df USING (term), n),
 r AS (SELECT doc_id, term, score,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
       FROM s)
-SELECT doc_id, term AS top_term, round(score + 1e-9, 4) AS tfidf FROM r WHERE rn = 1"""),
+SELECT doc_id, term AS top_term, round(score, 4) AS tfidf FROM r WHERE rn = 1"""),
     "TF-IDF argmax term per document (integer-derived scores, exact tiebreak).")
 
   // Redaction: mask every digit run in the payload and count what was
