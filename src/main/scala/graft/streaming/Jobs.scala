@@ -16,6 +16,16 @@ object Jobs {
   private def src(spark: SparkSession, d: Dirs) =
     StreamingPipelines.textFileSource(spark, d.in)
 
+  /** Typed source for the stateful jobs: the quarantine split guarantees
+    * no null field reaches `Dataset[Ev]` — one malformed line must not
+    * kill a stateful query with a deserialization NPE (the bad rows go to
+    * the quarantine side, dropped here; route them to a sink if needed). */
+  private def typedSrc(spark: SparkSession, d: Dirs): org.apache.spark.sql.Dataset[Ev] = {
+    import spark.implicits._
+    val (good, _) = StreamingPipelines.parseCsvQuarantine(spark.readStream.text(d.in))
+    good.as[Ev]
+  }
+
   /** Job 1 (BasicStreamingOperations.java): file source -> parse ->
     * 5 s tumbling count -> file sink. */
   def basicStreaming(spark: SparkSession, d: Dirs): StreamingQuery =
@@ -57,31 +67,32 @@ object Jobs {
   /** Job 6 (EventTimeOperations.java): watermarked event-time window with
     * late-data capture (T4) feeding the on-time branch to a file sink. */
   def eventTime(spark: SparkSession, d: Dirs): StreamingQuery = {
+    // batch-keyed overwrite => idempotent replay: a batch re-run after a
+    // crash between write and checkpoint commit replaces its own output
+    // instead of appending duplicates.
     val router = new LateDataRouter(
       delayUs = 10000000L,
-      onTime = b => if (!b.isEmpty) b.write.mode("append").parquet(s"${d.out}/ontime"),
-      late = b => if (!b.isEmpty) b.write.mode("append").parquet(s"${d.out}/late"))
+      onTime = (b, id) =>
+        if (!b.isEmpty) b.write.mode("overwrite").parquet(s"${d.out}/ontime/batch=$id"),
+      late = (b, id) =>
+        if (!b.isEmpty) b.write.mode("overwrite").parquet(s"${d.out}/late/batch=$id"))
     router.start(src(spark, d), d.ckpt)
   }
 
   /** Job 7 (StatefulOperations.java): double-event alerts -> console. */
-  def stateful(spark: SparkSession, d: Dirs): StreamingQuery = {
-    import spark.implicits._
+  def stateful(spark: SparkSession, d: Dirs): StreamingQuery =
     Sinks.console(
-      StatefulOps.doubleEventAlerts(src(spark, d).as[Ev]).toDF(),
+      StatefulOps.doubleEventAlerts(typedSrc(spark, d)).toDF(),
       OutputMode.Append, d.ckpt)
-  }
 
   /** Job 8 (CourseUseCase.java, capstone): per-(user,action) window counts
     * + sessionized action durations — two queries off one source. */
   def courseUseCase(spark: SparkSession, d: Dirs): (StreamingQuery, StreamingQuery) = {
-    import spark.implicits._
-    val events = src(spark, d)
     val counts = Sinks.file(
-      StreamingPipelines.userActionWindowCount(events),
+      StreamingPipelines.userActionWindowCount(src(spark, d)),
       s"${d.out}/counts", s"${d.ckpt}/counts")
     val durations = Sinks.file(
-      StatefulOps.sessionizeActions(events.as[Ev], clearOn = "error").toDF(),
+      StatefulOps.sessionizeActions(typedSrc(spark, d), clearOn = "error").toDF(),
       s"${d.out}/durations", s"${d.ckpt}/durations")
     (counts, durations)
   }

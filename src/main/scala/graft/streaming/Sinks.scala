@@ -47,13 +47,15 @@ object Sinks {
     df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
 
-  /** K4: log-side-effect sink (MapCountPrinter.java:28-34) as foreachBatch. */
+  /** K4: log-side-effect sink (MapCountPrinter.java:28-34) as foreachBatch.
+    * The driver-side collect is BOUNDED (`maxRows`): a catch-up batch of
+    * millions of rows must not OOM the driver for a debug log. */
   def logBatches(df: DataFrame, tag: String, mode: OutputMode,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, maxRows: Int = 1000): StreamingQuery =
     df.writeStream.outputMode(mode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.collect().foreach(r => println(s"[$tag] batch=$id $r"))
+        batch.limit(maxRows).collect().foreach(r => println(s"[$tag] batch=$id $r"))
       }.start()
 }
 
@@ -67,15 +69,35 @@ object Sinks {
   * (typically: on-time → the windowed agg via a second query or sink;
   * late → a quarantine table).
   *
-  * The watermark var lives on the driver — foreachBatch runs there, so no
-  * distributed state is needed; the split itself executes on executors.
+  * The watermark lives on the driver — foreachBatch runs there, so no
+  * distributed state is needed — and is PERSISTED next to the checkpoint
+  * after every batch: without that, a restart resets it to -inf and the
+  * first recovered batches classify arbitrarily late rows as on-time.
+  * Consumers receive the batchId so they can write idempotently
+  * (overwrite a batch-keyed partition); a replayed batch then converges
+  * to the same output even if its classification cutoff moved.
   */
 final class LateDataRouter(
     delayUs: Long,
-    onTime: DataFrame => Unit,
-    late: DataFrame => Unit) extends Serializable {
+    onTime: (DataFrame, Long) => Unit,
+    late: (DataFrame, Long) => Unit) extends Serializable {
 
   @volatile private var maxSeenUs: Long = Long.MinValue
+  @volatile private var stateFile: java.nio.file.Path = _
+
+  private def restore(): Unit =
+    if (stateFile != null && java.nio.file.Files.exists(stateFile)) {
+      try maxSeenUs = java.nio.file.Files.readString(stateFile).trim.toLong
+      catch { case _: Exception => () } // unreadable -> conservative -inf
+    }
+
+  private def saveWatermark(): Unit =
+    if (stateFile != null) {
+      try {
+        java.nio.file.Files.createDirectories(stateFile.getParent)
+        java.nio.file.Files.writeString(stateFile, maxSeenUs.toString)
+      } catch { case _: Exception => () }
+    }
 
   /** foreachBatch body; watermark advances only after a batch completes,
     * matching Flink's periodic watermark emission. */
@@ -83,17 +105,29 @@ final class LateDataRouter(
     batch.persist()
     try {
       val cutoff = if (maxSeenUs == Long.MinValue) Long.MinValue else maxSeenUs - delayUs
-      late(batch.filter(unix_micros(col("ts")) < cutoff))
-      onTime(batch.filter(unix_micros(col("ts")) >= cutoff))
+      late(batch.filter(unix_micros(col("ts")) < cutoff), batchId)
+      onTime(batch.filter(unix_micros(col("ts")) >= cutoff), batchId)
       val mx: Row = batch.agg(max(unix_micros(col("ts")))).head()
       if (!mx.isNullAt(0)) maxSeenUs = math.max(maxSeenUs, mx.getLong(0))
+      saveWatermark()
     } finally batch.unpersist()
   }
 
-  def start(df: DataFrame, checkpointDir: String): StreamingQuery =
+  /** Bind the persisted-watermark location and restore any saved value.
+    * Called by start(); exposed for batch-driven tests of the recovery
+    * path (a MemoryStream checkpoint cannot be re-attached to a new
+    * source instance). */
+  def initState(checkpointDir: String): Unit = {
+    stateFile = java.nio.file.Paths.get(checkpointDir, "graft_watermark", "max_seen_us")
+    restore()
+  }
+
+  def start(df: DataFrame, checkpointDir: String): StreamingQuery = {
+    initState(checkpointDir)
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(process _)
       .trigger(Trigger.ProcessingTime(0L))
       .start()
+  }
 }

@@ -24,7 +24,11 @@ final case class ActionDuration(
   *
   * Per-trigger input order is not guaranteed, so each batch's events are
   * sorted by (ts, event_id) before the state transition — deterministic
-  * replay for the MemoryStream tests.
+  * replay for the MemoryStream tests. CROSS-batch disorder cannot be
+  * sorted away: an event older than the stored state (late beyond the
+  * batch boundary) is excluded from the transition — no negative
+  * gaps/durations, no state regression — matching what the ts-ordered
+  * batch analogs (x1/x2 via lag) would compute for the on-time events.
   */
 object StatefulOps {
 
@@ -56,10 +60,12 @@ object StatefulOps {
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val tUs = e.ts.getTime * 1000L
             last.foreach { prev =>
-              if (tUs - prev < thresholdUs)
+              // tUs >= prev guard: a cross-batch late event older than the
+              // stored state must not fire a negative-gap alert.
+              if (tUs >= prev && tUs - prev < thresholdUs)
                 out += Alert(e.user_id, e.event_id, e.ts, tUs - prev)
             }
-            last = Some(tUs)
+            last = Some(last.fold(tUs)(math.max(_, tUs)))
           }
           last.foreach(state.update)
           out.result().iterator
@@ -84,12 +90,17 @@ object StatefulOps {
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val tUs = e.ts.getTime * 1000L
             slot match {
+              case Some((_, startUs)) if tUs < startUs =>
+                // cross-batch late event older than the open slot: excluding
+                // it beats emitting a negative duration + regressing state
+                ()
               case Some((action, startUs)) =>
                 out += ActionDuration(e.user_id, e.event_id, action, tUs - startUs)
+                slot = if (e.event_type == clearOn) None else Some((e.event_type, tUs))
               case None =>
                 out += ActionDuration(e.user_id, e.event_id, "None", 0L)
+                slot = if (e.event_type == clearOn) None else Some((e.event_type, tUs))
             }
-            slot = if (e.event_type == clearOn) None else Some((e.event_type, tUs))
           }
           slot match {
             case Some(s) => state.update(s)

@@ -31,9 +31,14 @@ object StatefulProcessors {
       rows.toSeq.filter(_.event_type == watch)
         .sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
           val tUs = e.ts.getTime * 1000L
-          if (lastTs.exists() && tUs - lastTs.get() < thresholdUs)
-            out += Alert(user, e.event_id, e.ts, tUs - lastTs.get())
-          lastTs.update(tUs)
+          // >= guard + max-update: a cross-batch late event must neither
+          // fire a negative-gap alert nor regress the stored timestamp.
+          if (lastTs.exists()) {
+            val prev = lastTs.get()
+            if (tUs >= prev && tUs - prev < thresholdUs)
+              out += Alert(user, e.event_id, e.ts, tUs - prev)
+            lastTs.update(math.max(prev, tUs))
+          } else lastTs.update(tUs)
         }
       out.result().iterator
     }
@@ -56,11 +61,14 @@ object StatefulProcessors {
         val tUs = e.ts.getTime * 1000L
         if (slot.exists()) {
           val (action, startUs) = slot.get()
-          out += ActionDuration(user, e.event_id, action, tUs - startUs)
+          if (tUs >= startUs) {
+            out += ActionDuration(user, e.event_id, action, tUs - startUs)
+            if (e.event_type == clearOn) slot.clear() else slot.update((e.event_type, tUs))
+          } // else: cross-batch late event older than the open slot — excluded
         } else {
           out += ActionDuration(user, e.event_id, "None", 0L)
+          if (e.event_type == clearOn) slot.clear() else slot.update((e.event_type, tUs))
         }
-        if (e.event_type == clearOn) slot.clear() else slot.update((e.event_type, tUs))
       }
       out.result().iterator
     }

@@ -62,15 +62,25 @@ object StreamingPipelines {
   // THROWS on a malformed field and would kill a streaming query on one
   // bad line; null-on-failure + the quarantine split below is the
   // production behavior.
-  def parseCsvLines(lines: DataFrame): DataFrame =
+  /** The single parse stage both public parse flavors derive from — the
+    * field expressions exist exactly once so the plain and quarantine
+    * paths cannot drift. */
+  private def parsedFields(lines: DataFrame): DataFrame =
     lines
       .withColumn("f", split(regexp_replace(col("value"), "\"", ""), ","))
-      .select(
-        expr("try_cast(try_element_at(f, 1) AS long)").as("event_id"),
-        timestamp_micros(expr("try_cast(try_element_at(f, 2) AS long)")).as("ts"),
-        expr("try_cast(try_element_at(f, 3) AS long)").as("user_id"),
-        expr("try_element_at(f, 4)").as("event_type"),
-        expr("try_cast(try_element_at(f, 5) AS double)").as("value"))
+      .withColumn("event_id", expr("try_cast(try_element_at(f, 1) AS long)"))
+      .withColumn("ts_us", expr("try_cast(try_element_at(f, 2) AS long)"))
+      .withColumn("user_id", expr("try_cast(try_element_at(f, 3) AS long)"))
+      .withColumn("event_type", expr("try_element_at(f, 4)"))
+      .withColumn("value_d", expr("try_cast(try_element_at(f, 5) AS double)"))
+
+  private def typedColumns(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+      col("user_id"), col("event_type"), col("value_d").as("value"))
+
+  def parseCsvLines(lines: DataFrame): DataFrame =
+    typedColumns(parsedFields(lines))
 
   /** P1 with quarantine: split parsed rows from malformed input instead
     * of silently nulling fields — the production posture for an untrusted
@@ -78,21 +88,11 @@ object StreamingPipelines {
     * line for reprocessing. Works identically on batch and streaming
     * frames (two predicates over one parse, like M1's split). */
   def parseCsvQuarantine(lines: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = lines
-      .withColumn("f", split(regexp_replace(col("value"), "\"", ""), ","))
-      .withColumn("event_id", expr("try_cast(try_element_at(f, 1) AS long)"))
-      .withColumn("ts_us", expr("try_cast(try_element_at(f, 2) AS long)"))
-      .withColumn("user_id", expr("try_cast(try_element_at(f, 3) AS long)"))
-      .withColumn("event_type", expr("try_element_at(f, 4)"))
-      .withColumn("value_d", expr("try_cast(try_element_at(f, 5) AS double)"))
+    val parsed = parsedFields(lines)
     val ok = col("event_id").isNotNull && col("ts_us").isNotNull &&
       col("user_id").isNotNull && col("event_type").isNotNull &&
       col("value_d").isNotNull && expr("size(f) = 5")
-    val good = parsed.filter(ok).select(
-      col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
-      col("user_id"), col("event_type"), col("value_d").as("value"))
-    val bad = parsed.filter(!ok).select(col("value"))
-    (good, bad)
+    (typedColumns(parsed.filter(ok)), parsed.filter(!ok).select(col("value")))
   }
 
   /** Observability: attach named metrics to any frame — row count, null
@@ -106,8 +106,12 @@ object StreamingPipelines {
 
   // -------------------------------------------------------------------
   // T2: bounded out-of-orderness watermark (EventTimeOperations.java:82-94).
+  // Null timestamps (malformed lines surviving parseCsvLines) are dropped
+  // FIRST: a null-ts row lands in a null window group that no watermark
+  // ever closes — never emitted in Append mode, never evicted from the
+  // state store. The quarantine path is where such rows belong.
   def watermarked(events: DataFrame, delay: String = "10 seconds"): DataFrame =
-    events.withWatermark("ts", delay)
+    events.filter(col("ts").isNotNull).withWatermark("ts", delay)
 
   // A1/W1/W4: tumbling window count (MapCountPrinter.java:15-34,
   // EventTimeOperations.java:158). Event-time with watermark so state is
@@ -188,7 +192,7 @@ object StreamingPipelines {
       .withColumn("fp", md5(lower(trim(col("text")))))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(Seq("fp"))
-      .select(col("doc_id"), col("ts"), col("lang"), col("score"), col("fp"))
+      .select(col("doc_id"), col("ts"), col("lang"), col("score"), col("fp"), col("text"))
 
   // M1: split via side output (StreamSplitAndCombine.java:72-100) — two
   // predicates over one stream; each branch becomes its own sink/query.

@@ -79,4 +79,54 @@ class StatefulSpec extends SparkSpec {
         (5L, "login", 6000000L)))
     } finally q.stop()
   }
+
+  test("X1: a cross-batch late event neither alerts with a negative gap nor regresses state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val in = MemoryStream[Ev]
+    val q = StatefulOps
+      .doubleEventAlerts(in.toDS(), watch = "error", thresholdUs = 10000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("alerts_late").start()
+    try {
+      in.addData(ev(1, 100))
+      q.processAllAvailable()
+      in.addData(ev(2, 5)) // 95 s OLDER than stored state
+      q.processAllAvailable()
+      in.addData(ev(3, 104)) // 4 s after the true last event at 100 s
+      q.processAllAvailable()
+      val rows = s.table("alerts_late")
+        .selectExpr("event_id", "gap_us").as[(Long, Long)].collect().toSet
+      // no alert for the late event (would have been gap_us = -95e6), and
+      // state stayed at 100 s so event 3 alerts with the true 4 s gap
+      assert(rows === Set((3L, 4000000L)))
+    } finally q.stop()
+  }
+
+  test("X2: a cross-batch late event is excluded instead of emitting a negative duration") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val in = MemoryStream[Ev]
+    val q = StatefulOps
+      .sessionizeActions(in.toDS(), clearOn = "logout")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_late").start()
+    try {
+      in.addData(ev(1, 50, typ = "view"))
+      q.processAllAvailable()
+      in.addData(ev(2, 10, typ = "click")) // older than the open slot
+      q.processAllAvailable()
+      in.addData(ev(3, 51, typ = "view"))
+      q.processAllAvailable()
+      val rows = s.table("sessions_late")
+        .selectExpr("event_id", "prev_action", "duration_us")
+        .as[(Long, String, Long)].collect().toSet
+      // event 2 emitted nothing; event 3 measures from the UNREGRESSED view@50s
+      assert(rows === Set((1L, "None", 0L), (3L, "view", 1000000L)))
+    } finally q.stop()
+  }
 }
