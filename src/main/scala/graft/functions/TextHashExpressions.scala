@@ -29,6 +29,23 @@ object TextHashUtil {
     ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
   }
 
+  /** Trigram shingle bytes at position i: toks(i) 0x01 toks(i+1) 0x01
+    * toks(i+2). ONE implementation shared by the minhash and trigram-set
+    * kernels — the DuckDB oracles hash the same chr(1)-joined strings, so
+    * the two families must never drift apart. */
+  private def shingleBytes(toks: ArrayData, i: Int): Array[Byte] = {
+    val t0 = toks.getUTF8String(i).getBytes
+    val t1 = toks.getUTF8String(i + 1).getBytes
+    val t2 = toks.getUTF8String(i + 2).getBytes
+    val buf = new Array[Byte](t0.length + t1.length + t2.length + 2)
+    System.arraycopy(t0, 0, buf, 0, t0.length)
+    buf(t0.length) = 1
+    System.arraycopy(t1, 0, buf, t0.length + 1, t1.length)
+    buf(t0.length + t1.length + 1) = 1
+    System.arraycopy(t2, 0, buf, t0.length + t1.length + 2, t2.length)
+    buf
+  }
+
   /** MinHash signature over token-trigram shingles, one pass: for each
     * i in [0, n-3], shingle = toks[i]  toks[i+1]  toks[i+2];
     * sig_k = min over shingles of (a_k*u + b_k) mod prime. (Shingle
@@ -40,16 +57,7 @@ object TextHashUtil {
     val n = toks.numElements()
     var i = 0
     while (i <= n - 3) {
-      val t0 = toks.getUTF8String(i).getBytes
-      val t1 = toks.getUTF8String(i + 1).getBytes
-      val t2 = toks.getUTF8String(i + 2).getBytes
-      val buf = new Array[Byte](t0.length + t1.length + t2.length + 2)
-      System.arraycopy(t0, 0, buf, 0, t0.length)
-      buf(t0.length) = 1
-      System.arraycopy(t1, 0, buf, t0.length + 1, t1.length)
-      buf(t0.length + t1.length + 1) = 1
-      System.arraycopy(t2, 0, buf, t0.length + t1.length + 2, t2.length)
-      val u = hash32(buf)
+      val u = hash32(shingleBytes(toks, i))
       var j = 0
       while (j < k) {
         val h = (a(j) * u + b(j)) % prime
@@ -97,16 +105,7 @@ object TextHashUtil {
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val t0 = toks.getUTF8String(i).getBytes
-      val t1 = toks.getUTF8String(i + 1).getBytes
-      val t2 = toks.getUTF8String(i + 2).getBytes
-      val buf = new Array[Byte](t0.length + t1.length + t2.length + 2)
-      System.arraycopy(t0, 0, buf, 0, t0.length)
-      buf(t0.length) = 1
-      System.arraycopy(t1, 0, buf, t0.length + 1, t1.length)
-      buf(t0.length + t1.length + 1) = 1
-      System.arraycopy(t2, 0, buf, t0.length + t1.length + 2, t2.length)
-      hs(i) = hash60(buf)
+      hs(i) = hash60(shingleBytes(toks, i))
       i += 1
     }
     java.util.Arrays.sort(hs)

@@ -213,18 +213,36 @@ WHERE rnk <= 3"""),
 
   // Int8-quantized ANN top-3: per-vector symmetric scalar quantization
   // (scale = max|x|/127, q = round(x/scale)) then integer dot products.
+  // The quantization stage is ONE implementation (quantized() + duckQuant)
+  // shared by e_knn_quant and e_knn_rerank: the rerank contract requires
+  // its coarse stage to be bit-identical to the quant query, so the
+  // expressions must not be able to drift apart.
   // Cosine of quantized vectors needs NO descaling (scales cancel in the
   // normalization), so candidate scoring runs on int8 arrays — 4x less
   // memory/shuffle than float32 and SIMD-friendly integer math at 100 TB,
   // with exact re-ranking as the documented follow-up stage.
+  /** Int8 quantization of the prepped frame: (vec_id, qv int8 array,
+    * qzn quantized norm). The single source of truth for both queries. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    prepped(s, dir)
+      .withColumn("sc", expr("greatest(array_max(transform(ed, x -> abs(x))), 1e-30d) / 127.0d"))
+      .withColumn("qv", expr("transform(ed, x -> cast(round(x / sc) AS int))"))
+      .withColumn("qzn", expr("sqrt(aggregate(qv, cast(0 as double), (acc, v) -> acc + cast(v AS double) * cast(v AS double)))"))
+      .select(col("vec_id"), col("qv"), col("qzn"))
+
+  /** Same quantization, DuckDB side (z + zn CTEs over duckPrep's n). */
+  private val duckQuant =
+    """z AS (SELECT vec_id,
+        list_transform(ed, x -> round(x / (greatest(list_max(list_transform(ed, y -> abs(y))), 1e-30) / 127.0))::INTEGER) AS qv
+      FROM n),
+zn AS (SELECT vec_id, qv,
+        sqrt(list_aggregate(list_transform(qv, v -> v::DOUBLE * v::DOUBLE), 'sum')) AS qzn
+       FROM z)"""
+
   private val eKnnQuant = GQuery(
     "e_knn_quant",
     (s, dir) => {
-      val qz = prepped(s, dir)
-        .withColumn("sc", expr("greatest(array_max(transform(ed, x -> abs(x))), 1e-30d) / 127.0d"))
-        .withColumn("qv", expr("transform(ed, x -> cast(round(x / sc) AS int))"))
-        .withColumn("qn", expr("sqrt(aggregate(qv, cast(0 as double), (acc, v) -> acc + cast(v AS double) * cast(v AS double)))"))
-        .select(col("vec_id"), col("qv"), col("qn"))
+      val qz = quantized(s, dir).withColumnRenamed("qzn", "qn")
       val q = qz.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qn").as("qan"))
       qz.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -236,15 +254,10 @@ WHERE rnk <= 3"""),
         .filter(col("rnk") <= 3)
     },
     Some(s"""$duckPrep,
-z AS (SELECT vec_id,
-        list_transform(ed, x -> round(x / (greatest(list_max(list_transform(ed, y -> abs(y))), 1e-30) / 127.0))::INTEGER) AS qv
-      FROM n),
-zn AS (SELECT vec_id, qv,
-        sqrt(list_aggregate(list_transform(qv, v -> v::DOUBLE * v::DOUBLE), 'sum')) AS qn
-       FROM z),
-q AS (SELECT vec_id AS qid, qv AS qa, qn AS qan FROM zn WHERE vec_id < 10),
+$duckQuant,
+q AS (SELECT vec_id AS qid, qv AS qa, qzn AS qan FROM zn WHERE vec_id < 10),
 p AS (SELECT q.qid, zn.vec_id,
-        round(list_aggregate(list_transform(range(64), i -> q.qa[i + 1]::BIGINT * zn.qv[i + 1]::BIGINT), 'sum') / (q.qan * zn.qn), 6) AS cos_q
+        round(list_aggregate(list_transform(range(64), i -> q.qa[i + 1]::BIGINT * zn.qv[i + 1]::BIGINT), 'sum') / (q.qan * zn.qzn), 6) AS cos_q
       FROM q, zn WHERE zn.vec_id <> q.qid)
 SELECT qid, vec_id, cos_q, rnk
 FROM (SELECT qid, vec_id, cos_q, row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, vec_id) AS rnk FROM p)
@@ -263,11 +276,7 @@ WHERE rnk <= 3"""),
     "e_knn_rerank",
     (s, dir) => {
       val base = prepped(s, dir)
-      val qz = base
-        .withColumn("sc", expr("greatest(array_max(transform(ed, x -> abs(x))), 1e-30d) / 127.0d"))
-        .withColumn("qv", expr("transform(ed, x -> cast(round(x / sc) AS int))"))
-        .withColumn("qzn", expr("sqrt(aggregate(qv, cast(0 as double), (acc, v) -> acc + cast(v AS double) * cast(v AS double)))"))
-        .select(col("vec_id"), col("qv"), col("qzn"))
+      val qz = quantized(s, dir)
       val q = qz.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qzn").as("qan"))
       val cand = qz.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -289,12 +298,7 @@ WHERE rnk <= 3"""),
         .filter(col("rnk") <= 3)
     },
     Some(s"""$duckPrep,
-z AS (SELECT vec_id,
-        list_transform(ed, x -> round(x / (greatest(list_max(list_transform(ed, y -> abs(y))), 1e-30) / 127.0))::INTEGER) AS qv
-      FROM n),
-zn AS (SELECT vec_id, qv,
-        sqrt(list_aggregate(list_transform(qv, v -> v::DOUBLE * v::DOUBLE), 'sum')) AS qzn
-       FROM z),
+$duckQuant,
 qq AS (SELECT vec_id AS qid, qv AS qa, qzn AS qan FROM zn WHERE vec_id < 10),
 cand AS (SELECT qid, vec_id FROM (
     SELECT qq.qid, zn.vec_id,

@@ -175,7 +175,11 @@ FROM events"""))
       // (bucket partials + offsets) can land on the other side of a rounding
       // boundary from the oracle's sequential sum without it
       ev.withColumn("local_rs", sum(col("value")).over(local))
-        .join(broadcast(dayTotals), Seq("user_id", "day"))
+        // plain shuffle join: dayTotals is one row per (user, day) — at the
+        // 100 TB regime this query exists for, that is NOT broadcastable;
+        // the keys are co-partitioned with the window stage anyway (AQE
+        // still flips to broadcast on its own at toy scale).
+        .join(dayTotals, Seq("user_id", "day"))
         .select(col("user_id"), col("event_id"), col("ts"),
           round(col("local_rs") + col("offset") + lit(1e-9), 2).as("running_value"))
     },
@@ -273,9 +277,9 @@ FROM j"""),
       events(s, dir)
         .withColumn("bucket", expr("cast(least(floor(value / 10.0), 9) AS int)"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 2).as("avg_value")),
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")) + lit(1e-9), 2).as("avg_value")),
     Some("""SELECT least(floor(value / 10.0), 9)::INTEGER AS bucket,
-       count(*) AS cnt, round(avg(value), 2) AS avg_value
+       count(*) AS cnt, round(avg(value) + 1e-9, 2) AS avg_value
 FROM events GROUP BY 1"""),
     "Fixed-width value histogram (10 buckets, closed top).")
 

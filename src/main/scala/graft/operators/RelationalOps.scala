@@ -376,12 +376,12 @@ WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i WHERE i.o_custkey
           max(when(col("rn") === col("lo90"), col("v"))).as("v90lo"),
           max(when(col("rn") === col("hi90"), col("v"))).as("v90hi"))
         .select(col("l_returnflag"),
-          round(expr("v50lo + (h50 - floor(h50)) * (v50hi - v50lo)"), 2).as("p50"),
-          round(expr("v90lo + (h90 - floor(h90)) * (v90hi - v90lo)"), 2).as("p90"))
+          round(expr("v50lo + (h50 - floor(h50)) * (v50hi - v50lo)") + lit(1e-9), 2).as("p50"),
+          round(expr("v90lo + (h90 - floor(h90)) * (v90hi - v90lo)") + lit(1e-9), 2).as("p90"))
     },
     Some("""SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 2) AS p90
 FROM lineitem GROUP BY l_returnflag"""))
 
   // Left outer join with aggregation over the nullable side.

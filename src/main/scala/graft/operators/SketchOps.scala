@@ -122,7 +122,10 @@ GROUP BY 1"""),
   // ln(u)/w with u = (md5_48(doc_id) + 0.5) / 2^48, take the k largest.
   // Deterministic u makes the sample reproducible AND oracle-checkable;
   // only (doc_id, n_chars) are emitted so the float priority never enters
-  // the cross-engine hash. TakeOrdered keeps it one pass, no global sort;
+  // the cross-engine hash — and the SORT KEY itself is the priority
+  // rounded to 9 decimals (+1e-9 pin) with a doc_id tiebreak, because
+  // ln() is not bit-reproducible across engines and an unpinned 1-ulp
+  // difference at the k-th boundary would select different members. TakeOrdered keeps it one pass, no global sort;
   // at 100 TB the same plan holds — per-partition k-heaps then a k*P
   // driver merge, the standard distributed weighted-reservoir shape.
   private val dWeightedSample = GQuery(
@@ -131,13 +134,13 @@ GROUP BY 1"""),
       t("documents")(s, dir)
         .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("n_chars"),
-          (log((GraftFunctions.md5Hash48(expr("cast(doc_id AS string)")) + lit(0.5))
-            / lit(281474976710656.0)) / col("n_chars")).as("p"))
+          round(log((GraftFunctions.md5Hash48(expr("cast(doc_id AS string)")) + lit(0.5))
+            / lit(281474976710656.0)) / col("n_chars") + lit(1e-9), 9).as("p"))
         .orderBy(col("p").desc, col("doc_id")).limit(100)
         .select(col("doc_id"), col("n_chars")),
     Some(s"""SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
-         ln((${hD48("CAST(doc_id AS VARCHAR)")} + 0.5) / 281474976710656.0) / n_chars AS p
+         round(ln((${hD48("CAST(doc_id AS VARCHAR)")} + 0.5) / 281474976710656.0) / n_chars + 1e-9, 9) AS p
   FROM documents WHERE n_chars > 0
   ORDER BY p DESC, doc_id LIMIT 100) t"""),
     "Deterministic Efraimidis–Spirakis weighted sample (weight = n_chars).")
