@@ -85,7 +85,10 @@ object Bench {
       }
       name -> min
     }
-    def fmt(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit unparseable JSON numbers.
+    def num(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def fmt(v: Option[Double]): String = v.map(num).getOrElse("null")
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -94,12 +97,12 @@ object Bench {
     val head = results.filter(r => headline.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$head,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$head,"sf":"$sfDir"}"""
     // Full map for forensics/BASELINE.md (stderr + file — NOT stdout, where
     // it would push the compact line out of the consumer's tail window).
     System.err.println(s"[bench] detail $detail")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      f"""{"total":$total%.3f,"sf":"$sfDir","queries":$detail,"failed":$failed}""" + "\n")
+      s"""{"total":${num(total)},"sf":"$sfDir","queries":$detail,"failed":$failed}""" + "\n")
     catch { case _: Throwable => }
     // Quiet shutdown so nothing lands after the JSON line but sbt's one
     // [success] trailer.

@@ -36,12 +36,17 @@ object ScaleSmoke {
       "embeddings" -> Map("vec_id" -> 10000000L),
       "lineitem" -> Map("l_orderkey" -> 100000000L),
       "orders" -> Map("o_orderkey" -> 100000000L))
-    if (!new java.io.File(s"$dst/region.parquet").exists()) {
+    // reuse sentinel = _SUCCESS marker written AFTER the last table — a
+    // run killed mid-generation must regenerate, not silently reuse a
+    // half-built fixture set
+    val done = new java.io.File(s"$dst/_SUCCESS")
+    if (!done.exists()) {
       Tables.all.foreach { t =>
         val base = Tables.t(spark, src, t)
         val out = big.get(t).map(off => replicate(base, mult, off)).getOrElse(base)
         out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
+      done.createNewFile()
       println(s"[scale] wrote x$mult fixtures to $dst")
     } else println(s"[scale] reusing fixtures in $dst")
 
@@ -63,11 +68,12 @@ object ScaleSmoke {
         catch { case e: Throwable =>
           System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-28s $dt%8.2f s${if (ok) "" else "  FAILED"}")
+      println("[scale] %-28s %8s s%s".format(name,
+        "%.2f".formatLocal(java.util.Locale.ROOT, dt), if (ok) "" else "  FAILED"))
       name -> (if (ok) Some(dt) else None) // a crash is not a timing
     }
     println("{" + times.map { case (k, v) =>
-        "\"" + k + "\":" + v.map(d => f"$d%.2f").getOrElse("null") }
+        "\"" + k + "\":" + v.map(d => "%.2f".formatLocal(java.util.Locale.ROOT, d)).getOrElse("null") }
       .mkString(",") + s""","mult":$mult}""")
     spark.stop()
     if (times.exists(_._2.isEmpty)) sys.exit(1)

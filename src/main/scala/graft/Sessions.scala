@@ -44,9 +44,12 @@ object Sessions {
       .config("spark.sql.extensions", "org.apache.spark.sql.graftext.GraftExtensions")
 
   /** Local session for tests/benchmarks: shuffle fan-out = cores (the
-    * sf0.01-0.1 fixtures never need 200 reducers). */
+    * sf0.01-0.1 fixtures never need 200 reducers). Wires GraftExtensions
+    * like the cluster builder — the harness mains must exercise the same
+    * injectFunction/injectOptimizerRule path a cluster deployment uses. */
   def local(cores: Int, appName: String = "graft"): SparkSession =
     tuned(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graftext.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

@@ -18,6 +18,15 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object TextHashUtil {
 
+  /** Smallest prime above 2^32 — modulus for the MinHash permutations.
+    * THE shared constant: TextOps' pipelines/oracles and the SQL-function
+    * registration must use the same values or SQL-computed signatures
+    * silently diverge from the pipeline ones. */
+  val MP: Long = 4294967311L
+  /** The library's standard 16 permutations (a_i, b_i), 4 bands x 4 rows. */
+  val perms: Seq[(Long, Long)] =
+    (0 until 16).map(i => (2L * i + 3L, 1000003L * i + 12345L))
+
   private val md5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 
   /** First 4 md5 digest bytes as an unsigned 32-bit value — identical to

@@ -31,7 +31,7 @@ trait MediaDecoder extends Serializable {
 final class DeterministicFakeDecoder(dim: Int = 8) extends MediaDecoder {
   override def decodeBatch(batch: Seq[MediaRecord]): Seq[Array[Float]] =
     batch.map { r =>
-      val d = MessageDigest.getInstance("MD5").digest(r.bytes)
+      val d = MediaPipeline.md5(r.bytes)
       Array.tabulate(dim)(i => ((d(i % d.length) & 0xff) - 128) / 128.0f)
     }
 }
@@ -48,8 +48,17 @@ object MediaPipeline {
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
 
+  // One reused digest per task thread — getInstance() per row is a
+  // provider lookup + allocation on the hot decode path.
+  private val md5Digest =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  private[multimodal] def md5(b: Array[Byte]): Array[Byte] = {
+    val d = md5Digest.get(); d.reset(); d.digest(b)
+  }
+
   private def hex(b: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    md5(b).map("%02x".format(_)).mkString
 
   /** Decode + feature-extract in batches of `batchSize` per partition. */
   def decodeAndExtract(
@@ -59,6 +68,10 @@ object MediaPipeline {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val feats = decoder.decodeBatch(batch)
+        // a decoder returning the wrong count must fail loudly here —
+        // lazyZip would silently truncate (= drop records) instead
+        require(feats.length == batch.length,
+          s"decoder returned ${feats.length} vectors for ${batch.length} records")
         batch.lazyZip(feats).map { (r, f) =>
           MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, hex(r.bytes), f)
         }
@@ -69,20 +82,26 @@ object MediaPipeline {
     * truncates/zero-pads the payload to the target byte budget and
     * rewrites the metadata. The Spark shape (map, metadata update) is what
     * a real resize uses. */
-  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] =
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      s"resize target ${w}x$h out of range") // Int overflow -> negative/zero budget
     ds.map { r =>
       val budget = w * h
       val out = java.util.Arrays.copyOf(r.bytes, budget)
       r.copy(bytes = out, meta = r.meta.copy(width = w, height = h))
     }
+  }
 
   /** Frame sampling: one frame every `everyMs` of the declared duration —
     * a flatMap that multiplies rows, so at scale it runs AFTER any
     * filtering/dedup, never before. Fake frame payload = deterministic
     * slice of the source bytes. */
-  def sampleFrames(ds: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] =
+  def sampleFrames(ds: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     ds.filter(_.kind == "video").flatMap { r =>
-      val n = math.max(1L, r.meta.durationMs / everyMs).toInt
+      // clamp BEFORE narrowing: a huge duration/interval ratio must cap at
+      // Int.MaxValue frames, not wrap .toInt negative and emit zero
+      val n = math.min(math.max(1L, r.meta.durationMs / everyMs), Int.MaxValue.toLong).toInt
       (0 until n).map { i =>
         val off = i * everyMs
         val start = if (r.bytes.isEmpty) 0 else (off % math.max(1, r.bytes.length)).toInt
@@ -90,4 +109,5 @@ object MediaPipeline {
         Frame(r.media_id, i, off, r.bytes.slice(start, start + math.max(0, len)))
       }
     }
+  }
 }

@@ -28,11 +28,11 @@ object TextOps {
 
   /** 2^31-1 — modulus for the rolling fingerprint. */
   private val P31 = 2147483647L
-  /** Smallest prime above 2^32 — modulus for MinHash permutations. */
-  private val MP = 4294967311L
-  /** 16 MinHash permutations h_i(x) = (a_i*x + b_i) mod MP, 4 bands x 4 rows. */
-  private val perms: Seq[(Long, Long)] =
-    (0 until 16).map(i => (2L * i + 3L, 1000003L * i + 12345L))
+  /** MinHash modulus + permutations — the SHARED constants in
+    * [[graft.functions.TextHashUtil]], also used by the SQL-function
+    * registration so both paths compute identical signatures. */
+  private val MP = graft.functions.TextHashUtil.MP
+  private val perms = graft.functions.TextHashUtil.perms
 
   /** Base hash, Spark side: uint32 from the md5 hex prefix. */
   private def hS(x: String) = s"cast(conv(substring(md5($x),1,8),16,10) as bigint)"

@@ -37,37 +37,50 @@ object SimplifySelfIntersect extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case SortedIntersectCount(a, b) if a.deterministic && a.semanticEquals(b) =>
-        Size(a)
+        // legacySizeOfNull pinned false: the replaced expression propagates
+        // null, and Size's companion apply would inherit the legacy conf
+        // (size(NULL) = -1) — an optimizer rule must never change results
+        Size(a, legacySizeOfNull = false)
     }
 }
 
 object GraftExtensions {
 
-  private val MP = 4294967311L
-  private val perms: Seq[(Long, Long)] =
-    (0 until 16).map(i => (2L * i + 3L, 1000003L * i + 12345L))
+  // the ONE set of MinHash constants, shared with the Scala pipelines
+  private val MP = graft.functions.TextHashUtil.MP
+  private val perms = graft.functions.TextHashUtil.perms
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("org.apache.spark.sql.graftext", name)
+
+  /** Arity guard: extra args must not be silently dropped, missing ones
+    * must read as a usage error, not an IndexOutOfBoundsException. */
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name expects $n argument(s), got ${args.length}")
+      f(args)
+    }
 
   /** (identifier, info, builder) triples shared by the extensions hook and
     * runtime registration. */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_simhash32"), info("graft_simhash32"),
-      (args: Seq[Expression]) => SimHash32(args.head)),
+      arity("graft_simhash32", 1)(args => SimHash32(args.head))),
     (FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
-      (args: Seq[Expression]) =>
-        MinHashSig(args.head, perms.map(_._1), perms.map(_._2), MP)),
+      arity("graft_minhash_sig", 1)(args =>
+        MinHashSig(args.head, perms.map(_._1), perms.map(_._2), MP))),
     (FunctionIdentifier("graft_trigram_hashes"), info("graft_trigram_hashes"),
-      (args: Seq[Expression]) => TrigramHashes(args.head)),
+      arity("graft_trigram_hashes", 1)(args => TrigramHashes(args.head))),
     (FunctionIdentifier("graft_sorted_intersect_count"), info("graft_sorted_intersect_count"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+      arity("graft_sorted_intersect_count", 2)(args => SortedIntersectCount(args(0), args(1)))),
     (FunctionIdentifier("graft_md5_hash48"), info("graft_md5_hash48"),
-      (args: Seq[Expression]) => Md5Hash48(args.head)),
+      arity("graft_md5_hash48", 1)(args => Md5Hash48(args.head))),
     (FunctionIdentifier("graft_vec_dot"), info("graft_vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+      arity("graft_vec_dot", 2)(args => VecDot(args(0), args(1)))),
     (FunctionIdentifier("graft_vec_l2sq"), info("graft_vec_l2sq"),
-      (args: Seq[Expression]) => VecL2Sq(args(0), args(1))))
+      arity("graft_vec_l2sq", 2)(args => VecL2Sq(args(0), args(1)))))
 
   /** Register into an already-built session (the extensions config only
     * applies at session build time). */
