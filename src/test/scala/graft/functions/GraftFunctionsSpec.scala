@@ -32,6 +32,34 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("ic") === 2)              // {3, 7}
   }
 
+  test("vector kernels are callable from SQL and wrong arity is a clear error") {
+    val row = spark.sql(
+      """SELECT graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                graft_vec_l2sq(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS l""").head()
+    assert(row.getAs[Double]("d") === 11.0)
+    assert(row.getAs[Double]("l") === 8.0)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_vec_dot(array(1.0d))").head()
+    }
+    assert(err.getMessage.contains("expects 2 argument"))
+  }
+
+  test("self-intersect fold keeps null-propagating semantics under legacy sizeOfNull") {
+    val key = "spark.sql.legacy.sizeOfNull"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      // unoptimized intersect of a null array is null; the Size() rewrite
+      // must not turn it into -1 under the legacy conf
+      val r = spark.sql(
+        "SELECT graft_sorted_intersect_count(cast(null AS array<bigint>), cast(null AS array<bigint>)) AS c").head()
+      assert(r.isNullAt(0))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("minhash signature is permutation-consistent and order-sensitive") {
     val df = spark.sql(
       """SELECT graft_minhash_sig(split('x y z x y z', ' ')) AS a,
