@@ -155,4 +155,32 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(est.nonEmpty)
   }
+
+  test("property: CMS rows are independent — most estimates are exact at low load") {
+    val s = spark
+    import s.implicits._
+    // 40 distinct keys against width 512, depth 4. With INDEPENDENT row
+    // hashes an overcount needs a collision in ALL 4 rows: P ~ (40/512)^4
+    // ~ 4e-5 per pair — effectively zero, so the emitted top-20 is all
+    // exact (1 key of slack for luck). The old perfectly-correlated rows
+    // (one shared base hash, non-wrapping affine transforms) collided in
+    // all rows whenever row 0 collided (P ~ 8% per pair -> ~3 inflated
+    // keys, pulled INTO the top-20 by their inflation), which this bound
+    // catches. Note the top-k output is selection-biased toward
+    // overcounted keys, so the key count must be small enough that
+    // independence predicts zero, not merely few.
+    val gen = for {
+      id <- Gen.choose(1L, 1000000L)
+      sec <- Gen.choose(0L, 100000L)
+      user <- Gen.choose(1L, 40L)
+    } yield Ev(id, new Timestamp(sec * 1000L), user, "click", 1.0)
+    val evs = sample(Gen.listOfN(3000, gen))
+    val dir = eventsFixture(evs)
+    val est = SparkEntry.queries("q_cms_topk")(s, dir)
+      .as[(Long, Long)].collect().toMap
+    val exact = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val exactHits = est.count { case (u, e) => e == exact(u) }
+    assert(exactHits >= est.size - 1,
+      s"only $exactHits/${est.size} CMS estimates exact — rows look correlated")
+  }
 }
