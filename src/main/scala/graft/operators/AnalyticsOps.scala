@@ -153,20 +153,24 @@ SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM r WHERE rn = 1"""),
   // sort order — then add the broadcast per-bucket delta totals' prefix
   // as an offset. Every stage is bounded by rows/hour, not rows/day, and
   // deeper nesting (minute buckets) extends the same recurrence if an
-  // hour is still too hot. End timestamps use exact integer microsecond
-  // arithmetic so both engines place every boundary identically; at equal
-  // t, ends (-1) sort before starts (+1), so back-to-back sessions never
-  // double-count.
+  // hour is still too hot. The ENTIRE sweep — keys, sort order, day
+  // bucketing — runs in the integer epoch-microsecond domain (BIGINT
+  // everywhere, day = us div 86'400'000'000): no timestamp arithmetic,
+  // no interval addition, no timestamp ORDER BY on either engine, so no
+  // DuckDB-version / TIMESTAMP_NS-precision semantics can perturb the
+  // comparison. At equal t, ends (-1) sort before starts (+1), so
+  // back-to-back sessions never double-count.
   private val a11Peak = GQuery(
     "a11_peak_concurrency",
     (s, dir) => {
       val e = events(s, dir)
-        .select(col("ts"), expr("cast(round(value * 1e6) AS bigint)").as("dur_us"))
-      val starts = e.select(to_date(col("ts")).as("d"), col("ts").as("t"), lit(1).as("delta"))
-      val ends = e.select(to_date(col("ts")).as("d"),
-        expr("timestamp_micros(unix_micros(ts) + dur_us)").as("t"), lit(-1).as("delta"))
+        .select(expr("unix_micros(ts)").as("t0"),
+          expr("cast(round(value * 1e6) AS bigint)").as("dur_us"))
+      val starts = e.select(expr("t0 div 86400000000").as("d"), col("t0").as("t"), lit(1).as("delta"))
+      val ends = e.select(expr("t0 div 86400000000").as("d"),
+        (col("t0") + col("dur_us")).as("t"), lit(-1).as("delta"))
       val iv = starts.unionByName(ends)
-        .withColumn("hb", expr("unix_micros(t) div 3600000000"))
+        .withColumn("hb", expr("t div 3600000000"))
       val local = iv.withColumn("lrs",
         sum(col("delta")).over(Window.partitionBy(col("d"), col("hb"))
           .orderBy(col("t"), col("delta"))
@@ -181,10 +185,10 @@ SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM r WHERE rn = 1"""),
         .agg(max(col("lrs") + col("off")).as("peak"))
     },
     Some("""WITH iv AS (
-  SELECT CAST(ts AS DATE) AS d, ts AS t, 1 AS delta FROM events
+  SELECT epoch_us(ts) // 86400000000 AS d, epoch_us(ts) AS t, 1 AS delta FROM events
   UNION ALL
-  SELECT CAST(ts AS DATE) AS d,
-         ts + to_microseconds(CAST(round(value * 1e6) AS BIGINT)) AS t, -1 AS delta
+  SELECT epoch_us(ts) // 86400000000 AS d,
+         epoch_us(ts) + CAST(round(value * 1e6) AS BIGINT) AS t, -1 AS delta
   FROM events),
 s AS (SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY t, delta
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM iv)

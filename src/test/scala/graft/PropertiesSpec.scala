@@ -57,7 +57,10 @@ class PropertiesSpec extends SparkSpec {
     import s.implicits._
     (1 to 10).foreach { _ =>
       val evs = sample(Gen.listOfN(60, genEv))
-        .groupBy(e => (e.user_id, e.ts, e.event_id)).map(_._2.head).toSeq // dedup key collisions
+        .groupBy(e => (e.user_id, e.ts)).map(_._2.head).toSeq // dedup (user, ts) collisions
+        .zipWithIndex.map { case (e, i) => e.copy(event_id = i.toLong) } // unique ids: the
+      // first-per-user membership check below keys on event_id alone, so a generated id
+      // colliding across users would wrongly assert another user's event as "first".
       val out = graft.streaming.StatefulOps
         .sessionizeActions(s.createDataset(evs), clearOn = "error")
         .collect() // batch execution of the streaming operator
@@ -126,18 +129,20 @@ class PropertiesSpec extends SparkSpec {
       val evs = sample(Gen.listOfN(300, gen))
       val dir = eventsFixture(evs)
       val fast = SparkEntry.queries("a11_peak_concurrency")(s, dir)
-        .as[(java.sql.Date, Long)].collect().toMap
+        .as[(Long, Long)].collect().toMap
       val naive = s.createDataset(evs).toDF()
-        .select(to_date(col("ts")).as("d"), col("ts").as("t"), lit(1).as("delta"))
-        .unionByName(s.createDataset(evs).toDF().select(to_date(col("ts")).as("d"),
-          expr("timestamp_micros(unix_micros(ts) + cast(round(value * 1e6) AS bigint))").as("t"),
-          lit(-1).as("delta")))
+        .select(expr("unix_micros(ts) div 86400000000").as("d"),
+          expr("unix_micros(ts)").as("t"), lit(1).as("delta"))
+        .unionByName(s.createDataset(evs).toDF()
+          .select(expr("unix_micros(ts) div 86400000000").as("d"),
+            expr("unix_micros(ts) + cast(round(value * 1e6) AS bigint)").as("t"),
+            lit(-1).as("delta")))
         .withColumn("rs", sum(col("delta")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("d"))
             .orderBy(col("t"), col("delta"))
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy(col("d")).agg(max(col("rs")).as("peak"))
-        .as[(java.sql.Date, Long)].collect().toMap
+        .as[(Long, Long)].collect().toMap
       assert(fast === naive)
     }
   }
