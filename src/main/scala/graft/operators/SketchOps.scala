@@ -46,25 +46,68 @@ object SketchOps {
   /** The sketch update stream is a posexplode into (row, bucket) cells,
     * aggregated to <= depth*width rows by partial+final hash agg — the
     * shuffle moves at most 4*512 cells per map task, NOT the input. The
-    * merged sketch broadcasts; candidate keys (one distinct) probe it and
-    * take min over rows. Top-k is TakeOrdered (per-partition heaps, no
-    * global sort). The oracle recomputes the identical sketch in SQL, so
-    * the comparison covers the estimator itself, collisions included.
-    * At 100 TB the candidate-key distinct is the only key-proportional
-    * stage; real deployments keep per-partition candidate heaps instead —
-    * documented trade-off, same estimator. */
+    * merged 2 KiB sketch is collected (bounded: depth*width counters
+    * regardless of input size) and broadcast as an array. Candidates then
+    * come from PER-PARTITION top-k heaps: each input partition dedups its
+    * users locally, probes the broadcast sketch (min over rows, pure JVM
+    * kernel — the same `TextHashUtil.hash48` the Catalyst expression
+    * compiles to), and emits only its k strongest (est desc, user asc)
+    * candidates. Because a user's estimate is a pure function of the
+    * GLOBAL sketch, the true top-k each appear in some partition's local
+    * top-k, so the k*P merge is exact — and, unlike the previous global
+    * `(user, j, bucket)` distinct, NOTHING key-proportional ever crosses
+    * a shuffle: the only wide stages move <= 2048 sketch cells and
+    * <= k*P candidate rows. The trailing tiny groupBy dedups users that
+    * were local winners in several partitions. The oracle recomputes the
+    * identical sketch in SQL, so the comparison covers the estimator
+    * itself, collisions included. */
   private val qCmsTopk = GQuery(
     "q_cms_topk",
     (s, dir) => {
+      import s.implicits._
+      val k = 20
       val base = t("events")(s, dir).select(col("user_id"))
       val cells = array((0 until cmsDepth).map(cmsBucketS): _*)
-      val sketch = base.select(posexplode(cells).as(Seq("j", "bucket")))
+      val sk = Array.ofDim[Long](cmsDepth, cmsW)
+      base.select(posexplode(cells).as(Seq("j", "bucket")))
         .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
-      val keys = base.select(col("user_id"), posexplode(cells).as(Seq("j", "bucket")))
-        .distinct()
-      keys.join(broadcast(sketch), Seq("j", "bucket"))
-        .groupBy(col("user_id")).agg(min(col("c")).as("est"))
-        .orderBy(col("est").desc, col("user_id")).limit(20)
+        .collect() // bounded: <= depth*width = 2048 rows, input-size-independent
+        .foreach(r => sk(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+      val skB = s.sparkContext.broadcast(sk)
+      val candidates = base.as[Long].mapPartitions { it =>
+        val sketch = skB.value
+        val seen = new java.util.HashSet[Long]()
+        // Max-heap whose root is the WEAKEST candidate (smallest est,
+        // then largest user), so replacement keeps the local top-k.
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+          Ordering.by { (t: (Long, Long)) => (-t._1, t._2) })
+        def est(uid: Long): Long = {
+          var m = Long.MaxValue
+          var j = 0
+          while (j < cmsDepth) {
+            val h = graft.functions.TextHashUtil.hash48(
+              (j.toString + ":" + uid.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val c = sketch(j)(((h % cmsW) + cmsW).toInt % cmsW)
+            if (c < m) m = c
+            j += 1
+          }
+          m
+        }
+        it.foreach { uid =>
+          if (seen.add(uid)) {
+            val e = est(uid)
+            if (heap.size < k) heap.enqueue((e, uid))
+            else {
+              val (re, ru) = heap.head
+              if (e > re || (e == re && uid < ru)) { heap.dequeue(); heap.enqueue((e, uid)) }
+            }
+          }
+        }
+        heap.iterator.map { case (e, uid) => (uid, e) }
+      }.toDF("user_id", "est")
+      candidates
+        .groupBy(col("user_id")).agg(min(col("est")).as("est")) // est identical per user; dedup cross-partition winners
+        .orderBy(col("est").desc, col("user_id")).limit(k)
     },
     Some {
       val unions = (0 until cmsDepth).map(j =>
