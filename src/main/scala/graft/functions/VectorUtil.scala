@@ -12,15 +12,22 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * `list_aggregate(list_transform(...), 'sum')` — so swapping them in
   * changes no query result.
   *
-  * Length mismatches fold over the common prefix (the fixtures are
-  * fixed-dimension; `zip_with`'s null-padding semantics are unreachable
-  * there and deliberately not replicated).
+  * Length mismatches FAIL LOUDLY: the embedding fixtures are declared
+  * fixed-dimension, so a mismatched pair reaching a kernel is corrupt
+  * input — silently folding a common prefix (or null-padding, the
+  * `zip_with` behavior) would diverge from the documented semantics and
+  * the oracle without any signal.
   */
 object VectorUtil {
 
+  private def checkDims(an: Int, bn: Int): Unit =
+    if (an != bn) throw new IllegalArgumentException(
+      s"vector kernel on mismatched dimensions: $an vs $bn — corrupt embedding input")
+
   /** Dot product: sum_i a(i)*b(i), sequential. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    checkDims(n, b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -29,7 +36,8 @@ object VectorUtil {
 
   /** Squared L2 distance: sum_i (a(i)-b(i))^2, sequential. */
   def l2sq(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    checkDims(n, b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
@@ -43,7 +51,8 @@ object VectorUtil {
     var j = 0
     while (j < planes.length) {
       val p = planes(j)
-      val n = math.min(v.numElements(), p.length)
+      val n = p.length
+      checkDims(v.numElements(), n)
       var acc = 0.0
       var i = 0
       while (i < n) { acc += v.getDouble(i) * p(i); i += 1 }

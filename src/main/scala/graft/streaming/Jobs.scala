@@ -69,13 +69,15 @@ object Jobs {
   def eventTime(spark: SparkSession, d: Dirs): StreamingQuery = {
     // batch-keyed overwrite => idempotent replay: a batch re-run after a
     // crash between write and checkpoint commit replaces its own output
-    // instead of appending duplicates.
+    // instead of appending duplicates. Both sides write UNCONDITIONALLY —
+    // on replay the restored watermark can reclassify rows, and skipping
+    // an empty split would leave the stale opposite-side batch=N
+    // directory standing, duplicating its rows across ontime/ and late/.
+    // An empty overwrite is one metadata file; correctness over pennies.
     val router = new LateDataRouter(
       delayUs = 10000000L,
-      onTime = (b, id) =>
-        if (!b.isEmpty) b.write.mode("overwrite").parquet(s"${d.out}/ontime/batch=$id"),
-      late = (b, id) =>
-        if (!b.isEmpty) b.write.mode("overwrite").parquet(s"${d.out}/late/batch=$id"))
+      onTime = (b, id) => b.write.mode("overwrite").parquet(s"${d.out}/ontime/batch=$id"),
+      late = (b, id) => b.write.mode("overwrite").parquet(s"${d.out}/late/batch=$id"))
     router.start(src(spark, d), d.ckpt)
   }
 

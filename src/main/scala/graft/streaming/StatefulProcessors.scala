@@ -245,8 +245,17 @@ object StatefulProcessors {
     * Sharding: items are partitioned by a hash of the item, so each
     * item's full count lands in exactly one shard and shard summaries
     * CONCATENATE (no cross-shard merge math); top-k = take the k largest
-    * over the union. Each batch emits the touched counters; downstream
-    * consumers keep the latest (est, err) per item.
+    * over the union.
+    *
+    * Emission contract: each batch emits the touched counters, and every
+    * EVICTION emits a tombstone `(item, est-at-eviction, err = -1)` — a
+    * consumer that only kept the latest live row would otherwise retain
+    * a frozen estimate for an item the sketch no longer tracks. "Latest"
+    * is deterministic without row order: a live item's est only grows,
+    * and a re-inserted item's est is STRICTLY greater than its
+    * pre-eviction est (it inherits the monotone min counter + 1), so the
+    * per-item row with lexicographically max `(est, err == -1)` is the
+    * newest; if that row is a tombstone the item is currently untracked.
     */
   final class SpaceSavingProcessor(capacity: Int)
       extends StatefulProcessor[Int, Ev, HeavyHitter] {
@@ -264,6 +273,7 @@ object StatefulProcessors {
     override def handleInputRows(shard: Int, rows: Iterator[Ev],
         tv: TimerValues): Iterator[HeavyHitter] = {
       val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      val evictedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         val item = e.event_type
         if (counters.containsKey(item)) {
@@ -279,15 +289,20 @@ object StatefulProcessors {
             counters.removeKey(minItem)
             counters.updateValue(item, (minEst + 1L, minEst))
             touched -= minItem
+            evictedAt.put(minItem, minEst)
           }
         }
         touched += item
+        evictedAt.remove(item) // re-entry supersedes an earlier same-batch eviction
       }
-      val out = touched.iterator.map { item =>
+      val live = touched.iterator.map { item =>
         val (est, err) = counters.getValue(item)
         HeavyHitter(shard, item, est, err)
-      }.toSeq
-      out.iterator
+      }
+      val tombstones = evictedAt.iterator.map { case (item, est) =>
+        HeavyHitter(shard, item, est, -1L)
+      }
+      (live ++ tombstones).toSeq.iterator
     }
   }
 

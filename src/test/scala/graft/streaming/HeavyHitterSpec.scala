@@ -17,13 +17,17 @@ class HeavyHitterSpec extends SparkSpec {
     Ev(nextId, new Timestamp(sec * 1000L), 1L, typ, 1.0)
   }
 
-  /** Latest (est, err) per item from the append log — est only grows for
-    * an item while it holds a counter, so max(est) is the latest row
-    * without relying on the memory sink's row order. */
+  /** Latest (est, err) per item from the append log — the documented
+    * consumer rule: est only grows while an item holds a counter, a
+    * re-inserted item's est strictly exceeds its pre-eviction est, and an
+    * eviction tombstone (err = -1) carries the est it was evicted at — so
+    * the row with lexicographically max (est, err == -1) is the newest,
+    * no sink row order needed. err == -1 in the result means "currently
+    * untracked". */
   private def latest(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
     rows.groupBy(_._1)
       .map { case (item, hits) =>
-        val r = hits.maxBy(_._2)
+        val r = hits.maxBy(h => (h._2, h._3 == -1L))
         item -> (r._2, r._3)
       }
 
@@ -69,6 +73,18 @@ class HeavyHitterSpec extends SparkSpec {
       assert(m("c") === ((2L, 1L))) // 1 true + 1 inherited; err bounds it
       // overcount-only invariant: est - err == true count lower bound
       assert(m("c")._1 - m("c")._2 === 1L)
+      // eviction emitted a tombstone: b is flagged untracked, not frozen
+      // at its stale (1, 0) estimate
+      assert(m("b") === ((1L, -1L)))
+
+      // batch 3: b re-enters — evicts c (min, est 2), inherits est 3.
+      // Its live row supersedes the tombstone; c gets its own tombstone.
+      in.addData(ev(7, "b"))
+      q.processAllAvailable()
+      m = latest(s.table("hh")
+        .selectExpr("item", "est", "err").as[(String, Long, Long)].collect().toSeq)
+      assert(m("b") === ((3L, 2L))) // strictly above pre-eviction est 1
+      assert(m("c") === ((2L, -1L)))
       } finally q.stop()
     }
   }
