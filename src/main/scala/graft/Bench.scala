@@ -42,7 +42,9 @@ object Bench {
     "t_quality_score", "t_langid", "m_media_features",
     // round-4 families
     "q_cms_topk", "q_bloom_semi", "d_weighted_sample", "t_tfidf",
-    "a11_peak_concurrency", "e_assign_confusion")
+    "a11_peak_concurrency", "e_assign_confusion",
+    // round-5 additions
+    "d_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

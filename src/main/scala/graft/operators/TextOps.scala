@@ -708,9 +708,58 @@ SELECT doc_id, term AS top_term, round(score, 4) AS tfidf FROM r WHERE rn = 1"""
 FROM events"""),
     "Digit-run redaction with masked-run counts (PII-scrubbing mechanics).")
 
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination — the train/test contamination check every
+  // LLM training pipeline runs before shipping a corpus: flag training
+  // documents sharing any 13-token n-gram (the GPT-3/PaLM convention)
+  // with a held-out eval set. The eval set here is fixture-derived (a
+  // deterministic md5 split of doc_id, ~25%) standing in for a real
+  // benchmark corpus; the mechanics are identical.
+  //
+  // Plan shape (the 100 TB one): 13-gram hashing is a pure map inside
+  // the scan (distinct 60-bit md5 hashes per doc, same discipline as
+  // d_ngram_jaccard's shingles — 8 bytes per gram, never the text). The
+  // eval side is SMALL by construction (benchmarks are MBs, corpora are
+  // TBs), so its distinct gram set BROADCASTS and the train side joins
+  // map-side — no shuffle of train grams at all; the only wide stage is
+  // the per-doc count aggregation, keyed on doc_id. If the eval set ever
+  // outgrew broadcast, the same plan degrades gracefully to a shuffle
+  // join bucketed on the gram hash — uniform by construction.
+  private val dDecontaminate = GQuery(
+    "d_decontaminate",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 13"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks) - 13), i -> " +
+            "cast(conv(substring(md5(array_join(slice(toks, i + 1, 13), '\u0001')), 1, 15), 16, 10) AS bigint)))"))
+          .as("g"))
+        .withColumn("is_eval", expr(s"${hS("cast(doc_id AS string)")} % 4 = 0"))
+      val evalGrams = grams.filter(col("is_eval"))
+        .select(col("doc_id").as("eval_doc"), col("g"))
+      val trainGrams = grams.filter(!col("is_eval"))
+        .select(col("doc_id"), col("g"))
+      trainGrams.join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"),
+          countDistinct(col("eval_doc")).as("n_eval_docs"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 13),
+g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 12),
+         i -> ('0x'||substr(md5(array_to_string(toks[i+1:i+13], chr(1))),1,15))::BIGINT))) AS g
+       FROM t),
+e AS (SELECT doc_id AS eval_doc, g FROM g0 WHERE ${hD("CAST(doc_id AS VARCHAR)")} % 4 = 0),
+tr AS (SELECT doc_id, g FROM g0 WHERE ${hD("CAST(doc_id AS VARCHAR)")} % 4 <> 0)
+SELECT tr.doc_id, count(DISTINCT tr.g) AS n_hits, count(DISTINCT e.eval_doc) AS n_eval_docs
+FROM tr JOIN e USING (g) GROUP BY 1"""),
+    "13-gram train/eval contamination check (hash-domain, broadcast eval side).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
-    dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact)
+    dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
+    dDecontaminate)
 }
