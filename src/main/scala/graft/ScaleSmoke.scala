@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
   * gate (the oracles stay on the driver fixtures) — a perf validation
   * harness for the 100 TB design claims.
   *
-  * Usage: sbt 'runMain graft.ScaleSmoke [mult]'   (default 16)
+  * Usage: sbt 'runMain graft.ScaleSmoke [mult] [skew]'   (default 16,
+  * uniform). With `skew`, ~20% of all events are reassigned to ONE hot
+  * user (deterministically, event_id % 5 == 0 -> user 7) and the
+  * user-keyed query subset runs instead — measuring that the documented
+  * skew remedies (a2b salting, AQE skew-join in q_salted_join, bounded
+  * per-key frames in a12) actually engage: the salted/bounded shapes
+  * should degrade gently vs their unsalted duals, not serialize into one
+  * straggler task.
   */
 object ScaleSmoke {
 
@@ -25,8 +32,9 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(16)
+    val skewed = args.contains("skew")
     val src = "/root/testdata/sf0.1"
-    val dst = s"/tmp/graft_sfbig_x$mult"
+    val dst = s"/tmp/graft_sfbig_x$mult" + (if (skewed) "_skew" else "")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -43,14 +51,25 @@ object ScaleSmoke {
     if (!done.exists()) {
       Tables.all.foreach { t =>
         val base = Tables.t(spark, src, t)
-        val out = big.get(t).map(off => replicate(base, mult, off)).getOrElse(base)
+        val rep = big.get(t).map(off => replicate(base, mult, off)).getOrElse(base)
+        val out = if (skewed && t == "events")
+          rep.withColumn("user_id",
+            when(pmod(col("event_id"), lit(5)) === 0, lit(7L)).otherwise(col("user_id")))
+        else rep
         out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
       done.createNewFile()
       println(s"[scale] wrote x$mult fixtures to $dst")
     } else println(s"[scale] reusing fixtures in $dst")
 
-    val subset = Seq(
+    // Hot-key subset: every query keyed on user_id, paired where possible
+    // with its skew remedy (a2 unsalted vs a2b salted is the headline
+    // before/after; q_salted_join carries its own salt).
+    val skewSubset = Seq(
+      "a2_running_sum", "a2b_running_sum_salted", "a4_user_action_window",
+      "a12_ewma_smooth", "a13_transition_matrix", "q_salted_join",
+      "a8_retention_cohort", "a11_peak_concurrency")
+    val uniformSubset = Seq(
       "q1_pricing_summary", "q5_region_revenue", "q_percentiles",
       "q_hll_sketch", "q_count_distinct", "a1_window_count_5m",
       "a2b_running_sum_salted", "w3_session_window", "j3_interval_join",
@@ -59,7 +78,11 @@ object ScaleSmoke {
       "a8_retention_cohort", "a9_funnel", "a10_zscore_outliers",
       "t_lm_score", "t_repetition", "e_knn_rerank", "q_mode_quantity",
       "q_cms_topk", "q_bloom_semi", "d_weighted_sample", "t_tfidf",
-      "a11_peak_concurrency", "q_salted_join", "q_unpivot")
+      "a11_peak_concurrency", "q_salted_join", "q_unpivot",
+      "d_decontaminate")
+    // `hotq` runs the hot-key subset on the UNIFORM fixture — the
+    // before/after baseline for the skew run's numbers.
+    val subset = if (skewed || args.contains("hotq")) skewSubset else uniformSubset
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()
       val ok =
@@ -74,7 +97,7 @@ object ScaleSmoke {
     }
     println("{" + times.map { case (k, v) =>
         "\"" + k + "\":" + v.map(d => "%.2f".formatLocal(java.util.Locale.ROOT, d)).getOrElse("null") }
-      .mkString(",") + s""","mult":$mult}""")
+      .mkString(",") + s""","mult":$mult,"skew":$skewed}""")
     spark.stop()
     if (times.exists(_._2.isEmpty)) sys.exit(1)
   }
