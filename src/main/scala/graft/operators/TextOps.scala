@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GQuery, Tables}
@@ -38,6 +39,19 @@ object TextOps {
   private def hS(x: String) = s"cast(conv(substring(md5($x),1,8),16,10) as bigint)"
   /** Base hash, DuckDB side — same value bit-for-bit. */
   private def hD(x: String) = s"(('0x'||substr(md5($x),1,8))::BIGINT)"
+  /** 48-bit variant (== GraftFunctions.md5Hash48), Spark side. */
+  private def hS48(x: String) = s"cast(conv(substring(md5($x),1,12),16,10) as bigint)"
+  /** 48-bit variant, DuckDB side — same value bit-for-bit. */
+  private def hD48(x: String) = s"(('0x'||substr(md5($x),1,12))::BIGINT)"
+
+  /** Distinct 60-bit md5 hashes of the 13-token n-grams of `toks` — the
+    * decontamination gram domain, SHARED by the batch query and the
+    * streaming router ([[graft.streaming.StreamingPipelines.decontaminate]])
+    * so the two sides cannot drift. Requires a `toks` column; docs with
+    * fewer than 13 tokens must be filtered out first. */
+  private[graft] val gram13Expr: String =
+    "array_distinct(transform(sequence(0, size(toks) - 13), i -> " +
+      "cast(conv(substring(md5(array_join(slice(toks, i + 1, 13), '\u0001')), 1, 15), 16, 10) AS bigint)))"
 
   // ---------------------------------------------------------------------
   // Token counting + length statistics (pure map; columnar scan → codegen).
@@ -731,10 +745,7 @@ FROM events"""),
       val grams = docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .filter(expr("size(toks) >= 13"))
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(0, size(toks) - 13), i -> " +
-            "cast(conv(substring(md5(array_join(slice(toks, i + 1, 13), '\u0001')), 1, 15), 16, 10) AS bigint)))"))
-          .as("g"))
+        .select(col("doc_id"), explode(expr(gram13Expr)).as("g"))
         .withColumn("is_eval", expr(s"${hS("cast(doc_id AS string)")} % 4 = 0"))
       val evalGrams = grams.filter(col("is_eval"))
         .select(col("doc_id").as("eval_doc"), col("g"))
@@ -756,10 +767,56 @@ SELECT tr.doc_id, count(DISTINCT tr.g) AS n_hits, count(DISTINCT e.eval_doc) AS 
 FROM tr JOIN e USING (g) GROUP BY 1"""),
     "13-gram train/eval contamination check (hash-domain, broadcast eval side).")
 
+  // ---------------------------------------------------------------------
+  // Sequence packing — assign documents to fixed token-budget bins (2048
+  // tokens), the step that turns a curated corpus into training
+  // sequences. Deterministic first-fit-in-order: docs are ordered by an
+  // md5 shuffle key (uniform, so bins mix lengths instead of clustering
+  // them), each doc's bin is its EXCLUSIVE token-count prefix sum
+  // `div` the budget, and bin_offset is where it starts inside the bin.
+  //
+  // Scale shape: the global running sum over a shuffle order is the
+  // classic single-task trap, so the prefix sum is HIERARCHICAL (the
+  // a11/a2b recurrence): the 48-bit shuffle key's top bits form 256
+  // buckets MONOTONE in the sort order, local sums partition by bucket,
+  // and the 256 bucket totals' prefix broadcasts back as offsets. Every
+  // stage is bounded by corpus/256, and deeper nesting extends the same
+  // recurrence. All-integer arithmetic on both engines.
+  private val dPackSequences = GQuery(
+    "d_pack_sequences",
+    (s, dir) => {
+      val binTok = 2048L
+      val t = docs(s, dir).select(col("doc_id"),
+        expr("cast(size(split(text, ' ')) AS bigint)").as("n"),
+        expr(s"${hS48("cast(doc_id AS string)")}").as("h"))
+        .withColumn("hb", expr(s"h div ${1L << 40}"))
+      val local = t.withColumn("lc", coalesce(
+        sum(col("n")).over(Window.partitionBy(col("hb"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val off = t.groupBy(col("hb")).agg(sum(col("n")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(
+          Window.orderBy(col("hb")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("hb"), col("off"))
+      local.join(broadcast(off), Seq("hb"))
+        .withColumn("prev", col("off") + col("lc"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          expr(s"prev div $binTok").as("bin"),
+          expr(s"prev % $binTok").as("bin_offset"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+                  ${hD48("CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+c AS (SELECT doc_id, n,
+             COALESCE(sum(n) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t)
+SELECT doc_id, n AS n_tokens, prev // 2048 AS bin, prev % 2048 AS bin_offset FROM c"""),
+    "Deterministic sequence packing into 2048-token bins (hierarchical prefix sum).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
-    dDecontaminate)
+    dDecontaminate, dPackSequences)
 }

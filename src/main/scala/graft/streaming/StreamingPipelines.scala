@@ -194,6 +194,38 @@ object StreamingPipelines {
       .dropDuplicatesWithinWatermark(Seq("fp"))
       .select(col("doc_id"), col("ts"), col("lang"), col("score"), col("fp"), col("text"))
 
+  /** Streaming decontamination — the streaming dual of the batch
+    * `d_decontaminate` query, sharing its EXACT gram domain
+    * ([[graft.operators.TextOps.gram13Expr]]): route any incoming
+    * document that shares a 13-token n-gram with the eval set to the
+    * contaminated side. The eval gram set is bounded (benchmarks are
+    * MBs), so it travels as a BROADCAST array and the check is a pure
+    * map (`arrays_overlap`) — no shuffle, no state, no watermark: the
+    * same filter works on a batch frame and survives any micro-batch
+    * size. Docs under 13 tokens can't carry a gram — always clean.
+    * Returns (clean, contaminated). */
+  def decontaminate(docsStream: DataFrame, evalGrams: Array[Long]): (DataFrame, DataFrame) = {
+    val grams = docsStream
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", when(expr("size(toks) >= 13"),
+        expr(graft.operators.TextOps.gram13Expr))
+        .otherwise(expr("cast(array() AS array<bigint>)")))
+      .withColumn("dirty", arrays_overlap(col("grams"), typedLit(evalGrams.toSeq)))
+    val out = docsStream.columns.map(col)
+    (grams.filter(!col("dirty")).select(out: _*),
+      grams.filter(col("dirty")).select(out: _*))
+  }
+
+  /** Build the eval gram array for [[decontaminate]] from a static
+    * document frame — bounded collect, mirrors the batch query's
+    * broadcast side. */
+  def evalGramSet(evalDocs: DataFrame): Array[Long] =
+    evalDocs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(expr("size(toks) >= 13"))
+      .select(explode(expr(graft.operators.TextOps.gram13Expr)).as("g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
   // M1: split via side output (StreamSplitAndCombine.java:72-100) — two
   // predicates over one stream; each branch becomes its own sink/query.
   def splitMain(events: DataFrame, keep: String = "purchase"): DataFrame =
