@@ -39,21 +39,11 @@ object TextHashUtil {
   }
 
   /** Trigram shingle bytes at position i: toks(i) 0x01 toks(i+1) 0x01
-    * toks(i+2). ONE implementation shared by the minhash and trigram-set
-    * kernels — the DuckDB oracles hash the same chr(1)-joined strings, so
-    * the two families must never drift apart. */
-  private def shingleBytes(toks: ArrayData, i: Int): Array[Byte] = {
-    val t0 = toks.getUTF8String(i).getBytes
-    val t1 = toks.getUTF8String(i + 1).getBytes
-    val t2 = toks.getUTF8String(i + 2).getBytes
-    val buf = new Array[Byte](t0.length + t1.length + t2.length + 2)
-    System.arraycopy(t0, 0, buf, 0, t0.length)
-    buf(t0.length) = 1
-    System.arraycopy(t1, 0, buf, t0.length + 1, t1.length)
-    buf(t0.length + t1.length + 1) = 1
-    System.arraycopy(t2, 0, buf, t0.length + t1.length + 2, t2.length)
-    buf
-  }
+    * toks(i+2). ONE implementation ([[ngramBytes]] at n=3) shared by the
+    * minhash and gram-set kernels — the DuckDB oracles hash the same
+    * chr(1)-joined strings, so the families must never drift apart. */
+  private def shingleBytes(toks: ArrayData, i: Int): Array[Byte] =
+    ngramBytes(toks, i, 3)
 
   /** MinHash signature over token-trigram shingles, one pass: for each
     * i in [0, n-3], shingle = toks[i]  toks[i+1]  toks[i+2];
@@ -108,17 +98,41 @@ object TextHashUtil {
   /** Sorted distinct 60-bit hashes of the token-trigram shingles — the
     * per-document set representation for exact Jaccard verification
     * (8 bytes/shingle through the shuffle instead of a ~25-byte string). */
-  def trigramHashes(toks: ArrayData): ArrayData = {
-    val n = toks.numElements()
-    val m = math.max(0, n - 2)
+  def trigramHashes(toks: ArrayData): ArrayData = ngramHashes(toks, 3)
+
+  /** N-token shingle bytes at position i: toks(i) 0x01 ... 0x01
+    * toks(i+n-1) — the generalization of [[shingleBytes]] to any n; the
+    * DuckDB oracles hash the same chr(1)-joined strings. */
+  private def ngramBytes(toks: ArrayData, i: Int, n: Int): Array[Byte] = {
+    var len = n - 1
+    var j = 0
+    while (j < n) { len += toks.getUTF8String(i + j).numBytes(); j += 1 }
+    val buf = new Array[Byte](len)
+    var off = 0
+    j = 0
+    while (j < n) {
+      val t = toks.getUTF8String(i + j).getBytes
+      System.arraycopy(t, 0, buf, off, t.length)
+      off += t.length
+      if (j < n - 1) { buf(off) = 1; off += 1 }
+      j += 1
+    }
+    buf
+  }
+
+  /** Sorted distinct 60-bit hashes of the n-token shingles — the
+    * [[trigramHashes]] representation at any gram width (13 for
+    * benchmark decontamination). */
+  def ngramHashes(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val m = math.max(0, cnt - n + 1)
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
-      hs(i) = hash60(shingleBytes(toks, i))
+      hs(i) = hash60(ngramBytes(toks, i, n))
       i += 1
     }
     java.util.Arrays.sort(hs)
-    // in-place dedupe of the sorted array
     var w = 0
     i = 0
     while (i < m) {
@@ -177,6 +191,9 @@ object GraftFunctions {
 
   def simhash32(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.simhash32(tokens)
+
+  def ngramHashes(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.ngramHashes(tokens, n)
 
   def trigramHashes(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.trigramHashes(tokens)

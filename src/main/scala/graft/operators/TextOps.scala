@@ -44,14 +44,15 @@ object TextOps {
   /** 48-bit variant, DuckDB side — same value bit-for-bit. */
   private def hD48(x: String) = s"(('0x'||substr(md5($x),1,12))::BIGINT)"
 
-  /** Distinct 60-bit md5 hashes of the 13-token n-grams of `toks` — the
+  /** Sorted distinct 60-bit md5 hashes of the 13-token n-grams — the
     * decontamination gram domain, SHARED by the batch query and the
     * streaming router ([[graft.streaming.StreamingPipelines.decontaminate]])
-    * so the two sides cannot drift. Requires a `toks` column; docs with
-    * fewer than 13 tokens must be filtered out first. */
-  private[graft] val gram13Expr: String =
-    "array_distinct(transform(sequence(0, size(toks) - 13), i -> " +
-      "cast(conv(substring(md5(array_join(slice(toks, i + 1, 13), '\u0001')), 1, 15), 16, 10) AS bigint)))"
+    * so the two sides cannot drift. The native [[graft.functions]] kernel
+    * hashes the chr(1)-joined gram bytes directly (no per-gram string
+    * building / hex parsing), in the exact domain the DuckDB oracle
+    * recomputes as `('0x'||substr(md5(gram),1,15))::BIGINT`. */
+  private[graft] def gram13(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.ngramHashes(toks, 13)
 
   // ---------------------------------------------------------------------
   // Token counting + length statistics (pure map; columnar scan → codegen).
@@ -745,7 +746,7 @@ FROM events"""),
       val grams = docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .filter(expr("size(toks) >= 13"))
-        .select(col("doc_id"), explode(expr(gram13Expr)).as("g"))
+        .select(col("doc_id"), explode(gram13(col("toks"))).as("g"))
         .withColumn("is_eval", expr(s"${hS("cast(doc_id AS string)")} % 4 = 0"))
       val evalGrams = grams.filter(col("is_eval"))
         .select(col("doc_id").as("eval_doc"), col("g"))

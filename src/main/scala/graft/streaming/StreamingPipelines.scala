@@ -208,7 +208,7 @@ object StreamingPipelines {
     val grams = docsStream
       .withColumn("toks", split(col("text"), " "))
       .withColumn("grams", when(expr("size(toks) >= 13"),
-        expr(graft.operators.TextOps.gram13Expr))
+        graft.operators.TextOps.gram13(col("toks")))
         .otherwise(expr("cast(array() AS array<bigint>)")))
       .withColumn("dirty", arrays_overlap(col("grams"), typedLit(evalGrams.toSeq)))
     val out = docsStream.columns.map(col)
@@ -223,7 +223,7 @@ object StreamingPipelines {
     evalDocs
       .withColumn("toks", split(col("text"), " "))
       .filter(expr("size(toks) >= 13"))
-      .select(explode(expr(graft.operators.TextOps.gram13Expr)).as("g"))
+      .select(explode(graft.operators.TextOps.gram13(col("toks"))).as("g"))
       .distinct().collect().map(_.getLong(0)).sorted
 
   // M1: split via side output (StreamSplitAndCombine.java:72-100) — two

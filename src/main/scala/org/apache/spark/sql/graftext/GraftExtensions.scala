@@ -73,6 +73,13 @@ object GraftExtensions {
         MinHashSig(args.head, perms.map(_._1), perms.map(_._2), MP))),
     (FunctionIdentifier("graft_trigram_hashes"), info("graft_trigram_hashes"),
       arity("graft_trigram_hashes", 1)(args => TrigramHashes(args.head))),
+    (FunctionIdentifier("graft_ngram_hashes"), info("graft_ngram_hashes"),
+      arity("graft_ngram_hashes", 2)(args => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          NgramHashes(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_ngram_hashes: n must be an integer literal, got $other")
+      })),
     (FunctionIdentifier("graft_sorted_intersect_count"), info("graft_sorted_intersect_count"),
       arity("graft_sorted_intersect_count", 2)(args => SortedIntersectCount(args(0), args(1)))),
     (FunctionIdentifier("graft_md5_hash48"), info("graft_md5_hash48"),

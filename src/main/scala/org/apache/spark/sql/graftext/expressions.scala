@@ -73,6 +73,27 @@ case class TrigramHashes(child: Expression) extends UnaryExpression with Expects
     copy(child = newChild)
 }
 
+/** Sorted distinct 60-bit md5 hashes of the n-token shingles of `child`
+  * — [[TrigramHashes]] at any gram width; `n` is a plan-time constant
+  * (13 for benchmark decontamination), so codegen inlines it. */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.ngramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.ngramHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -119,6 +140,9 @@ object columns {
 
   def trigramHashes(tokens: Column): Column =
     ExpressionUtils.column(TrigramHashes(ExpressionUtils.expression(tokens)))
+
+  def ngramHashes(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(NgramHashes(ExpressionUtils.expression(tokens), n))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(

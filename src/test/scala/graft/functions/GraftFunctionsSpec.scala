@@ -106,4 +106,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("v")))
     assert(df.filter("via_conv <> via_native").isEmpty)
   }
+
+  test("ngramHashes matches the md5 15-hex SQL domain and generalizes trigramHashes") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // synthetic token arrays of varying width around the n=13 boundary
+    val df = s.sql(
+      """SELECT transform(sequence(1, cast(10 + id % 8 AS int)),
+                          i -> concat('w', cast((i * 31 + id) % 17 AS string))) AS toks
+         FROM range(200)""")
+    val viaSql = df.selectExpr(
+      """CASE WHEN size(toks) >= 13 THEN
+           array_sort(array_distinct(transform(sequence(0, size(toks) - 13),
+             i -> cast(conv(substring(md5(array_join(slice(toks, i + 1, 13), '')), 1, 15), 16, 10) AS bigint))))
+         ELSE cast(array() AS array<bigint>) END AS g""")
+    val viaNative = df.select(
+      graft.functions.GraftFunctions.ngramHashes(col("toks"), 13).as("g"))
+    assert(viaSql.exceptAll(viaNative).isEmpty && viaNative.exceptAll(viaSql).isEmpty)
+    // n=3 reproduces the trigram kernel exactly
+    val tri = df.select(
+      graft.functions.GraftFunctions.trigramHashes(col("toks")).as("a"),
+      graft.functions.GraftFunctions.ngramHashes(col("toks"), 3).as("b"))
+    assert(tri.filter("a <> b").isEmpty)
+  }
 }
