@@ -316,4 +316,57 @@ object StatefulProcessors {
     events.groupByKey(e => math.floorMod(e.event_type.hashCode, shards))
       .transformWithState(new SpaceSavingProcessor(capacity),
         TimeMode.None(), OutputMode.Append())
+
+  /** One document's bin assignment from the online packer. */
+  final case class PackedDoc(shard: Int, doc_id: Long, n_tokens: Long,
+      bin: Long, bin_offset: Long)
+
+  /** Online sequence packing — the streaming dual of the batch
+    * `d_pack_sequences` query. Each shard appends arriving documents to
+    * its current bin until the token budget would overflow, then opens a
+    * new bin; the only state is one (bin, fill) pair per shard, so state
+    * is O(shards) forever. Where the batch packer is deterministic in
+    * its md5 shuffle order, the online packer is deterministic in
+    * ARRIVAL order (within a micro-batch: doc_id order). Global bin ids
+    * interleave shards (`shard + shards * localBin`) so shards never
+    * coordinate — the concatenable-summary trick again. A document
+    * larger than the budget gets a bin of its own (emitted at offset 0,
+    * overflowing it), matching how packers handle overlong documents
+    * before truncation downstream. */
+  final class SequencePackerProcessor(binTokens: Long, nShards: Int)
+      extends StatefulProcessor[Int, (Long, Long), PackedDoc] {
+
+    // (current local bin, tokens already packed into it)
+    @transient private var fill: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      fill = getHandle.getValueState[(Long, Long)]("fill",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(shard: Int, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[PackedDoc] = {
+      var (bin, f) = if (fill.exists()) fill.get() else (0L, 0L)
+      val out = rows.toSeq.sortBy(_._1).map { case (docId, n) =>
+        if (f > 0 && f + n > binTokens) { bin += 1; f = 0L }
+        val p = PackedDoc(shard, docId, n, shard.toLong + nShards.toLong * bin, f)
+        f += n
+        p
+      }
+      fill.update((bin, f))
+      out.iterator
+    }
+  }
+
+  private implicit val packedEnc = Encoders.product[PackedDoc]
+  private implicit val llEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+
+  /** Pack a document stream `(doc_id, text, ...)` into `binTokens`-sized
+    * training bins, hash-sharded for parallelism. */
+  def packStream(docs: org.apache.spark.sql.DataFrame, binTokens: Long = 2048,
+      shards: Int = 8): Dataset[PackedDoc] =
+    docs.selectExpr("doc_id", "cast(size(split(text, ' ')) AS bigint) AS n")
+      .as[(Long, Long)](llEnc)
+      .groupByKey(t => math.floorMod(t._1.hashCode, shards))
+      .transformWithState(new SequencePackerProcessor(binTokens, shards),
+        TimeMode.None(), OutputMode.Append())
 }
