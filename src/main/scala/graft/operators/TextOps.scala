@@ -242,14 +242,21 @@ SELECT doc_id, concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS s
     * frame — shared by the pairs query, the dedup-groups connected
     * components, the edit-distance verifier, and (over exact-dedup
     * survivors) the curation capstone. */
-  private def lshPairsFrom(base0: DataFrame): DataFrame = {
-    val sig = base0
+  /** Banded MinHash signature rows (doc_id, mharr, band_idx, band_key)
+    * over any (doc_id, text) frame — the signature is evaluated exactly
+    * once per document (see the plan note on [[lshPairsFrom]]); SHARED by
+    * the in-corpus pair listing and the cross-corpus ingest check. */
+  private def bandedSig(base0: DataFrame): DataFrame =
+    base0
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 3"))
       .withColumn("mharr", graft.functions.GraftFunctions.minhashSig(
         col("toks"), perms.map(_._1), perms.map(_._2), MP))
       .select(col("doc_id"), col("mharr"), explode(expr("sequence(0, 3)")).as("band_idx"))
       .withColumn("band_key", expr("concat_ws('_', slice(mharr, band_idx * 4 + 1, 4))"))
+
+  private def lshPairsFrom(base0: DataFrame): DataFrame = {
+    val sig = bandedSig(base0)
     sig
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("mharr"))).as("ds"))
@@ -814,10 +821,67 @@ c AS (SELECT doc_id, n,
 SELECT doc_id, n AS n_tokens, prev // 2048 AS bin, prev % 2048 AS bin_offset FROM c"""),
     "Deterministic sequence packing into 2048-token bins (hierarchical prefix sum).")
 
+  // ---------------------------------------------------------------------
+  // Incremental ingest near-dup — dedup a NEW batch of documents against
+  // the EXISTING corpus (the production shape: every ingestion run checks
+  // arrivals against the index, never the corpus against itself). The
+  // batch is a deterministic md5 quarter of doc_ids standing in for an
+  // arrival set. Candidates come from a band equi-join of new-side band
+  // keys against existing-side band keys — CROSS-corpus only, so the
+  // in-corpus quadratic of a standalone pair listing never happens; the
+  // existing side drops degenerate buckets (> lshBucketCap rows share a
+  // band key) exactly like the in-corpus listing, since those belong to
+  // exact dedup. At 100 TB the arrival batch is the small side: its
+  // banded signature broadcasts and the corpus is scanned once; here
+  // both sides shuffle on band keys, same plan one AQE decision over.
+  private val dIngestNeardup = GQuery(
+    "d_ingest_neardup",
+    (s, dir) => {
+      val sig = bandedSig(docs(s, dir))
+        .withColumn("is_new", expr(s"${hS("cast(doc_id AS string)")} % 4 = 1"))
+      val newSide = sig.filter(col("is_new"))
+        .select(col("doc_id").as("new_doc"), col("mharr").as("mh_n"),
+          col("band_idx"), col("band_key"))
+      val oldOk = sig.filter(!col("is_new"))
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= lshBucketCap)
+        .select(col("band_idx"), col("band_key"))
+      val oldSide = sig.filter(!col("is_new"))
+        .join(oldOk, Seq("band_idx", "band_key"))
+        .select(col("doc_id").as("existing_doc"), col("mharr").as("mh_o"),
+          col("band_idx"), col("band_key"))
+      newSide.join(oldSide, Seq("band_idx", "band_key"))
+        .withColumn("est_sim", expr(
+          "round(size(filter(zip_with(mh_n, mh_o, (x, y) -> x = y), v -> v)) / cast(16 as double), 4)"))
+        .groupBy(col("new_doc"), col("existing_doc"))
+        .agg(min(col("est_sim")).as("est_sim"))
+        .filter(col("est_sim") >= 0.5)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
+h AS (SELECT doc_id, $shingleDuck AS hs FROM t),
+m AS (SELECT doc_id, ${mhDuckExprs.mkString(", ")} FROM h),
+bands AS (${(0 until 4).map(z =>
+      s"SELECT doc_id, $z AS band_idx, concat_ws('_', ${(4 * z until 4 * z + 4).map("mh" + _).mkString(", ")}) AS band_key FROM m").mkString("\nUNION ALL\n")}),
+flagged AS (SELECT doc_id, band_idx, band_key,
+                   ${hD("CAST(doc_id AS VARCHAR)")} % 4 = 1 AS is_new FROM bands),
+old_ok AS (SELECT band_idx, band_key FROM flagged WHERE NOT is_new
+           GROUP BY 1, 2 HAVING count(*) <= $lshBucketCap),
+cand AS (SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS existing_doc
+         FROM flagged n
+         JOIN flagged o ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+         JOIN old_ok k ON k.band_idx = n.band_idx AND k.band_key = n.band_key
+         WHERE n.is_new AND NOT o.is_new),
+pairs AS (SELECT c.new_doc, c.existing_doc,
+       round((${(0 until 16).map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0::DOUBLE, 4) AS est_sim
+FROM cand c JOIN m x ON c.new_doc = x.doc_id JOIN m y ON c.existing_doc = y.doc_id)
+SELECT new_doc, existing_doc, est_sim FROM pairs WHERE est_sim >= 0.5"""),
+    "Arrival-batch near-dup check against the existing corpus (cross-corpus LSH bands).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
-    dDecontaminate, dPackSequences)
+    dDecontaminate, dPackSequences, dIngestNeardup)
 }
