@@ -114,6 +114,53 @@ class PropertiesSpec extends SparkSpec {
     dir
   }
 
+  private def docsFixture(texts: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_docs_").toString
+    texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("property: hierarchical pack prefix sum equals the naive global cumsum") {
+    val s = spark
+    import s.implicits._
+    // token counts spread over enough docs that several of the 256 hash
+    // buckets are non-empty, so the offset merge actually engages
+    (1 to 3).foreach { round =>
+      val docs = (1L to 400L).map { id =>
+        val n = 5 + ((id * 37 + round) % 90).toInt
+        (id, (1 to n).map(i => s"w$i").mkString(" "))
+      }
+      val dir = docsFixture(docs)
+      val fast = SparkEntry.queries("d_pack_sequences")(s, dir)
+        .select("doc_id", "bin", "bin_offset")
+        .as[(Long, Long, Long)].collect().map { case (k, b, o) => k -> ((b, o)) }.toMap
+      val counts = docs.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+      // naive single-pass: same md5 order, plain running sum
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h48(x: String): Long = {
+        md.reset()
+        val d = md.digest(x.getBytes("UTF-8"))
+        (0 until 6).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xffL))
+      }
+      val ordered = docs.map(_._1).sortBy(id => (h48(id.toString), id))
+      var cum = 0L
+      val expect = ordered.map { id =>
+        val r = id -> ((cum / 2048L, cum % 2048L))
+        cum += counts(id)
+        r
+      }.toMap
+      assert(fast === expect)
+      // conservation: every doc packed exactly once
+      assert(fast.size === docs.size)
+    }
+  }
+
   test("property: hierarchical sweep-line peak equals the naive per-day running-sum peak") {
     val s = spark
     import s.implicits._
