@@ -878,10 +878,45 @@ FROM cand c JOIN m x ON c.new_doc = x.doc_id JOIN m y ON c.existing_doc = y.doc_
 SELECT new_doc, existing_doc, est_sim FROM pairs WHERE est_sim >= 0.5"""),
     "Arrival-batch near-dup check against the existing corpus (cross-corpus LSH bands).")
 
+  // ---------------------------------------------------------------------
+  // Vocabulary coverage — induce a top-V vocabulary from corpus token
+  // frequencies (deterministic count-desc/token-asc rank) and report each
+  // document's out-of-vocabulary rate: the analysis that sizes a
+  // tokenizer's vocab against a corpus. V=16 here because the synthetic
+  // fixture has ~31 distinct tokens (production V=32k against billions of
+  // distinct tokens is the same plan). Scale shape: the vocab build is a
+  // partial-agg token count + TakeOrdered (tiny); the per-doc pass is one
+  // explode + BROADCAST left join + keyed agg — the corpus shuffles only
+  // on doc_id for its own aggregation, never on token.
+  private val tVocabCoverage = GQuery(
+    "t_vocab_coverage",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(expr("split(text, ' ')")).as("t"))
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(16)
+        .select(col("t"), lit(1).as("in_v"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ratio",
+          expr("round(n_oov / cast(n_tokens AS double) + 1e-9, 4)"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+v AS (SELECT t, 1 AS in_v FROM (SELECT t, count(*) AS c FROM tok GROUP BY 1
+                                ORDER BY c DESC, t LIMIT 16)),
+a AS (SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok LEFT JOIN v USING (t) GROUP BY 1)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov / n_tokens::DOUBLE + 1e-9, 4) AS oov_ratio FROM a"""),
+    "Top-V induced vocabulary + per-document out-of-vocabulary rate.")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
-    dDecontaminate, dPackSequences, dIngestNeardup)
+    dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage)
 }
