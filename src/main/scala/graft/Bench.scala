@@ -44,7 +44,8 @@ object Bench {
     "q_cms_topk", "q_bloom_semi", "d_weighted_sample", "t_tfidf",
     "a11_peak_concurrency", "e_assign_confusion",
     // round-5 additions
-    "d_decontaminate", "d_pack_sequences", "d_ingest_neardup")
+    "d_decontaminate", "d_pack_sequences", "d_ingest_neardup",
+    "t_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
