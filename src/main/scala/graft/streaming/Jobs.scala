@@ -98,4 +98,39 @@ object Jobs {
       s"${d.out}/durations", s"${d.ckpt}/durations")
     (counts, durations)
   }
+
+  /** Document schema for the corpus-pipeline job: epoch-second `ts_s`
+    * in the wire format (JSON lines), converted to a timestamp inside. */
+  private val docWireSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts_s", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+
+  /** Job 9 (beyond the reference — the LLM-corpus capstone): a streaming
+    * training-data pipeline over a monitored directory of JSON document
+    * lines: quality gate + digest dedup within the watermark
+    * ([[StreamingPipelines.curateDocs]]) -> benchmark decontamination
+    * against the broadcast eval gram set
+    * ([[StreamingPipelines.decontaminate]]) -> online sequence packing
+    * ([[StatefulProcessors.packStream]]) into token-budget bins. Clean
+    * packed assignments land under `out/packed`; contaminated documents
+    * are quarantined under `out/contaminated` for audit. Requires the
+    * RocksDB state-store provider (transformWithState), like every
+    * stateful job here. */
+  def corpusPipeline(spark: SparkSession, d: Dirs,
+      evalGrams: Array[Long]): (StreamingQuery, StreamingQuery) = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.readStream.schema(docWireSchema).json(d.in)
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+    val curated = StreamingPipelines.curateDocs(docs)
+    val (clean, dirty) = StreamingPipelines.decontaminate(curated, evalGrams)
+    val packed = Sinks.file(
+      StatefulProcessors.packStream(clean).toDF(),
+      s"${d.out}/packed", s"${d.ckpt}/packed")
+    val quarantine = Sinks.file(
+      dirty.select(col("doc_id"), col("ts"), col("text")),
+      s"${d.out}/contaminated", s"${d.ckpt}/contaminated")
+    (packed, quarantine)
+  }
 }
