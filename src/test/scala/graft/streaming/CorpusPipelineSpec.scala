@@ -48,7 +48,7 @@ class CorpusPipelineSpec extends SparkSpec {
         jline(2, 11, junk),
         jline(3, 12, dirty),
         jline(4, 13, good1.toUpperCase), // normalized duplicate of 1
-        jline(5, 14, good2)).mkString("", "\n", "\n"))
+        jline(9, 14, good2)).mkString("", "\n", "\n"))
 
     val (qPacked, qQuarantine) = Jobs.corpusPipeline(s, d, grams)
     try {
@@ -57,13 +57,34 @@ class CorpusPipelineSpec extends SparkSpec {
 
     val packedIds = s.read.parquet(s"${d.out}/packed")
       .select("doc_id").as[Long].collect().toSet
-    assert(packedIds === Set(1L, 5L)) // junk gated, dirty routed, dup dropped
+    assert(packedIds === Set(1L, 9L)) // junk gated, dirty routed, dup dropped
+    // ids 1 and 9 hash to the SAME shard (mod 8), so they share a bin chain
     val packed = s.read.parquet(s"${d.out}/packed")
       .selectExpr("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
-    assert(packed(1L) === 40L && packed(5L) === 40L)
+    assert(packed(1L) === 40L && packed(9L) === 40L)
     val quarantined = s.read.parquet(s"${d.out}/contaminated")
       .select("doc_id").as[Long].collect().toSet
     assert(quarantined === Set(3L))
+
+    // Phase 2: RESTART on the same checkpoints — new query objects, a new
+    // file. The packer's (bin, fill) state must recover: docs 1 and 9
+    // filled shard 1's bin to 80 of 2048 tokens, so doc 17 (same shard,
+    // 40 tokens) lands in that bin at offset 80 — not at offset 0.
+    val good3 = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    Files.writeString(Paths.get(d.in, "b2.json"),
+      jline(17, 20, good3) + "\n")
+    val (qPacked2, qQuarantine2) = Jobs.corpusPipeline(s, d, grams)
+    try {
+      qPacked2.processAllAvailable(); qQuarantine2.processAllAvailable()
+    } finally { qPacked2.stop(); qQuarantine2.stop() }
+    val after = s.read.parquet(s"${d.out}/packed")
+      .selectExpr("doc_id", "bin", "bin_offset").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(after.keySet === Set(1L, 9L, 17L))
+    assert(after(17L)._1 === after(1L)._1, "restart lost the packer's bin state")
+    assert(after(17L)._2 === 80L, s"expected offset 80 after 2x40 tokens, got ${after(17L)}")
+    // phase-1 rows not re-emitted (exactly-once file sink across restart)
+    assert(s.read.parquet(s"${d.out}/packed").count() === 3)
     }
   }
 }
