@@ -43,6 +43,12 @@ class KafkaExactlyOnceSpec extends SparkSpec {
     // identical payload rows still get distinct keys (seq disambiguates)
     val dup = df(Seq((1L, "same"), (1L, "same"), (1L, "same")))
     assert(sink.keyed(dup, 0L).select("key").distinct().count() === 3)
+    // a replay may arrive with DIFFERENT physical partitioning — keys are
+    // a pure function of content (bucket hash + in-bucket content sort),
+    // so a repartitioned identical batch frames identically
+    val shuffled = sink.keyed(b.repartition(7), 7L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(shuffled === once)
   }
 
   test("fully-produced batch replayed after restart is skipped, not re-produced") {
