@@ -52,5 +52,12 @@ class DecontaminateStreamSpec extends SparkSpec {
     val (bClean, bDirty) = StreamingPipelines.decontaminate(static, grams)
     assert(bDirty.select("doc_id").as[Long].collect().toSet === Set(1L))
     assert(bClean.select("doc_id").as[Long].collect().toSet === Set(2L))
+
+    // empty eval set: nothing can be contaminated, everything routes clean
+    val (allClean, none) = StreamingPipelines.decontaminate(static, Array.empty[Long])
+    assert(none.isEmpty && allClean.count() === 2)
+    // an eval corpus of only short docs produces no grams at all
+    assert(StreamingPipelines.evalGramSet(
+      Seq(doc(901, "too short")).toDF()).isEmpty)
   }
 }
