@@ -263,6 +263,46 @@ SELECT from_type, to_type, n, round(n / tot + 1e-9, 6) AS p
 FROM c JOIN t USING (from_type)"""),
     "First-order Markov transition matrix over per-user event sequences.")
 
+  // Rolling 7-day active users (the DAU/MAU staple) next to exact daily
+  // actives. Exact rolling DISTINCT across a window is not a running sum
+  // — the standard distributed shape is: dedup (day, user) once, explode
+  // each pair into the 7 days it covers, count distinct per day. All day
+  // keys live in the INTEGER epoch-day domain (us div 86'400'000'000 —
+  // the a11 rule: no date-type semantics in either engine). Scale: one
+  // (day, user) dedup shuffle, a 7x map-side expansion with partial
+  // aggregation, and a per-day distinct bounded by 7x the deduped pairs;
+  // the approximate path at extreme scale is the q_hll_sketch register
+  // merge over day buckets — same plan, sketch instead of exact set.
+  // Bridge days (inside some trailing window but without events) emit
+  // with dau = 0, capped at the corpus' last active day.
+  private val a14RollingDau = GQuery(
+    "a14_rolling_dau",
+    (s, dir) => {
+      val du = events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+        .distinct()
+      val daily = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      // the trailing cap is a single bounded scalar (the corpus' last
+      // active day) — collected like the CMS sketch rather than joined:
+      // a scalar join survives only as a nested-loop plan, and a 1-row
+      // aggregate collect is input-size-independent
+      val maxd = du.agg(max(col("d"))).head().getLong(0)
+      du.select(explode(expr("sequence(d, d + 6)")).as("day"), col("user_id"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau7"))
+        .filter(col("day") <= lit(maxd))
+        .join(daily, col("day") === col("d"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau7"))
+    },
+    Some("""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+daily AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+ex AS (SELECT unnest(generate_series(d, d + 6)) AS day, user_id FROM du),
+r AS (SELECT day, count(DISTINCT user_id) AS mau7 FROM ex GROUP BY 1)
+SELECT r.day, COALESCE(daily.dau, 0) AS dau, r.mau7
+FROM r LEFT JOIN daily ON daily.d = r.day
+WHERE r.day <= (SELECT max(d) FROM du)"""),
+    "Exact rolling 7-day active users beside daily actives (integer day domain).")
+
   val all: Seq[GQuery] =
-    Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma, a13Transition)
+    Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma,
+      a13Transition, a14RollingDau)
 }
