@@ -79,7 +79,8 @@ object ScaleSmoke {
       "t_lm_score", "t_repetition", "e_knn_rerank", "q_mode_quantity",
       "q_cms_topk", "q_bloom_semi", "d_weighted_sample", "t_tfidf",
       "a11_peak_concurrency", "q_salted_join", "q_unpivot",
-      "d_decontaminate", "d_pack_sequences", "d_ingest_neardup")
+      "d_decontaminate", "d_pack_sequences", "d_ingest_neardup",
+      "t_vocab_coverage", "a14_rolling_dau")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset = if (skewed || args.contains("hotq")) skewSubset else uniformSubset

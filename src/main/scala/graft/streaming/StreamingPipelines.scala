@@ -194,6 +194,33 @@ object StreamingPipelines {
       .dropDuplicatesWithinWatermark(Seq("fp"))
       .select(col("doc_id"), col("ts"), col("lang"), col("score"), col("fp"), col("text"))
 
+  /** Rolling distinct actives — the streaming dual of the batch
+    * `a14_rolling_dau`: each event explodes into the `nSlides` trailing
+    * window labels it belongs to (label = its bucket + i*slide, the
+    * exact batch semantics), `(user, label)` pairs dedup within the
+    * watermark, and the count per label is then a plain keyed count —
+    * exact rolling distinct without a distinct aggregate, which
+    * Structured Streaming doesn't support. State: one dedup entry per
+    * (user, window) inside the watermark horizon plus one count per
+    * label — both bounded. Emits in Update mode (labels keep growing
+    * until their watermark passes). The label watermark is
+    * `delaySec + (nSlides-1)*slideSec`: labels lead their event by up
+    * to the full lookahead, so a plain delay would mark genuinely
+    * current events late the moment one event's furthest label
+    * advanced the clock — the out-of-order budget for EVENTS stays
+    * `delaySec`. */
+  def rollingActives(events: DataFrame, slideSec: Long = 86400L,
+      nSlides: Int = 7, delaySec: Long = 10L): DataFrame =
+    events.filter(col("ts").isNotNull) // the ONLY watermark goes on the label
+      .withColumn("bucket", expr(s"floor(unix_seconds(ts) / $slideSec) * $slideSec"))
+      .select(col("user_id"), explode(expr(
+        s"transform(sequence(0, ${nSlides - 1}), i -> timestamp_seconds(bucket + i * $slideSec))"))
+        .as("win_label"))
+      .withWatermark("win_label", s"${delaySec + (nSlides - 1) * slideSec} seconds")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "win_label"))
+      .groupBy(col("win_label"))
+      .agg(count(lit(1)).as("active_users"))
+
   /** Streaming decontamination — the streaming dual of the batch
     * `d_decontaminate` query, sharing its EXACT gram domain
     * ([[graft.operators.TextOps.gram13Expr]]): route any incoming
