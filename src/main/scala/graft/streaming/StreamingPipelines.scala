@@ -204,11 +204,13 @@ object StreamingPipelines {
     * (user, window) inside the watermark horizon plus one count per
     * label — both bounded. Emits in Update mode (labels keep growing
     * until their watermark passes). The label watermark is
-    * `delaySec + (nSlides-1)*slideSec`: labels lead their event by up
-    * to the full lookahead, so a plain delay would mark genuinely
+    * `delaySec + nSlides*slideSec`: labels lead their event by up to
+    * `(nSlides-1)*slideSec`, so a plain delay would mark genuinely
     * current events late the moment one event's furthest label
-    * advanced the clock — the out-of-order budget for EVENTS stays
-    * `delaySec`. */
+    * advanced the clock — and watermark comparison drops ROWS AT the
+    * boundary, so one extra slide of slack keeps the event-time
+    * out-of-order budget a full `delaySec` even for an event whose
+    * bucket lands exactly on the horizon. */
   def rollingActives(events: DataFrame, slideSec: Long = 86400L,
       nSlides: Int = 7, delaySec: Long = 10L): DataFrame =
     events.filter(col("ts").isNotNull) // the ONLY watermark goes on the label
@@ -216,7 +218,7 @@ object StreamingPipelines {
       .select(col("user_id"), explode(expr(
         s"transform(sequence(0, ${nSlides - 1}), i -> timestamp_seconds(bucket + i * $slideSec))"))
         .as("win_label"))
-      .withWatermark("win_label", s"${delaySec + (nSlides - 1) * slideSec} seconds")
+      .withWatermark("win_label", s"${delaySec + nSlides.toLong * slideSec} seconds")
       .dropDuplicatesWithinWatermark(Seq("user_id", "win_label"))
       .groupBy(col("win_label"))
       .agg(count(lit(1)).as("active_users"))

@@ -49,4 +49,33 @@ class RollingActivesSpec extends SparkSpec {
       assert(m(1040L) === 1L)
     } finally q.stop()
   }
+
+  test("a late event inside the delay budget still counts toward every label") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingPipelines.rollingActives(in.toDF(), slideSec = 10L,
+      nSlides = 3, delaySec = 10L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("actives_late").start()
+    try {
+      in.addData(ev(1015, 1))
+      q.processAllAvailable()
+      // watermark on labels after batch 1: max label 1030 minus
+      // (10 + 2*10) = 1000. A new user arriving out of order at 1008 —
+      // 7 s late, inside the 10 s event budget — must still count for
+      // labels 1000/1010/1020.
+      in.addData(ev(1008, 2))
+      q.processAllAvailable()
+      val m = s.table("actives_late")
+        .selectExpr("cast(win_label AS long)", "active_users")
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(m(1000L) === 1L) // user 2 only
+      assert(m(1010L) === 2L)
+      assert(m(1020L) === 2L)
+      assert(m(1030L) === 1L) // user 1 only
+    } finally q.stop()
+  }
 }
