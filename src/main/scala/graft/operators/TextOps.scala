@@ -747,33 +747,59 @@ FROM events"""),
   // the per-doc count aggregation, keyed on doc_id. If the eval set ever
   // outgrew broadcast, the same plan degrades gracefully to a shuffle
   // join bucketed on the gram hash — uniform by construction.
-  private val dDecontaminate = GQuery(
-    "d_decontaminate",
-    (s, dir) => {
-      val grams = docs(s, dir)
-        .withColumn("toks", expr("split(text, ' ')"))
-        .filter(expr("size(toks) >= 13"))
-        .select(col("doc_id"), explode(gram13(col("toks"))).as("g"))
-        .withColumn("is_eval", expr(s"${hS("cast(doc_id AS string)")} % 4 = 0"))
-      val evalGrams = grams.filter(col("is_eval"))
-        .select(col("doc_id").as("eval_doc"), col("g"))
-      val trainGrams = grams.filter(!col("is_eval"))
-        .select(col("doc_id"), col("g"))
-      trainGrams.join(broadcast(evalGrams), Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("n_hits"),
-          countDistinct(col("eval_doc")).as("n_eval_docs"))
-    },
-    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  /** Contaminated (train doc, eval doc, gram) triples — the shared core
+    * of the train-side flag query and the eval-side report. */
+  private def contaminationHits(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 13"))
+      .select(col("doc_id"), explode(gram13(col("toks"))).as("g"))
+      .withColumn("is_eval", expr(s"${hS("cast(doc_id AS string)")} % 4 = 0"))
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), col("g"))
+    val trainGrams = grams.filter(!col("is_eval"))
+      .select(col("doc_id"), col("g"))
+    trainGrams.join(broadcast(evalGrams), Seq("g"))
+  }
+
+  /** Matching DuckDB CTE body producing tr(doc_id, g) x e(eval_doc, g). */
+  private val contaminationDuck: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
            WHERE len(string_split(text, ' ')) >= 13),
 g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 12),
          i -> ('0x'||substr(md5(array_to_string(toks[i+1:i+13], chr(1))),1,15))::BIGINT))) AS g
        FROM t),
 e AS (SELECT doc_id AS eval_doc, g FROM g0 WHERE ${hD("CAST(doc_id AS VARCHAR)")} % 4 = 0),
-tr AS (SELECT doc_id, g FROM g0 WHERE ${hD("CAST(doc_id AS VARCHAR)")} % 4 <> 0)
+tr AS (SELECT doc_id, g FROM g0 WHERE ${hD("CAST(doc_id AS VARCHAR)")} % 4 <> 0)"""
+
+  private val dDecontaminate = GQuery(
+    "d_decontaminate",
+    (s, dir) =>
+      contaminationHits(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"),
+          countDistinct(col("eval_doc")).as("n_eval_docs")),
+    Some(s"""WITH $contaminationDuck
 SELECT tr.doc_id, count(DISTINCT tr.g) AS n_hits, count(DISTINCT e.eval_doc) AS n_eval_docs
 FROM tr JOIN e USING (g) GROUP BY 1"""),
     "13-gram train/eval contamination check (hash-domain, broadcast eval side).")
+
+  // The eval-side report of the same join — what a benchmark owner
+  // consumes: per eval document, how many training documents overlap it
+  // and how many of its grams leaked. Same plan, aggregation keyed on
+  // the (small) eval side.
+  private val dContaminationReport = GQuery(
+    "d_contamination_report",
+    (s, dir) =>
+      contaminationHits(s, dir)
+        .groupBy(col("eval_doc"))
+        .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+          countDistinct(col("g")).as("n_leaked_grams")),
+    Some(s"""WITH $contaminationDuck
+SELECT e.eval_doc, count(DISTINCT tr.doc_id) AS n_train_docs,
+       count(DISTINCT tr.g) AS n_leaked_grams
+FROM tr JOIN e USING (g) GROUP BY 1"""),
+    "Per-eval-document contamination report (train-doc and leaked-gram counts).")
 
   // ---------------------------------------------------------------------
   // Sequence packing — assign documents to fixed token-budget bins (2048
@@ -918,5 +944,6 @@ SELECT doc_id, n_tokens, n_oov,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
-    dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage)
+    dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
+    dContaminationReport)
 }
