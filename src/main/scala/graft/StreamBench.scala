@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Generators, Jobs, Sinks, StatefulProcessors, StreamingPipelines}
+
+/** Streaming throughput micro-bench — the streaming counterpart of
+  * [[Bench]]: pushes a seeded CSV corpus through the reference-shaped
+  * pipelines (file source -> parse -> windowed count / keyed reduce /
+  * transformWithState heavy hitters -> file or memory sink) and reports
+  * end-to-end rows/second per pipeline. Context for the numbers: the
+  * reference's generators emit ~0.5-1 record/second by construction
+  * (`FileStreamDataGenerator.java:104` sleeps 1-2000 ms per record), so
+  * single-node throughput parity is about the ENGINE's sustainable rate,
+  * measured here on the same local[32] harness the batch bench uses.
+  *
+  * Usage: sbt 'runMain graft.StreamBench [nEvents]'   (default 200k)
+  */
+object StreamBench {
+
+  private def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val in = Files.createTempDirectory("sbench-in").toString
+    // 32 files -> 2 micro-batches at the file source's 16-file trigger cap
+    Generators.writeCsvFiles(in, seed = 42, files = 32, perFile = n / 32)
+
+    def run(name: String)(start: Jobs.Dirs => org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
+      val d = Jobs.Dirs(in,
+        Files.createTempDirectory(s"sbench-out-$name").toString,
+        Files.createTempDirectory(s"sbench-ck-$name").toString)
+      val sec = timed {
+        val q = start(d)
+        try q.processAllAvailable() finally q.stop()
+      }
+      name -> sec
+    }
+
+    val results = Seq(
+      run("window_count") { d =>
+        Sinks.file(StreamingPipelines.windowCount(
+          StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
+      },
+      run("running_sum") { d =>
+        Sinks.memory(StreamingPipelines.runningSum(
+          StreamingPipelines.textFileSource(spark, d.in)),
+          s"sb_sum_${d.ckpt.hashCode.abs}", OutputMode.Update)
+      },
+      run("session_window") { d =>
+        Sinks.file(StreamingPipelines.sessionCount(
+          StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
+      },
+      run("heavy_hitters_tws") { d =>
+        import spark.implicits._
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        StatefulProcessors.heavyHitters(good.as[graft.streaming.Ev])
+          .toDF().writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", d.ckpt)
+          .format("memory").queryName(s"sb_hh_${d.ckpt.hashCode.abs}").start()
+      })
+
+    val json = results.map { case (k, sec) =>
+      val rps = if (sec > 0) n / sec else 0.0
+      f""""$k":{"sec":$sec%.2f,"rows_per_sec":$rps%.0f}"""
+    }.mkString(",")
+    println(s"""{"metric":"stream_throughput","n_events":$n,$json}""")
+    spark.stop()
+  }
+}
