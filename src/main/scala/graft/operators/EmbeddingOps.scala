@@ -314,6 +314,59 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 3"""),
     "Two-stage ANN: int8 coarse top-10 candidates, exact float re-rank to top-3.")
 
+  // Matryoshka (truncated-dimension) two-stage retrieval: the coarse
+  // stage scores on the FIRST 16 dimensions only — the nesting property
+  // matryoshka-trained embedders guarantee — recalling top-10 candidates
+  // per query, then exact 64-dim cosine re-ranks to top-3. Same contract
+  // shape as e_knn_rerank, different recall stage: where quantization
+  // shrinks bytes-per-dim, truncation shrinks dims (4x fewer multiplies
+  // AND 4x less memory traffic in the corpus scan); production systems
+  // pick per tier or stack both. Candidate truncation (crnk<=10) is the
+  // operator's contract, mirrored in the oracle.
+  private val eKnnMatryoshka = GQuery(
+    "e_knn_matryoshka",
+    (s, dir) => {
+      val base = prepped(s, dir)
+        .withColumn("ep", expr("slice(ed, 1, 16)"))
+        .withColumn("pn", sqrt(GraftFunctions.vecDot(col("ep"), col("ep"))))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ep").as("qp"), col("pn").as("qpn"))
+      val cand = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_p",
+          round(GraftFunctions.vecDot(col("qp"), col("ep")) / (col("qpn") * col("pn")), 6))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_p").desc, col("vec_id"))))
+        .filter(col("crnk") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val ex = prepped(s, dir).select(col("vec_id"), col("ed"), col("nrm"))
+      cand
+        .join(ex, Seq("vec_id"))
+        .join(broadcast(ex.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+        .withColumn("cos_sim", cosCol)
+        .select(col("qid"), col("vec_id"), col("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 3)
+    },
+    Some(s"""$duckPrep,
+pp AS (SELECT vec_id, ed[1:16] AS ep,
+        sqrt(list_aggregate(list_transform(ed[1:16], x -> x * x), 'sum')) AS pn FROM n),
+qq AS (SELECT vec_id AS qid, ep AS qp, pn AS qpn FROM pp WHERE vec_id < 10),
+cand AS (SELECT qid, vec_id FROM (
+    SELECT qq.qid, pp.vec_id,
+           row_number() OVER (PARTITION BY qq.qid ORDER BY
+             round(list_aggregate(list_transform(range(16), i -> qq.qp[i + 1] * pp.ep[i + 1]), 'sum') / (qq.qpn * pp.pn), 6) DESC, pp.vec_id) AS crnk
+    FROM qq, pp WHERE pp.vec_id <> qq.qid)
+  WHERE crnk <= 10),
+p AS (SELECT c.qid, c.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> nq.ed[i + 1] * n.ed[i + 1]), 'sum') / (nq.nrm * n.nrm), 6) AS cos_sim
+      FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN n nq ON nq.vec_id = c.qid)
+SELECT qid, vec_id, cos_sim, rnk
+FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM p)
+WHERE rnk <= 3"""),
+    "Matryoshka ANN: 16-dim truncated coarse top-10, exact 64-dim re-rank to top-3.")
+
   // Per-label centroids: posexplode + partial/final hash agg, one shuffle.
   // avg re-associates across partials vs the oracle's sequential sum, so
   // the same +1e-9 pre-round nudge as a2b guards the rounding boundary.
@@ -375,5 +428,5 @@ SELECT label, c_label AS assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1,
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
-      eNeardup, eCentroids, eAssign)
+      eKnnMatryoshka, eNeardup, eCentroids, eAssign)
 }

@@ -22,7 +22,7 @@ class PlanHygieneSpec extends SparkSpec {
     * e_assign_confusion cross-joins the 10-row centroid model. */
   private val nestedLoopByDesign =
     Set("e_knn_brute", "e_knn_l2", "e_knn_quant", "e_knn_ivf", "e_knn_rerank",
-      "t_tfidf", "e_assign_confusion")
+      "e_knn_matryoshka", "t_tfidf", "e_assign_confusion")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
