@@ -357,6 +357,57 @@ object StatefulProcessors {
     }
   }
 
+  /** Bounded top-k state for one key: parallel primitive arrays (cheap
+    * to encode, no nested-row overhead), kept sorted (score desc, id). */
+  final case class TopKState(scores: Array[Double], ids: Array[Long])
+
+  /** One emitted ranking row. */
+  final case class RankedHit(qid: Long, vec_id: Long, score: Double, rank: Int)
+
+  /** Continuous grouped top-k — the streaming dual of the batch kNN
+    * family's TakeOrdered stage: per key, a BOUNDED heap of the k best
+    * (score, id) pairs ever seen, merged with each micro-batch's
+    * arrivals and re-emitted in full (rank 1..k) whenever the batch
+    * touched the key. State is O(k) per key forever — no watermark
+    * needed because top-k only improves monotonically; ties break on
+    * the smaller id, so the ranking is deterministic under any arrival
+    * order. Consumers replace a key's previous ranking wholesale on
+    * each emission (Update-mode semantics). */
+  final class TopKProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), RankedHit] {
+
+    @transient private var state: ValueState[TopKState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TopKState]("topk",
+        Encoders.product[TopKState], TTLConfig.NONE)
+
+    override def handleInputRows(qid: Long, rows: Iterator[(Long, Long, Double)],
+        tv: TimerValues): Iterator[RankedHit] = {
+      val prev = if (state.exists()) {
+        val s = state.get()
+        s.scores.zip(s.ids).map { case (sc, id) => (sc, id) }.toSeq
+      } else Seq.empty[(Double, Long)]
+      val merged = (prev ++ rows.map { case (_, id, sc) => (sc, id) })
+        .distinct
+        .sortBy { case (sc, id) => (-sc, id) }
+        .take(k)
+      state.update(TopKState(merged.map(_._1).toArray, merged.map(_._2).toArray))
+      merged.iterator.zipWithIndex.map { case ((sc, id), i) =>
+        RankedHit(qid, id, sc, i + 1)
+      }
+    }
+  }
+
+  private implicit val rankedEnc = Encoders.product[RankedHit]
+  private implicit val lldEnc =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+
+  /** Continuous top-k over a stream of (qid, vec_id, score) triples. */
+  def topKPerKey(scored: Dataset[(Long, Long, Double)], k: Int = 5): Dataset[RankedHit] =
+    scored.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+
   private implicit val packedEnc = Encoders.product[PackedDoc]
   private implicit val llEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
 

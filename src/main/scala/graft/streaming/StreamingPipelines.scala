@@ -223,6 +223,27 @@ object StreamingPipelines {
       .groupBy(col("win_label"))
       .agg(count(lit(1)).as("active_users"))
 
+  /** Streaming kNN — continuous retrieval over an embedding stream: each
+    * arriving vector is scored (cosine) against the BROADCAST query set
+    * map-side (explode over a literal query array + the compiled dot
+    * kernel — no shuffle of the stream), and [[StatefulProcessors.topKPerKey]]
+    * maintains each query's best-k-ever ranking with O(k) state per
+    * query. The streaming dual of e_knn_brute's TakeOrdered stage. */
+  def streamingKnn(embStream: DataFrame, queries: Seq[(Long, Seq[Double])],
+      k: Int = 5): org.apache.spark.sql.Dataset[StatefulProcessors.RankedHit] = {
+    val s = embStream.sparkSession
+    import s.implicits._
+    val scored = embStream
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("ed"))
+      .withColumn("q", explode(typedLit(queries)))
+      .select(col("q._1").as("qid"), col("vec_id"),
+        (graft.functions.GraftFunctions.vecDot(col("q._2"), col("ed")) /
+          (sqrt(graft.functions.GraftFunctions.vecDot(col("q._2"), col("q._2"))) *
+            sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))).as("score"))
+      .as[(Long, Long, Double)]
+    StatefulProcessors.topKPerKey(scored, k)
+  }
+
   /** Streaming decontamination — the streaming dual of the batch
     * `d_decontaminate` query, sharing its EXACT gram domain
     * ([[graft.operators.TextOps.gram13Expr]]): route any incoming
