@@ -192,7 +192,7 @@ SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM r WHERE rn = 1"""),
   FROM events),
 s AS (SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY t, delta
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM iv)
-SELECT d, max(rs) AS peak FROM s GROUP BY d"""),
+SELECT d, CAST(max(rs) AS BIGINT) AS peak FROM s GROUP BY d"""),
     "Max concurrent sessions per day via hierarchical sweep-line prefix sum.")
 
   // EWMA smoothing over each user's last 8 values — time-series feature

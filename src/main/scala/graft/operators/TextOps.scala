@@ -844,7 +844,8 @@ FROM tr JOIN e USING (g) GROUP BY 1"""),
 c AS (SELECT doc_id, n,
              COALESCE(sum(n) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
       FROM t)
-SELECT doc_id, n AS n_tokens, prev // 2048 AS bin, prev % 2048 AS bin_offset FROM c"""),
+SELECT doc_id, n AS n_tokens, CAST(prev // 2048 AS BIGINT) AS bin,
+       CAST(prev % 2048 AS BIGINT) AS bin_offset FROM c"""),
     "Deterministic sequence packing into 2048-token bins (hierarchical prefix sum).")
 
   // ---------------------------------------------------------------------
@@ -933,7 +934,7 @@ SELECT new_doc, existing_doc, est_sim FROM pairs WHERE est_sim >= 0.5"""),
 v AS (SELECT t, 1 AS in_v FROM (SELECT t, count(*) AS c FROM tok GROUP BY 1
                                 ORDER BY c DESC, t LIMIT 16)),
 a AS (SELECT doc_id, count(*) AS n_tokens,
-             sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS n_oov
+             CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
       FROM tok LEFT JOIN v USING (t) GROUP BY 1)
 SELECT doc_id, n_tokens, n_oov,
        round(n_oov / n_tokens::DOUBLE + 1e-9, 4) AS oov_ratio FROM a"""),

@@ -40,6 +40,46 @@ class OracleHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  // Round-5 lesson: DuckDB types sum(BIGINT/INT) — window sums included —
+  // as HUGEINT; Spark emits BIGINT; the driver hashes TYPED values, so an
+  // untyped sum in an oracle's final SELECT fails the driver gate even at
+  // exact value equality (a11_peak_concurrency, d_pack_sequences,
+  // t_vocab_coverage were red 2 rounds on exactly this). The authoritative
+  // check needs DuckDB itself, which lives in the driver-side Python — so
+  // dump the oracle strings and shell out to tools/type_audit.py, which
+  // DESCRIBEs every oracle and bans HUGEINT output columns. Skips (does
+  // not fail) when python3+duckdb or the fixture dir is unavailable.
+  test("no oracle output column is HUGEINT-typed (DuckDB DESCRIBE audit)") {
+    import scala.sys.process._
+    val sfdir = "/root/testdata/sf0.001"
+    val pyOk = scala.util.Try(
+      Seq("python3", "-c", "import duckdb").! == 0).getOrElse(false)
+    assume(pyOk && new java.io.File(sfdir).isDirectory,
+      "python3+duckdb or fixture dir unavailable — audit runs via tools/check.py instead")
+    val tmp = java.io.File.createTempFile("oracle_sql", ".json")
+    tmp.deleteOnExit()
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try w.write(SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .map { case (k, v) => quote(k) + ": " + quote(v) }
+      .mkString("{", ",\n", "}"))
+    finally w.close()
+    val out = new StringBuilder
+    val code = Seq("python3", "tools/type_audit.py", tmp.getAbsolutePath, sfdir)
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    assert(code == 0, s"HUGEINT-typed oracle output:\n$out")
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   test("every registered query either has an oracle or is declared rows-only") {
     // rows-only queries (engine-specific sketches) must be the exception,
     // enumerated here so a silently-dropped oracle cannot hide
