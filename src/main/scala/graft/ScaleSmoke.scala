@@ -31,7 +31,10 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
-    val mult = args.headOption.map(_.toInt).getOrElse(16)
+    // tolerant parse: `ScaleSmoke skew` (flag only) falls back to x16
+    // instead of throwing NumberFormatException on the mode word
+    val mult = args.headOption.filter(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toInt).getOrElse(16)
     val skewed = args.contains("skew")
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_sfbig_x$mult" + (if (skewed) "_skew" else "")

@@ -286,10 +286,14 @@ FROM c JOIN t USING (from_type)"""),
       // active day) — collected like the CMS sketch rather than joined:
       // a scalar join survives only as a nested-loop plan, and a 1-row
       // aggregate collect is input-size-independent
-      val maxd = du.agg(max(col("d"))).head().getLong(0)
-      du.select(explode(expr("sequence(d, d + 6)")).as("day"), col("user_id"))
+      // null-safe: max(d) over zero events is NULL — degrade to an empty
+      // frame (same schema) instead of getLong throwing on null
+      val maxd = Option(du.agg(max(col("d"))).head().getAs[java.lang.Long](0))
+      val rolled = du
+        .select(explode(expr("sequence(d, d + 6)")).as("day"), col("user_id"))
         .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau7"))
-        .filter(col("day") <= lit(maxd))
+      maxd.map(m => rolled.filter(col("day") <= lit(m.longValue)))
+        .getOrElse(rolled.filter(lit(false)))
         .join(daily, col("day") === col("d"), "left")
         .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau7"))
     },

@@ -388,8 +388,14 @@ object StatefulProcessors {
         val s = state.get()
         s.scores.zip(s.ids).map { case (sc, id) => (sc, id) }.toSeq
       } else Seq.empty[(Double, Long)]
+      // collapse per vec_id keeping the BEST score (not distinct on the
+      // full pair): a re-embedded vector that re-arrives with a changed
+      // score must occupy one ranking slot, and top-k semantics here are
+      // monotone-improvement, so best-ever wins
       val merged = (prev ++ rows.map { case (_, id, sc) => (sc, id) })
-        .distinct
+        .groupBy(_._2).iterator
+        .map { case (id, hits) => (hits.iterator.map(_._1).max, id) }
+        .toSeq
         .sortBy { case (sc, id) => (-sc, id) }
         .take(k)
       state.update(TopKState(merged.map(_._1).toArray, merged.map(_._2).toArray))

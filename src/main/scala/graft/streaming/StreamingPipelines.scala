@@ -268,13 +268,23 @@ object StreamingPipelines {
 
   /** Build the eval gram array for [[decontaminate]] from a static
     * document frame — bounded collect, mirrors the batch query's
-    * broadcast side. */
-  def evalGramSet(evalDocs: DataFrame): Array[Long] =
-    evalDocs
+    * broadcast side. The collect is bounded BY CONSTRUCTION, not by
+    * assumption: `limit(maxGrams + 1)` caps what ever reaches the
+    * driver, and crossing the cap fails loudly — the 100 TB contract is
+    * that the eval side is benchmark-sized (MBs); a corpus-sized "eval"
+    * set must go through the batch d_decontaminate join instead. */
+  def evalGramSet(evalDocs: DataFrame, maxGrams: Int = 10000000): Array[Long] = {
+    val rows = evalDocs
       .withColumn("toks", split(col("text"), " "))
       .filter(expr("size(toks) >= 13"))
       .select(explode(graft.operators.TextOps.gram13(col("toks"))).as("g"))
-      .distinct().collect().map(_.getLong(0)).sorted
+      .distinct().limit(maxGrams + 1).collect()
+    require(rows.length <= maxGrams,
+      s"evalGramSet: eval side exceeds $maxGrams distinct 13-gram hashes — " +
+        "the broadcast decontamination path assumes a bounded eval set; " +
+        "shard the eval benchmarks or use the batch join path")
+    rows.map(_.getLong(0)).sorted
+  }
 
   // M1: split via side output (StreamSplitAndCombine.java:72-100) — two
   // predicates over one stream; each branch becomes its own sink/query.

@@ -80,4 +80,30 @@ class StreamingKnnSpec extends SparkSpec {
     } finally q.stop()
     }
   }
+
+  test("re-arrival with a CHANGED score keeps one slot per vector (best wins)") {
+    withRocksDb {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[EmbRow]
+    val q = StreamingPipelines.streamingKnn(in.toDF(), Seq(1L -> Seq(1.0, 0.0)), k = 3)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("knn_upd").start()
+    try {
+      in.addData(EmbRow(5, Array(1f, 1f)), EmbRow(6, Array(1f, 2f)))
+      q.processAllAvailable()
+      // vec 5 re-embedded: better cosine than before AND than vec 6 —
+      // it must occupy ONE slot (rank 1), not its old and new score both
+      in.addData(EmbRow(5, Array(1f, 0f)))
+      q.processAllAvailable()
+      val rows = s.table("knn_upd")
+        .selectExpr("vec_id", "rank").as[(Long, Int)].collect()
+      // latest emission per rank (Update mode over an append table)
+      val latest = rows.zipWithIndex.groupBy(_._1._2)
+        .map { case (r, vs) => r -> vs.maxBy(_._2)._1._1 }
+      assert(latest === Map(1 -> 5L, 2 -> 6L))
+    } finally q.stop()
+    }
+  }
 }
