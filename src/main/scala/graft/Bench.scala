@@ -49,7 +49,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the host's full core count: an unset SPARK_GRAFT_CPUS
+    // must not quietly benchmark at local[4] on a 32-core box
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = Sessions.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up (untimed): scan every table once and run one higher-order-

@@ -8,7 +8,8 @@ object Verify {
     val Array(sfDir, outDir, rest @ _*) = args
     // Optional extra args = only re-dump these queries (local iteration).
     val only: Set[String] = rest.toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = Sessions.local(cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -36,6 +37,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Comparison-environment receipt (separate file — the driver's
+    // json.load of oracle_sql.json must see only name->SQL pairs): the
+    // LOCAL DuckDB version the oracles were developed against, so a
+    // driver-vs-local hash divergence is diagnosable from artifacts
+    // alone (round-5's HUGEINT hunt started version-blind).
+    val duckv = scala.util.Try(scala.sys.process.Process(
+      Seq("python3", "-c", "import duckdb; print(duckdb.__version__)")).!!.trim)
+      .getOrElse("unavailable")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"duckdb_local": ${q(duckv)}, "spark": ${q(spark.version)}, "java": ${q(System.getProperty("java.version"))}}""")
     spark.stop()
   }
 }
