@@ -41,10 +41,12 @@ object StreamingPipelines {
   def textFileSource(spark: SparkSession, dir: String): DataFrame =
     parseCsvLines(spark.readStream.text(dir))
 
-  /** S2: Kafka source config (WindowingOperations.java:47-60). Compiles
-    * against the bundled Kafka connector; no broker exists in this sandbox
-    * so coverage comes from MemoryStream tests over the same downstream
-    * transforms. */
+  /** S2: Kafka source config (WindowingOperations.java:47-60). The
+    * "kafka" format string resolves at runtime against the
+    * spark-sql-kafka connector, which a real deployment bundles; this
+    * sandbox has neither the connector jar nor a broker (KafkaWireSpec
+    * pins that status), so coverage comes from MemoryStream tests over
+    * the same downstream transforms. */
   def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
     parseCsvLines(
       spark.readStream
