@@ -426,4 +426,126 @@ object StatefulProcessors {
       .groupByKey(t => math.floorMod(t._1.hashCode, shards))
       .transformWithState(new SequencePackerProcessor(binTokens, shards),
         TimeMode.None(), OutputMode.Append())
+
+  /** One event-time window closed (or flagged) by the staircase
+    * watermark: `kind` is "closed" (watermark passed the window end),
+    * "late" (event for an already-closed window), or "idle" (the
+    * per-key source went quiet — `window_start` carries the final
+    * effective watermark, `n` the count of still-open windows). */
+  final case class WmWindow(user_id: Long, window_start: Timestamp, n: Long, kind: String)
+
+  /** T3: the reference's hand-rolled processing-time WatermarkGenerator
+    * (EventTimeOperations.java:96-139), re-expressed as a stateful
+    * operator that OWNS the window-close/late decision — Structured
+    * Streaming exposes no custom-watermark hook, so the faithful move is
+    * to take the watermark out of the engine's hands entirely. Policy
+    * math is the reference's exactly: the first event pins the staircase
+    * base to the current wall clock (`currWaterMark = currentTime`);
+    * later events advance the base to `now` only when
+    * `now - base > advanceMs` (the 10 s staircase); the effective
+    * watermark is always `base - bufferMs` (the -2 s buffer); and a
+    * processing-time timer plays `onPeriodicEmit` — when `advanceMs`
+    * passes with no input for the key, it emits the final watermark
+    * value as an `idle` marker WITHOUT advancing it, so open windows
+    * stall exactly as a Flink window operator does over a single idle
+    * source (`markIdle` only releases OTHER sources' watermarks).
+    * Events whose tumbling window the effective watermark already
+    * closed emit with `kind = "late"` — the in-operator analog of the
+    * reference's side-output tag (T4 proper is `LateDataRouter`).
+    *
+    * Documented deviations: the staircase is per KEY, not per source
+    * partition (transformWithState state is keyed — strictly finer,
+    * same policy math); late routing is an output flag rather than a
+    * second DataFrame (split downstream on `kind`).
+    *
+    * Scale: state per key is two longs plus the OPEN-window map, which
+    * is bounded by windows-per-staircase-step (advanceMs / windowMs + 1
+    * entries live at once), not by event volume.
+    */
+  final class StaircaseWatermarkProcessor(
+      windowMs: Long, advanceMs: Long, bufferMs: Long)
+      extends StatefulProcessor[Long, Ev, WmWindow] {
+
+    @transient private var base: ValueState[Long] = _       // staircase wall-clock base
+    @transient private var closedUpTo: ValueState[Long] = _ // effective watermark already applied
+    @transient private var armed: ValueState[Long] = _      // expiry of the live idleness timer
+    @transient private var open: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      base = getHandle.getValueState[Long]("base", Encoders.scalaLong, TTLConfig.NONE)
+      closedUpTo = getHandle.getValueState[Long]("closedUpTo", Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+      open = getHandle.getMapState[Long, Long]("open",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Emit and drop every open window whose END the watermark passed. */
+    private def closeReady(user: Long, effective: Long): Seq[WmWindow] = {
+      val ready = open.iterator().filter { case (ws, _) => ws + windowMs <= effective }.toSeq
+      ready.sortBy(_._1).map { case (ws, n) =>
+        open.removeKey(ws)
+        WmWindow(user, new Timestamp(ws), n, "closed")
+      }
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[WmWindow] = {
+      val now = tv.getCurrentProcessingTimeInMs()
+      // The staircase: pin on first event, jump only past advanceMs.
+      val b0 = if (base.exists()) base.get() else { base.update(now); now }
+      val b = if (now - b0 > advanceMs) { base.update(now); now } else b0
+      val effective = b - bufferMs
+      val floor = if (closedUpTo.exists()) closedUpTo.get() else Long.MinValue
+      val out = Seq.newBuilder[WmWindow]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val ws = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+        if (ws + windowMs <= floor) out += WmWindow(user, e.ts, 1L, "late")
+        else {
+          val n = if (open.containsKey(ws)) open.getValue(ws) else 0L
+          open.updateValue(ws, n + 1L)
+        }
+      }
+      out ++= closeReady(user, effective)
+      if (effective > floor) closedUpTo.update(effective)
+      // Arm/refresh the idleness check (onPeriodicEmit's micro-batch
+      // stand-in); delete-before-rearm so one timer is live per key and
+      // idleness is marked once, not once per superseded batch.
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val want = now + advanceMs + 1L
+      getHandle.registerTimer(want)
+      armed.update(want)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[WmWindow] = {
+      val now = tv.getCurrentProcessingTimeInMs()
+      armed.clear()
+      if (base.exists() && now - base.get() > advanceMs) {
+        // Final watermark + markIdle: re-emit the UNCHANGED effective
+        // watermark; open windows deliberately stay open.
+        val stillOpen = open.iterator().size.toLong
+        Iterator.single(
+          WmWindow(user, new Timestamp(base.get() - bufferMs), stillOpen, "idle"))
+      } else Iterator.empty // events arrived since; a fresher timer is armed
+    }
+  }
+
+  private implicit val wmwEnc = Encoders.product[WmWindow]
+
+  /** T3 wiring: tumbling event-time windows closed by the per-key
+    * staircase watermark above (defaults = the reference's constants:
+    * 1 s windows closed by a 10 s wall-clock staircase minus 2 s).
+    *
+    * Run the query with an explicit `Trigger.ProcessingTime(...)`: in
+    * `TimeMode.ProcessingTime` the engine considers another batch
+    * always warranted (that is what fires timers with no input — the
+    * periodic-emit channel), so the default as-fast-as-possible trigger
+    * busy-loops no-data batches, and `processAllAvailable()` never
+    * returns (poll the sink instead — see StaircaseWatermarkSpec). */
+  def staircaseWindows(events: Dataset[Ev], windowMs: Long = 1000L,
+      advanceMs: Long = 10000L, bufferMs: Long = 2000L): Dataset[WmWindow] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new StaircaseWatermarkProcessor(windowMs, advanceMs, bufferMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
 }

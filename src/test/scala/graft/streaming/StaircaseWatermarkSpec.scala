@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** T3 (EventTimeOperations.java:96-139): the wall-clock staircase
+  * watermark as a stateful operator.
+  *
+  * Wall-clock-driven by design, so the harness differs from the other
+  * streaming specs in two deliberate ways. First, `TimeMode.
+  * ProcessingTime` makes the engine construct no-data micro-batches
+  * continuously (`shouldRunAnotherBatch` is unconditionally true for
+  * that mode), so `processAllAvailable()` NEVER RETURNS — every barrier
+  * here polls the sink for the expected outcome under a deadline, and
+  * the query runs on a real trigger interval to keep the no-data loop
+  * from spinning. Second, assertions are written to hold under
+  * arbitrary scheduling stalls: nothing asserts "window still open"
+  * (a stalled host may legitimately advance the staircase), only
+  * outcomes the policy guarantees eventually.
+  */
+class StaircaseWatermarkSpec extends SparkSpec {
+
+  private def ev(id: Long, tsMs: Long, user: Long): Ev =
+    Ev(id, new Timestamp(tsMs), user, "click", 1.0)
+
+  private def withRocksDb[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def sleepPast(anchorMs: Long, deltaMs: Long): Unit =
+    while (System.currentTimeMillis() <= anchorMs + deltaMs) Thread.sleep(25)
+
+  /** Poll until `cond` holds; fail with `what` on deadline. */
+  private def eventually(what: String, timeoutMs: Long = 30000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond) {
+      assert(System.currentTimeMillis() < deadline, s"timed out waiting for: $what")
+      Thread.sleep(100)
+    }
+  }
+
+  test("staircase advance closes elapsed windows, routes late events, and marks idleness") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+
+      val windowMs = 200L
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors
+        .staircaseWindows(in.toDS(), windowMs = windowMs, advanceMs = 1500L, bufferMs = 100L)
+        .writeStream.outputMode("append")
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .format("memory").queryName("staircase").start()
+      try {
+        def closedOldSum(beforeMs: Long): Long = s.table("staircase")
+          .where(s"kind = 'closed' AND unix_millis(window_start) < $beforeMs")
+          .selectExpr("coalesce(sum(n), 0)").as[Long].head()
+
+        // Two events timestamped "now": their window ends ahead of the
+        // effective watermark the first batch can pin, so they open.
+        val t0 = System.currentTimeMillis()
+        in.addData(ev(1, t0, 1), ev(2, t0 + 1, 1))
+
+        // Past the staircase step, a third event jumps the base; the
+        // effective watermark (now - 100ms) passes the first windows'
+        // ends and both events close (as one window or two if they
+        // straddled a 200ms boundary — the sum is what's guaranteed).
+        sleepPast(t0, 2000)
+        val t3 = System.currentTimeMillis()
+        in.addData(ev(3, t3, 1))
+        val e3ws = Math.floorDiv(t3, windowMs) * windowMs
+        eventually("batch-1 windows close after the staircase jump") {
+          closedOldSum(e3ws) == 2L
+        }
+
+        // An event timestamped back in a closed window routes as late:
+        // its window end sits behind the applied watermark for certain
+        // (closedUpTo >= t3 - 100ms > t0 + 200ms).
+        in.addData(ev(4, t0, 1))
+        eventually("stale-timestamped event routed late") {
+          s.table("staircase").where("kind = 'late'").count() == 1L
+        }
+
+        // Silence past the staircase step: the armed processing-time
+        // timer plays onPeriodicEmit and marks the key idle. Open
+        // windows deliberately do NOT flush — an idle source stalls its
+        // watermark (markIdle only releases other sources').
+        eventually("idleness marker after a silent staircase step") {
+          s.table("staircase").where("kind = 'idle'").count() >= 1L
+        }
+        val out = s.table("staircase")
+          .selectExpr("user_id", "kind").as[(Long, String)].collect()
+        assert(out.forall(_._1 == 1L))
+        assert(out.map(_._2).toSet.subsetOf(Set("closed", "late", "idle")))
+        // Policy invariant under any stall: exactly the two batch-1
+        // events ever close before e3's window.
+        assert(closedOldSum(e3ws) === 2L)
+      } finally q.stop()
+    }
+  }
+}
