@@ -36,8 +36,15 @@ object ScaleSmoke {
     val mult = args.headOption.filter(a => a.nonEmpty && a.forall(_.isDigit))
       .map(_.toInt).getOrElse(16)
     val skewed = args.contains("skew")
+    // `consteval`: scale the TRAIN side only — replicated document
+    // copies drop their would-be eval docs so the eval set stays the
+    // original copy's. This is decontamination's production shape
+    // (benchmarks are fixed while corpora grow); the default replication
+    // grows the eval side with the corpus and so overstates its cost.
+    val constEval = args.contains("consteval")
     val src = "/root/testdata/sf0.1"
-    val dst = s"/tmp/graft_sfbig_x$mult" + (if (skewed) "_skew" else "")
+    val dst = s"/tmp/graft_sfbig_x$mult" +
+      (if (skewed) "_skew" else if (constEval) "_consteval" else "")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -54,7 +61,18 @@ object ScaleSmoke {
     if (!done.exists()) {
       Tables.all.foreach { t =>
         val base = Tables.t(spark, src, t)
-        val rep = big.get(t).map(off => replicate(base, mult, off)).getOrElse(base)
+        val rep =
+          if (constEval && t == "documents") {
+            // copy 0 intact; copies i>0 keep only train docs. Same eval
+            // membership predicate as TextOps.contaminationHits (hash32
+            // of the string doc_id, mod 4), applied to the offset id.
+            val evalPred =
+              expr("cast(conv(substring(md5(cast(doc_id AS string)),1,8),16,10) as bigint) % 4 = 0")
+            (0 until mult).map { i =>
+              val c = base.withColumn("doc_id", col("doc_id") + lit(10000000L * i))
+              if (i == 0) c else c.filter(!evalPred)
+            }.reduce(_ unionByName _)
+          } else big.get(t).map(off => replicate(base, mult, off)).getOrElse(base)
         val out = if (skewed && t == "events")
           rep.withColumn("user_id",
             when(pmod(col("event_id"), lit(5)) === 0, lit(7L)).otherwise(col("user_id")))
@@ -84,9 +102,18 @@ object ScaleSmoke {
       "a11_peak_concurrency", "q_salted_join", "q_unpivot",
       "d_decontaminate", "d_pack_sequences", "d_ingest_neardup",
       "t_vocab_coverage", "a14_rolling_dau")
+    // Constant-eval subset: the round-5 newcomers whose 100 TB claims
+    // the receipts must back (a14/e_knn ride along — their tables are
+    // replicated identically in this fixture).
+    val constEvalSubset = Seq(
+      "d_decontaminate", "d_contamination_report",
+      "a14_rolling_dau", "e_knn_matryoshka")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
-    val subset = if (skewed || args.contains("hotq")) skewSubset else uniformSubset
+    val subset =
+      if (skewed || args.contains("hotq")) skewSubset
+      else if (constEval) constEvalSubset
+      else uniformSubset
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()
       val ok =
