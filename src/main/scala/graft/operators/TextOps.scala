@@ -940,11 +940,69 @@ SELECT doc_id, n_tokens, n_oov,
        round(n_oov / n_tokens::DOUBLE + 1e-9, 4) AS oov_ratio FROM a"""),
     "Top-V induced vocabulary + per-document out-of-vocabulary rate.")
 
+  // ---------------------------------------------------------------------
+  // BM25 ranked retrieval — Okapi BM25 (k1 = 1.2, b = 0.75) of the corpus
+  // against a fixed query-term set, top-20 documents. Cross-engine float
+  // discipline: IDF is the only transcendental (ln differs in the last
+  // bit between engines) and is pinned to 8 dp; the tf normalization is
+  // pure rational arithmetic on integers (bit-exact in IEEE doubles on
+  // both engines); each per-term contribution is then scaled to an
+  // integer micro-score so the per-doc SUM is exact and order-free — a
+  // float sum across terms would round differently per aggregation
+  // order. Scale shape: doc length rides the tokenize scan (no dl join),
+  // the term filter collapses the explode to query-term rows only, the
+  // df/N sides are tiny broadcasts, and the final top-20 is a
+  // TakeOrdered — no full sort, one doc_id-keyed shuffle total.
+  private val tBm25 = GQuery(
+    "t_bm25_rank",
+    (s, dir) => {
+      val qterms = Seq("hash", "join", "scan", "vector")
+      val tok = docs(s, dir)
+        .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+        .withColumn("dl", expr("cast(size(toks) AS bigint)"))
+      val stats = tok.agg(count(lit(1)).as("n"),
+        sum(col("dl")).as("sumdl"))
+      val tf = tok
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("c"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), Seq("term")).crossJoin(broadcast(stats))
+        .withColumn("idf", round(
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) + lit(1e-9), 8))
+        .withColumn("tfnorm", col("c") * lit(2.2) /
+          (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+            (col("sumdl").cast("double") / col("n")))))
+        .withColumn("contrib", expr("cast(round(idf * tfnorm * 1000000.0 + 1e-9) AS bigint)"))
+        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("sc"))
+        .select(col("doc_id"),
+          expr("round(cast(sc AS double) / 1000000.0, 4)").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+t AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM d),
+st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM t),
+tf AS (SELECT doc_id, dl, term, count(*) AS c
+       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM t)
+       WHERE term IN ('hash', 'join', 'scan', 'vector') GROUP BY 1, 2, 3),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+co AS (SELECT tf.doc_id,
+         CAST(round(
+           round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) + 1e-9, 8)
+           * (tf.c * 2.2 / (tf.c + 1.2 * (0.25 + 0.75 * tf.dl / (st.sumdl::DOUBLE / st.n))))
+           * 1000000.0 + 1e-9) AS BIGINT) AS contrib
+       FROM tf JOIN dfq USING (term), st),
+agg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS sc FROM co GROUP BY 1)
+SELECT doc_id, round(sc / 1000000.0, 4) AS score
+FROM agg ORDER BY score DESC, doc_id LIMIT 20"""),
+    "Okapi BM25 top-20 against a fixed query (pinned IDF, exact integer score sum).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
-    dContaminationReport)
+    dContaminationReport, tBm25)
 }
