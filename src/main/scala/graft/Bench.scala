@@ -45,7 +45,9 @@ object Bench {
     "a11_peak_concurrency", "e_assign_confusion",
     // round-5 additions
     "d_decontaminate", "d_pack_sequences", "d_ingest_neardup",
-    "t_vocab_coverage", "a14_rolling_dau", "e_knn_matryoshka")
+    "t_vocab_coverage", "a14_rolling_dau", "e_knn_matryoshka",
+    // round-6 additions
+    "t_bm25_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -495,7 +495,14 @@ SELECT doc_a, doc_b, min(hamming) AS hamming FROM p WHERE hamming <= 3 GROUP BY 
         .withColumn("fp", expr("md5(lower(trim(text)))"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
         .select(col("keeper").as("doc_id"))
+      // The survivor set feeds BOTH the LSH pair stage and the final
+      // anti-join, and Catalyst does not share subtrees across joins —
+      // uncheckpointed, the corpus scan + quality score + exact-dedup
+      // join run twice. Eager localCheckpoint materializes it once; at
+      // 100 TB that stores the (deduped, quality-gated) survivor text
+      // once in exchange for dropping a second full-corpus scan.
       val survivors = quality.join(exactKeepers, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       // near-dup representatives among the survivors: drop any doc whose
       // component label is a smaller doc_id
       val nearDupLosers = minLabelComponents(
