@@ -1005,11 +1005,36 @@ SELECT doc_id, round(sc / 1000000.0, 4) AS score
 FROM agg ORDER BY score DESC, doc_id LIMIT 20"""),
     "Okapi BM25 top-20 against a fixed query (pinned IDF, exact integer score sum).")
 
+  // ---------------------------------------------------------------------
+  // Fixed-size uniform corpus sample — bottom-k by hash priority, the
+  // reservoir-sampling equivalent that distributes: every engine
+  // (and every RE-RUN) picks the same k documents, because the
+  // "random" priority is a hash of the doc id, and a reservoir over a
+  // stream of priorities is exactly "keep the k smallest". Contrast
+  // d_hash_sample (Bernoulli: fixed RATE, size varies with corpus) —
+  // training-set construction usually wants the fixed SIZE. Scale
+  // shape: priority is a pure map in the scan and bottom-k is a
+  // TakeOrdered (per-partition heaps + driver merge of k*P rows) — no
+  // global sort, no shuffle of the corpus. Streaming dual:
+  // StatefulProcessors.topKPerKey over negated priorities
+  // (ReservoirStreamSpec proves batch/stream equivalence).
+  private val dReservoir = GQuery(
+    "d_reservoir_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("pri", expr(hS48("cast(doc_id AS string)")))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(256)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+ORDER BY ${hD48("CAST(doc_id AS VARCHAR)")}, doc_id LIMIT 256"""),
+    "Deterministic fixed-size-256 uniform sample (bottom-k hash priority, TakeOrdered).")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
-    dContaminationReport, tBm25)
+    dContaminationReport, tBm25, dReservoir)
 }

@@ -427,6 +427,25 @@ object StatefulProcessors {
       .transformWithState(new SequencePackerProcessor(binTokens, shards),
         TimeMode.None(), OutputMode.Append())
 
+  /** Streaming dual of the batch `d_reservoir_sample`: a distributed
+    * reservoir keeping the k smallest hash priorities per shard —
+    * identical priorities (48-bit md5 of the doc id, exact in a double)
+    * and identical tiebreak as the batch query, so the stream converges
+    * to EXACTLY the batch answer on the same documents
+    * (ReservoirStreamSpec proves the equivalence). State is bounded at
+    * shards * k entries regardless of stream length; the global sample
+    * is the bottom-k of the (tiny) union of shard outputs. */
+  def reservoirStream(docs: org.apache.spark.sql.DataFrame, k: Int = 64,
+      shards: Int = 8): Dataset[RankedHit] =
+    docs.selectExpr(
+        "cast(pmod(doc_id, " + shards + ") AS bigint) AS shard",
+        "doc_id",
+        // negated: TopKProcessor keeps best-score-desc = smallest priority
+        "cast(-cast(conv(substring(md5(cast(doc_id AS string)),1,12),16,10) AS bigint) AS double) AS score")
+      .as[(Long, Long, Double)](lldEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+
   /** One event-time window closed (or flagged) by the staircase
     * watermark: `kind` is "closed" (watermark passed the window end),
     * "late" (event for an already-closed window), or "idle" (the
