@@ -1030,11 +1030,54 @@ FROM agg ORDER BY score DESC, doc_id LIMIT 20"""),
 ORDER BY ${hD48("CAST(doc_id AS VARCHAR)")}, doc_id LIMIT 256"""),
     "Deterministic fixed-size-256 uniform sample (bottom-k hash priority, TakeOrdered).")
 
+  // ---------------------------------------------------------------------
+  // Temperature-weighted domain mixing — the multilingual-corpus
+  // sampling policy (share_d proportional to n_d^alpha, alpha = 0.5):
+  // raw proportions starve low-resource domains, uniform shares starve
+  // high-resource ones; the alpha exponent interpolates. Given a budget
+  // of K = 512 documents, each language gets
+  // target_d = min(n_d, max(1, floor(K * w_d / sum(w)))) picks, chosen
+  // deterministically by hash rank within the language (the same
+  // rank-by-hash discipline as d_stratified_sample, so the pick is
+  // reproducible across engines and runs). Float discipline: sqrt and
+  // division are IEEE exact-rounded (bit-equal both engines); the only
+  // discontinuity is floor, nudged by 1e-9. Scale shape: the per-lang
+  // counts are a tiny agg broadcast back; ranking shuffles the corpus
+  // once on lang (same as any per-domain top-k); no global sort.
+  private val dTemperatureMix = GQuery(
+    "d_temperature_mix",
+    (s, dir) => {
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val counts = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+        .withColumn("w", expr("sqrt(cast(n_lang AS double))"))
+      val targets = counts
+        .crossJoin(broadcast(counts.agg(sum(col("w")).as("sw"))))
+        .withColumn("target", expr(
+          "least(n_lang, greatest(1L, cast(floor(512.0 * w / sw + 1e-9) AS bigint)))"))
+        .select(col("lang"), col("target"))
+      docs(s, dir)
+        .withColumn("hk", expr(hS("cast(doc_id AS string)")))
+        .withColumn("rn", row_number().over(byLang.orderBy(col("hk"), col("doc_id"))))
+        .join(broadcast(targets), Seq("lang"))
+        .filter(col("rn") <= col("target"))
+        .select(col("doc_id"), col("lang"))
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+w AS (SELECT lang, n_lang, sqrt(n_lang::DOUBLE) AS w FROM c),
+tg AS (SELECT lang, least(n_lang, greatest(1, CAST(floor(512.0 * w / (SELECT sum(w) FROM w) + 1e-9) AS BIGINT))) AS target FROM w),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ${hD("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.lang FROM r JOIN tg USING (lang) WHERE r.rn <= tg.target"""),
+    "Temperature-weighted (alpha=0.5) domain-mix sample: share per language ~ n^0.5, deterministic hash-rank picks.")
+
   val all: Seq[GQuery] = Seq(
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
-    dContaminationReport, tBm25, dReservoir)
+    dContaminationReport, tBm25, dReservoir, dTemperatureMix)
 }
