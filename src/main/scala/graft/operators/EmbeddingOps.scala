@@ -142,26 +142,64 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 3"""),
     "ANN top-3 via 8-hyperplane LSH buckets (256 buckets).")
 
+  /** Cosine near-dup pairs (cos >= 0.4) within LSH buckets — the pair
+    * stage shared by `e_neardup_cosine` (listing) and
+    * `e_semantic_dedup` (cluster representatives). */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = prepped(s, dir).withColumn("bkt", GraftFunctions.lshBucket(col("ed"), planes))
+    val a = base.select(col("vec_id").as("vec_a"), col("ed").as("qe"), col("nrm").as("qn"), col("bkt"))
+    val b = base.select(col("vec_id").as("vec_b"), col("ed"), col("nrm"), col("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", cosCol)
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** Same pair stage, DuckDB side (CTEs `b`, `p`; threshold applied by
+    * the consumer). */
+  private val neardupPairsDuck: String =
+    s"""b AS (SELECT vec_id, ed, nrm, $bucketD AS bkt FROM n),
+p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        round(list_aggregate(list_transform(range(64), i -> x.ed[i + 1] * y.ed[i + 1]), 'sum') / (x.nrm * y.nrm), 6) AS cos_sim
+      FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)"""
+
   // Embedding-cosine near-dup pairs inside LSH buckets, threshold 0.4.
   private val eNeardup = GQuery(
     "e_neardup_cosine",
-    (s, dir) => {
-      val base = prepped(s, dir).withColumn("bkt", GraftFunctions.lshBucket(col("ed"), planes))
-      val a = base.select(col("vec_id").as("vec_a"), col("ed").as("qe"), col("nrm").as("qn"), col("bkt"))
-      val b = base.select(col("vec_id").as("vec_b"), col("ed"), col("nrm"), col("bkt"))
-      a.join(b, Seq("bkt"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", cosCol)
-        .filter(col("cos_sim") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), col("cos_sim"))
-    },
+    (s, dir) => neardupPairs(s, dir),
     Some(s"""$duckPrep,
-b AS (SELECT vec_id, ed, nrm, $bucketD AS bkt FROM n),
-p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-        round(list_aggregate(list_transform(range(64), i -> x.ed[i + 1] * y.ed[i + 1]), 'sum') / (x.nrm * y.nrm), 6) AS cos_sim
-      FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+$neardupPairsDuck
 SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4"""),
     "Embedding near-dup pairs (cos >= 0.4) within LSH buckets.")
+
+  // Semantic dedup: the actionable stage on top of the pair listing —
+  // connected components over the cosine near-dup graph (the shared
+  // min-label propagation from TextOps), keep each cluster's min-id
+  // representative. A vector not in any pair is its own representative,
+  // so the survivor set is universe MINUS component losers (the same
+  // anti-join shape as d_curate_corpus's near-dup stage). Scale: the
+  // component loop runs on the PAIR list (orders of magnitude smaller
+  // than the corpus), losers broadcast into the anti-join.
+  private val eSemanticDedup = GQuery(
+    "e_semantic_dedup",
+    (s, dir) => {
+      val losers = TextOps.minLabelComponents(
+          neardupPairs(s, dir).select(col("vec_a").as("src"), col("vec_b").as("dst")))
+        .filter(col("comp") =!= col("doc_id"))
+        .select(col("doc_id").as("vec_id"))
+      prepped(s, dir).select(col("vec_id"))
+        .join(broadcast(losers), Seq("vec_id"), "left_anti")
+    },
+    Some(s"""WITH RECURSIVE ${duckPrep.stripPrefix("WITH ")},
+$neardupPairsDuck,
+g AS (SELECT vec_a AS src, vec_b AS dst FROM p WHERE cos_sim >= 0.4
+      UNION SELECT vec_b, vec_a FROM p WHERE cos_sim >= 0.4),
+r(src, dst) AS (SELECT src, dst FROM g
+                UNION SELECT r.src, g.dst FROM r JOIN g ON r.dst = g.src),
+losers AS (SELECT src FROM r GROUP BY src HAVING least(src, min(dst)) <> src)
+SELECT vec_id FROM n WHERE vec_id NOT IN (SELECT src FROM losers)"""),
+    "Semantic dedup survivors: min-id representative per cosine near-dup cluster.")
 
   // IVF-style ANN top-3: 16 fixed coarse centroids (vec_id 10..25 — a
   // training-free deterministic codebook), every vector assigned to its
@@ -428,5 +466,5 @@ SELECT label, c_label AS assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1,
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
-      eKnnMatryoshka, eNeardup, eCentroids, eAssign)
+      eKnnMatryoshka, eNeardup, eSemanticDedup, eCentroids, eAssign)
 }

@@ -313,8 +313,10 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
   // lineage if diameters grow). Oracle: recursive-CTE transitive closure.
   /** Min-label connected components over an (src, dst) edge frame —
     * pointer-doubling label propagation to a fixpoint; throws if the
-    * component labels have not converged within maxIter rounds. */
-  private def minLabelComponents(edges0: DataFrame): DataFrame = {
+    * component labels have not converged within maxIter rounds.
+    * Shared across operator families (LSH text clusters here,
+    * embedding-cosine clusters in [[EmbeddingOps]]). */
+  private[operators] def minLabelComponents(edges0: DataFrame): DataFrame = {
       // Materialize the edge list ONCE — the propagation loop joins
       // against it every iteration and must not re-run the LSH pipeline.
       val edges = edges0.localCheckpoint()
