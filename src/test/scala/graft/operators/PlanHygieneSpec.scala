@@ -17,12 +17,14 @@ class PlanHygieneSpec extends SparkSpec {
     * e_knn_* broadcast the <=10-row query set (brute/quant) or the 16-row
     * coarse codebook (ivf) against one corpus scan — the intended
     * "broadcast the tiny side, never shuffle the corpus" kNN plan.
-    * e_knn_rerank's coarse stage shares the same shape. t_tfidf
-    * cross-joins the 1-row corpus count (a broadcast scalar);
+    * e_knn_rerank's coarse stage shares the same shape. t_tfidf,
+    * t_bm25_rank and d_temperature_mix cross-join a 1-row broadcast
+    * scalar (corpus count / doc-length stats / sum of language weights);
     * e_assign_confusion cross-joins the 10-row centroid model. */
   private val nestedLoopByDesign =
     Set("e_knn_brute", "e_knn_l2", "e_knn_quant", "e_knn_ivf", "e_knn_rerank",
-      "e_knn_matryoshka", "t_tfidf", "e_assign_confusion")
+      "e_knn_matryoshka", "t_tfidf", "e_assign_confusion",
+      "t_bm25_rank", "d_temperature_mix")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
