@@ -384,6 +384,53 @@ WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i WHERE i.o_custkey
        round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 2) AS p90
 FROM lineitem GROUP BY l_returnflag"""))
 
+  // Single-pass histogram-bucket quantile ESTIMATE — the streaming/
+  // one-scan dual of q_percentiles' exact two-phase selection. Fixed
+  // value buckets (width 1000, same bucketing as the exact query's
+  // first phase) + per-group cumulative counts; the quantile is linear
+  // interpolation within the crossing bucket (uniform-within-bucket
+  // assumption — error bounded by bucket width). At 100 TB this is ONE
+  // partial-agg shuffle of (group, bucket) pairs with bounded state
+  // (#buckets per group), no second pass over the data and no
+  // rank-selection join — the sketch-style tradeoff next to the exact
+  // operator. Float discipline: counts are integers, every literal is
+  // an explicit DOUBLE (e0 suffix — a bare 0.5/1000.0 parses as DECIMAL
+  // on BOTH engines and diverges), interpolation is identical IEEE ops,
+  // round nudged. Exactly one bucket per group satisfies
+  // prev < t <= cum, so the max(CASE...) pick is single-valued.
+  private val qQuantileHist = GQuery(
+    "q_quantile_hist",
+    (s, dir) => {
+      val byFlag = Window.partitionBy("l_returnflag")
+      val b = t("lineitem")(s, dir)
+        .select(col("l_returnflag"),
+          expr("cast(floor(l_extendedprice / 1000.0) AS bigint)").as("bkt"))
+        .groupBy(col("l_returnflag"), col("bkt")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(byFlag.orderBy(col("bkt"))))
+        .withColumn("prev", col("cum") - col("c"))
+        .withColumn("n", sum(col("c")).over(byFlag))
+      b.groupBy(col("l_returnflag")).agg(
+        max(when(expr("prev < 0.5e0 * n AND 0.5e0 * n <= cum"),
+          expr("round(bkt * 1000e0 + 1000e0 * (0.5e0 * n - prev) / c + 1e-9, 2)"))).as("p50_est"),
+        max(when(expr("prev < 0.9e0 * n AND 0.9e0 * n <= cum"),
+          expr("round(bkt * 1000e0 + 1000e0 * (0.9e0 * n - prev) / c + 1e-9, 2)"))).as("p90_est"))
+    },
+    Some("""WITH b AS (SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bkt, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+w AS (SELECT l_returnflag, bkt, c,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bkt) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM b),
+x AS (SELECT l_returnflag, bkt, c, cum, cum - c AS prev, n FROM w)
+SELECT l_returnflag,
+  max(CASE WHEN prev < 0.5e0 * n AND 0.5e0 * n <= cum
+      THEN round(bkt * 1000e0 + 1000e0 * (0.5e0 * n - prev) / c + 1e-9, 2) END) AS p50_est,
+  max(CASE WHEN prev < 0.9e0 * n AND 0.9e0 * n <= cum
+      THEN round(bkt * 1000e0 + 1000e0 * (0.9e0 * n - prev) / c + 1e-9, 2) END) AS p90_est
+FROM x GROUP BY 1"""),
+    "One-pass histogram-bucket quantile estimate (p50/p90 per return flag).")
+
   // Left outer join with aggregation over the nullable side.
   private val qOuter = GQuery(
     "q_outer_join",
@@ -549,6 +596,6 @@ FROM ue FULL OUTER JOIN customer ON user_id = c_custkey"""),
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
-      qStatsAgg, qPercentiles, qOuter, qPivot, qWindowSuite, qWindowFrames,
-      qUnpivot, qSaltedJoin, qFullOuter)
+      qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
+      qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter)
 }
