@@ -71,6 +71,18 @@ object StreamBench {
           .toDF().writeStream.outputMode(OutputMode.Append)
           .option("checkpointLocation", d.ckpt)
           .format("memory").queryName(s"sb_hh_${d.ckpt.hashCode.abs}").start()
+      },
+      // NOTE: staircaseWindows is deliberately absent — its
+      // TimeMode.ProcessingTime no-data batches make processAllAvailable
+      // non-terminating by construction (see StaircaseWatermarkSpec).
+      run("reservoir_sample") { d =>
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        StatefulProcessors.reservoirStream(
+            good.selectExpr("event_id AS doc_id"), k = 64, shards = 8)
+          .toDF().writeStream.outputMode(OutputMode.Update)
+          .option("checkpointLocation", d.ckpt)
+          .format("memory").queryName(s"sb_rsv_${d.ckpt.hashCode.abs}").start()
       })
 
     val json = results.map { case (k, sec) =>
