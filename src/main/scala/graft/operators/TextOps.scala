@@ -971,10 +971,16 @@ SELECT doc_id, n_tokens, n_oov,
         .withColumn("dl", expr("cast(size(toks) AS bigint)"))
       val stats = tok.agg(count(lit(1)).as("n"),
         sum(col("dl")).as("sumdl"))
+      // tf feeds BOTH the score expression and the df aggregation;
+      // Catalyst does not share the subtree across that join, so an
+      // unmaterialized tf re-scans and re-explodes the corpus for the
+      // 4-row df side. tf is tiny (<= |qterms| rows per matching doc) —
+      // materialize it once.
       val tf = tok
         .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .filter(col("term").isin(qterms: _*))
         .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfq), Seq("term")).crossJoin(broadcast(stats))
         .withColumn("idf", round(
