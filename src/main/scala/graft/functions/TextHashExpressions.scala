@@ -216,4 +216,12 @@ object GraftFunctions {
   def lshBucket(v: org.apache.spark.sql.Column,
       planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.lshBucket(v, planes)
+
+  def pqCodes(v: org.apache.spark.sql.Column,
+      cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.pqCodes(v, cb)
+
+  def pqAdcScaled(q: org.apache.spark.sql.Column, codes: org.apache.spark.sql.Column,
+      cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.pqAdcScaled(q, codes, cb)
 }

@@ -44,6 +44,61 @@ object VectorUtil {
     acc
   }
 
+  /** Product-quantization encode: `cb(j)(c)` is centroid c of subspace
+    * j (all subspaces the same width). Returns the 8 codes packed 4
+    * bits each (m = 8 subspaces, 16 centroids). Argmin scans centroids
+    * in index order with strict `<`, so ties resolve to the SMALLEST
+    * centroid index — the same tiebreak as the oracle's
+    * `ORDER BY d, c`. */
+  def pqCodes(v: ArrayData, cb: Array[Array[Array[Double]]]): Int = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    checkDims(v.numElements(), m * dsub)
+    var packed = 0
+    var j = 0
+    while (j < m) {
+      val cents = cb(j)
+      val off = j * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) { val d = v.getDouble(off + i) - cent(i); acc += d * d; i += 1 }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      packed |= best << (4 * j)
+      j += 1
+    }
+    packed
+  }
+
+  /** Asymmetric-distance (ADC) lookup against packed PQ codes, returned
+    * as an exact integer micro-distance: each subspace's squared L2 to
+    * the coded centroid is rounded to 1e-6 resolution and the EIGHT
+    * integer contributions sum exactly — float-sum order can never
+    * perturb the ranking, on either engine. */
+  def pqAdcScaled(q: ArrayData, codes: Int, cb: Array[Array[Array[Double]]]): Long = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    checkDims(q.numElements(), m * dsub)
+    var total = 0L
+    var j = 0
+    while (j < m) {
+      val cent = cb(j)((codes >> (4 * j)) & 0xF)
+      val off = j * dsub
+      var acc = 0.0
+      var i = 0
+      while (i < dsub) { val d = q.getDouble(off + i) - cent(i); acc += d * d; i += 1 }
+      total += Math.round(acc * 1000000.0 + 1e-9)
+      j += 1
+    }
+    total
+  }
+
   /** Sign-bit LSH bucket: bit j set iff dot(v, planes(j)) > 0 — the fused
     * form of 8 separate dot-product sign tests. */
   def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Int = {

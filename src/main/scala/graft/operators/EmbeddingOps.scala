@@ -142,6 +142,74 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 3"""),
     "ANN top-3 via 8-hyperplane LSH buckets (256 buckets).")
 
+  // Product-quantization ANN top-5 — the memory-bound scale path next
+  // to IVF (compute-bound) and LSH (bucket-bound): each 64-dim vector
+  // compresses to a packed 32-bit code (8 subspaces x 16 centroids, 4
+  // bits each — 128x smaller than the raw doubles), and query-time
+  // ranking works entirely on codes via asymmetric distance (ADC). The
+  // codebook is training-free and deterministic: the subvectors of
+  // vecs 10..25, same discipline as IVF's coarse centroids (a 16-row
+  // bounded collect at plan time). Both kernels are native codegen
+  // expressions; encode is a pure map in the scan. Determinism: the
+  // per-subspace squared distance folds identically on both engines,
+  // argmin ties break to the smallest centroid index, and ADC rounds
+  // each subspace contribution to an exact 1e-6 integer BEFORE the
+  // 8-term sum — rank order can never hinge on float-sum order. At
+  // 100 TB the coded corpus (4 bytes/vector) fits where raw vectors
+  // cannot, and production ADC would precompute the query's 8x16 table
+  // per batch — the kernel fuses that lookup.
+  private val eKnnPq = GQuery(
+    "e_knn_pq",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val cbRows = base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
+        .select(col("ed")).collect().map(_.getSeq[Double](0).toArray)
+      // No codebook vectors (empty/tiny corpus) -> degrade to an empty
+      // result instead of indexing into a missing centroid.
+      if (cbRows.length < 16) {
+        base.limit(0).selectExpr("vec_id AS qid", "vec_id",
+          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
+      } else {
+        val cb: Seq[Seq[Seq[Double]]] =
+          Seq.tabulate(8)(j => Seq.tabulate(16)(c => cbRows(c).slice(8 * j, 8 * j + 8).toSeq))
+        val coded = base.withColumn("codes", GraftFunctions.pqCodes(col("ed"), cb))
+        val q = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("ad", GraftFunctions.pqAdcScaled(col("qe"), col("codes"), cb))
+          .withColumn("approx_d2", expr("round(cast(ad AS double) / 1000000.0, 6)"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ad"), col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"), col("approx_d2"), col("rnk"))
+      }
+    },
+    Some(s"""$duckPrep,
+cb AS (SELECT c.vec_id - 10 AS c, j, c.ed[8*j+1:8*j+8] AS cv
+       FROM n c, range(8) t(j) WHERE c.vec_id BETWEEN 10 AND 25),
+sub AS (SELECT vec_id, j, ed[8*j+1:8*j+8] AS sv FROM n, range(8) t(j)),
+dist AS (SELECT s.vec_id, s.j, cb.c,
+           list_aggregate(list_transform(range(8),
+             i -> (s.sv[i+1] - cb.cv[i+1]) * (s.sv[i+1] - cb.cv[i+1])), 'sum') AS d
+         FROM sub s JOIN cb ON s.j = cb.j),
+code AS (SELECT vec_id, j, c FROM (
+           SELECT vec_id, j, c,
+                  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+           FROM dist) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, ed AS qe FROM n WHERE vec_id < 10),
+qd AS (SELECT q.qid, co.vec_id,
+         CAST(round(list_aggregate(list_transform(range(8),
+             i -> (q.qe[8*co.j+i+1] - cb.cv[i+1]) * (q.qe[8*co.j+i+1] - cb.cv[i+1])), 'sum')
+           * 1000000.0 + 1e-9) AS BIGINT) AS ds
+       FROM code co JOIN cb ON co.j = cb.j AND co.c = cb.c, q
+       WHERE co.vec_id <> q.qid),
+adc AS (SELECT qid, vec_id, CAST(sum(ds) AS BIGINT) AS ad FROM qd GROUP BY 1, 2)
+SELECT qid, vec_id, round(ad / 1000000.0, 6) AS approx_d2, rnk
+FROM (SELECT qid, vec_id, ad,
+             row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
+      FROM adc) WHERE rnk <= 5"""),
+    "PQ ANN top-5: packed 32-bit codes, integer-exact ADC ranking.")
+
   /** Cosine near-dup pairs (cos >= 0.4) within LSH buckets — the pair
     * stage shared by `e_neardup_cosine` (listing) and
     * `e_semantic_dedup` (cluster representatives). */
@@ -466,5 +534,5 @@ SELECT label, c_label AS assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1,
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
-      eKnnMatryoshka, eNeardup, eSemanticDedup, eCentroids, eAssign)
+      eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign)
 }

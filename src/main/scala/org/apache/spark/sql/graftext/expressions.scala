@@ -161,6 +161,13 @@ object columns {
 
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(LshBucket(ExpressionUtils.expression(v), planes))
+
+  def pqCodes(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(PqCodes(ExpressionUtils.expression(v), cb))
+
+  def pqAdcScaled(q: Column, codes: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(PqAdcScaled(
+      ExpressionUtils.expression(q), ExpressionUtils.expression(codes), cb))
 }
 
 case class VecDot(left: Expression, right: Expression)
@@ -202,6 +209,61 @@ case class VecL2Sq(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** PQ encode: argmin centroid per subspace, packed 4 bits per code.
+  * The codebook is a plan-time constant (training-free, 16 centroids
+  * per subspace) referenced once from generated code. */
+case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_codes"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.VectorUtil.pqCodes(input.asInstanceOf[ArrayData], cbArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorUtil.pqCodes($c, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** ADC distance of a query vector against packed PQ codes, as an exact
+  * integer micro-distance (see VectorUtil.pqAdcScaled). */
+case class PqAdcScaled(left: Expression, right: Expression, cb: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType), IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.functions.VectorUtil.pqAdcScaled(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[Int], cbArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VectorUtil.pqAdcScaled($l, $r, $cbRef);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcScaled =
     copy(left = newLeft, right = newRight)
 }
 

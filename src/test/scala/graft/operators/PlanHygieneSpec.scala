@@ -23,7 +23,7 @@ class PlanHygieneSpec extends SparkSpec {
     * e_assign_confusion cross-joins the 10-row centroid model. */
   private val nestedLoopByDesign =
     Set("e_knn_brute", "e_knn_l2", "e_knn_quant", "e_knn_ivf", "e_knn_rerank",
-      "e_knn_matryoshka", "t_tfidf", "e_assign_confusion",
+      "e_knn_matryoshka", "e_knn_pq", "t_tfidf", "e_assign_confusion",
       "t_bm25_rank", "d_temperature_mix")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
