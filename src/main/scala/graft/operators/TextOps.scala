@@ -866,6 +866,92 @@ SELECT doc_id, n AS n_tokens, CAST(prev // 2048 AS BIGINT) AS bin,
     "Deterministic sequence packing into 2048-token bins (hierarchical prefix sum).")
 
   // ---------------------------------------------------------------------
+  // Context-window chunking with overlap — the retrieval/packing prep
+  // step that splits every document into fixed-size token windows
+  // (32 tokens, stride 24, so consecutive chunks share 8 tokens).
+  // Pure in-scan row expansion: sequence() enumerates the start
+  // offsets, posexplode emits one row per chunk, and the emitted
+  // payload is an 8-byte content fingerprint (never the chunk text) —
+  // at 100 TB the output is ~n/stride rows per doc of five fixed-width
+  // columns, produced with ZERO shuffles. The fingerprint is the shared
+  // md5-derived 48-bit hash of the chr(1)-joined tokens, so the oracle
+  // recomputes it bit-for-bit.
+  private val dChunkOverlap = GQuery(
+    "d_chunk_overlap",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("size(toks)"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(0, n - 1, 24)")).as(Seq("chunk_idx", "start")))
+        .withColumn("chunk", expr("slice(toks, start + 1, 32)"))
+        .select(col("doc_id"), col("chunk_idx"), col("start").cast("long").as("start"),
+          expr("size(chunk)").as("chunk_len"),
+          graft.functions.GraftFunctions.md5Hash48(
+            concat_ws("", col("chunk"))).as("chunk_fp")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+g AS (SELECT doc_id, unnest(range((n + 23) // 24)) AS k, toks, n FROM t),
+c AS (SELECT doc_id, k AS chunk_idx, k * 24 AS start,
+             toks[k * 24 + 1 : least(k * 24 + 32, n)] AS chunk
+      FROM g)
+SELECT doc_id, chunk_idx, start, len(chunk) AS chunk_len,
+       ('0x' || substr(md5(array_to_string(chunk, chr(1))), 1, 12))::BIGINT AS chunk_fp
+FROM c"""),
+    "Overlapping 32-token chunks at stride 24, fingerprinted in-scan (zero shuffles).")
+
+  // ---------------------------------------------------------------------
+  // Boilerplate segment removal (CCNet-style line dedup, fixed-width
+  // form): each doc splits into non-overlapping 16-token segments, a
+  // segment is boilerplate when its content hash appears in >= 2
+  // DISTINCT documents corpus-wide, and the per-doc report gives the
+  // retained token count + boilerplate ratio. Scale shape: segments
+  // carry only (doc_id, 8-byte hash, len) into ONE hash-keyed shuffle;
+  // the distinct-doc counts join back on that same key (co-partitioned
+  // with the aggregation, never broadcast — the count table scales with
+  // the corpus), then one doc_id shuffle folds the report. The ratio is
+  // a single integer/integer division, exact on both engines.
+  private val dBoilerplate = GQuery(
+    "d_boilerplate_segments",
+    (s, dir) => {
+      val seg = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("size(toks)"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(expr("sequence(0, (n - 1) div 16)")).as(Seq("seg_idx", "k")))
+        .withColumn("seg", expr("slice(toks, k * 16 + 1, 16)"))
+        .select(col("doc_id"), col("seg_idx"), expr("size(seg)").as("seg_len"),
+          graft.functions.GraftFunctions.md5Hash48(
+            concat_ws("", col("seg"))).as("sh"))
+      val counts = seg.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      seg.join(counts, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_seg"),
+          count(when(col("nd") >= 2, lit(1))).as("n_boiler"),
+          coalesce(sum(when(col("nd") < 2, col("seg_len"))), lit(0L)).as("kept_tokens"))
+        .withColumn("boiler_ratio", expr("round(n_boiler / cast(n_seg AS double), 4)"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+g AS (SELECT doc_id, unnest(range((n + 15) // 16)) AS k, toks, n FROM t),
+seg AS (SELECT doc_id, k AS seg_idx,
+               least(k * 16 + 16, n) - k * 16 AS seg_len,
+               ('0x' || substr(md5(array_to_string(toks[k * 16 + 1 : least(k * 16 + 16, n)], chr(1))), 1, 12))::BIGINT AS sh
+        FROM g),
+c AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+SELECT seg.doc_id, count(*) AS n_seg,
+       count(*) FILTER (WHERE c.nd >= 2) AS n_boiler,
+       CAST(COALESCE(sum(CASE WHEN c.nd < 2 THEN seg.seg_len END), 0) AS BIGINT) AS kept_tokens,
+       round(count(*) FILTER (WHERE c.nd >= 2) / count(*)::DOUBLE, 4) AS boiler_ratio
+FROM seg JOIN c USING (sh) GROUP BY 1"""),
+    "Cross-doc duplicated 16-token segments flagged as boilerplate; per-doc retention report.")
+
+  // ---------------------------------------------------------------------
   // Incremental ingest near-dup — dedup a NEW batch of documents against
   // the EXISTING corpus (the production shape: every ingestion run checks
   // arrivals against the index, never the corpus against itself). The
@@ -1095,5 +1181,6 @@ SELECT r.doc_id, r.lang FROM r JOIN tg USING (lang) WHERE r.rn <= tg.target"""),
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
-    dContaminationReport, tBm25, dReservoir, dTemperatureMix)
+    dContaminationReport, tBm25, dReservoir, dTemperatureMix,
+    dChunkOverlap, dBoilerplate)
 }
