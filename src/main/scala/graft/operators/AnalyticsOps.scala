@@ -306,7 +306,55 @@ FROM r LEFT JOIN daily ON daily.d = r.day
 WHERE r.day <= (SELECT max(d) FROM du)"""),
     "Exact rolling 7-day active users beside daily actives (integer day domain).")
 
+  // Level-shift (changepoint) detection on daily volume per event type:
+  // score each day by (mean of the next 7 daily counts) - (mean of the
+  // previous 7), emitted only where both frames are full — the ops-
+  // monitoring query that flags deploys/regressions in the event stream.
+  // ROWS frames mean "7 observed daily buckets", which equals 7 calendar
+  // days on any stream dense enough to monitor; a silent-day gap widens
+  // the lookback rather than zero-filling (use a5_gapfill upstream if
+  // calendar framing is required). Determinism: frame sums are exact
+  // integers (DuckDB window sums CAST from HUGEINT); the single /7
+  // division is the only float op. Scale shape: one (event_type, day)
+  // partial agg shrinks the stream to ~#types x #days rows, then the
+  // window sort is per-type over that tiny frame — the window never sees
+  // raw events.
+  private val a15LevelShift = GQuery(
+    "a15_level_shift",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val wB = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+      val wA = Window.partitionBy("event_type").orderBy("d").rowsBetween(0, 6)
+      daily
+        .withColumn("bsum", sum(col("cnt")).over(wB))
+        .withColumn("bcnt", count(lit(1)).over(wB))
+        .withColumn("asum", sum(col("cnt")).over(wA))
+        .withColumn("acnt", count(lit(1)).over(wA))
+        .filter(col("bcnt") === 7 && col("acnt") === 7)
+        .select(col("event_type"), col("d").as("day"), col("bsum"), col("asum"),
+          round((col("asum") - col("bsum")) / lit(7.0d) + lit(1e-9), 6).as("shift_score"))
+    },
+    Some("""WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, d,
+    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS bsum,
+    count(*) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS bcnt,
+    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS BIGINT) AS asum,
+    count(*) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS acnt
+  FROM daily
+)
+SELECT event_type, d AS day, bsum, asum,
+       round((asum - bsum) / 7e0 + 1e-9, 6) AS shift_score
+FROM w WHERE bcnt = 7 AND acnt = 7"""),
+    "Rolling 7-day-before vs 7-day-after level-shift score per event type.")
+
   val all: Seq[GQuery] =
     Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma,
-      a13Transition, a14RollingDau)
+      a13Transition, a14RollingDau, a15LevelShift)
 }

@@ -532,7 +532,97 @@ a AS (SELECT vec_id, label, c_label,
 SELECT label, c_label AS assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1, 2"""),
     "Nearest-centroid assignment (k-means E-step) with label confusion matrix.")
 
+  // Per-dimension mean/std over the whole corpus — the whitening /
+  // normalization QC pass every embedding pipeline runs before indexing
+  // (detects dead dimensions, scale drift between model versions).
+  // Determinism: each component is scaled to a 1e-6 integer IN the scan
+  // (the BM25 pattern), so the per-dimension sums are EXACT integer
+  // arithmetic on both engines; mean and std then come from identical
+  // double divisions of identical integers — bit-reproducible regardless
+  // of partial-aggregation order. Scale shape: posexplode is pure row
+  // expansion (no shuffle), then ONE partial-agg shuffle on the 64-value
+  // dim key; sum/sumsq fit BIGINT up to ~1e13 rows at |x|<=1. The
+  // variance subtraction happens on exact integers divided once, so no
+  // catastrophic cancellation beyond what the data itself carries.
+  private val eDimStats = GQuery(
+    "e_dim_stats",
+    (s, dir) =>
+      emb(s, dir)
+        .select(posexplode(
+          expr("transform(embedding, x -> cast(round(cast(x AS double) * 1000000.0 + 1e-9) AS bigint))"))
+          .as(Seq("pos", "v")))
+        .groupBy(col("pos").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), sum(expr("v * v")).as("ss"))
+        .select(col("dim"), col("n"),
+          round(col("s") / col("n") / lit(1e6) + lit(1e-9), 6).as("mean"),
+          round(sqrt(greatest(
+            col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")),
+            lit(0.0d))) / lit(1e6) + lit(1e-9), 6).as("std")),
+    Some("""WITH x AS (
+  SELECT i AS dim, CAST(round(embedding[i + 1]::DOUBLE * 1000000e0 + 1e-9) AS BIGINT) AS v
+  FROM embeddings, range(64) t(i)
+),
+a AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+      FROM x GROUP BY 1)
+SELECT dim, n,
+  round(s / n / 1000000e0 + 1e-9, 6) AS mean,
+  round(sqrt(greatest(ss / n - (s / n) * (s / n), 0e0)) / 1000000e0 + 1e-9, 6) AS std
+FROM a"""),
+    "Per-dimension mean/std (whitening QC), exact integer-scaled sums.")
+
+  // ANN quality harness: recall@3 of the IVF index (nprobe=1) against the
+  // exact brute-force top-3, per query — the measurement loop you run
+  // before trading recall for cost at 100 TB. Reuses the EXACT brute and
+  // IVF pipelines (same impls, same oracles), so the metric can never
+  // drift from the queries it grades. LEFT join from the exact side keeps
+  // zero-hit queries in the report. Scale shape: both inputs end at
+  // <=3 rows per query vector; the join and the per-qid count are
+  // negligible next to the scans they grade.
+  private val eRecallEval = GQuery(
+    "e_recall_eval",
+    (s, dir) => {
+      val exact3 = eKnnBrute.impl(s, dir).filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"))
+      val ivf3 = eKnnIvf.impl(s, dir)
+        .select(col("qid").as("iqid"), col("vec_id").as("ivid"), lit(1).as("hit"))
+      exact3.join(ivf3,
+          col("qid") === col("iqid") && col("vec_id") === col("ivid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          round(col("n_hits") / lit(3.0d) + lit(1e-9), 6).as("recall"))
+    },
+    Some(s"""$duckPrep,
+q0 AS (SELECT vec_id AS qid, ed AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+bp AS (SELECT q0.qid, n.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> q0.qe[i + 1] * n.ed[i + 1]), 'sum') / (q0.qn * n.nrm), 6) AS cos_sim
+      FROM q0, n WHERE n.vec_id <> q0.qid),
+ex AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM bp)
+       WHERE rnk <= 3),
+c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 10 AND 25),
+asg AS (
+  SELECT vec_id, ed, nrm, cid AS cell FROM (
+    SELECT n.vec_id, n.ed, n.nrm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             round(list_aggregate(list_transform(range(64), i -> c.ce[i + 1] * n.ed[i + 1]), 'sum') / (c.cn * n.nrm), 6) DESC, c.cid) AS arn
+    FROM n, c)
+  WHERE arn = 1),
+qi AS (SELECT vec_id AS qid, ed AS qe, nrm AS qn, cell FROM asg WHERE vec_id < 10),
+ip AS (SELECT qi.qid, a.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> qi.qe[i + 1] * a.ed[i + 1]), 'sum') / (qi.qn * a.nrm), 6) AS cos_sim
+      FROM qi JOIN asg a ON qi.cell = a.cell AND a.vec_id <> qi.qid),
+iv AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM ip)
+       WHERE rnk <= 3)
+SELECT e.qid, count(i.vec_id) AS n_hits,
+       round(count(i.vec_id) / 3e0 + 1e-9, 6) AS recall
+FROM ex e LEFT JOIN iv i ON i.qid = e.qid AND i.vec_id = e.vec_id
+GROUP BY 1"""),
+    "Recall@3 of IVF (nprobe=1) vs exact top-3, per query vector.")
+
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
-      eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign)
+      eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
+      eDimStats, eRecallEval)
 }

@@ -1175,7 +1175,33 @@ r AS (SELECT doc_id, lang,
 SELECT r.doc_id, r.lang FROM r JOIN tg USING (lang) WHERE r.rn <= tg.target"""),
     "Temperature-weighted (alpha=0.5) domain-mix sample: share per language ~ n^0.5, deterministic hash-rank picks.")
 
+  // Per-source duplication triage: how much of each source survives exact
+  // dedup — the first report a curation run produces when deciding which
+  // sources to keep, re-crawl, or drop. Counts DISTINCT content digests
+  // (never the text itself), so the distinct agg shuffles 16-byte md5
+  // values: standard two-phase distinct, one shuffle keyed by source.
+  // n_docs/n_uniq/n_dups are exact integers; the ratio is the single
+  // float op.
+  private val dDupStatsBySource = GQuery(
+    "d_dup_stats_by_source",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(expr("md5(text)")).as("n_uniq"))
+        .select(col("source"), col("n_docs"), col("n_uniq"),
+          (col("n_docs") - col("n_uniq")).as("n_dups"),
+          round((col("n_docs") - col("n_uniq")) / col("n_docs") + lit(1e-9), 6)
+            .as("dup_ratio")),
+    Some("""SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_uniq,
+       count(*) - count(DISTINCT md5(text)) AS n_dups,
+       round((count(*) - count(DISTINCT md5(text))) / count(*) + 1e-9, 6) AS dup_ratio
+FROM documents GROUP BY 1"""),
+    "Per-source exact-dup rate via content digests — curation triage report.")
+
   val all: Seq[GQuery] = Seq(
+    dDupStatsBySource,
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,

@@ -24,7 +24,10 @@ class PlanHygieneSpec extends SparkSpec {
   private val nestedLoopByDesign =
     Set("e_knn_brute", "e_knn_l2", "e_knn_quant", "e_knn_ivf", "e_knn_rerank",
       "e_knn_matryoshka", "e_knn_pq", "t_tfidf", "e_assign_confusion",
-      "t_bm25_rank", "d_temperature_mix")
+      "t_bm25_rank", "d_temperature_mix",
+      // composes the brute + ivf pipelines verbatim, so it inherits their
+      // constant-build-side nested loops
+      "e_recall_eval")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
