@@ -501,15 +501,28 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
   // shape), and the confusion matrix is a (label, assigned) partial agg.
   // The same plan is one k-means iteration at any corpus size; iterating
   // re-runs it with the previous assignment as the label.
+  /** Per-label centroid model as (c_label, cv array) — the broadcast side
+    * of the E-step, the OOD scorer, and anything else that classifies
+    * against the label means. ONE implementation so the model vectors are
+    * bit-identical wherever they're consumed. */
+  private def centroidVectors(s: SparkSession, dir: String): DataFrame =
+    prepped(s, dir)
+      .select(col("label").as("c_label"), posexplode(col("ed")).as(Seq("pos", "v")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(round(avg(col("v")) + lit(1e-9), 6).as("c"))
+      .groupBy(col("c_label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+
+  /** Same model, DuckDB side: cent + cvec CTEs over duckPrep's n. */
+  private val duckCentroids =
+    """cent AS (SELECT label AS c_label, i AS pos, round(avg(ed[i + 1]) + 1e-9, 6) AS c
+         FROM n, range(64) t(i) GROUP BY 1, 2),
+cvec AS (SELECT c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1)"""
+
   private val eAssign = GQuery(
     "e_assign_confusion",
     (s, dir) => {
-      val cent = prepped(s, dir)
-        .select(col("label").as("c_label"), posexplode(col("ed")).as(Seq("pos", "v")))
-        .groupBy(col("c_label"), col("pos"))
-        .agg(round(avg(col("v")) + lit(1e-9), 6).as("c"))
-        .groupBy(col("c_label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      val cent = centroidVectors(s, dir)
       prepped(s, dir).crossJoin(broadcast(cent))
         .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
         .withColumn("rn", row_number().over(
@@ -519,9 +532,7 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
         .agg(count(lit(1)).as("n"))
     },
     Some(s"""$duckPrep,
-cent AS (SELECT label AS c_label, i AS pos, round(avg(ed[i + 1]) + 1e-9, 6) AS c
-         FROM n, range(64) t(i) GROUP BY 1, 2),
-cvec AS (SELECT c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+$duckCentroids,
 d AS (SELECT vec_id, label, c_label,
              round(list_aggregate(list_transform(range(64),
                i -> (ed[i + 1] - cv[i + 1]) * (ed[i + 1] - cv[i + 1])), 'sum'), 6) AS d2
@@ -531,6 +542,52 @@ a AS (SELECT vec_id, label, c_label,
       FROM d)
 SELECT label, c_label AS assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1, 2"""),
     "Nearest-centroid assignment (k-means E-step) with label confusion matrix.")
+
+  // Embedding outlier detection: distance to the NEAREST label centroid
+  // as an out-of-distribution score, top-20 farthest vectors — the
+  // data-quality sweep that surfaces mislabeled / garbage / off-manifold
+  // embeddings before they poison retrieval or training. Same broadcast
+  // centroid model and rounded-distance argmin as e_assign_confusion
+  // (shared centroidVectors/duckCentroids, so scorer and E-step classify
+  // against bit-identical vectors); the global top-20 is a TakeOrdered
+  // with a vec_id tiebreak on the 6-decimal-rounded distance — no global
+  // sort, no float-noise cut line. The trailing rank window runs over 20
+  // rows, input-size-independent.
+  private val eOodScore = GQuery(
+    "e_ood_score",
+    (s, dir) => {
+      val cent = centroidVectors(s, dir)
+      prepped(s, dir).crossJoin(broadcast(cent))
+        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("c_label").as("nearest_label"),
+          col("d2").as("ood_score"))
+        .orderBy(col("ood_score").desc, col("vec_id"))
+        .limit(20)
+        // rank over the 20 TakeOrdered survivors; pmod(.,1) is the
+        // constant-but-not-foldable partition key (the pack-sequences
+        // trick) so the bounded frame doesn't trip the global-window
+        // warning
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(pmod(col("vec_id"), lit(1)))
+            .orderBy(col("ood_score").desc, col("vec_id"))))
+    },
+    Some(s"""$duckPrep,
+$duckCentroids,
+d AS (SELECT vec_id, label, c_label,
+             round(list_aggregate(list_transform(range(64),
+               i -> (ed[i + 1] - cv[i + 1]) * (ed[i + 1] - cv[i + 1])), 'sum'), 6) AS d2
+      FROM n CROSS JOIN cvec),
+near AS (SELECT vec_id, label, c_label, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+         FROM d)
+SELECT vec_id, label, c_label AS nearest_label, d2 AS ood_score,
+       row_number() OVER (ORDER BY d2 DESC, vec_id) AS rnk
+FROM near WHERE rn = 1
+ORDER BY d2 DESC, vec_id LIMIT 20"""),
+    "Top-20 farthest-from-nearest-centroid vectors: OOD / label-noise sweep.")
 
   // Per-dimension mean/std over the whole corpus — the whitening /
   // normalization QC pass every embedding pipeline runs before indexing
@@ -624,5 +681,5 @@ GROUP BY 1"""),
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
-      eDimStats, eRecallEval)
+      eDimStats, eRecallEval, eOodScore)
 }

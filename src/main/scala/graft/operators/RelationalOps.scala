@@ -593,8 +593,45 @@ SELECT coalesce(user_id, c_custkey) AS id,
 FROM ue FULL OUTER JOIN customer ON user_id = c_custkey"""),
     "Full outer join with both unmatched sides present, aggregate-before-join.")
 
+  // TPC-H Q10-style: revenue lost to returned items, per customer — the
+  // returns-analysis join (customer x orders x returned lineitems, nation
+  // broadcast). Scale shape: the orders->lineitem join shuffles on
+  // orderkey (both huge), the customer join shuffles on custkey, nation
+  // broadcasts; top-20 is a TakeOrdered (no global sort), with revenue
+  // rounded BEFORE ranking + custkey tiebreak so the cut line can't sit
+  // on float noise.
+  private val q10 = GQuery(
+    "q10_returned_revenue",
+    (s, dir) => {
+      val c = t("customer")(s, dir)
+      val o = t("orders")(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val l = t("lineitem")(s, dir).filter(col("l_returnflag") === "R")
+      val n = t("nation")(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey
+  AND l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""))
+
   val all: Seq[GQuery] =
-    Seq(q1, q3, q5, qBroadcast, qTopk, qRollup, qSemi, qAnti,
+    Seq(q1, q3, q5, q10, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
       qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter)

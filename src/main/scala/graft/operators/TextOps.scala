@@ -1200,8 +1200,76 @@ SELECT r.doc_id, r.lang FROM r JOIN tg USING (lang) WHERE r.rn <= tg.target"""),
 FROM documents GROUP BY 1"""),
     "Per-source exact-dup rate via content digests — curation triage report.")
 
+  // Deterministic train/val/test split assignment: hash the stable doc_id
+  // (not the text, so re-crawled/edited documents keep their split and
+  // never leak across the boundary), bucket mod 100, 80/10/10. Pure map —
+  // zero shuffles at any scale; the same expression assigns consistently
+  // across runs, machines, and engines.
+  private val dSplitAssign = GQuery(
+    "d_split_assign",
+    (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"${hS("cast(doc_id AS string)")} % 100 AS bucket")
+        .selectExpr("doc_id", "bucket",
+          "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split"),
+    Some(s"""SELECT doc_id, b AS bucket,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, ${hD("doc_id::VARCHAR")} % 100 AS b FROM documents)"""),
+    "Hash-bucketed 80/10/10 train/val/test split, stable under re-crawls.")
+
+  // Curation funnel observability: how many documents survive each
+  // successive filter stage (length -> language -> min-words -> exact
+  // dedup) — the report that tells you WHICH stage is eating your corpus
+  // before you debug it. One scan computes all stage flags; the dedup
+  // stage is a keeper window over the content digest (never the text);
+  // the cumulative counts are one tiny aggregation unpivoted to a row
+  // per stage. Counts are exact integers end to end.
+  private val dFilterFunnel = GQuery(
+    "d_filter_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = docs(s, dir)
+        .withColumn("f_len", col("n_chars") >= 100)
+        .withColumn("f_lang", col("lang").isin("en", "de", "es", "fr"))
+        .withColumn("f_words", expr("size(split(text, ' ')) >= 20"))
+        .withColumn("keeper", row_number().over(
+          Window.partitionBy(expr("md5(lower(trim(text)))")).orderBy("doc_id")) === 1)
+      f.agg(
+          count(lit(1)).as("s0"),
+          sum(when(col("f_len"), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("f_len") && col("f_lang"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("f_len") && col("f_lang") && col("f_words"), 1L).otherwise(0L)).as("s3"),
+          sum(when(col("f_len") && col("f_lang") && col("f_words") && col("keeper"), 1L).otherwise(0L)).as("s4"))
+        .selectExpr(
+          """stack(5,
+               0, 'raw', s0,
+               1, 'length', s1,
+               2, 'language', s2,
+               3, 'min_words', s3,
+               4, 'exact_dedup', s4) AS (stage, stage_name, n_pass)""")
+    },
+    Some("""WITH f AS (
+  SELECT n_chars >= 100 AS f_len,
+         lang IN ('en', 'de', 'es', 'fr') AS f_lang,
+         len(string_split(text, ' ')) >= 20 AS f_words,
+         row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1 AS keeper
+  FROM documents
+),
+a AS (SELECT count(*) AS s0,
+             count(*) FILTER (f_len) AS s1,
+             count(*) FILTER (f_len AND f_lang) AS s2,
+             count(*) FILTER (f_len AND f_lang AND f_words) AS s3,
+             count(*) FILTER (f_len AND f_lang AND f_words AND keeper) AS s4
+      FROM f)
+SELECT 0 AS stage, 'raw' AS stage_name, s0 AS n_pass FROM a
+UNION ALL SELECT 1, 'length', s1 FROM a
+UNION ALL SELECT 2, 'language', s2 FROM a
+UNION ALL SELECT 3, 'min_words', s3 FROM a
+UNION ALL SELECT 4, 'exact_dedup', s4 FROM a"""),
+    "Cumulative survivor counts through the standard curation filter chain.")
+
   val all: Seq[GQuery] = Seq(
-    dDupStatsBySource,
+    dDupStatsBySource, dSplitAssign, dFilterFunnel,
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,

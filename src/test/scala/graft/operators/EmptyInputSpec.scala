@@ -23,16 +23,18 @@ class EmptyInputSpec extends SparkSpec {
 
   /** Queries whose result is a fixed-shape global-aggregate report:
     * on empty input they return their full row set with zero counts —
-    * exactly what their DuckDB oracles return — not an empty frame. */
-  private val fixedShapeOnEmpty: Map[String, Long] = Map("a9_funnel" -> 4L)
+    * exactly what their DuckDB oracles return — not an empty frame.
+    * Value = (expected rows, count column that must be all-zero). */
+  private val fixedShapeOnEmpty: Map[String, (Long, String)] =
+    Map("a9_funnel" -> (4L, "n_users"), "d_filter_funnel" -> (5L, "n_pass"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     fixedShapeOnEmpty.get(name) match {
-      case Some(rows) =>
+      case Some((rows, countCol)) =>
         test(s"$name reports zero counts on empty tables") {
           val out = fn(spark, emptyDir)
           assert(out.count() === rows)
-          assert(out.selectExpr("max(n_users)").head().getLong(0) === 0L)
+          assert(out.selectExpr(s"max($countCol)").head().getLong(0) === 0L)
         }
       case None =>
         test(s"$name degrades to an empty result on empty tables") {

@@ -27,7 +27,9 @@ class PlanHygieneSpec extends SparkSpec {
       "t_bm25_rank", "d_temperature_mix",
       // composes the brute + ivf pipelines verbatim, so it inherits their
       // constant-build-side nested loops
-      "e_recall_eval")
+      "e_recall_eval",
+      // cross-joins the 10-row broadcast centroid model, like e_assign
+      "e_ood_score")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
