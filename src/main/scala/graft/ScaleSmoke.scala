@@ -108,11 +108,20 @@ object ScaleSmoke {
     val constEvalSubset = Seq(
       "d_decontaminate", "d_contamination_report",
       "a14_rolling_dau", "e_knn_matryoshka")
+    // Late-round-6 newcomers: the queries whose 100 TB claims still need
+    // a receipt (uniform fixture; the LSH-free subset so the run stays
+    // minutes, not the full dup-heavy regime).
+    val freshSubset = Seq(
+      "d_chunk_overlap", "d_boilerplate_segments", "e_knn_pq",
+      "e_dim_stats", "e_recall_eval", "e_ood_score",
+      "d_dup_stats_by_source", "d_split_assign", "d_filter_funnel",
+      "a15_level_shift", "q10_returned_revenue")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =
       if (skewed || args.contains("hotq")) skewSubset
       else if (constEval) constEvalSubset
+      else if (args.contains("fresh")) freshSubset
       else uniformSubset
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()
