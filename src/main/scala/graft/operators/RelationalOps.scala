@@ -630,8 +630,68 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20"""))
 
+  // TPC-H Q8-style: one supplier nation's share of the ASIA market for
+  // PROMO parts, per order year. Scale shape: filtered part broadcasts
+  // into the lineitem scan (1/6 of a dim), the lineitem->orders join
+  // shuffles on orderkey (both huge), orders->customer shuffles on
+  // custkey, nation/region broadcast, supplier joins on suppkey
+  // (AQE-broadcast here; shuffle at 100 TB). Determinism: the volume
+  // l_extendedprice*(1-l_discount) is a 4-decimal product, so it is
+  // integer-scaled x10000 BEFORE summing (exact long sums on both
+  // engines, per the BM25 pattern); the share is then a single
+  // long/long division rounded once, and the year is cast to BIGINT on
+  // both sides so the schemas agree.
+  private val q8 = GQuery(
+    "q8_market_share",
+    (s, dir) => {
+      val p = t("part")(s, dir).filter(col("p_type") === "PROMO")
+      val o = t("orders")(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t("lineitem")(s, dir)
+      val c = t("customer")(s, dir)
+      val su = t("supplier")(s, dir)
+      val cn = t("nation")(s, dir)
+      val sn = t("nation")(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val r = t("region")(s, dir).filter(col("r_name") === "ASIA")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          expr("CAST(round(l_extendedprice * (1e0 - l_discount) * 10000e0) AS BIGINT)").as("v"),
+          col("supp_nation"))
+        .groupBy(col("o_year"))
+        .agg(sum(col("v")).as("total_v"),
+          sum(when(col("supp_nation") === "NATION_7", col("v")).otherwise(0L)).as("nat_v"))
+        .select(col("o_year"),
+          round(col("nat_v") / col("total_v").cast("double") + lit(1e-9), 6).as("mkt_share"))
+    },
+    Some("""WITH v AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS v,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN v ELSE 0 END)
+             / CAST(sum(v) AS DOUBLE) + 1e-9, 6) AS mkt_share
+FROM v GROUP BY 1"""))
+
   val all: Seq[GQuery] =
-    Seq(q1, q3, q5, q10, qBroadcast, qTopk, qRollup, qSemi, qAnti,
+    Seq(q1, q3, q5, q8, q10, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
       qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter)

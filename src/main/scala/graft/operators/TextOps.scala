@@ -1268,8 +1268,47 @@ UNION ALL SELECT 3, 'min_words', s3 FROM a
 UNION ALL SELECT 4, 'exact_dedup', s4 FROM a"""),
     "Cumulative survivor counts through the standard curation filter chain.")
 
+  // ---------------------------------------------------------------------
+  // Cross-split contamination audit: near-duplicate document pairs that
+  // straddle the train/val/test boundary of d_split_assign — the leakage
+  // report a pipeline runs AFTER splitting (a val/test doc with a
+  // near-dup in train inflates eval scores, the same failure class
+  // d_decontaminate guards against for external benchmarks). Candidates
+  // come from the shared LSH band machinery at est_sim >= 0.5; the
+  // split label is recomputed per pair endpoint with the same pure hash
+  // as d_split_assign — a scalar expression, NOT a join back to the
+  // corpus, so beyond the pair listing itself the only added work is
+  // two md5 evaluations per surviving pair. Scale shape: identical to
+  // d_minhash_lsh_pairs (banded buckets, capped expansion).
+  private def splitCase(c: String) =
+    s"CASE WHEN ${hS(s"cast($c AS string)")} % 100 < 80 THEN 'train' " +
+      s"WHEN ${hS(s"cast($c AS string)")} % 100 < 90 THEN 'val' ELSE 'test' END"
+  private def splitCaseDuck(c: String) =
+    s"CASE WHEN ${hD(s"$c::VARCHAR")} % 100 < 80 THEN 'train' " +
+      s"WHEN ${hD(s"$c::VARCHAR")} % 100 < 90 THEN 'val' ELSE 'test' END"
+
+  private val dSplitLeakage = GQuery(
+    "d_split_leakage",
+    (s, dir) =>
+      lshPairsFrom(docs(s, dir))
+        .filter(col("est_sim") >= 0.5)
+        .selectExpr("doc_a", "doc_b",
+          s"${splitCase("doc_a")} AS split_a",
+          s"${splitCase("doc_b")} AS split_b",
+          "est_sim")
+        .filter(col("split_a") =!= col("split_b")),
+    Some(s"""WITH $lshPairsOracle,
+x AS (SELECT doc_a, doc_b,
+             ${splitCaseDuck("doc_a")} AS split_a,
+             ${splitCaseDuck("doc_b")} AS split_b,
+             est_sim
+      FROM pairs WHERE est_sim >= 0.5)
+SELECT doc_a, doc_b, split_a, split_b, est_sim FROM x
+WHERE split_a <> split_b"""),
+    "Near-dup pairs straddling the train/val/test boundary — post-split leakage audit.")
+
   val all: Seq[GQuery] = Seq(
-    dDupStatsBySource, dSplitAssign, dFilterFunnel,
+    dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage,
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
