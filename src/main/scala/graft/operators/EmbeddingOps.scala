@@ -678,8 +678,50 @@ FROM ex e LEFT JOIN iv i ON i.qid = e.qid AND i.vec_id = e.vec_id
 GROUP BY 1"""),
     "Recall@3 of IVF (nprobe=1) vs exact top-3, per query vector.")
 
+  // Cluster-quality report: within-cluster sum of squared distances
+  // (inertia, the k-means objective) + mean distance + size per assigned
+  // centroid — the convergence/quality metric a clustering-based
+  // curation loop watches between iterations. Same broadcast centroid
+  // model and rounded-distance argmin as e_assign_confusion (shared
+  // centroidVectors/duckCentroids). Determinism: the 6-decimal-rounded
+  // distances integer-scale x1e6 into exact long sums (the BM25
+  // pattern), so the per-cluster SSE is bit-identical on both engines
+  // regardless of summation order; the two emitted floats are single
+  // divisions rounded once. Scale shape: one corpus scan against the
+  // constant-size broadcast model, then a k-row partial agg.
+  private val eInertia = GQuery(
+    "e_cluster_inertia",
+    (s, dir) => {
+      val cent = centroidVectors(s, dir)
+      prepped(s, dir).crossJoin(broadcast(cent))
+        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
+        .filter(col("rn") === 1)
+        .withColumn("d2i", expr("CAST(round(d2 * 1000000e0) AS BIGINT)"))
+        .groupBy(col("c_label").as("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("d2i")).as("ssei"))
+        .select(col("cluster"), col("n"),
+          round(expr("CAST(ssei AS DOUBLE) / 1000000e0") + lit(1e-9), 4).as("sse"),
+          round(expr("CAST(ssei AS DOUBLE) / (n * 1000000e0)") + lit(1e-9), 4).as("mean_d2"))
+    },
+    Some(s"""$duckPrep,
+$duckCentroids,
+d AS (SELECT vec_id, c_label,
+             round(list_aggregate(list_transform(range(64),
+               i -> (ed[i + 1] - cv[i + 1]) * (ed[i + 1] - cv[i + 1])), 'sum'), 6) AS d2
+      FROM n CROSS JOIN cvec),
+a AS (SELECT vec_id, c_label, CAST(round(d2 * 1000000e0) AS BIGINT) AS d2i,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      FROM d)
+SELECT c_label AS cluster, count(*) AS n,
+       round(CAST(sum(d2i) AS DOUBLE) / 1000000e0 + 1e-9, 4) AS sse,
+       round(CAST(sum(d2i) AS DOUBLE) / (count(*) * 1000000e0) + 1e-9, 4) AS mean_d2
+FROM a WHERE rn = 1 GROUP BY 1"""),
+    "Per-cluster inertia (SSE), mean distance, and size — the k-means objective report.")
+
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
-      eDimStats, eRecallEval, eOodScore)
+      eDimStats, eRecallEval, eOodScore, eInertia)
 }

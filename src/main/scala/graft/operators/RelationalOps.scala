@@ -690,8 +690,43 @@ SELECT o_year,
              / CAST(sum(v) AS DOUBLE) + 1e-9, 6) AS mkt_share
 FROM v GROUP BY 1"""))
 
+  // TPC-H Q14-style: share of revenue from PROMO parts per ship month —
+  // the single-join share report. Scale shape: the full part dim
+  // broadcasts into the filtered lineitem scan (ship-date predicate
+  // pushed to parquet), one month-keyed partial agg. Same exact-sum
+  // discipline as q8: volumes integer-scale x10000 before summing, the
+  // share is one division rounded once.
+  private val q14 = GQuery(
+    "q14_promo_share",
+    (s, dir) => {
+      val p = t("part")(s, dir)
+      val l = t("lineitem")(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          expr("CAST(round(l_extendedprice * (1e0 - l_discount) * 10000e0) AS BIGINT)").as("v"),
+          col("p_type"))
+        .groupBy(col("ship_month"))
+        .agg(sum(when(col("p_type") === "PROMO", col("v")).otherwise(0L)).as("pv"),
+          sum(col("v")).as("tv"))
+        .select(col("ship_month"),
+          round(lit(100.0) * col("pv") / col("tv").cast("double") + lit(1e-9), 6).as("promo_share"))
+    },
+    Some("""WITH v AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+SELECT ship_month,
+       round(100e0 * sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END)
+             / CAST(sum(v) AS DOUBLE) + 1e-9, 6) AS promo_share
+FROM v GROUP BY 1"""))
+
   val all: Seq[GQuery] =
-    Seq(q1, q3, q5, q8, q10, qBroadcast, qTopk, qRollup, qSemi, qAnti,
+    Seq(q1, q3, q5, q8, q10, q14, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
       qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter)

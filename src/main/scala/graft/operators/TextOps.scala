@@ -1307,8 +1307,44 @@ SELECT doc_a, doc_b, split_a, split_b, est_sim FROM x
 WHERE split_a <> split_b"""),
     "Near-dup pairs straddling the train/val/test boundary — post-split leakage audit.")
 
+  // ---------------------------------------------------------------------
+  // Token-distribution entropy per document — the information-density
+  // quality signal (template/boilerplate/spam text repeats tokens and
+  // scores low; diverse prose scores near ln(n)). Two hash-keyed
+  // shuffles: (doc, token) term frequencies, then the per-doc fold —
+  // both partial-agg friendly at any scale. Determinism: ln() is not
+  // bit-reproducible across engines, so each term pins ln at 8 decimals,
+  // integer-scales x1e6, and sums EXACT longs per doc (the BM25
+  // pattern); the emitted entropy is one division rounded once.
+  private val tEntropy = GQuery(
+    "t_token_entropy",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 1"))
+        .select(col("doc_id"), expr("size(toks)").as("n"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("n"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("term", expr(
+          "CAST(round(c * round(ln(c / CAST(n AS DOUBLE)), 8) * 1000000e0) AS BIGINT)"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sum(col("term")).as("ti"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          round(expr("-CAST(ti AS DOUBLE) / (n * 1000000e0)") + lit(1e-9), 4).as("entropy")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 1),
+f AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+c AS (SELECT doc_id, n, tok, count(*) AS c FROM f GROUP BY 1, 2, 3),
+e AS (SELECT doc_id, n,
+             CAST(round(c * round(ln(c / CAST(n AS DOUBLE)), 8) * 1000000e0) AS BIGINT) AS term
+      FROM c)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       round(-CAST(sum(term) AS DOUBLE) / (n * 1000000e0) + 1e-9, 4) AS entropy
+FROM e GROUP BY doc_id, n"""),
+    "Per-doc token entropy (exact integer-scaled sums) — information-density quality signal.")
+
   val all: Seq[GQuery] = Seq(
-    dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage,
+    dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,

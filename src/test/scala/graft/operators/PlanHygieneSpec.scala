@@ -29,7 +29,9 @@ class PlanHygieneSpec extends SparkSpec {
       // constant-build-side nested loops
       "e_recall_eval",
       // cross-joins the 10-row broadcast centroid model, like e_assign
-      "e_ood_score")
+      "e_ood_score",
+      // same shared centroid-model cross join (constant 10x64 build side)
+      "e_cluster_inertia")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
