@@ -115,7 +115,9 @@ object ScaleSmoke {
       "d_chunk_overlap", "d_boilerplate_segments", "e_knn_pq",
       "e_dim_stats", "e_recall_eval", "e_ood_score",
       "d_dup_stats_by_source", "d_split_assign", "d_filter_funnel",
-      "a15_level_shift", "q10_returned_revenue")
+      "a15_level_shift", "q10_returned_revenue",
+      "d_split_leakage", "q8_market_share", "q14_promo_share",
+      "e_cluster_inertia", "t_token_entropy")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =
