@@ -1343,8 +1343,50 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
 FROM e GROUP BY doc_id, n"""),
     "Per-doc token entropy (exact integer-scaled sums) — information-density quality signal.")
 
+  // ---------------------------------------------------------------------
+  // N-gram novelty per source — what fraction of a source's distinct
+  // 13-grams appear NOWHERE else in the corpus. The data-mixing
+  // diversity signal: a source whose grams are mostly shared adds
+  // little new text to a training mix; a high-novelty source is
+  // irreplaceable. Reuses the native 13-gram hash kernel (in-scan,
+  // per-doc-distinct), so grams live in the same 60-bit hash domain as
+  // decontamination. Scale shape: ONE gram-keyed shuffle builds the
+  // distinct (source, gram) set; the per-gram source count aggregates
+  // on that same key (co-partitioned, no second gram shuffle); the
+  // per-source fold is partial-agg friendly (only #sources rows move).
+  // Counts are exact integers; the ratio is the single float op.
+  private val dNgramNovelty = GQuery(
+    "d_ngram_novelty",
+    (s, dir) => {
+      val sg = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 13"))
+        .select(col("source"), explode(gram13(col("toks"))).as("g"))
+        .distinct()
+      val gs = sg.groupBy(col("g")).agg(count(lit(1)).as("ns"))
+      sg.join(gs, Seq("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+        .withColumn("novelty",
+          round(col("n_exclusive") / col("n_grams").cast("double") + lit(1e-9), 6))
+    },
+    Some("""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 13),
+g1 AS (SELECT source, unnest(list_distinct(list_transform(range(len(toks) - 12),
+         i -> ('0x'||substr(md5(array_to_string(toks[i+1:i+13], chr(1))),1,15))::BIGINT))) AS g
+       FROM t),
+sg AS (SELECT DISTINCT source, g FROM g1),
+gs AS (SELECT g, count(*) AS ns FROM sg GROUP BY 1)
+SELECT source, count(*) AS n_grams,
+       CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       round(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS novelty
+FROM sg JOIN gs USING (g) GROUP BY 1"""),
+    "Fraction of each source's distinct 13-grams found nowhere else — mixing diversity signal.")
+
   val all: Seq[GQuery] = Seq(
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
+    dNgramNovelty,
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
