@@ -117,7 +117,8 @@ object ScaleSmoke {
       "d_dup_stats_by_source", "d_split_assign", "d_filter_funnel",
       "a15_level_shift", "q10_returned_revenue",
       "d_split_leakage", "q8_market_share", "q14_promo_share",
-      "e_cluster_inertia", "t_token_entropy", "d_ngram_novelty")
+      "e_cluster_inertia", "t_token_entropy", "d_ngram_novelty",
+      "e_kmeans_step", "a16_inter_event_gap")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =

@@ -354,7 +354,42 @@ SELECT event_type, d AS day, bsum, asum,
 FROM w WHERE bcnt = 7 AND acnt = 7"""),
     "Rolling 7-day-before vs 7-day-after level-shift score per event type.")
 
+  // Inter-event gap statistics per user — the engagement-cadence report
+  // (how often does each user come back; the max gap is the churn
+  // signal). Gaps are lag differences in the INTEGER epoch-µs domain
+  // (the a11 rule — no sub-second float time math), ordered with the
+  // (ts, event_id) tiebreak so duplicate timestamps can't reorder
+  // between engines. Scale shape: one user-keyed window sort (the same
+  // shuffle every per-user sequence query pays), then a partial-agg
+  // fold to one row per user. Sums/max are exact longs; the mean is the
+  // single division, rounded once.
+  private val a16InterEventGap = GQuery(
+    "a16_inter_event_gap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("tsu"))
+        .withColumn("gap", col("tsu") - lag(col("tsu"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sum_gap"),
+          max(col("gap")).as("max_gap_us"))
+        .select(col("user_id"), col("n_gaps"),
+          round(col("sum_gap") / col("n_gaps").cast("double") + lit(1e-9), 2).as("avg_gap_us"),
+          col("max_gap_us"))
+    },
+    Some("""WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+       round(sum(gap) / CAST(count(*) AS DOUBLE) + 1e-9, 2) AS avg_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY 1"""),
+    "Per-user inter-event gap stats (count, mean, max) in exact integer microseconds.")
+
   val all: Seq[GQuery] =
     Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma,
-      a13Transition, a14RollingDau, a15LevelShift)
+      a13Transition, a14RollingDau, a15LevelShift, a16InterEventGap)
 }

@@ -720,8 +720,45 @@ SELECT c_label AS cluster, count(*) AS n,
 FROM a WHERE rn = 1 GROUP BY 1"""),
     "Per-cluster inertia (SSE), mean distance, and size — the k-means objective report.")
 
+  // One full Lloyd iteration, model out: assign every vector to its
+  // nearest label-mean centroid (the shared rounded-distance argmin),
+  // then recompute the per-cluster mean per dimension — the M-step whose
+  // output is the NEXT iteration's broadcast model. Chained with
+  // e_assign_confusion/e_cluster_inertia this is the full k-means loop:
+  // each iteration is one corpus scan against a constant broadcast,
+  // one (cluster, dim) partial agg, at any corpus size. Means follow
+  // the exact e_centroids pattern (same rounding pin), so the emitted
+  // model is bit-identical across engines and safe to feed back in.
+  private val eKmeansStep = GQuery(
+    "e_kmeans_step",
+    (s, dir) => {
+      val cent = centroidVectors(s, dir)
+      prepped(s, dir).crossJoin(broadcast(cent))
+        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
+        .filter(col("rn") === 1)
+        .select(col("c_label").as("cluster"), posexplode(col("ed")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("v")) + lit(1e-9), 6).as("centroid"), count(lit(1)).as("cnt"))
+    },
+    Some(s"""$duckPrep,
+$duckCentroids,
+d AS (SELECT vec_id, c_label,
+             round(list_aggregate(list_transform(range(64),
+               i -> (ed[i + 1] - cv[i + 1]) * (ed[i + 1] - cv[i + 1])), 'sum'), 6) AS d2
+      FROM n CROSS JOIN cvec),
+a AS (SELECT vec_id, c_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      FROM d)
+SELECT a.c_label AS cluster, i AS pos,
+       round(avg(n.ed[i + 1]) + 1e-9, 6) AS centroid, count(*) AS cnt
+FROM a JOIN n USING (vec_id), range(64) t(i)
+WHERE a.rn = 1 GROUP BY 1, 2"""),
+    "One Lloyd iteration: nearest-centroid assignment then recomputed per-cluster means.")
+
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
-      eDimStats, eRecallEval, eOodScore, eInertia)
+      eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep)
 }

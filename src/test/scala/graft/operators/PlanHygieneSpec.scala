@@ -31,7 +31,9 @@ class PlanHygieneSpec extends SparkSpec {
       // cross-joins the 10-row broadcast centroid model, like e_assign
       "e_ood_score",
       // same shared centroid-model cross join (constant 10x64 build side)
-      "e_cluster_inertia")
+      "e_cluster_inertia",
+      // the Lloyd-iteration E-step: the identical centroid-model cross join
+      "e_kmeans_step")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
