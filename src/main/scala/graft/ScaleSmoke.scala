@@ -89,7 +89,7 @@ object ScaleSmoke {
     val skewSubset = Seq(
       "a2_running_sum", "a2b_running_sum_salted", "a4_user_action_window",
       "a12_ewma_smooth", "a13_transition_matrix", "q_salted_join",
-      "a8_retention_cohort", "a11_peak_concurrency")
+      "a8_retention_cohort", "a11_peak_concurrency", "a16_inter_event_gap")
     val uniformSubset = Seq(
       "q1_pricing_summary", "q5_region_revenue", "q_percentiles",
       "q_hll_sketch", "q_count_distinct", "a1_window_count_5m",
