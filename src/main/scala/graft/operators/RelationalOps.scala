@@ -725,8 +725,35 @@ SELECT ship_month,
              / CAST(sum(v) AS DOUBLE) + 1e-9, 6) AS promo_share
 FROM v GROUP BY 1"""))
 
+  // TPC-H Q6-style: potential revenue increase from discount-band
+  // lineitems — the pure scan-aggregate. Every predicate (ship-date
+  // range, discount band, quantity cap) pushes to the parquet scan and
+  // the projection prunes to 2 columns; the whole query is one
+  // WholeStageCodegen span folding into a single row. Determinism: the
+  // product of two 2-dp decimals integer-scales x10000 into an exact
+  // long sum; the emitted revenue is that sum divided back once.
+  private val q6 = GQuery(
+    "q6_forecast_revenue",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .select(expr("CAST(round(l_extendedprice * l_discount * 10000e0) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).as("n_items"),
+          round(expr("CAST(sum(v) AS DOUBLE) / 10000e0") + lit(1e-9), 2).as("revenue")),
+    Some("""SELECT count(*) AS n_items,
+       round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000e0 + 1e-9, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""))
+
   val all: Seq[GQuery] =
-    Seq(q1, q3, q5, q8, q10, q14, qBroadcast, qTopk, qRollup, qSemi, qAnti,
+    Seq(q1, q3, q5, q6, q8, q10, q14, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
       qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter)
