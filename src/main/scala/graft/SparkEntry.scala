@@ -20,6 +20,7 @@ object SparkEntry {
     operators.EventOps.all ++
       operators.AnalyticsOps.all ++
       operators.RelationalOps.all ++
+      operators.TpchOps.all ++
       operators.TextOps.all ++
       operators.EmbeddingOps.all ++
       operators.MultimodalOps.all ++

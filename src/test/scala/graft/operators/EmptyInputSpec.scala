@@ -27,7 +27,9 @@ class EmptyInputSpec extends SparkSpec {
     * Value = (expected rows, count column that must be all-zero). */
   private val fixedShapeOnEmpty: Map[String, (Long, String)] =
     Map("a9_funnel" -> (4L, "n_users"), "d_filter_funnel" -> (5L, "n_pass"),
-      "q6_forecast_revenue" -> (1L, "n_items"))
+      "q6_forecast_revenue" -> (1L, "n_items"),
+      "q17_small_qty_revenue" -> (1L, "n_items"),
+      "q19_disjunctive_revenue" -> (1L, "n_items"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     fixedShapeOnEmpty.get(name) match {

@@ -33,7 +33,13 @@ class PlanHygieneSpec extends SparkSpec {
       // same shared centroid-model cross join (constant 10x64 build side)
       "e_cluster_inertia",
       // the Lloyd-iteration E-step: the identical centroid-model cross join
-      "e_kmeans_step")
+      "e_kmeans_step",
+      // q15 joins the 1-row max-revenue scalar back against the
+      // per-supplier aggregate; q22 cross-joins the 1-row (sum, count)
+      // average-balance scalar — both constant-size build sides by design
+      "q15_top_supplier", "q22_idle_balance",
+      // q11 cross-joins the 1-row grand-total scalar — constant build side
+      "q11_important_parts")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
