@@ -119,12 +119,24 @@ object ScaleSmoke {
       "d_split_leakage", "q8_market_share", "q14_promo_share",
       "e_cluster_inertia", "t_token_entropy", "d_ngram_novelty",
       "e_kmeans_step", "a16_inter_event_gap")
+    // The adapted TPC-H completion batch (TpchOps): every new join/agg
+    // family on the uniform fixture — the receipts behind their 100 TB
+    // shape claims. Fact keys offset per copy, so per-order and per-part
+    // group sizes stay CONSTANT as the corpus multiplies: the correct
+    // production analogy (more orders, not deeper orders).
+    val tpchSubset = Seq(
+      "q2_min_cost_supplier", "q4_priority_count", "q7_volume_shipping",
+      "q9_product_profit", "q11_important_parts", "q12_priority_lines",
+      "q13_cust_order_dist", "q15_top_supplier", "q16_supplier_variety",
+      "q17_small_qty_revenue", "q18_large_volume", "q19_disjunctive_revenue",
+      "q20_excess_shippers", "q21_waiting_supplier", "q22_idle_balance")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =
       if (skewed || args.contains("hotq")) skewSubset
       else if (constEval) constEvalSubset
       else if (args.contains("fresh")) freshSubset
+      else if (args.contains("tpch")) tpchSubset
       else uniformSubset
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()
