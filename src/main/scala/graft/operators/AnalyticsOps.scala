@@ -389,7 +389,72 @@ SELECT user_id, count(*) AS n_gaps,
 FROM g WHERE gap IS NOT NULL GROUP BY 1"""),
     "Per-user inter-event gap stats (count, mean, max) in exact integer microseconds.")
 
+  // Robust outliers via median absolute deviation — the heavy-tail-safe
+  // dual of a10's z-score (one extreme value cannot drag the threshold,
+  // unlike mean/stddev). Exactness: `value` is 2-dp by construction, so
+  // CAST(round(value * 100)) is an exact integer domain; both medians
+  // (value, then absolute deviation) are LOWER medians selected from
+  // per-type histograms by the cross-multiplied rank rule 2 * cum >= n —
+  // no interpolation, no float compare anywhere until the final display
+  // rounding. The outlier test scales the 1.4826 * 3 sigma-equivalence
+  // into integers: dev * 10000 > 44478 * mad. 100 TB: two (type, bucket)
+  // histogram shuffles (cells bounded by the value domain, ~50k per
+  // type), two broadcast joins of per-type scalars back into the scan —
+  // the events table is never sorted or windowed per key.
+  private val a17MadOutliers = GQuery(
+    "a17_mad_outliers",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("CAST(round(value * 100e0) AS BIGINT)").as("vs"))
+      def lowerMedian(df: DataFrame, keyCol: String, valCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy(keyCol).orderBy(valCol)
+        val tot = Window.partitionBy(keyCol)
+        df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(tot))
+          .groupBy(col(keyCol))
+          .agg(min(when(col("cum") * 2 >= col("n"), col(valCol))).as(out))
+      }
+      val med = lowerMedian(e, "event_type", "vs", "med_s")
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev_s", abs(col("vs") - col("med_s")))
+      val mad = lowerMedian(dev, "event_type", "dev_s", "mad_s")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("dev_s") * 10000L > col("mad_s") * 44478L)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          round(col("med_s") / lit(100.0) + lit(1e-9), 2).as("median"),
+          round(col("dev_s") / lit(100.0) + lit(1e-9), 2).as("abs_dev"))
+    },
+    Some("""WITH e AS (SELECT event_id, event_type, value,
+              CAST(round(value * 100) AS BIGINT) AS vs FROM events),
+mh AS (SELECT event_type, vs, count(*) AS cnt FROM e GROUP BY 1, 2),
+mc AS (SELECT event_type, vs,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY vs) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       FROM mh),
+med AS (SELECT event_type, min(CASE WHEN cum * 2 >= n THEN vs END) AS med_s
+        FROM mc GROUP BY 1),
+dev AS (SELECT e.event_id, e.event_type, e.value, e.vs, med.med_s,
+          abs(e.vs - med.med_s) AS dev_s
+        FROM e JOIN med USING (event_type)),
+dh AS (SELECT event_type, dev_s, count(*) AS cnt FROM dev GROUP BY 1, 2),
+dc AS (SELECT event_type, dev_s,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY dev_s) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       FROM dh),
+mad AS (SELECT event_type, min(CASE WHEN cum * 2 >= n THEN dev_s END) AS mad_s
+        FROM dc GROUP BY 1)
+SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
+       round(d.med_s / 100.0 + 1e-9, 2) AS median,
+       round(d.dev_s / 100.0 + 1e-9, 2) AS abs_dev
+FROM dev d JOIN mad USING (event_type)
+WHERE d.dev_s * 10000 > mad.mad_s * 44478"""),
+    "MAD-based robust outliers per event type; exact integer medians from histograms.")
+
   val all: Seq[GQuery] =
     Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma,
-      a13Transition, a14RollingDau, a15LevelShift, a16InterEventGap)
+      a13Transition, a14RollingDau, a15LevelShift, a16InterEventGap,
+      a17MadOutliers)
 }

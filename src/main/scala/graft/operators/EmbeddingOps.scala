@@ -757,8 +757,64 @@ FROM a JOIN n USING (vec_id), range(64) t(i)
 WHERE a.rn = 1 GROUP BY 1, 2"""),
     "One Lloyd iteration: nearest-centroid assignment then recomputed per-cluster means.")
 
+  // Hard-negative mining for contrastive training: for each query vector,
+  // the most similar SAME-label neighbor (the positive) and the most
+  // similar DIFFERENT-label neighbor (the hard negative), plus the margin
+  // between them — the standard triplet-quality signal for embedding
+  // curation. Same plan family as the brute kNN baseline: the <=10-row
+  // query set broadcasts, the corpus scans ONCE, and the per-(query,
+  // same/diff) argmax is a row_number over a rounded score with a vec_id
+  // tiebreak (rank cuts can't sit on float noise). The final pivot is a
+  // 20-row aggregate. 100 TB: scales exactly like e_knn_brute — the LSH/
+  // IVF candidate pruning composes in front unchanged if the corpus scan
+  // itself needs cutting.
+  private val eHardNegatives = GQuery(
+    "e_hard_negatives",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlbl"),
+          col("ed").as("qe"), col("nrm").as("qn"))
+      base.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim", cosCol)
+        .withColumn("is_pos", (col("label") === col("qlbl")).cast("int"))
+        .select(col("qid"), col("vec_id"), col("cos_sim"), col("is_pos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid", "is_pos").orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rnk") === 1)
+        .groupBy(col("qid"))
+        .agg(
+          max(when(col("is_pos") === 1, col("vec_id"))).as("pos_id"),
+          max(when(col("is_pos") === 1, col("cos_sim"))).as("pos_sim"),
+          max(when(col("is_pos") === 0, col("vec_id"))).as("neg_id"),
+          max(when(col("is_pos") === 0, col("cos_sim"))).as("neg_sim"))
+        .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+        .select(col("qid"), col("pos_id"), col("pos_sim"), col("neg_id"), col("neg_sim"),
+          round(col("pos_sim") - col("neg_sim") + lit(1e-9), 6).as("margin"))
+    },
+    Some(s"""$duckPrep,
+q AS (SELECT vec_id AS qid, label AS qlbl, ed AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+p AS (SELECT q.qid, n.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> q.qe[i + 1] * n.ed[i + 1]), 'sum') / (q.qn * n.nrm), 6) AS cos_sim,
+        CASE WHEN n.label = q.qlbl THEN 1 ELSE 0 END AS is_pos
+      FROM q, n WHERE n.vec_id <> q.qid),
+r AS (SELECT qid, vec_id, cos_sim, is_pos,
+        row_number() OVER (PARTITION BY qid, is_pos ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM p),
+piv AS (SELECT qid,
+          max(CASE WHEN is_pos = 1 THEN vec_id END) AS pos_id,
+          max(CASE WHEN is_pos = 1 THEN cos_sim END) AS pos_sim,
+          max(CASE WHEN is_pos = 0 THEN vec_id END) AS neg_id,
+          max(CASE WHEN is_pos = 0 THEN cos_sim END) AS neg_sim
+        FROM r WHERE rnk = 1 GROUP BY qid)
+SELECT qid, pos_id, pos_sim, neg_id, neg_sim,
+       round(pos_sim - neg_sim + 1e-9, 6) AS margin
+FROM piv WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL"""),
+    "Triplet mining: nearest same-label and nearest cross-label neighbor per query, with margin.")
+
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
-      eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep)
+      eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep,
+      eHardNegatives)
 }

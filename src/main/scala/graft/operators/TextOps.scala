@@ -1384,6 +1384,63 @@ SELECT source, count(*) AS n_grams,
 FROM sg JOIN gs USING (g) GROUP BY 1"""),
     "Fraction of each source's distinct 13-grams found nowhere else — mixing diversity signal.")
 
+  // Percentile-threshold quality pruning: drop the bottom quartile of
+  // documents PER LANGUAGE by quality score — the curation step between
+  // scoring and dedup in a training-data pipeline. The per-language p25
+  // cutoff comes from a HISTOGRAM, not a sort: scores are 4-dp by
+  // construction, so CAST(round(qs * 10000)) is an exact integer bucket,
+  // the (lang, bucket) histogram is at most 10001 rows per language, and
+  // the cumulative-count windows run over THAT — never over documents.
+  // The rank inequality cross-multiplies (4 * cum >= n) so no float
+  // quantile is ever compared. The kept-count derives from the same
+  // histogram — the corpus is scanned exactly once. 100 TB: one partial-
+  // agg shuffle on (lang, bucket); everything after is O(langs * 10^4).
+  private val dQualityPrune = GQuery(
+    "d_quality_prune",
+    (s, dir) => {
+      val hist = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("cast(size(toks) AS double)"))
+        .selectExpr("lang",
+          "CAST(round((0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n) + 1e-9) * 10000e0) AS BIGINT) AS qb")
+        .groupBy(col("lang"), col("qb"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy("qb")
+      val tot = Window.partitionBy("lang")
+      hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n_total", sum(col("cnt")).over(tot))
+        .withColumn("cutoff", min(when(col("cum") * 4 >= col("n_total"), col("qb"))).over(tot))
+        .groupBy(col("lang"))
+        .agg(max(col("n_total")).as("n_total"),
+          max(col("cutoff")).as("cutoff_b"),
+          sum(when(col("qb") >= col("cutoff"), col("cnt")).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_total"),
+          round(col("cutoff_b") / lit(10000.0) + lit(1e-9), 4).as("cutoff_q"),
+          col("n_kept"))
+    },
+    Some("""WITH t AS (SELECT lang, string_split(text, ' ') AS toks,
+              len(string_split(text, ' '))::DOUBLE AS n FROM documents),
+hist AS (
+  SELECT lang,
+         CAST(round((0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n) + 1e-9) * 10000) AS BIGINT) AS qb,
+         count(*) AS cnt
+  FROM t GROUP BY 1, 2),
+c AS (
+  SELECT lang, qb, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY qb) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_total
+  FROM hist),
+cut AS (
+  SELECT lang, qb, cnt, n_total,
+         min(CASE WHEN cum * 4 >= n_total THEN qb END) OVER (PARTITION BY lang) AS cutoff
+  FROM c)
+SELECT lang, max(n_total) AS n_total,
+       round(max(cutoff) / 10000.0 + 1e-9, 4) AS cutoff_q,
+       CAST(sum(CASE WHEN qb >= cutoff THEN cnt ELSE 0 END) AS BIGINT) AS n_kept
+FROM cut GROUP BY lang"""),
+    "Per-language p25 quality cutoff from an exact score histogram; corpus scanned once.")
+
   val all: Seq[GQuery] = Seq(
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     dNgramNovelty,
@@ -1393,5 +1450,5 @@ FROM sg JOIN gs USING (g) GROUP BY 1"""),
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
     dContaminationReport, tBm25, dReservoir, dTemperatureMix,
-    dChunkOverlap, dBoilerplate)
+    dChunkOverlap, dBoilerplate, dQualityPrune)
 }

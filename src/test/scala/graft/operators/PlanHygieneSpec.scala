@@ -39,7 +39,9 @@ class PlanHygieneSpec extends SparkSpec {
       // average-balance scalar — both constant-size build sides by design
       "q15_top_supplier", "q22_idle_balance",
       // q11 cross-joins the 1-row grand-total scalar — constant build side
-      "q11_important_parts")
+      "q11_important_parts",
+      // triplet mining broadcasts the <=10-row query set, like e_knn_brute
+      "e_hard_negatives")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
