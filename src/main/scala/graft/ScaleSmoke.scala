@@ -130,6 +130,9 @@ object ScaleSmoke {
       "q13_cust_order_dist", "q15_top_supplier", "q16_supplier_variety",
       "q17_small_qty_revenue", "q18_large_volume", "q19_disjunctive_revenue",
       "q20_excess_shippers", "q21_waiting_supplier", "q22_idle_balance")
+    // Post-TPC-H additions still needing a receipt.
+    val latestSubset = Seq(
+      "e_hard_negatives", "d_quality_prune", "a17_mad_outliers")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =
@@ -137,6 +140,7 @@ object ScaleSmoke {
       else if (constEval) constEvalSubset
       else if (args.contains("fresh")) freshSubset
       else if (args.contains("tpch")) tpchSubset
+      else if (args.contains("latest")) latestSubset
       else uniformSubset
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()

@@ -85,5 +85,30 @@ FROM documents"""
 FROM documents"""),
     "Frame sampling over video payloads; per-media frame counts verified.")
 
-  val all: Seq[GQuery] = Seq(mMediaMeta, mMediaFeatures, mFrameSample)
+  // Binary-payload exact dedup: group by content digest, keep the lowest
+  // media_id as the canonical copy, report the duplicate sets. The media
+  // dual of d_exact_dedup — at 100 TB the digest computes IN the scan
+  // (one md5 per payload, no decode), the shuffle key is the 32-hex
+  // digest (uniform by construction, no skew), and only groups with a
+  // second copy survive the HAVING, so the output is bounded by the
+  // duplicate mass, not the corpus.
+  private val mMediaDedup = GQuery(
+    "m_media_dedup",
+    (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          md5(col("text").cast("binary")).as("digest"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .groupBy(col("digest"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("media_id")).as("keeper_id"),
+          max(col("n_bytes")).as("n_bytes"))
+        .filter(col("n_copies") > 1L),
+    Some("""SELECT md5(text) AS digest, count(*) AS n_copies,
+       min(doc_id) AS keeper_id, max(octet_length(encode(text))::BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1 HAVING count(*) > 1"""),
+    "Exact media dedup by content digest; canonical keeper = min id per duplicate set.")
+
+  val all: Seq[GQuery] = Seq(mMediaMeta, mMediaFeatures, mFrameSample, mMediaDedup)
 }
