@@ -86,10 +86,26 @@ object Bench {
       if (ok) Some(dt) else None
     }
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(1, name, fn) }.toMap
+    // Adaptive third pass: when the two timings DISAGREE past 1.4x the
+    // measurement is stall-contaminated (the roving multi-second host
+    // stalls hit one pass, not the query), and when both exceed 1 s the
+    // stall may have hit both — either way one more sample tightens the
+    // reported min. Bounded (<=40 retakes) so the wall-time cost stays
+    // a fraction of the two base passes even if the whole run is noisy.
+    var retakes = 0
     val results: Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
       val min = (pass1(name), timeOnce(2, name, fn)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case _                  => None // either pass failed
+        case (Some(a), Some(b)) =>
+          val m = math.min(a, b)
+          val noisy = math.max(a, b) > m * 1.4 || m > 1.0
+          if (noisy && retakes < 40) {
+            retakes += 1
+            timeOnce(3, name, fn) match {
+              case Some(c) => Some(math.min(m, c))
+              case None    => Some(m) // a crashed retake keeps the valid min
+            }
+          } else Some(m)
+        case _ => None // either base pass failed
       }
       name -> min
     }

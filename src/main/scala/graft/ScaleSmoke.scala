@@ -132,7 +132,9 @@ object ScaleSmoke {
       "q20_excess_shippers", "q21_waiting_supplier", "q22_idle_balance")
     // Post-TPC-H additions still needing a receipt.
     val latestSubset = Seq(
-      "e_hard_negatives", "d_quality_prune", "a17_mad_outliers")
+      "e_hard_negatives", "d_quality_prune", "a17_mad_outliers",
+      "t_gopher_rules", "d_source_quota", "d_cross_source_overlap",
+      "e_threshold_sweep", "m_media_dedup", "q22_idle_balance")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =

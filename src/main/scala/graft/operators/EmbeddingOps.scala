@@ -812,9 +812,38 @@ SELECT qid, pos_id, pos_sim, neg_id, neg_sim,
 FROM piv WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL"""),
     "Triplet mining: nearest same-label and nearest cross-label neighbor per query, with margin.")
 
+  // Threshold calibration for semantic dedup: how many near-dup pairs
+  // survive at each candidate cosine cutoff, computed in ONE pass over
+  // the SAME LSH-bucketed pair stage as e_neardup_cosine (each pair
+  // fans out to the rungs it clears — no per-threshold re-scan). This
+  // is the knob-setting query run before committing to a dedup
+  // threshold: the count curve shows where the pair mass falls off (an
+  // absent rung = zero pairs cleared it, and empty input degrades to an
+  // empty frame). Rungs are INTEGER permille cutoffs compared via
+  // cos_sim * 1000 — cos_sim is the shared round(.,6) value on both
+  // engines, so no boundary row can disagree. 100 TB: the pair stage
+  // dominates (bucketed, never all-pairs); the ladder itself is a
+  // <=5-row grouped aggregate with partial map-side combine.
+  private val eThresholdSweep = GQuery(
+    "e_threshold_sweep",
+    (s, dir) =>
+      neardupPairs(s, dir)
+        .select(col("cos_sim"),
+          explode(expr("array(400L, 500L, 625L, 750L, 875L)")).as("thr_permille"))
+        .filter(col("cos_sim") * 1000.0 >= col("thr_permille"))
+        .groupBy(col("thr_permille"))
+        .agg(count(lit(1)).as("n_pairs")),
+    Some(s"""$duckPrep,
+$neardupPairsDuck
+SELECT CAST(thr_permille AS BIGINT) AS thr_permille, count(*) AS n_pairs
+FROM p, (VALUES (400), (500), (625), (750), (875)) t(thr_permille)
+WHERE cos_sim >= 0.4 AND cos_sim * 1000.0 >= thr_permille
+GROUP BY 1"""),
+    "Pair-count ladder over candidate dedup thresholds (0.400..0.875, permille rungs).")
+
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep,
-      eHardNegatives)
+      eHardNegatives, eThresholdSweep)
 }

@@ -1441,6 +1441,175 @@ SELECT lang, max(n_total) AS n_total,
 FROM cut GROUP BY lang"""),
     "Per-language p25 quality cutoff from an exact score histogram; corpus scanned once.")
 
+  // Gopher-style rule report: the audit-friendly shape of corpus
+  // filtering — one boolean per RULE per document (not a blended
+  // score), so a curation run can explain exactly why a document was
+  // dropped and rule pass-rates can be monitored per source/crawl.
+  // Every rule is an ALL-INTEGER cross-multiplied comparison (mean
+  // word length in [4.0, 10.0] becomes n_chr*10 between 40*n_tok and
+  // 100*n_tok) — no float quotient exists on either engine, so no
+  // rounding hazard. Bounds are set to discriminate on this fixture
+  // (token count p25≈32, mean word length p50≈4.5, stopword share
+  // p50≈6%, type-token ratio p50≈0.46). 100 TB: a pure map inside
+  // the scan projection — zero shuffles; this is THE filter that runs
+  // inline during ingest, and `keep` is the product of the flags.
+  private val tGopherRules = GQuery(
+    "t_gopher_rules",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .selectExpr(
+          "doc_id",
+          "cast(size(toks) AS bigint) AS n_tok",
+          "cast(length(replace(text, ' ', '')) AS bigint) AS n_chr",
+          "cast(size(filter(toks, t -> t IN ('the', 'a'))) AS bigint) AS n_stop",
+          "cast(size(array_distinct(toks)) AS bigint) AS n_uniq")
+        .selectExpr(
+          "doc_id", "n_tok",
+          "cast(CASE WHEN n_tok BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS bigint) AS r_len",
+          "cast(CASE WHEN n_chr * 10 BETWEEN 40 * n_tok AND 100 * n_tok THEN 1 ELSE 0 END AS bigint) AS r_wordlen",
+          "cast(CASE WHEN n_stop * 100 >= n_tok THEN 1 ELSE 0 END AS bigint) AS r_stop",
+          "cast(CASE WHEN n_uniq * 10 >= n_tok * 4 THEN 1 ELSE 0 END AS bigint) AS r_ttr")
+        .withColumn("keep",
+          col("r_len") * col("r_wordlen") * col("r_stop") * col("r_ttr")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+            len(replace(text, ' ', '')) AS n_chr FROM documents),
+f AS (SELECT doc_id,
+        len(toks)::BIGINT AS n_tok, n_chr::BIGINT AS n_chr,
+        len(list_filter(toks, t -> t IN ('the', 'a')))::BIGINT AS n_stop,
+        len(list_distinct(toks))::BIGINT AS n_uniq
+      FROM t)
+SELECT doc_id, n_tok,
+       CAST(CASE WHEN n_tok BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+       CAST(CASE WHEN n_chr * 10 BETWEEN 40 * n_tok AND 100 * n_tok THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+       CAST(CASE WHEN n_stop * 100 >= n_tok THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+       CAST(CASE WHEN n_uniq * 10 >= n_tok * 4 THEN 1 ELSE 0 END AS BIGINT) AS r_ttr,
+       CAST(CASE WHEN n_tok BETWEEN 30 AND 10000 THEN 1 ELSE 0 END
+          * CASE WHEN n_chr * 10 BETWEEN 40 * n_tok AND 100 * n_tok THEN 1 ELSE 0 END
+          * CASE WHEN n_stop * 100 >= n_tok THEN 1 ELSE 0 END
+          * CASE WHEN n_uniq * 10 >= n_tok * 4 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f"""),
+    "Per-rule Gopher-style filter flags (all-integer bounds); keep = product of rules.")
+
+  // Domain quota: cap any single source's contribution by keeping only
+  // its top-q documents by quality — the anti-over-representation step
+  // of corpus mixing (one crawl/domain must not dominate the corpus).
+  // Ranks on the SAME x10000 integer quality bucket as d_quality_prune
+  // (shared-constant discipline: one quality definition in the
+  // registry), doc_id tiebreak so the rank never sits on a tie. 100 TB:
+  // one shuffle on source; the rank<=8 cut pushes below the exchange as
+  // WindowGroupLimit (the q_topk_per_brand plan family), so each task
+  // forwards at most 8 rows per source — output is O(sources), not
+  // O(corpus).
+  private val dSourceQuota = GQuery(
+    "d_source_quota",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("qb").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("cast(size(toks) AS double)"))
+        .selectExpr("doc_id", "source",
+          "CAST(round((0.4 * (1.0 - size(filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (size(array_distinct(toks)) / n) + 1e-9) * 10000e0) AS BIGINT) AS qb")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 8)
+        .select(col("source"), col("doc_id"), col("qb"), col("rnk"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+              len(string_split(text, ' '))::DOUBLE AS n FROM documents),
+q AS (SELECT doc_id, source,
+        CAST(round((0.4 * (1.0 - len(list_filter(toks, t -> t IN ('the', 'a'))) / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (len(list_distinct(toks)) / n) + 1e-9) * 10000) AS BIGINT) AS qb
+      FROM t),
+r AS (SELECT source, doc_id, qb,
+        row_number() OVER (PARTITION BY source ORDER BY qb DESC, doc_id) AS rnk
+      FROM q)
+SELECT source, doc_id, qb, rnk FROM r WHERE rnk <= 8"""),
+    "Per-source quota: top-8 documents by integer quality bucket per source.")
+
+  // Cross-source duplication matrix: which sources (crawls, dumps,
+  // domains) overlap each other, measured on the SAME MinHash-LSH pair
+  // stage as d_minhash_lsh_pairs — the dataset-provenance signal that
+  // decides which acquisition is redundant before paying for it. Pair
+  // orientation is normalized on the SOURCE names (least/greatest) so
+  // (srcA, srcB) and (srcB, srcA) aggregate together; in-source pairs
+  // keep source_a = source_b and measure internal duplication. 100 TB:
+  // the matrix aggregates the PAIR list (orders of magnitude smaller
+  // than the corpus) and the doc->source map joins by doc_id — at most
+  // two broadcast-or-shuffle equi joins bounded by the pair count;
+  // output is O(sources^2).
+  private val dCrossSourceOverlap = GQuery(
+    "d_cross_source_overlap",
+    (s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      lshPairsDF(s, dir)
+        .join(src.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("source", "src_a"), Seq("doc_a"))
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("source", "src_b"), Seq("doc_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some(s"""WITH $lshPairsOracle,
+j AS (SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b
+      FROM pairs
+      JOIN documents sa ON pairs.doc_a = sa.doc_id
+      JOIN documents sb ON pairs.doc_b = sb.doc_id)
+SELECT source_a, source_b, count(*) AS n_pairs
+FROM j GROUP BY 1, 2"""),
+    "Near-dup pair counts per source pair (LSH pair stage + provenance join).")
+
+  // LSH band-plan tuning: candidate-pair counts for three (bands x
+  // rows) layouts of the SAME 16-perm MinHash signature — the knob-
+  // setting companion to d_minhash_lsh_pairs (more bands = higher
+  // recall / more candidates; longer rows = higher precision / fewer).
+  // The count comes from per-bucket COMBINATORICS (sum of n*(n-1)/2
+  // over buckets), never from materializing pairs — so unlike the pair
+  // listing this stays safe on arbitrarily dup-heavy corpora with NO
+  // bucket cap: counting a million-doc bucket is one integer multiply,
+  // not 10^12 rows. 100 TB: one signature scan, one (cfg, band, key)
+  // partial-agg shuffle whose cardinality is bounded by the band-bucket
+  // count, then a 3-row rollup. All-integer output.
+  private val dLshBandTuning = GQuery(
+    "d_lsh_band_tuning",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 3"))
+        .withColumn("mharr", graft.functions.GraftFunctions.minhashSig(
+          col("toks"), perms.map(_._1), perms.map(_._2), MP))
+      val cfgs = Seq((2, 8), (4, 4), (8, 2))
+      cfgs.map { case (b, r) =>
+        sig.select(col("doc_id"), col("mharr"), lit(s"b${b}_r$r").as("cfg"),
+            explode(expr(s"sequence(0, ${b - 1})")).as("band_idx"))
+          .withColumn("band_key",
+            expr(s"concat_ws('_', slice(mharr, band_idx * $r + 1, $r))"))
+          .drop("mharr")
+      }.reduce(_ unionByName _)
+        .groupBy(col("cfg"), col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2L)
+        .groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_buckets_ge2"),
+          sum(expr("n * (n - 1) div 2")).as("n_cand_pairs"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+h AS (SELECT doc_id, $shingleDuck AS hs FROM t),
+m AS (SELECT doc_id, ${mhDuckExprs.mkString(", ")} FROM h),
+bands AS (${Seq((2, 8), (4, 4), (8, 2)).flatMap { case (b, r) =>
+        (0 until b).map(z =>
+          s"SELECT doc_id, 'b${b}_r$r' AS cfg, $z AS band_idx, concat_ws('_', ${(r * z until r * z + r).map("mh" + _).mkString(", ")}) AS band_key FROM m")
+      }.mkString("\nUNION ALL\n")}),
+g AS (SELECT cfg, band_idx, band_key, count(*) AS n
+      FROM bands GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT cfg, count(*) AS n_buckets_ge2,
+       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_cand_pairs
+FROM g GROUP BY 1"""),
+    "Candidate-pair counts for three LSH band layouts via per-bucket combinatorics.")
+
   val all: Seq[GQuery] = Seq(
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     dNgramNovelty,
@@ -1450,5 +1619,6 @@ FROM cut GROUP BY lang"""),
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
     dContaminationReport, tBm25, dReservoir, dTemperatureMix,
-    dChunkOverlap, dBoilerplate, dQualityPrune)
+    dChunkOverlap, dBoilerplate, dQualityPrune,
+    tGopherRules, dSourceQuota, dCrossSourceOverlap, dLshBandTuning)
 }

@@ -427,6 +427,54 @@ object StatefulProcessors {
       .transformWithState(new SequencePackerProcessor(binTokens, shards),
         TimeMode.None(), OutputMode.Append())
 
+  /** One document's admission decision from the online source quota. */
+  final case class QuotaDecision(source: String, doc_id: Long,
+      seq: Long, admitted: Boolean)
+
+  /** Online per-source quota — the streaming dual of the batch
+    * `d_source_quota`. The batch query keeps the top-q documents per
+    * source by quality; a stream cannot rank what it has not seen yet,
+    * so the streaming semantics are ADMISSION CONTROL: the first
+    * `quota` documents of each source pass, later arrivals are emitted
+    * with `admitted = false` so a downstream splitter can route them to
+    * a spill/backfill path (rather than silently vanishing — the same
+    * auditability discipline as the late-data router). Deterministic in
+    * arrival order, doc_id order within a micro-batch. State is ONE
+    * counter per source — O(sources) forever, the same bounded-state
+    * argument as the online packer; a TTL would turn it into a
+    * quota-per-retention-window if sources should refresh. */
+  final class SourceQuotaProcessor(quota: Long)
+      extends StatefulProcessor[String, (String, Long), QuotaDecision] {
+
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[QuotaDecision] = {
+      var n = if (admitted.exists()) admitted.get() else 0L
+      val out = rows.toSeq.sortBy(_._2).map { case (_, docId) =>
+        n += 1
+        QuotaDecision(source, docId, n, n <= quota)
+      }
+      admitted.update(n)
+      out.iterator
+    }
+  }
+
+  private implicit val slEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+  private implicit val qdEnc = Encoders.product[QuotaDecision]
+
+  def sourceQuotaStream(docs: org.apache.spark.sql.DataFrame,
+      quota: Long = 8L): Dataset[QuotaDecision] =
+    docs.selectExpr("source", "doc_id")
+      .as[(String, Long)](slEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new SourceQuotaProcessor(quota),
+        TimeMode.None(), OutputMode.Append())
+
   /** Streaming dual of the batch `d_reservoir_sample`: a distributed
     * reservoir keeping the k smallest hash priorities per shard —
     * identical priorities (48-bit md5 of the doc id, exact in a double)

@@ -196,6 +196,30 @@ object StreamingPipelines {
       .dropDuplicatesWithinWatermark(Seq("fp"))
       .select(col("doc_id"), col("ts"), col("lang"), col("score"), col("fp"), col("text"))
 
+  /** Streaming dual of the batch `t_gopher_rules`: the per-rule filter
+    * report as a STATELESS map over the document stream — the shape
+    * that runs inline during ingest (no watermark, no state, survives
+    * any scale because nothing crosses a shuffle). Same all-integer
+    * cross-multiplied rule bounds as the batch query, so batch and
+    * stream agree row-for-row on the same documents. */
+  def gopherRules(docsStream: DataFrame): DataFrame =
+    docsStream
+      .withColumn("toks", split(col("text"), " "))
+      .selectExpr(
+        "doc_id", "ts",
+        "cast(size(toks) AS bigint) AS n_tok",
+        "cast(length(replace(text, ' ', '')) AS bigint) AS n_chr",
+        "cast(size(filter(toks, t -> t IN ('the', 'a'))) AS bigint) AS n_stop",
+        "cast(size(array_distinct(toks)) AS bigint) AS n_uniq")
+      .selectExpr(
+        "doc_id", "ts", "n_tok",
+        "cast(CASE WHEN n_tok BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS bigint) AS r_len",
+        "cast(CASE WHEN n_chr * 10 BETWEEN 40 * n_tok AND 100 * n_tok THEN 1 ELSE 0 END AS bigint) AS r_wordlen",
+        "cast(CASE WHEN n_stop * 100 >= n_tok THEN 1 ELSE 0 END AS bigint) AS r_stop",
+        "cast(CASE WHEN n_uniq * 10 >= n_tok * 4 THEN 1 ELSE 0 END AS bigint) AS r_ttr")
+      .withColumn("keep",
+        col("r_len") * col("r_wordlen") * col("r_stop") * col("r_ttr"))
+
   /** Rolling distinct actives — the streaming dual of the batch
     * `a14_rolling_dau`: each event explodes into the `nSlides` trailing
     * window labels it belongs to (label = its bucket + i*slide, the

@@ -115,12 +115,21 @@ class TpchInvariantsSpec extends SparkSpec {
   test("m_media_dedup duplicate sets partition consistently with d_exact_dedup survivors") {
     val dup = q("m_media_dedup").cache()
     assert(dup.filter(col("n_copies") < 2).isEmpty)
-    // keeper is a member of its own duplicate set: its digest matches
+    // keeper is a member of its own duplicate set: its LEADING-CHUNK
+    // digest matches the group key
     val docs = Tables.t(spark, sfDir, "documents")
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("d2"))
+      .select(col("doc_id"),
+        md5(substring(col("text"), 1, 64).cast("binary")).as("d2"),
+        md5(col("text").cast("binary")).as("full_d"))
     val bad = dup.join(docs, dup("keeper_id") === docs("doc_id"))
-      .filter(col("digest") =!= col("d2"))
+      .filter(col("chunk_digest") =!= col("d2"))
     assert(bad.isEmpty)
+    // the chunk digest COARSENS the full-content digest: documents with
+    // identical full text can never land in different chunk groups
+    val split = docs.groupBy(col("full_d"))
+      .agg(countDistinct(col("d2")).as("nchunk"))
+      .filter(col("nchunk") > 1)
+    assert(split.isEmpty)
     dup.unpersist()
   }
 }
