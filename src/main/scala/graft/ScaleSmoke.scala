@@ -134,7 +134,8 @@ object ScaleSmoke {
     val latestSubset = Seq(
       "e_hard_negatives", "d_quality_prune", "a17_mad_outliers",
       "t_gopher_rules", "d_source_quota", "d_cross_source_overlap",
-      "e_threshold_sweep", "m_media_dedup", "q22_idle_balance")
+      "e_threshold_sweep", "d_lsh_band_tuning", "m_media_dedup",
+      "q22_idle_balance")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =

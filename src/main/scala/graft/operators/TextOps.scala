@@ -1580,14 +1580,19 @@ FROM j GROUP BY 1, 2"""),
         .filter(expr("size(toks) >= 3"))
         .withColumn("mharr", graft.functions.GraftFunctions.minhashSig(
           col("toks"), perms.map(_._1), perms.map(_._2), MP))
+      // ONE scan, ONE signature computation: every (cfg, band) row of
+      // all three layouts explodes from the same mharr (a 3-scan union
+      // would recompute the minhash — the expensive part — per config).
       val cfgs = Seq((2, 8), (4, 4), (8, 2))
-      cfgs.map { case (b, r) =>
-        sig.select(col("doc_id"), col("mharr"), lit(s"b${b}_r$r").as("cfg"),
-            explode(expr(s"sequence(0, ${b - 1})")).as("band_idx"))
-          .withColumn("band_key",
-            expr(s"concat_ws('_', slice(mharr, band_idx * $r + 1, $r))"))
-          .drop("mharr")
-      }.reduce(_ unionByName _)
+      val bandStructs = cfgs.map { case (b, r) =>
+        s"""transform(sequence(0, ${b - 1}), z -> named_struct(
+           'cfg', 'b${b}_r$r', 'band_idx', z,
+           'band_key', concat_ws('_', slice(mharr, z * $r + 1, $r))))"""
+      }.mkString(", ")
+      sig.select(col("doc_id"),
+          explode(expr(s"flatten(array($bandStructs))")).as("e"))
+        .select(col("doc_id"), col("e.cfg").as("cfg"),
+          col("e.band_idx").as("band_idx"), col("e.band_key").as("band_key"))
         .groupBy(col("cfg"), col("band_idx"), col("band_key"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2L)
