@@ -105,25 +105,34 @@ object Jobs {
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("ts_s", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    // optional provenance; absent in older feeds -> coalesced to 'src0'
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType)))
 
   /** Job 9 (beyond the reference — the LLM-corpus capstone): a streaming
     * training-data pipeline over a monitored directory of JSON document
-    * lines: quality gate + digest dedup within the watermark
-    * ([[StreamingPipelines.curateDocs]]) -> benchmark decontamination
-    * against the broadcast eval gram set
+    * lines: per-source admission quota
+    * ([[StatefulProcessors.quotaRouteStream]], over-quota docs spilled
+    * for backfill, never dropped) -> quality gate + digest dedup within
+    * the watermark ([[StreamingPipelines.curateDocs]]) -> benchmark
+    * decontamination against the broadcast eval gram set
     * ([[StreamingPipelines.decontaminate]]) -> online sequence packing
     * ([[StatefulProcessors.packStream]]) into token-budget bins. Clean
     * packed assignments land under `out/packed`; contaminated documents
-    * are quarantined under `out/contaminated` for audit. Requires the
-    * RocksDB state-store provider (transformWithState), like every
-    * stateful job here. */
-  def corpusPipeline(spark: SparkSession, d: Dirs,
-      evalGrams: Array[Long]): (StreamingQuery, StreamingQuery) = {
+    * are quarantined under `out/contaminated` and over-quota documents
+    * under `out/spill` for audit. Requires the RocksDB state-store
+    * provider (transformWithState), like every stateful job here. */
+  def corpusPipeline(spark: SparkSession, d: Dirs, evalGrams: Array[Long],
+      quota: Long = 8L): (StreamingQuery, StreamingQuery, StreamingQuery) = {
     import org.apache.spark.sql.functions._
     val docs = spark.readStream.schema(docWireSchema).json(d.in)
       .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
-    val curated = StreamingPipelines.curateDocs(docs)
+    val routed = StatefulProcessors.quotaRouteStream(docs, quota).toDF()
+    def restore(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), timestamp_micros(col("ts_us")).as("ts"),
+      col("lang"), col("text"), col("source"))
+    val curated = StreamingPipelines.curateDocs(
+      restore(routed.filter(col("admitted"))))
     val (clean, dirty) = StreamingPipelines.decontaminate(curated, evalGrams)
     val packed = Sinks.file(
       StatefulProcessors.packStream(clean).toDF(),
@@ -131,6 +140,10 @@ object Jobs {
     val quarantine = Sinks.file(
       dirty.select(col("doc_id"), col("ts"), col("text")),
       s"${d.out}/contaminated", s"${d.ckpt}/contaminated")
-    (packed, quarantine)
+    val spill = Sinks.file(
+      restore(routed.filter(!col("admitted")))
+        .select(col("doc_id"), col("ts"), col("source"), col("text")),
+      s"${d.out}/spill", s"${d.ckpt}/spill")
+    (packed, quarantine, spill)
   }
 }

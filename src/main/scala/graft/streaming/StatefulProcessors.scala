@@ -475,6 +475,51 @@ object StatefulProcessors {
       .transformWithState(new SourceQuotaProcessor(quota),
         TimeMode.None(), OutputMode.Append())
 
+  /** Full document row entering / leaving the routing quota (timestamps
+    * as epoch micros so the wire tuple stays primitive). */
+  final case class DocIn(source: String, doc_id: Long, ts_us: Long,
+      lang: String, text: String)
+  final case class RoutedDoc(source: String, doc_id: Long, ts_us: Long,
+      lang: String, text: String, seq: Long, admitted: Boolean)
+
+  /** [[SourceQuotaProcessor]] that CARRIES the document through the
+    * decision, so a pipeline can split admitted/spilled rows without a
+    * stream-stream join back to the payload (which would need
+    * watermark-bounded state of its own). Same counter semantics and
+    * O(sources) state; the payload rides the shuffle once. */
+  final class QuotaRouteProcessor(quota: Long)
+      extends StatefulProcessor[String, DocIn, RoutedDoc] {
+
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[DocIn],
+        tv: TimerValues): Iterator[RoutedDoc] = {
+      var n = if (admitted.exists()) admitted.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        n += 1
+        RoutedDoc(d.source, d.doc_id, d.ts_us, d.lang, d.text, n, n <= quota)
+      }
+      admitted.update(n)
+      out.iterator
+    }
+  }
+
+  private implicit val diEnc = Encoders.product[DocIn]
+  private implicit val rdEnc = Encoders.product[RoutedDoc]
+
+  def quotaRouteStream(docs: org.apache.spark.sql.DataFrame,
+      quota: Long = 8L): Dataset[RoutedDoc] =
+    docs.selectExpr("coalesce(source, 'src0') AS source", "doc_id",
+        "unix_micros(ts) AS ts_us", "lang", "text")
+      .as[DocIn](diEnc)
+      .groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(new QuotaRouteProcessor(quota),
+        TimeMode.None(), OutputMode.Append())
+
   /** Streaming dual of the batch `d_reservoir_sample`: a distributed
     * reservoir keeping the k smallest hash priorities per shard —
     * identical priorities (48-bit md5 of the doc id, exact in a double)

@@ -132,4 +132,18 @@ class TpchInvariantsSpec extends SparkSpec {
     assert(split.isEmpty)
     dup.unpersist()
   }
+
+  test("band-tuning combinatorics bound the materialized pair listing") {
+    val tuning = q("d_lsh_band_tuning").cache()
+    // recall ordering: more, shorter bands can only ADD candidates
+    val byCfg = tuning.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byCfg("b8_r2") >= byCfg("b4_r4") && byCfg("b4_r4") >= byCfg("b2_r8"))
+    // b4_r4 is d_minhash_lsh_pairs' layout: the combinatoric count (with
+    // band multiplicity, no bucket cap) can never be BELOW the capped,
+    // deduplicated pair listing
+    val listed = q("d_minhash_lsh_pairs").count()
+    assert(byCfg("b4_r4") >= listed)
+    tuning.unpersist()
+  }
 }

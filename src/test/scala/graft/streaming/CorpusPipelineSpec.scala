@@ -50,10 +50,11 @@ class CorpusPipelineSpec extends SparkSpec {
         jline(4, 13, good1.toUpperCase), // normalized duplicate of 1
         jline(9, 14, good2)).mkString("", "\n", "\n"))
 
-    val (qPacked, qQuarantine) = Jobs.corpusPipeline(s, d, grams)
+    val (qPacked, qQuarantine, qSpill) = Jobs.corpusPipeline(s, d, grams)
     try {
       qPacked.processAllAvailable(); qQuarantine.processAllAvailable()
-    } finally { qPacked.stop(); qQuarantine.stop() }
+      qSpill.processAllAvailable()
+    } finally { qPacked.stop(); qQuarantine.stop(); qSpill.stop() }
 
     val packedIds = s.read.parquet(s"${d.out}/packed")
       .select("doc_id").as[Long].collect().toSet
@@ -65,6 +66,8 @@ class CorpusPipelineSpec extends SparkSpec {
     val quarantined = s.read.parquet(s"${d.out}/contaminated")
       .select("doc_id").as[Long].collect().toSet
     assert(quarantined === Set(3L))
+    // 5 docs, all one implicit source, quota 8: nothing spills
+    assert(s.read.parquet(s"${d.out}/spill").isEmpty)
 
     // Phase 2: RESTART on the same checkpoints — new query objects, a new
     // file. The packer's (bin, fill) state must recover: docs 1 and 9
@@ -73,10 +76,11 @@ class CorpusPipelineSpec extends SparkSpec {
     val good3 = (1 to 40).map(i => s"gamma$i").mkString(" ")
     Files.writeString(Paths.get(d.in, "b2.json"),
       jline(17, 20, good3) + "\n")
-    val (qPacked2, qQuarantine2) = Jobs.corpusPipeline(s, d, grams)
+    val (qPacked2, qQuarantine2, qSpill2) = Jobs.corpusPipeline(s, d, grams)
     try {
       qPacked2.processAllAvailable(); qQuarantine2.processAllAvailable()
-    } finally { qPacked2.stop(); qQuarantine2.stop() }
+      qSpill2.processAllAvailable()
+    } finally { qPacked2.stop(); qQuarantine2.stop(); qSpill2.stop() }
     val after = s.read.parquet(s"${d.out}/packed")
       .selectExpr("doc_id", "bin", "bin_offset").as[(Long, Long, Long)]
       .collect().map(t => t._1 -> ((t._2, t._3))).toMap
@@ -85,6 +89,50 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(after(17L)._2 === 80L, s"expected offset 80 after 2x40 tokens, got ${after(17L)}")
     // phase-1 rows not re-emitted (exactly-once file sink across restart)
     assert(s.read.parquet(s"${d.out}/packed").count() === 3)
+    }
+  }
+
+  private def jlineSrc(id: Long, sec: Long, text: String, src: String): String =
+    s"""{"doc_id":$id,"ts_s":$sec,"text":"$text","lang":"en","source":"$src"}"""
+
+  test("job 9: over-quota docs spill per source; quota counts cross batches") {
+    withRocksDb {
+    val s = spark
+    import s.implicits._
+    val d = Jobs.Dirs(
+      Files.createTempDirectory("quota-in").toString,
+      Files.createTempDirectory("quota-out").toString,
+      Files.createTempDirectory("quota-ck").toString)
+    val grams = StreamingPipelines.evalGramSet(
+      Seq((900L, (1 to 20).map(i => s"eval$i").mkString(" "))).toDF("doc_id", "text"))
+
+    def good(seed: String) = (1 to 40).map(i => s"$seed$i").mkString(" ")
+    Files.writeString(Paths.get(d.in, "b1.json"),
+      Seq(
+        jlineSrc(1, 10, good("alpha"), "crawlA"),
+        jlineSrc(2, 11, good("beta"), "crawlA"),
+        jlineSrc(3, 12, good("gamma"), "crawlB")).mkString("", "\n", "\n"))
+    val (p1, q1, s1) = Jobs.corpusPipeline(s, d, grams, quota = 2L)
+    try {
+      p1.processAllAvailable(); q1.processAllAvailable(); s1.processAllAvailable()
+    } finally { p1.stop(); q1.stop(); s1.stop() }
+    assert(s.read.parquet(s"${d.out}/packed")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+
+    // batch 2: crawlA is at its quota (2 admitted), crawlB has room
+    Files.writeString(Paths.get(d.in, "b2.json"),
+      Seq(
+        jlineSrc(4, 20, good("delta"), "crawlA"),
+        jlineSrc(5, 21, good("epsil"), "crawlB")).mkString("", "\n", "\n"))
+    val (p2, q2, s2) = Jobs.corpusPipeline(s, d, grams, quota = 2L)
+    try {
+      p2.processAllAvailable(); q2.processAllAvailable(); s2.processAllAvailable()
+    } finally { p2.stop(); q2.stop(); s2.stop() }
+    assert(s.read.parquet(s"${d.out}/packed")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 5L))
+    val spilled = s.read.parquet(s"${d.out}/spill")
+      .selectExpr("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(spilled === Set((4L, "crawlA"))) // counter survived the restart
     }
   }
 }
