@@ -27,11 +27,24 @@ object Tables {
     * adjustment, which Spark 4 infers as TIMESTAMP_NTZ — a type
     * `unix_micros`/`window()`/watermarks all reject. Cast every NTZ
     * column (o_orderdate, l_shipdate, ...) back to TimestampType;
-    * lossless under the engine's pinned UTC session timezone. */
+    * lossless under the engine's pinned UTC session timezone. The swap
+    * recurses into struct/array/map types (a nested NTZ would otherwise
+    * pass through and still break downstream), and the source column is
+    * read backtick-quoted so a dotted column name resolves literally
+    * (matching withColumn's literal-name semantics). */
   private def normalizeNtz(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
-      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    import org.apache.spark.sql.types._
+    def swap(dt: DataType): DataType = dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType   => StructType(s.fields.map(f => f.copy(dataType = swap(f.dataType))))
+      case a: ArrayType    => a.copy(elementType = swap(a.elementType))
+      case m: MapType      => m.copy(keyType = swap(m.keyType), valueType = swap(m.valueType))
+      case other           => other
+    }
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      val swapped = swap(f.dataType)
+      if (swapped == f.dataType) d
+      else d.withColumn(f.name, d.col(s"`${f.name}`").cast(swapped))
     }
   }
 

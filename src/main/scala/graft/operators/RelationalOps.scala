@@ -240,17 +240,29 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""),
     Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
 FROM lineitem GROUP BY l_returnflag"""))
 
-  // HLL sketch distinct (approx_count_distinct): the 100 TB cardinality
-  // path — single pass, fixed memory, no distinct shuffle. Sketches are
-  // engine-specific, so the driver records the weaker rows-only check.
+  // Engine-native HLL++ (approx_count_distinct): the 100 TB cardinality
+  // path — single pass, fixed memory, no distinct shuffle. The sketch
+  // VALUE is engine-specific, so the oracle-checkable claim is the
+  // estimator CONTRACT: |estimate − exact| <= 3·rsd·exact (default
+  // rsd = 0.05). HLL++ is hash-based with no RNG, so the gate bit is a
+  // pure deterministic function of the fixture; both engines agree on
+  // the exact count and on the gate passing, and the row hash-matches.
+  // The exact countDistinct here is the verification harness, not the
+  // production plan — the approx path alone (or q_hll_sketch below) is
+  // what runs at scale.
   private val qHll = GQuery(
     "q_hll_distinct",
     (s, dir) =>
       t("lineitem")(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
-    None,
-    "HLL++ cardinality estimate; cross-engine sketch values differ by design.")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= col("n_exact") * lit(0.15))
+            .cast("int").as("within_3rsd")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, 1 AS within_3rsd
+FROM lineitem GROUP BY l_returnflag"""),
+    "Engine-native HLL++ gated against the exact count (|err| <= 3*rsd); the deterministic gate is the oracle-checked claim.")
 
   // Deterministic cross-engine HLL: because we control the hash (md5-derived
   // 48-bit uint), the whole sketch is SQL-expressible and hash-matches the
