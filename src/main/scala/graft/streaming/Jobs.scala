@@ -81,6 +81,30 @@ object Jobs {
     router.start(src(spark, d), d.ckpt)
   }
 
+  /** Job 6, staircase variant (EventTimeOperations.java:96-141, the
+    * custom generator actually APPLIED at :141): the per-partition
+    * staircase watermark owns the window-close/late/idle decisions
+    * end-to-end — file source -> typed parse -> partition tag ->
+    * [[StatefulProcessors.staircaseWindowsByPartition]] -> file sink.
+    * The partition tag plays Flink's source-subtask assignment (one
+    * generator per subtask); a Spark file stream exposes no stable
+    * subtask id, so the split-to-subtask map is made deterministic:
+    * `partition = event_id % nPartitions`. Needs the RocksDB state
+    * store (transformWithState) and runs on an explicit
+    * processing-time trigger (see the processor scaladoc). */
+  def eventTimeStaircase(spark: SparkSession, d: Dirs, nPartitions: Int = 2,
+      windowMs: Long = 1000L, advanceMs: Long = 10000L, bufferMs: Long = 2000L,
+      triggerMs: Long = 100L): StreamingQuery = {
+    import spark.implicits._
+    val tagged = typedSrc(spark, d)
+      .map(e => StatefulProcessors.PartEv((e.event_id % nPartitions).toInt, e))
+    Sinks.file(
+      StatefulProcessors
+        .staircaseWindowsByPartition(tagged, windowMs, advanceMs, bufferMs).toDF(),
+      d.out, d.ckpt,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs)))
+  }
+
   /** Job 7 (StatefulOperations.java): double-event alerts -> console. */
   def stateful(spark: SparkSession, d: Dirs): StreamingQuery =
     Sinks.console(

@@ -24,13 +24,17 @@ object Sinks {
 
   /** K1: streaming file sink, rolling part files per micro-batch
     * (BasicStreamingOperations.java:88-97). Append mode only — exactly-once
-    * via the sink manifest. */
+    * via the sink manifest. `trigger` for queries that need an explicit
+    * interval (TimeMode.ProcessingTime operators busy-loop no-data
+    * batches on the default trigger — see StatefulProcessors). */
   def file(df: DataFrame, path: String, checkpointDir: String,
-      format: String = "parquet"): StreamingQuery =
-    df.writeStream.outputMode(OutputMode.Append)
+      format: String = "parquet", trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = df.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .option("path", path)
-      .format(format).start()
+      .format(format)
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** K2: Kafka sink (EventTimeOperations.java:182-208). At-least-once. */
   def kafka(df: DataFrame, servers: String, topic: String,

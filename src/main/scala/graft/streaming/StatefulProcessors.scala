@@ -660,4 +660,151 @@ object StatefulProcessors {
     events.groupByKey(_.user_id)
       .transformWithState(new StaircaseWatermarkProcessor(windowMs, advanceMs, bufferMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
+
+  /** An event tagged with its source partition — the unit the reference's
+    * watermark generator is instantiated per (one generator per source
+    * subtask, EventTimeOperations.java:96-141). */
+  final case class PartEv(partition: Int, ev: Ev)
+
+  /** Output of the per-partition staircase: `kind` is "closed" (global
+    * window closed; `partition_id` = -1 — windowAll output belongs to no
+    * one partition), "late" (event for an already-closed window;
+    * `partition_id` = the event's source partition), or "idle" (that
+    * partition's generator went quiet — `window_start` carries its final
+    * effective watermark, `n` the count of still-open global windows). */
+  final case class PartWmWindow(partition_id: Int, window_start: Timestamp, n: Long, kind: String)
+
+  /** T3 at reference scope: one staircase watermark PER SOURCE PARTITION
+    * (EventTimeOperations.java:96-141 — Flink instantiates the custom
+    * `WatermarkGenerator` per source subtask), combined downstream by the
+    * `windowAll` operator's channel-min rule: the operator watermark is
+    * the MIN over non-idle partitions' `base − buffer`, idle partitions
+    * are excluded from the min (`markIdle` releases the others — Flink's
+    * `WatermarkOutputMultiplexer` semantics), and when EVERY partition is
+    * idle the watermark holds and open windows stall.
+    *
+    * Topology note: the reference's downstream window is `windowAll` —
+    * parallelism 1 BY CONSTRUCTION (`EventTimeOperations.java:158`), so
+    * the single grouping key here is parity, not a scale compromise; the
+    * per-KEY variant above is the shape that scales out. State is
+    * O(partitions) staircase bases + the open-window map (bounded by
+    * windows-per-staircase-step), never event volume.
+    *
+    * Policy math per partition is the reference's verbatim: first event
+    * pins `base = now`; later events jump `base = now` only when
+    * `now − base > advanceMs`; effective value is `base − bufferMs`;
+    * a partition is idle exactly when `now − base > advanceMs` with no
+    * event since (`onPeriodicEmit`'s test), emitting its final watermark
+    * once at the moment it is marked. */
+  final class PartitionStaircaseProcessor(
+      windowMs: Long, advanceMs: Long, bufferMs: Long)
+      extends StatefulProcessor[Int, PartEv, PartWmWindow] {
+
+    @transient private var bases: org.apache.spark.sql.streaming.MapState[Int, Long] = _
+    @transient private var idleMarked: org.apache.spark.sql.streaming.MapState[Int, Long] = _
+    @transient private var closedUpTo: ValueState[Long] = _ // applied operator watermark
+    @transient private var armed: ValueState[Long] = _      // expiry of the live timer
+    @transient private var open: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      bases = getHandle.getMapState[Int, Long]("bases",
+        Encoders.scalaInt, Encoders.scalaLong, TTLConfig.NONE)
+      idleMarked = getHandle.getMapState[Int, Long]("idleMarked",
+        Encoders.scalaInt, Encoders.scalaLong, TTLConfig.NONE)
+      closedUpTo = getHandle.getValueState[Long]("closedUpTo", Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+      open = getHandle.getMapState[Long, Long]("open",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Channel-min combine: min of `base − buffer` over non-idle
+      * partitions, or the floor unchanged when all are idle/absent.
+      * Monotonic by construction (max with the floor). */
+    private def combined(now: Long, floor: Long): Long = {
+      val active = bases.iterator().filter { case (_, b) => now - b <= advanceMs }
+      val m = active.map(_._2 - bufferMs).reduceOption(_ min _)
+      m.fold(floor)(math.max(floor, _))
+    }
+
+    private def closeReady(effective: Long): Seq[PartWmWindow] = {
+      val ready = open.iterator().filter { case (ws, _) => ws + windowMs <= effective }.toSeq
+      ready.sortBy(_._1).map { case (ws, n) =>
+        open.removeKey(ws)
+        PartWmWindow(-1, new Timestamp(ws), n, "closed")
+      }
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[PartEv],
+        tv: TimerValues): Iterator[PartWmWindow] = {
+      val now = tv.getCurrentProcessingTimeInMs()
+      val floor = if (closedUpTo.exists()) closedUpTo.get() else Long.MinValue
+      val out = Seq.newBuilder[PartWmWindow]
+      rows.toSeq.sortBy(pe => (pe.ev.ts.getTime, pe.ev.event_id)).foreach { pe =>
+        val p = pe.partition
+        // Per-partition staircase: pin on first event, jump past advanceMs.
+        val b0 = if (bases.containsKey(p)) bases.getValue(p) else { bases.updateValue(p, now); now }
+        if (now - b0 > advanceMs) bases.updateValue(p, now)
+        if (idleMarked.containsKey(p)) idleMarked.removeKey(p) // reactivated channel
+        val ws = Math.floorDiv(pe.ev.ts.getTime, windowMs) * windowMs
+        if (ws + windowMs <= floor) out += PartWmWindow(p, pe.ev.ts, 1L, "late")
+        else {
+          val n = if (open.containsKey(ws)) open.getValue(ws) else 0L
+          open.updateValue(ws, n + 1L)
+        }
+      }
+      val effective = combined(now, floor)
+      out ++= closeReady(effective)
+      if (effective > floor) closedUpTo.update(effective)
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val want = now + advanceMs + 1L
+      getHandle.registerTimer(want)
+      armed.update(want)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Int, tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[PartWmWindow] = {
+      val now = tv.getCurrentProcessingTimeInMs()
+      armed.clear()
+      val floor = if (closedUpTo.exists()) closedUpTo.get() else Long.MinValue
+      val out = Seq.newBuilder[PartWmWindow]
+      // Mark each newly idle partition once, emitting its final watermark.
+      val newlyIdle = bases.iterator()
+        .filter { case (p, b) => now - b > advanceMs && !idleMarked.containsKey(p) }.toSeq
+      // Excluding idle channels can ADVANCE the combined watermark
+      // (markIdle releases the other sources) and close windows NOW.
+      val effective = combined(now, floor)
+      out ++= closeReady(effective)
+      if (effective > floor) closedUpTo.update(effective)
+      val stillOpen = open.iterator().size.toLong
+      newlyIdle.sortBy(_._1).foreach { case (p, b) =>
+        idleMarked.updateValue(p, b - bufferMs)
+        out += PartWmWindow(p, new Timestamp(b - bufferMs), stillOpen, "idle")
+      }
+      // Keep the periodic-emit channel alive while any partition is
+      // active; once all are idle (and marked) the operator quiesces —
+      // the watermark holds and open windows stall, as in Flink when
+      // every input channel is idle.
+      val anyActive = bases.iterator().exists { case (_, b) => now - b <= advanceMs }
+      if (anyActive) {
+        val want = now + advanceMs + 1L
+        getHandle.registerTimer(want)
+        armed.update(want)
+      }
+      out.result().iterator
+    }
+  }
+
+  private implicit val partWmwEnc = Encoders.product[PartWmWindow]
+  private implicit val partEvEnc = Encoders.product[PartEv]
+
+  /** T3 wiring at reference scope: per-partition staircases feeding one
+    * windowAll-style operator (single key — the reference topology; see
+    * the processor scaladoc). Same trigger caveat as [[staircaseWindows]]:
+    * run with an explicit `Trigger.ProcessingTime`. */
+  def staircaseWindowsByPartition(events: Dataset[PartEv], windowMs: Long = 1000L,
+      advanceMs: Long = 10000L, bufferMs: Long = 2000L): Dataset[PartWmWindow] =
+    events.groupByKey(_ => 0)
+      .transformWithState(new PartitionStaircaseProcessor(windowMs, advanceMs, bufferMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
 }

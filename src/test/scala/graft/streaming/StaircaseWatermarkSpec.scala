@@ -110,4 +110,85 @@ class StaircaseWatermarkSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  /** T3 at reference scope (per source PARTITION, not per key): two
+    * partitions advance at different rates; the operator watermark is the
+    * channel MIN over non-idle partitions, and an idle partition is
+    * EXCLUDED from the min — without that exclusion the windows below
+    * could never close, so the eventual close IS the proof of Flink's
+    * markIdle release semantics. Assertions follow this suite's
+    * stall-robust discipline: only outcomes the policy guarantees
+    * eventually, never "still open right now". */
+  test("per-partition staircases: channel-min combine, idle release, late tagging") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+
+      val windowMs = 200L
+      val in = MemoryStream[StatefulProcessors.PartEv]
+      val q = StatefulProcessors
+        .staircaseWindowsByPartition(in.toDS(), windowMs = windowMs,
+          advanceMs = 1500L, bufferMs = 100L)
+        .writeStream.outputMode("append")
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .format("memory").queryName("pstaircase").start()
+      try {
+        def closedOldSum(beforeMs: Long): Long = s.table("pstaircase")
+          .where(s"kind = 'closed' AND unix_millis(window_start) < $beforeMs")
+          .selectExpr("coalesce(sum(n), 0)").as[Long].head()
+
+        def pev(id: Long, tsMs: Long, part: Int): StatefulProcessors.PartEv =
+          StatefulProcessors.PartEv(part, ev(id, tsMs, 1))
+
+        // One event on each partition: both staircases pin, both windows
+        // open (or close immediately under a large host stall — either
+        // way the eventual sum below is exactly 2).
+        val t0 = System.currentTimeMillis()
+        in.addData(pev(1, t0, 0), pev(2, t0 + 1, 1))
+
+        // Past the staircase step, partition 0 alone advances; partition
+        // 1 has gone quiet. If the stale partition-1 base stayed in the
+        // min, the combined watermark could never pass the first windows'
+        // ends — the close below happens ONLY because idle channels are
+        // excluded (markIdle releases the other sources).
+        sleepPast(t0, 2000)
+        val t3 = System.currentTimeMillis()
+        in.addData(pev(3, t3, 0))
+        val e3ws = Math.floorDiv(t3, windowMs) * windowMs
+        eventually("idle partition 1 excluded from the min; old windows close") {
+          closedOldSum(e3ws) == 2L
+        }
+
+        // A stale-timestamped event on partition 1: its window end sits
+        // behind the applied watermark for certain, so it routes late,
+        // tagged with ITS source partition (and reactivates the channel).
+        in.addData(pev(4, t0, 1))
+        eventually("stale event routed late with its partition id") {
+          s.table("pstaircase").where("kind = 'late' AND partition_id = 1").count() == 1L
+        }
+
+        // Silence: each partition's generator is marked idle (final
+        // watermark emitted once per quiescence — partition 0 never
+        // reactivates after its marker, partition 1 may mark, reactivate
+        // on event 4, and mark again).
+        eventually("both partitions marked idle") {
+          s.table("pstaircase").where("kind = 'idle' AND partition_id = 0").count() >= 1L &&
+            s.table("pstaircase").where("kind = 'idle' AND partition_id = 1").count() >= 1L
+        }
+
+        val rows = s.table("pstaircase")
+          .selectExpr("partition_id", "kind").as[(Int, String)].collect()
+        assert(rows.map(_._2).toSet.subsetOf(Set("closed", "late", "idle")))
+        // windowAll output belongs to no single partition; idle/late rows
+        // carry a real partition id.
+        assert(rows.filter(_._2 == "closed").forall(_._1 == -1))
+        assert(rows.filter(r => r._2 == "idle" || r._2 == "late").forall(r => r._1 == 0 || r._1 == 1))
+        // Policy invariant under any stall: exactly the two first-batch
+        // events ever close before e3's window (the late event never
+        // re-opens a closed window).
+        assert(closedOldSum(e3ws) === 2L)
+      } finally q.stop()
+    }
+  }
 }
