@@ -85,7 +85,38 @@ object Bench {
       System.err.println(f"[bench] pass$pass $name%-28s $dt%9.3f s${if (ok) "" else "  FAILED"}")
       if (ok) Some(dt) else None
     }
+    // --- Host-noise forensics (round-7): the 2x host band has needed a
+    // prose explanation every round; these probes let the driver separate
+    // host noise from plan regression mechanically.
+    // (a) GC wall time accumulated by this JVM over the timed section.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // (b) Hypervisor steal from /proc/stat (ticks; field 8 after "cpu").
+    def stealTicks(): Option[(Long, Long)] =
+      scala.util.Try {
+        val toks = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (toks(7), toks.sum)
+      }.toOption
+    // (c) Spin calibration: a fixed single-thread xorshift workload whose
+    // nominal time is constant — sampled before pass 1, between passes,
+    // and after the retakes, its spread IS the roving-stall band.
+    def spinMs(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e6
+    }
+    val gc0 = gcMs()
+    val steal0 = stealTicks()
+    val spinSamples = scala.collection.mutable.ArrayBuffer(spinMs())
+
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(1, name, fn) }.toMap
+    spinSamples += spinMs()
     // Adaptive third pass: when the two timings DISAGREE past 1.4x the
     // measurement is stall-contaminated (the roving multi-second host
     // stalls hit one pass, not the query), and when both exceed 1 s the
@@ -93,15 +124,19 @@ object Bench {
     // reported min. Bounded (<=40 retakes) so the wall-time cost stays
     // a fraction of the two base passes even if the whole run is noisy.
     var retakes = 0
+    val pass2 = scala.collection.mutable.Map.empty[String, Option[Double]]
+    val pass3 = scala.collection.mutable.Map.empty[String, Option[Double]]
     val results: Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
-      val min = (pass1(name), timeOnce(2, name, fn)) match {
+      val p2 = timeOnce(2, name, fn)
+      pass2(name) = p2
+      val min = (pass1(name), p2) match {
         case (Some(a), Some(b)) =>
           val m = math.min(a, b)
           val noisy = math.max(a, b) > m * 1.4 || m > 1.0
           if (noisy && retakes < 40) {
             retakes += 1
             timeOnce(3, name, fn) match {
-              case Some(c) => Some(math.min(m, c))
+              case Some(c) => pass3(name) = Some(c); Some(math.min(m, c))
               case None    => Some(m) // a crashed retake keeps the valid min
             }
           } else Some(m)
@@ -109,6 +144,11 @@ object Bench {
       }
       name -> min
     }
+    spinSamples += spinMs()
+    val gcDelta = gcMs() - gc0
+    val stealPct: Option[Double] = for {
+      (s0, t0) <- steal0; (s1, t1) <- stealTicks() if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would emit unparseable JSON numbers.
     def num(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
@@ -120,13 +160,28 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val head = results.filter(r => headline.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Self-forensics summary: per-pass totals (a clean host shows
+    // p1 ≈ p2 ≈ total; a stall-hit run shows one inflated pass), retake
+    // count (how often the 1.4x-disagreement tripwire fired), and the
+    // plan-independent host probe — GC wall time, hypervisor steal, and
+    // the fixed spin workload's [before, mid, after] samples whose spread
+    // is the roving-stall band.
+    val p1Total = ordered.flatMap { case (n, _) => pass1(n) }.sum
+    val p2Total = ordered.flatMap { case (n, _) => pass2(n) }.sum
+    val passes =
+      s"""{"p1":${num(p1Total)},"p2":${num(p2Total)},"p3_n":${pass3.size}}"""
+    val probe =
+      s"""{"gc_ms":$gcDelta,"steal_pct":${stealPct.map(num).getOrElse("null")},"spin_ms":[${spinSamples.map(num).mkString(",")}]}"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$head,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"queries":$head,"sf":"$sfDir"}"""
     // Full map for forensics/BASELINE.md (stderr + file — NOT stdout, where
     // it would push the compact line out of the consumer's tail window).
     System.err.println(s"[bench] detail $detail")
+    def mapJson(m: collection.Map[String, Option[Double]]): String =
+      ordered.collect { case (k, _) if m.contains(k) => "\"" + k + "\":" + fmt(m(k)) }
+        .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":${num(total)},"sf":"$sfDir","queries":$detail,"failed":$failed}""" + "\n")
+      s"""{"total":${num(total)},"sf":"$sfDir","queries":$detail,"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"pass1":${mapJson(pass1.view.mapValues(identity).toMap)},"pass2":${mapJson(pass2)},"pass3":${mapJson(pass3)}}""" + "\n")
     catch { case _: Throwable => }
     // Quiet shutdown so nothing lands after the JSON line but sbt's one
     // [success] trailer.
