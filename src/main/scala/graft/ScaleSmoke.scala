@@ -136,6 +136,16 @@ object ScaleSmoke {
       "t_gopher_rules", "d_source_quota", "d_cross_source_overlap",
       "e_threshold_sweep", "d_lsh_band_tuning", "m_media_dedup",
       "q22_idle_balance")
+    // Round-7: 64x receipts for the calibration batch (previously only
+    // 16x) plus the iterative label-propagation convergence receipts —
+    // the DEFAULT dup-heavy replication is the point here: every doc
+    // gains mult-1 exact copies, so components are mult-sized and the
+    // pair/band caps and the pointer-doubling round bound are exercised
+    // in their degenerate regime. minLabelComponents logs its converged
+    // round count to stderr (the receipt behind its maxIter=20 bound).
+    val calib64Subset = Seq(
+      "d_cross_source_overlap", "e_threshold_sweep", "d_lsh_band_tuning",
+      "d_source_quota", "d_dedup_groups", "e_semantic_dedup")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =
@@ -144,6 +154,7 @@ object ScaleSmoke {
       else if (args.contains("fresh")) freshSubset
       else if (args.contains("tpch")) tpchSubset
       else if (args.contains("latest")) latestSubset
+      else if (args.contains("calib64")) calib64Subset
       else uniformSubset
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()

@@ -38,7 +38,7 @@ object StreamBench {
     // 32 files -> 2 micro-batches at the file source's 16-file trigger cap
     Generators.writeCsvFiles(in, seed = 42, files = 32, perFile = n / 32)
 
-    def run(name: String)(start: Jobs.Dirs => org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
+    def run(name: String)(start: Jobs.Dirs => org.apache.spark.sql.streaming.StreamingQuery): (String, Double, Int) = {
       val d = Jobs.Dirs(in,
         Files.createTempDirectory(s"sbench-out-$name").toString,
         Files.createTempDirectory(s"sbench-ck-$name").toString)
@@ -46,7 +46,46 @@ object StreamBench {
         val q = start(d)
         try q.processAllAvailable() finally q.stop()
       }
-      name -> sec
+      (name, sec, n)
+    }
+
+    /** Job-9 capstone end-to-end: quota admission -> quality gate +
+      * dedup-within-watermark -> decontamination -> online packing, ALL
+      * THREE sinks (packed/contaminated/spill) drained — then the corpus
+      * doubles and every query RESTARTS on the same checkpoints, so
+      * RocksDB state recovery is inside the measured path. The per-source
+      * quota is set to ~60% of a source's phase-2 total: the spill branch
+      * carries real volume instead of being a dead arm. */
+    def runCapstone(nDocs: Int): (String, Double, Int) = {
+      import spark.implicits._
+      val sources = 4
+      val files = 16
+      val perFile = math.max(1, nDocs / 2 / files) // per phase
+      val actual = 2 * files * perFile
+      val evalText = (1 to 20).map(i => s"eval$i").mkString(" ")
+      val grams = StreamingPipelines.evalGramSet(
+        Seq((900L, evalText)).toDF("doc_id", "text"))
+      val d = Jobs.Dirs(
+        Files.createTempDirectory("sbench-docs-in").toString,
+        Files.createTempDirectory("sbench-out-corpus").toString,
+        Files.createTempDirectory("sbench-ck-corpus").toString)
+      val quota = math.max(4L, (actual / sources) * 6L / 10L)
+      Generators.writeJsonDocs(d.in, seed = 42, files, perFile,
+        sources = sources, evalText = evalText)
+      val sec = timed {
+        def drain(): Unit = {
+          val (p, q, sp) = Jobs.corpusPipeline(spark, d, grams, quota)
+          try {
+            p.processAllAvailable(); q.processAllAvailable(); sp.processAllAvailable()
+          } finally { p.stop(); q.stop(); sp.stop() }
+        }
+        drain() // phase 1
+        Generators.writeJsonDocs(d.in, seed = 43, files, perFile,
+          sources = sources, evalText = evalText,
+          idOffset = files.toLong * perFile)
+        drain() // phase 2: checkpoint-restart + catch-up, same state
+      }
+      ("corpus_capstone", sec, actual)
     }
 
     val results = Seq(
@@ -83,11 +122,14 @@ object StreamBench {
           .toDF().writeStream.outputMode(OutputMode.Update)
           .option("checkpointLocation", d.ckpt)
           .format("memory").queryName(s"sb_rsv_${d.ckpt.hashCode.abs}").start()
-      })
+      },
+      // docs are ~50 tokens each (vs ~5-field CSV events), so the
+      // capstone corpus is n/10 docs for a comparable byte volume
+      runCapstone(math.max(2048, n / 10)))
 
-    val json = results.map { case (k, sec) =>
-      val rps = if (sec > 0) n / sec else 0.0
-      f""""$k":{"sec":$sec%.2f,"rows_per_sec":$rps%.0f}"""
+    val json = results.map { case (k, sec, rows) =>
+      val rps = if (sec > 0) rows / sec else 0.0
+      f""""$k":{"sec":$sec%.2f,"rows":$rows,"rows_per_sec":$rps%.0f}"""
     }.mkString(",")
     println(s"""{"metric":"stream_throughput","n_events":$n,$json}""")
     spark.stop()

@@ -357,6 +357,11 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
       // unconverged labels would diverge without signal. Fail loudly instead.
       if (!converged) throw new IllegalStateException(
         s"minLabelComponents: unconverged after $maxIter iterations")
+      // Convergence receipt (one line per call): with one-hop propagation
+      // + pointer doubling the round count grows ~log2(diameter), so this
+      // number is the empirical check behind the maxIter=20 bound.
+      System.err.println(
+        s"[graft] minLabelComponents: converged in $iter rounds (maxIter=$maxIter)")
       comp
   }
 

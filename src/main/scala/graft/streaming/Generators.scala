@@ -51,6 +51,41 @@ object Generators {
     }
   }
 
+  /** JSON-lines document generator for the corpus-pipeline job (job 9):
+    * seeded, replayable mix of clean docs (seeded 5k-word vocab, 50
+    * tokens), exact duplicates (~10%), low-quality repetition (~10%),
+    * and eval-contaminated docs (~2%, when `evalText` is non-empty) —
+    * the realistic input profile for curation throughput. `idOffset`
+    * lets a second call extend the corpus without doc_id/file-name
+    * collisions (the restart half of a bench run). Tokens are
+    * `[a-z0-9 ]` only, so no JSON escaping is needed. */
+  def writeJsonDocs(dir: String, seed: Long, files: Int, perFile: Int,
+      sources: Int = 4, evalText: String = "", idOffset: Long = 0L): Unit = {
+    val r = new scala.util.Random(seed)
+    Files.createDirectories(Paths.get(dir))
+    val n = files * perFile
+    val texts = new scala.collection.mutable.ArrayBuffer[String](n)
+    def fresh(): String = (0 until 50).map(_ => s"w${r.nextInt(5000)}").mkString(" ")
+    (0 until n).foreach { _ =>
+      val roll = r.nextInt(100)
+      val text =
+        if (roll < 10 && texts.nonEmpty) texts(r.nextInt(texts.length)) // dup
+        else if (roll < 20) Seq.fill(50)("the").mkString(" ")           // junk
+        else if (roll < 22 && evalText.nonEmpty) "lead " + evalText + " " + fresh()
+        else fresh()
+      texts += text
+    }
+    val fileOffset = idOffset / perFile
+    texts.grouped(perFile).zipWithIndex.foreach { case (group, f) =>
+      val lines = group.zipWithIndex.map { case (text, j) =>
+        val id = idOffset + f.toLong * perFile + j
+        s"""{"doc_id":$id,"ts_s":${10 + id},"text":"$text","lang":"en","source":"src${id % sources}"}"""
+      }
+      Files.writeString(Paths.get(dir, f"docs-${fileOffset + f}%05d.json"),
+        lines.mkString("", "\n", "\n"))
+    }
+  }
+
   /** Continuous generator backed by Spark's rate source — the unbounded
     * analog (rows forever, `rowsPerSecond` throttle) for demo jobs. The
     * rate source's (timestamp, value) drives deterministic synth columns. */
