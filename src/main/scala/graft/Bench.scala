@@ -47,7 +47,9 @@ object Bench {
     "d_decontaminate", "d_pack_sequences", "d_ingest_neardup",
     "t_vocab_coverage", "a14_rolling_dau", "e_knn_matryoshka",
     // round-6 additions
-    "t_bm25_rank")
+    "t_bm25_rank",
+    // round-7 additions
+    "q_pareto_frontier", "e_centroid_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

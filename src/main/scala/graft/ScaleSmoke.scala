@@ -146,6 +146,10 @@ object ScaleSmoke {
     val calib64Subset = Seq(
       "d_cross_source_overlap", "e_threshold_sweep", "d_lsh_band_tuning",
       "d_source_quota", "d_dedup_groups", "e_semantic_dedup")
+    // Round-7 operator additions needing their first receipts.
+    val r7Subset = Seq(
+      "e_centroid_drift", "d_containment_pairs", "d_cluster_size_profile",
+      "t_zipf_fit", "q_pareto_frontier")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =
@@ -155,6 +159,7 @@ object ScaleSmoke {
       else if (args.contains("tpch")) tpchSubset
       else if (args.contains("latest")) latestSubset
       else if (args.contains("calib64")) calib64Subset
+      else if (args.contains("r7")) r7Subset
       else uniformSubset
     val times: Seq[(String, Option[Double])] = subset.map { name =>
       val t0 = System.nanoTime()

@@ -729,33 +729,80 @@ FROM a WHERE rn = 1 GROUP BY 1"""),
   // one (cluster, dim) partial agg, at any corpus size. Means follow
   // the exact e_centroids pattern (same rounding pin), so the emitted
   // model is bit-identical across engines and safe to feed back in.
-  private val eKmeansStep = GQuery(
-    "e_kmeans_step",
-    (s, dir) => {
-      val cent = centroidVectors(s, dir)
-      prepped(s, dir).crossJoin(broadcast(cent))
-        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
-        .filter(col("rn") === 1)
-        .select(col("c_label").as("cluster"), posexplode(col("ed")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos").cast("long").as("pos"))
-        .agg(round(avg(col("v")) + lit(1e-9), 6).as("centroid"), count(lit(1)).as("cnt"))
-    },
-    Some(s"""$duckPrep,
-$duckCentroids,
-d AS (SELECT vec_id, c_label,
+  /** One Lloyd iteration's NEW model — (cluster, pos, centroid, cnt) —
+    * shared by e_kmeans_step (emits it) and e_centroid_drift (compares it
+    * to the previous model). One corpus scan against a broadcast
+    * constant, one (cluster, dim) partial agg. */
+  private def kmeansNewCentroids(s: SparkSession, dir: String): DataFrame = {
+    val cent = centroidVectors(s, dir)
+    prepped(s, dir).crossJoin(broadcast(cent))
+      .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("c_label").as("cluster"), posexplode(col("ed")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("v")) + lit(1e-9), 6).as("centroid"), count(lit(1)).as("cnt"))
+  }
+
+  /** Matching DuckDB CTEs (d = rounded distances, a = argmin rank, nc =
+    * the new model) over duckPrep's n + duckCentroids' cvec. */
+  private val duckKmeansStep =
+    """d AS (SELECT vec_id, c_label,
              round(list_aggregate(list_transform(range(64),
                i -> (ed[i + 1] - cv[i + 1]) * (ed[i + 1] - cv[i + 1])), 'sum'), 6) AS d2
       FROM n CROSS JOIN cvec),
 a AS (SELECT vec_id, c_label,
              row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
-      FROM d)
-SELECT a.c_label AS cluster, i AS pos,
-       round(avg(n.ed[i + 1]) + 1e-9, 6) AS centroid, count(*) AS cnt
-FROM a JOIN n USING (vec_id), range(64) t(i)
-WHERE a.rn = 1 GROUP BY 1, 2"""),
+      FROM d),
+nc AS (SELECT a.c_label AS cluster, i AS pos,
+              round(avg(n.ed[i + 1]) + 1e-9, 6) AS centroid, count(*) AS cnt
+       FROM a JOIN n USING (vec_id), range(64) t(i)
+       WHERE a.rn = 1 GROUP BY 1, 2)"""
+
+  private val eKmeansStep = GQuery(
+    "e_kmeans_step",
+    (s, dir) => kmeansNewCentroids(s, dir),
+    Some(s"""$duckPrep,
+$duckCentroids,
+$duckKmeansStep
+SELECT cluster, pos, centroid, cnt FROM nc"""),
     "One Lloyd iteration: nearest-centroid assignment then recomputed per-cluster means.")
+
+  // Centroid drift: per-cluster L2 distance between the current model and
+  // the model after one Lloyd step — THE convergence monitor for the
+  // clustering loop behind IVF/semantic-dedup index builds (stop when
+  // max drift < tol). Both models carry the shared 6 dp rounding pin, so
+  // the per-dimension deltas are exact 1e-6 integers; the sum of squares
+  // runs in that integer domain (order-independent, cross-engine exact)
+  // and only the final sqrt/scale returns to doubles. Scale: one corpus
+  // scan (the Lloyd step) + two tiny model frames joined on (cluster,
+  // dim) — the monitor costs nothing beyond the iteration it monitors.
+  private val eCentroidDrift = GQuery(
+    "e_centroid_drift",
+    (s, dir) => {
+      val next = kmeansNewCentroids(s, dir)
+      val old = centroidVectors(s, dir)
+        .select(col("c_label").as("cluster"),
+          posexplode(col("cv")).as(Seq("pos", "oldc")))
+        .withColumn("pos", col("pos").cast("long"))
+      next.join(old, Seq("cluster", "pos"))
+        .withColumn("di", expr("CAST(round((centroid - oldc) * 1000000e0, 0) AS BIGINT)"))
+        .groupBy(col("cluster"))
+        .agg(
+          round(sqrt(sum(col("di") * col("di"))) / lit(1000000.0) + lit(1e-9), 6).as("drift"),
+          max(col("cnt")).as("n_members"))
+    },
+    Some(s"""$duckPrep,
+$duckCentroids,
+$duckKmeansStep,
+oc AS (SELECT c_label AS cluster, pos, c AS oldc FROM cent),
+dd AS (SELECT cluster, CAST(round((nc.centroid - oc.oldc) * 1000000e0, 0) AS BIGINT) AS di, cnt
+       FROM nc JOIN oc USING (cluster, pos))
+SELECT cluster, round(sqrt(sum(di * di)) / 1000000.0 + 1e-9, 6) AS drift,
+       max(cnt) AS n_members
+FROM dd GROUP BY cluster"""),
+    "Per-cluster centroid movement after one Lloyd step — the k-means convergence monitor.")
 
   // Hard-negative mining for contrastive training: for each query vector,
   // the most similar SAME-label neighbor (the positive) and the most
@@ -844,6 +891,6 @@ GROUP BY 1"""),
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
-      eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep,
+      eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)
 }

@@ -764,9 +764,69 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24"""))
 
+  // 2-D Pareto frontier (skyline): per (brand, type), the points no other
+  // group dominates on (total quantity sold, unit price in cents) — the
+  // multi-objective "best tradeoffs" operator (catalog analytics, config
+  // search). Both dimensions are exact integers (rounded-sum quantity;
+  // integer-division price), so dominance never sits on float noise.
+  //
+  // Plan (the 100 TB shape): dominance is decomposed hierarchically
+  // instead of the O(n^2) self-join the SQL definition implies —
+  // (1) bucket points by x-range; (2) per-bucket max-y (tiny partial
+  // agg); (3) a suffix-max over the BUCKET SUMMARY (a frame with one row
+  // per bucket — the only global window, bounded by the value range, not
+  // the data); (4) per-point dominance test = in-bucket RANGE windows
+  // (x' > x and x' >= x neighbors) + the broadcast cross-bucket suffix.
+  // Every per-point stage is partitioned by bucket; nothing quadratic,
+  // no global point sort.
+  private val qParetoFrontier = GQuery(
+    "q_pareto_frontier",
+    (s, dir) => {
+      val pts = t("lineitem")(s, dir)
+        .join(t("part")(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(
+          expr("CAST(round(sum(l_quantity), 0) AS BIGINT)").as("x"),
+          expr("sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))").as("revc"))
+        .filter(col("x") > 0)
+        .withColumn("y", expr("revc div x"))
+        .select(col("p_brand"), col("p_type"), col("x"), col("y"))
+      val bucketed = pts.withColumn("bx", expr("x div 1000"))
+      val sufGt = bucketed.groupBy(col("bx")).agg(max(col("y")).as("by"))
+        .withColumn("suf_gt", max(col("by")).over(
+          Window.orderBy(col("bx").desc).rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("bx"), col("suf_gt"))
+      val inB = Window.partitionBy("bx").orderBy(col("x").desc)
+      bucketed
+        .withColumn("maxy_gt_in", max(col("y")).over(
+          inB.rangeBetween(Window.unboundedPreceding, -1)))
+        .withColumn("maxy_ge_in", max(col("y")).over(
+          inB.rangeBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(sufGt), Seq("bx"), "left")
+        .filter(
+          coalesce(greatest(col("maxy_gt_in"), col("suf_gt")),
+            lit(Long.MinValue)) < col("y") &&
+          !(col("maxy_ge_in") > col("y")))
+        .select(col("p_brand"), col("p_type"),
+          col("x").as("total_qty"), col("y").as("unit_price_cents"))
+    },
+    Some("""WITH s AS (
+  SELECT p_brand, p_type,
+         CAST(round(sum(l_quantity), 0) AS BIGINT) AS x,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2 HAVING CAST(round(sum(l_quantity), 0) AS BIGINT) > 0),
+pts AS (SELECT p_brand, p_type, x, revc // x AS y FROM s)
+SELECT p_brand, p_type, x AS total_qty, y AS unit_price_cents
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE (b.x > a.x AND b.y >= a.y) OR (b.x >= a.x AND b.y > a.y))"""),
+    "2-D Pareto frontier over (volume, unit price) — hierarchical dominance, no all-pairs.")
+
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, q6, q8, q10, q14, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
-      qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter)
+      qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter, qParetoFrontier)
 }

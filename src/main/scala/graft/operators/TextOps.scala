@@ -198,6 +198,50 @@ SELECT doc_a, doc_b, round(inter / (na + nb - inter)::DOUBLE, 4) AS jac
 FROM p WHERE round(inter / (na + nb - inter)::DOUBLE, 4) >= 0.1"""),
     "Blocked exact trigram-Jaccard near-dup pairs (threshold 0.1), hashed shingle sets.")
 
+  // Containment similarity over the same blocked pair structure:
+  // C = |A∩B| / min(|A|,|B|) — the asymmetric measure that catches
+  // SUBSET duplication (a quote, a boilerplate inclusion, a doc embedded
+  // in a larger one), which Jaccard dilutes toward 0 as the size gap
+  // grows. Same shingle-hash domain and plan shape as d_ngram_jaccard:
+  // sorted 60-bit trigram sets built once per doc, compiled linear-merge
+  // intersection, candidates only within (lang, length-bucket) blocks.
+  private val dContainmentPairs = GQuery(
+    "d_containment_pairs",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .filter(expr("size(toks) >= 3"))
+        .withColumn("tri", graft.functions.GraftFunctions.trigramHashes(col("toks")))
+        .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"), col("tri"))
+      val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("lb"), col("tri").as("tri_a"))
+      val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("lb"), col("tri").as("tri_b"))
+      a.join(b, Seq("lang", "lb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          graft.functions.GraftFunctions.sortedIntersectCount(col("tri_a"), col("tri_b")))
+        .withColumn("containment", expr(
+          "round(inter / cast(least(size(tri_a), size(tri_b)) AS double), 4)"))
+        .filter(col("containment") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb,
+         list_sort(list_distinct(list_transform(
+           list_transform(range(len(string_split(text, ' ')) - 2),
+             i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], chr(1))),
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS tri
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.tri, b.tri)) AS inter,
+         len(a.tri) AS na, len(b.tri) AS nb
+  FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(inter / least(na, nb)::DOUBLE, 4) AS containment
+FROM p WHERE round(inter / least(na, nb)::DOUBLE, 4) >= 0.5"""),
+    "Blocked trigram containment pairs (>= 0.5) — catches subset duplication Jaccard dilutes.")
+
   // MinHash signature digest: 16 permutation minima per doc. Spark side is
   // the native MinHashSig expression (one compiled pass, zero shuffles);
   // the oracle recomputes the same minima declaratively.
@@ -379,6 +423,31 @@ r(src, dst) AS (SELECT src, dst FROM e
 SELECT src AS doc_id, least(src, min(dst)) AS comp FROM r GROUP BY src"""),
     "Near-dup clusters: connected components over LSH pairs, min-id label.")
 
+  // Duplicate-cluster size profile: the histogram of near-dup component
+  // sizes — curation telemetry that tells you whether duplication is a
+  // long tail of pairs (size-2 clusters) or a few mega-clusters worth
+  // routing to exact-dedup first. Reuses the component labels; both
+  // trailing aggregations run on the (small) clustered subset.
+  private val dClusterSizeProfile = GQuery(
+    "d_cluster_size_profile",
+    (s, dir) => minLabelComponents(
+        lshPairsDF(s, dir)
+          .filter(col("est_sim") >= 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters")),
+    Some(s"""WITH RECURSIVE $lshPairsOracle,
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_sim >= 0.5
+      UNION SELECT doc_b, doc_a FROM pairs WHERE est_sim >= 0.5),
+r(src, dst) AS (SELECT src, dst FROM e
+                UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+comps AS (SELECT src AS doc_id, least(src, min(dst)) AS comp FROM r GROUP BY src),
+szs AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)
+SELECT sz AS cluster_size, count(*) AS n_clusters FROM szs GROUP BY sz"""),
+    "Near-dup cluster size histogram — pair-tail vs mega-cluster duplication profile.")
+
   // SimHash: 32-bit signature; bit j set when the token-frequency-weighted
   // sum of (+/-1 for bit j of each token hash) is positive. Pure map.
   private def simhashTerms(sumExpr: Int => String): String =
@@ -559,6 +628,54 @@ WHERE surv.doc_id NOT IN (SELECT doc_id FROM losers)"""),
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""),
     "Top-20 corpus vocabulary with counts.")
+
+  // Zipf-slope fit over the token frequency head: OLS of ln(freq) on
+  // ln(rank) for the top-100 tokens — the corpus-health statistic whose
+  // departure from ~-1 flags templated/bot text or tokenizer mismatch.
+  // Cross-engine float discipline: each ln is scaled to an exact 1e-6
+  // integer (sub-ulp engine differences vanish in the round), the OLS
+  // moments accumulate as exact integer sums (order-independent), and
+  // only the final slope/intercept divisions return to doubles, pinned
+  // at 6 dp. Scale: the heavy stage is the token count (explode +
+  // map-side partial agg, same shuffle as t_token_freq); the fit itself
+  // runs on 100 rows, and the global rank window sits AFTER the top-100
+  // limit — a 100-row frame, not a corpus sort.
+  private val tZipfFit = GQuery(
+    "t_zipf_fit",
+    (s, dir) => {
+      val top = docs(s, dir)
+        .select(explode(expr("split(text, ' ')")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(100)
+      top
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))))
+        .selectExpr(
+          "CAST(round(ln(rnk) * 1000000e0, 0) AS BIGINT) AS lx",
+          "CAST(round(ln(cnt) * 1000000e0, 0) AS BIGINT) AS ly")
+        .agg(
+          count(lit(1)).as("n"), sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+          sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"))
+        .selectExpr(
+          "n AS n_tokens",
+          "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6) AS slope",
+          "round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / (n * 1000000e0) + 1e-9, 6) AS intercept")
+    },
+    Some("""WITH top AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token ORDER BY cnt DESC, token LIMIT 100),
+l AS (SELECT CAST(round(ln(row_number() OVER (ORDER BY cnt DESC, token)) * 1000000e0, 0) AS BIGINT) AS lx,
+             CAST(round(ln(cnt) * 1000000e0, 0) AS BIGINT) AS ly
+      FROM top),
+m AS (SELECT count(*)::BIGINT AS n, CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * lx) AS BIGINT) AS sxx, CAST(sum(lx * ly) AS BIGINT) AS sxy
+      FROM l)
+SELECT n AS n_tokens,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6) AS slope,
+       round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / (n * 1000000e0) + 1e-9, 6) AS intercept
+FROM m"""),
+    "Zipf slope/intercept OLS over the top-100 token frequencies (integer-exact moments).")
 
   // Deterministic 10% hash sample — reproducible train/eval splits. Pure
   // map (no shuffle, no sort, no RNG): the same doc lands in the same split
@@ -1630,5 +1747,6 @@ FROM g GROUP BY 1"""),
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
     dContaminationReport, tBm25, dReservoir, dTemperatureMix,
     dChunkOverlap, dBoilerplate, dQualityPrune,
-    tGopherRules, dSourceQuota, dCrossSourceOverlap, dLshBandTuning)
+    tGopherRules, dSourceQuota, dCrossSourceOverlap, dLshBandTuning,
+    dContainmentPairs, dClusterSizeProfile, tZipfFit)
 }
