@@ -149,7 +149,8 @@ object ScaleSmoke {
     // Round-7 operator additions needing their first receipts.
     val r7Subset = Seq(
       "e_centroid_drift", "d_containment_pairs", "d_cluster_size_profile",
-      "t_zipf_fit", "q_pareto_frontier")
+      "t_zipf_fit", "q_pareto_frontier",
+      "j4_nearest_join", "d_perplexity_band", "e_knn_ivf_mp")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =

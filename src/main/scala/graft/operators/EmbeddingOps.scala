@@ -317,6 +317,55 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 3"""),
     "IVF ANN: fixed coarse codebook, nprobe=1 cell probe, top-3.")
 
+  // Multi-probe IVF (nprobe=2): identical index, queries probe their TWO
+  // nearest cells — the standard recall/cost knob (nprobe=1 misses
+  // neighbors that fall just across a Voronoi boundary; probing the
+  // runner-up cell recovers most of them for 2x the candidate volume,
+  // still 1/8th of the corpus here). Same plan as e_knn_ivf: centroid
+  // model broadcasts, corpus assigned in one scan, candidates from an
+  // equi-join on cell — a candidate lives in ONE cell and the two probed
+  // cells are distinct, so no pair dedup is needed.
+  private val eKnnIvfMp = GQuery(
+    "e_knn_ivf_mp",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val cents = base.filter(col("vec_id").between(10, 25))
+        .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      val ranked = base.join(broadcast(cents))
+        .withColumn("c_cos",
+          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
+        .withColumn("arn", row_number().over(assignW))
+      val assigned = ranked.filter(col("arn") === 1)
+        .select(col("vec_id"), col("ed"), col("nrm"), col("cid").as("cell"))
+      val q = ranked.filter(col("vec_id") < 10 && col("arn") <= 2)
+        .select(col("vec_id").as("qid"), col("ed").as("qe"),
+          col("nrm").as("qn"), col("cid").as("cell"))
+      val rankW = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim", cosCol)
+        .select(col("qid"), col("vec_id"), col("cos_sim"))
+        .withColumn("rnk", row_number().over(rankW))
+        .filter(col("rnk") <= 3)
+    },
+    Some(s"""$duckPrep,
+c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 10 AND 25),
+r AS (
+  SELECT n.vec_id, n.ed, n.nrm, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           round(list_aggregate(list_transform(range(64), i -> c.ce[i + 1] * n.ed[i + 1]), 'sum') / (c.cn * n.nrm), 6) DESC, c.cid) AS arn
+  FROM n, c),
+asg AS (SELECT vec_id, ed, nrm, cid AS cell FROM r WHERE arn = 1),
+q AS (SELECT vec_id AS qid, ed AS qe, nrm AS qn, cid AS cell FROM r WHERE vec_id < 10 AND arn <= 2),
+p AS (SELECT q.qid, a.vec_id,
+        round(list_aggregate(list_transform(range(64), i -> q.qe[i + 1] * a.ed[i + 1]), 'sum') / (q.qn * a.nrm), 6) AS cos_sim
+      FROM q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid)
+SELECT qid, vec_id, cos_sim, rnk
+FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk FROM p)
+WHERE rnk <= 3"""),
+    "Multi-probe IVF ANN: nprobe=2 cells per query, the recall/cost knob beside e_knn_ivf.")
+
   // Int8-quantized ANN top-3: per-vector symmetric scalar quantization
   // (scale = max|x|/127, q = round(x/scale)) then integer dot products.
   // The quantization stage is ONE implementation (quantized() + duckQuant)
@@ -889,7 +938,7 @@ GROUP BY 1"""),
     "Pair-count ladder over candidate dedup thresholds (0.400..0.875, permille rungs).")
 
   val all: Seq[GQuery] =
-    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnQuant, eKnnRerank,
+    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)

@@ -445,6 +445,53 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
 GROUP BY 1, 2, 3"""),
     "Bucketized interval join: post-purchase click counts, no nested loop.")
 
+  // J4 (beyond the reference): NEAREST-event join — each click matched to
+  // the purchase with the smallest |Δt| within ±15 minutes by the same
+  // user (ties → earlier purchase). The sensor-alignment temporal join:
+  // j2 is backward-only, j3 counts an interval; this picks the closest
+  // neighbor in either direction. Same 100 TB shape as j3: tolerance ==
+  // bucket width, purchases explode into 3 adjacent buckets, ONE
+  // (user, bucket) hash shuffle, residual |Δt| filter — a (click,
+  // purchase) pair can meet in only the click's bucket, so no pair
+  // dedup; the per-click argmin is a window over the few in-tolerance
+  // candidates. All Δt arithmetic in exact integer micros.
+  private val j4 = GQuery(
+    "j4_nearest_join",
+    (s, dir) => {
+      val e = events(s, dir)
+      val tolUs = 900000000L // 15 min
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+        .withColumn("bucket", explode(array(
+          expr(s"unix_micros(p_ts) div $tolUs - 1"),
+          expr(s"unix_micros(p_ts) div $tolUs"),
+          expr(s"unix_micros(p_ts) div $tolUs + 1"))))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+        .withColumn("bucket", expr(s"unix_micros(click_ts) div $tolUs"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("adt"), col("p_ts"))
+      c.join(p, Seq("user_id", "bucket"))
+        .withColumn("dt_us", expr("unix_micros(click_ts) - unix_micros(p_ts)"))
+        .withColumn("adt", abs(col("dt_us")))
+        .filter(col("adt") <= tolUs)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("click_ts"),
+          col("p_ts").as("nearest_purchase_ts"), col("dt_us"))
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+m AS (SELECT c.event_id, c.user_id, c.click_ts, p.p_ts,
+             epoch_us(c.click_ts) - epoch_us(p.p_ts) AS dt_us,
+             abs(epoch_us(c.click_ts) - epoch_us(p.p_ts)) AS adt
+      FROM c JOIN p ON c.user_id = p.user_id
+      WHERE abs(epoch_us(c.click_ts) - epoch_us(p.p_ts)) <= 900000000)
+SELECT event_id, user_id, click_ts, p_ts AS nearest_purchase_ts, dt_us
+FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY adt, p_ts) AS rn FROM m)
+WHERE rn = 1"""),
+    "Nearest-purchase join within ±15 min (bucketized, exact integer-µs argmin).")
+
   // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
   // batch analog: lag() per user over the filtered event class; alert when two
   // 'error's land within 6 hours.
@@ -528,5 +575,5 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, a5, a5b, a6, a7, w2, w3, w4,
-    j1, j2, j3, x1, x2, qDistinct, qExcept, qIntersect)
+    j1, j2, j3, j4, x1, x2, qDistinct, qExcept, qIntersect)
 }

@@ -770,34 +770,81 @@ FROM g"""),
   // map-side; the model tables are Zipf-distributed, so the hot-key join
   // side is the model (small, broadcastable after aggregation), never the
   // corpus; AQE's skew split covers the head words on the pair join.
-  private val tLmScore = GQuery(
-    "t_lm_score",
-    (s, dir) => {
-      val bg = docs(s, dir)
-        .withColumn("toks", expr("split(text, ' ')"))
-        .filter(expr("size(toks) >= 2"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .groupBy(col("doc_id"))
-        .agg(
-          round(avg(col("c2") / col("c1")) + lit(1e-9), 4).as("lm_score"),
-          count(lit(1)).as("n_bigrams"))
-    },
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  /** Per-doc bigram-LM score (doc_id, lm_score, n_bigrams) — shared by
+    * t_lm_score (emits it) and d_perplexity_band (filters on it). */
+  private def lmScoreDF(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(col("c2") / col("c1")) + lit(1e-9), 4).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Matching DuckDB CTE chain ending in `lm(doc_id, lm_score, n_bigrams)`. */
+  private val lmScoreDuck =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
            WHERE len(string_split(text, ' ')) >= 2),
 p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
              i -> {'w1': toks[i], 'w2': toks[i + 1]}), recursive := true) FROM t),
 c2 AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
-c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1)
-SELECT doc_id, round(avg(c2.c2 / c1.c1::DOUBLE) + 1e-9, 4) AS lm_score,
-       count(*) AS n_bigrams
-FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-GROUP BY doc_id"""),
+c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+lm AS (SELECT doc_id, round(avg(c2.c2 / c1.c1::DOUBLE) + 1e-9, 4) AS lm_score,
+              count(*) AS n_bigrams
+       FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       GROUP BY doc_id)"""
+
+  private val tLmScore = GQuery(
+    "t_lm_score",
+    (s, dir) => lmScoreDF(s, dir),
+    Some(s"""WITH $lmScoreDuck
+SELECT doc_id, lm_score, n_bigrams FROM lm"""),
     "Corpus-trained bigram-LM quality score (avg conditional probability per doc).")
+
+  // CCNet-style perplexity BAND filter: keep the middle half of the
+  // LM-score distribution — dropping both the degenerate tail (too
+  // unpredictable = garbage) and the over-predictable head (templated/
+  // repetitive text the model finds too easy). The band edges are exact
+  // quantiles of the 4 dp score domain selected from a <=10001-row
+  // cumulative histogram (the d_quality_prune machinery) — integer
+  // cumulative counts, integer cutoff compares (cum*4 >= N), no
+  // percentile aggregate and no corpus sort at any scale; the cuts
+  // broadcast back into the scan-side filter.
+  private val dPerplexityBand = GQuery(
+    "d_perplexity_band",
+    (s, dir) => {
+      val scored = lmScoreDF(s, dir)
+        .withColumn("si", expr("CAST(round(lm_score * 10000, 0) AS BIGINT)"))
+      val hist = scored.groupBy(col("si")).agg(count(lit(1)).as("n"))
+      val wcum = Window.orderBy(col("si"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nTot = scored.agg(count(lit(1)).as("nn"))
+      val cuts = hist.withColumn("cum", sum(col("n")).over(wcum))
+        .crossJoin(broadcast(nTot))
+        .agg(
+          min(when(col("cum") * 4 >= col("nn"), col("si"))).as("lo"),
+          min(when(col("cum") * 4 >= col("nn") * 3, col("si"))).as("hi"))
+      scored.crossJoin(broadcast(cuts))
+        .filter(col("si") >= col("lo") && col("si") <= col("hi"))
+        .select(col("doc_id"), col("lm_score"))
+    },
+    Some(s"""WITH $lmScoreDuck,
+s AS (SELECT doc_id, lm_score, CAST(round(lm_score * 10000, 0) AS BIGINT) AS si FROM lm),
+h AS (SELECT si, count(*) AS n FROM s GROUP BY si),
+c AS (SELECT si, sum(n) OVER (ORDER BY si) AS cum FROM h),
+t2 AS (SELECT count(*) AS nn FROM s),
+cuts AS (SELECT min(CASE WHEN cum * 4 >= nn THEN si END) AS lo,
+                min(CASE WHEN cum * 4 >= nn * 3 THEN si END) AS hi
+         FROM c, t2)
+SELECT doc_id, lm_score FROM s, cuts WHERE si BETWEEN lo AND hi"""),
+    "Perplexity-band filter: keep the middle half of the LM-score distribution (exact histogram quantiles).")
 
   // TF-IDF top term per document — the classic keyword extractor. Score =
   // c * ln(N / df) from pure integer inputs, so both engines compute the
@@ -1748,5 +1795,5 @@ FROM g GROUP BY 1"""),
     dContaminationReport, tBm25, dReservoir, dTemperatureMix,
     dChunkOverlap, dBoilerplate, dQualityPrune,
     tGopherRules, dSourceQuota, dCrossSourceOverlap, dLshBandTuning,
-    dContainmentPairs, dClusterSizeProfile, tZipfFit)
+    dContainmentPairs, dClusterSizeProfile, tZipfFit, dPerplexityBand)
 }

@@ -29,7 +29,8 @@ class EmptyInputSpec extends SparkSpec {
     Map("a9_funnel" -> (4L, "n_users"), "d_filter_funnel" -> (5L, "n_pass"),
       "q6_forecast_revenue" -> (1L, "n_items"),
       "q17_small_qty_revenue" -> (1L, "n_items"),
-      "q19_disjunctive_revenue" -> (1L, "n_items"))
+      "q19_disjunctive_revenue" -> (1L, "n_items"),
+      "t_zipf_fit" -> (1L, "n_tokens"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     fixedShapeOnEmpty.get(name) match {
