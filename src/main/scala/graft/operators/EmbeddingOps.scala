@@ -555,12 +555,18 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
     * against the label means. ONE implementation so the model vectors are
     * bit-identical wherever they're consumed. */
   private def centroidVectors(s: SparkSession, dir: String): DataFrame =
+    // localCheckpoint: consumers reference the model in more than one
+    // join subtree (e_centroid_drift uses it as both the assignment
+    // model and the drift baseline), and Catalyst cannot share
+    // subtrees — the pin makes the model-building corpus scan run once.
+    // The pinned frame is one row per label (10 rows of 64 doubles).
     prepped(s, dir)
       .select(col("label").as("c_label"), posexplode(col("ed")).as(Seq("pos", "v")))
       .groupBy(col("c_label"), col("pos"))
       .agg(round(avg(col("v")) + lit(1e-9), 6).as("c"))
       .groupBy(col("c_label"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .localCheckpoint()
 
   /** Same model, DuckDB side: cent + cvec CTEs over duckPrep's n. */
   private val duckCentroids =

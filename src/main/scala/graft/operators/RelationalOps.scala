@@ -782,6 +782,11 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   private val qParetoFrontier = GQuery(
     "q_pareto_frontier",
     (s, dir) => {
+      // localCheckpoint: the aggregate feeds BOTH the dominance side and
+      // the bucket summary, and Catalyst cannot share subtrees across
+      // joins — without the pin the fact table would scan twice (the
+      // d_curate_corpus lesson). The pinned frame is one row per
+      // (brand, type) — tiny at any corpus size.
       val pts = t("lineitem")(s, dir)
         .join(t("part")(s, dir), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"))
@@ -791,6 +796,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         .filter(col("x") > 0)
         .withColumn("y", expr("revc div x"))
         .select(col("p_brand"), col("p_type"), col("x"), col("y"))
+        .localCheckpoint()
       val bucketed = pts.withColumn("bx", expr("x div 1000"))
       val sufGt = bucketed.groupBy(col("bx")).agg(max(col("y")).as("by"))
         .withColumn("suf_gt", max(col("by")).over(

@@ -770,10 +770,12 @@ FROM g"""),
   // map-side; the model tables are Zipf-distributed, so the hot-key join
   // side is the model (small, broadcastable after aggregation), never the
   // corpus; AQE's skew split covers the head words on the pair join.
-  /** Per-doc bigram-LM score (doc_id, lm_score, n_bigrams) — shared by
-    * t_lm_score (emits it) and d_perplexity_band (filters on it). */
-  private def lmScoreDF(s: SparkSession, dir: String): DataFrame = {
-    val bg = docs(s, dir)
+  /** Per-doc bigram-LM score (doc_id, lm_score, n_bigrams) over any
+    * (doc_id, text) frame — shared by t_lm_score (emits it),
+    * d_perplexity_band (filters on it), and the streaming band
+    * calibration (StreamingPipelines.perplexityBandCalibrate). */
+  private[graft] def lmScoresFrom(docs0: DataFrame): DataFrame = {
+    val bg = docs0
       .withColumn("toks", expr("split(text, ' ')"))
       .filter(expr("size(toks) >= 2"))
       .select(col("doc_id"), explode(expr(
@@ -803,7 +805,7 @@ lm AS (SELECT doc_id, round(avg(c2.c2 / c1.c1::DOUBLE) + 1e-9, 4) AS lm_score,
 
   private val tLmScore = GQuery(
     "t_lm_score",
-    (s, dir) => lmScoreDF(s, dir),
+    (s, dir) => lmScoresFrom(docs(s, dir)),
     Some(s"""WITH $lmScoreDuck
 SELECT doc_id, lm_score, n_bigrams FROM lm"""),
     "Corpus-trained bigram-LM quality score (avg conditional probability per doc).")
@@ -820,8 +822,13 @@ SELECT doc_id, lm_score, n_bigrams FROM lm"""),
   private val dPerplexityBand = GQuery(
     "d_perplexity_band",
     (s, dir) => {
-      val scored = lmScoreDF(s, dir)
+      // localCheckpoint: the scored frame feeds the histogram, the total
+      // count AND the final filter — without the pin the whole bigram-LM
+      // build (two model joins over the exploded bigram stream) would run
+      // three times. The pinned frame is one row per document.
+      val scored = lmScoresFrom(docs(s, dir))
         .withColumn("si", expr("CAST(round(lm_score * 10000, 0) AS BIGINT)"))
+        .localCheckpoint()
       val hist = scored.groupBy(col("si")).agg(count(lit(1)).as("n"))
       val wcum = Window.orderBy(col("si"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -292,6 +292,79 @@ object StreamingPipelines {
       grams.filter(col("dirty")).select(out: _*))
   }
 
+  /** Calibrate the streaming perplexity-band filter from a STATIC
+    * corpus frame (doc_id, text): returns the bigram model
+    * (`"w1w2" -> P(w2|w1)`) plus the band cut points in the 4 dp
+    * scaled-score domain — the exact quantile cuts the batch
+    * `d_perplexity_band` computes (cum*4 >= N on the score histogram).
+    * The model collect is bounded BY CONSTRUCTION (`limit(maxModel+1)`
+    * caps what reaches the driver; crossing it fails loudly) — the
+    * contract is a calibration-corpus-sized model (vocabulary^2-ish,
+    * MBs); a corpus whose model exceeds the cap must stay on the batch
+    * join path. */
+  def perplexityBandCalibrate(calibDocs: DataFrame,
+      maxModel: Int = 2000000): (Map[String, Double], Long, Long) = {
+    val bg = calibDocs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(expr("size(toks) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val rows = c2.join(c1, Seq("w1"))
+      .selectExpr("concat(w1, '', w2) AS k", "c2 / cast(c1 AS double) AS p")
+      .limit(maxModel + 1).collect()
+    require(rows.length <= maxModel,
+      s"perplexityBandCalibrate: model exceeds $maxModel entries — " +
+        "use the batch d_perplexity_band join for corpora this large")
+    val model = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scored = graft.operators.TextOps.lmScoresFrom(calibDocs)
+      .withColumn("si", expr("CAST(round(lm_score * 10000, 0) AS BIGINT)"))
+      .localCheckpoint()
+    val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("si"))
+      .rowsBetween(Long.MinValue, 0)
+    val cuts = scored.groupBy(col("si")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        scored.agg(count(lit(1)).as("nn"))))
+      .agg(
+        min(when(col("cum") * 4 >= col("nn"), col("si"))).as("lo"),
+        min(when(col("cum") * 4 >= col("nn") * 3, col("si"))).as("hi"))
+      .head()
+    (model, cuts.getLong(0), cuts.getLong(1))
+  }
+
+  /** Streaming dual of the batch `d_perplexity_band`, in the
+    * [[decontaminate]] style: model + cuts calibrated offline
+    * ([[perplexityBandCalibrate]]), broadcast as literals, and the
+    * stream scored/routed by a STATELESS map — the shape that runs
+    * inline during ingest (no watermark, no state). Scoring matches
+    * the batch query on in-model bigrams; a bigram absent from the
+    * calibration model contributes probability 0 (the calibration
+    * corpus IS the reference distribution — an all-unseen doc scores 0
+    * and lands out-of-band). Docs with <2 tokens are unscorable and
+    * route out-of-band with a null score. Returns (inBand, outOfBand). */
+  def perplexityBand(docsStream: DataFrame, model: Map[String, Double],
+      lo: Long, hi: Long): (DataFrame, DataFrame) = {
+    val mapLit = typedLit(model)
+    val g = docsStream
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bgs", when(expr("size(toks) >= 2"), expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), '', element_at(toks, i + 1)))"))
+        .otherwise(expr("cast(array() AS array<string>)")))
+      .withColumn("lm_score", when(size(col("bgs")) > 0,
+        round(aggregate(col("bgs"), lit(0.0d),
+            (acc, b) => acc + coalesce(element_at(mapLit, b), lit(0.0d)))
+          / size(col("bgs")) + lit(1e-9), 4)))
+      .withColumn("si", expr("CAST(round(lm_score * 10000, 0) AS BIGINT)"))
+      .withColumn("in_band",
+        col("si").isNotNull && col("si") >= lo && col("si") <= hi)
+    val out = docsStream.columns.map(col) :+ col("lm_score")
+    (g.filter(col("in_band")).select(out: _*),
+      g.filter(!col("in_band") || col("in_band").isNull).select(out: _*))
+  }
+
   /** Build the eval gram array for [[decontaminate]] from a static
     * document frame — bounded collect, mirrors the batch query's
     * broadcast side. The collect is bounded BY CONSTRUCTION, not by
