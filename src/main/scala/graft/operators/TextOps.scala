@@ -1317,6 +1317,42 @@ ORDER BY ${hD48("CAST(doc_id AS VARCHAR)")}, doc_id LIMIT 256"""),
   // target_d = min(n_d, max(1, floor(K * w_d / sum(w)))) picks, chosen
   // deterministically by hash rank within the language (the same
   // rank-by-hash discipline as d_stratified_sample, so the pick is
+  // Epoch planning: the per-source mixing TABLE a training run consumes —
+  // available tokens, temperature-weighted (sqrt) target share of a fixed
+  // token budget (2x the corpus here), and the resulting repeat factor
+  // (epochs > 1 = upsample, < 1 = subsample) — the LLaMA/Pile-style
+  // "how many epochs of each source" plan, the planning-side complement
+  // of d_temperature_mix's document picking. Float discipline: sqrt
+  // weights pinned to exact 1e-6 integers so the weight SUM is
+  // order-independent; shares/epochs are then single divisions of
+  // identical integers (bit-equal both engines), pinned at 4 dp. Scale:
+  // one token-count aggregation (map-side partial absorbs the corpus),
+  // a one-row totals broadcast, and an O(sources) output.
+  private val dEpochPlan = GQuery(
+    "d_epoch_plan",
+    (s, dir) => {
+      val perSrc = docs(s, dir)
+        .select(col("source"), expr("size(split(text, ' '))").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+        .withColumn("wi6",
+          expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000e0, 0) AS BIGINT)"))
+      val totals = perSrc.agg(sum(col("n_tokens")).as("total"), sum(col("wi6")).as("sw"))
+      perSrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_tokens"),
+          expr("CAST(round(2 * total * (CAST(wi6 AS DOUBLE) / CAST(sw AS DOUBLE)), 0) AS BIGINT)").as("target_tokens"),
+          expr("round(2 * total * (CAST(wi6 AS DOUBLE) / CAST(sw AS DOUBLE)) / CAST(n_tokens AS DOUBLE) + 1e-9, 4)").as("epochs"))
+    },
+    Some("""WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+w AS (SELECT source, n_tokens,
+             CAST(round(sqrt(n_tokens::DOUBLE) * 1000000e0, 0) AS BIGINT) AS wi6 FROM s),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, CAST(sum(wi6) AS BIGINT) AS sw FROM w)
+SELECT source, n_tokens,
+       CAST(round(2 * total * (wi6::DOUBLE / sw::DOUBLE), 0) AS BIGINT) AS target_tokens,
+       round(2 * total * (wi6::DOUBLE / sw::DOUBLE) / n_tokens::DOUBLE + 1e-9, 4) AS epochs
+FROM w, t"""),
+    "Per-source epoch plan: sqrt-temperature target shares of a 2x token budget.")
+
   // reproducible across engines and runs). Float discipline: sqrt and
   // division are IEEE exact-rounded (bit-equal both engines); the only
   // discontinuity is floor, nudged by 1e-9. Scale shape: the per-lang
@@ -1802,5 +1838,6 @@ FROM g GROUP BY 1"""),
     dContaminationReport, tBm25, dReservoir, dTemperatureMix,
     dChunkOverlap, dBoilerplate, dQualityPrune,
     tGopherRules, dSourceQuota, dCrossSourceOverlap, dLshBandTuning,
-    dContainmentPairs, dClusterSizeProfile, tZipfFit, dPerplexityBand)
+    dContainmentPairs, dClusterSizeProfile, tZipfFit, dPerplexityBand,
+    dEpochPlan)
 }
