@@ -41,7 +41,19 @@ class PlanHygieneSpec extends SparkSpec {
       // q11 cross-joins the 1-row grand-total scalar — constant build side
       "q11_important_parts",
       // triplet mining broadcasts the <=10-row query set, like e_knn_brute
-      "e_hard_negatives")
+      "e_hard_negatives",
+      // multi-probe IVF: the identical 16-row coarse-codebook cross join
+      // as e_knn_ivf (only the probe count differs)
+      "e_knn_ivf_mp",
+      // the Lloyd step's centroid-model cross join (constant 10x64 build
+      // side), shared with e_kmeans_step; the drift join itself is an
+      // equi BroadcastHashJoin on (cluster, pos)
+      "e_centroid_drift",
+      // cross-joins the 1-row (lo, hi) band-cut scalar — constant build
+      // side, the t_tfidf scalar-broadcast pattern
+      "d_perplexity_band",
+      // cross-joins the 1-row (total, sum-of-weights) scalar
+      "d_epoch_plan")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
