@@ -453,8 +453,69 @@ FROM dev d JOIN mad USING (event_type)
 WHERE d.dev_s * 10000 > mad.mad_s * 44478"""),
     "MAD-based robust outliers per event type; exact integer medians from histograms.")
 
+  // Seasonality-adjusted traffic anomaly: each hour's event count scored
+  // against its OWN (day-of-week, hour-of-day) slot's baseline — the
+  // alerting query that doesn't page on every Monday morning peak
+  // (unlike a10's global z-score, which flags seasonal highs). The
+  // baseline is LEAVE-ONE-OUT (the scored hour is excluded from its own
+  // mean/variance — with a point inside an n-sample baseline, |z| is
+  // capped at (n-1)/sqrt(n), which makes small-n thresholds vacuous by
+  // construction): z = (x − μ₋)/σ₋ with dev = n·x − Σ (identical for
+  // LOO after clearing denominators) and var₋ scaled as
+  // (n−1)(Σx² − x²) − (Σ − x)². Both enter as EXACT integer expressions
+  // — sqrt/division happen once on identical integers, pinned — and
+  // the output is the top-20 most anomalous hours by |z| (a ranking,
+  // not a threshold, so the report is never vacuously empty; rank on
+  // the 6 dp-pinned |z| with integer tiebreaks). Slot keys are pure
+  // integer arithmetic on epoch-µs (dow = epoch_day % 7), immune to
+  // the engine dayofweek-numbering mismatch a7 had to dodge. Scale:
+  // two bounded aggregations (hours, then 168 slots broadcast back) —
+  // nothing data-proportional past the first partial agg.
+  private val a18Seasonal = GQuery(
+    "a18_seasonal_anomaly",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .selectExpr(
+          "unix_micros(ts) div 86400000000 AS epoch_day",
+          "(unix_micros(ts) div 3600000000) % 24 AS hour")
+        .groupBy(col("epoch_day"), col("hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dow", expr("epoch_day % 7"))
+      val slots = hourly.groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
+          sum(col("cnt") * col("cnt")).as("sxx"))
+      hourly.join(broadcast(slots), Seq("dow", "hour"))
+        .filter(col("n") >= 3)
+        .withColumn("dev", expr("(n - 1) * cnt - (sx - cnt)"))
+        .withColumn("varn", expr("(n - 1) * (sxx - cnt * cnt) - (sx - cnt) * (sx - cnt)"))
+        .filter(col("varn") > 0) // constant-other slots: sigma undefined
+        .withColumn("az", round(abs(col("dev")) / sqrt(col("varn")) + lit(1e-9), 6))
+        .orderBy(col("az").desc, col("epoch_day"), col("hour"))
+        .limit(20)
+        .select(col("epoch_day"), col("hour"), col("cnt"),
+          round(col("dev") / sqrt(col("varn")) + lit(1e-9), 4).as("z"))
+    },
+    Some("""WITH h AS (
+  SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+         (epoch_us(ts) // 3600000000) % 24 AS hour, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+hd AS (SELECT epoch_day, hour, cnt, epoch_day % 7 AS dow FROM h),
+sl AS (SELECT dow, hour, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS sx,
+              CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+       FROM hd GROUP BY 1, 2),
+j AS (SELECT epoch_day, hour, cnt,
+             (n - 1) * cnt - (sx - cnt) AS dev,
+             (n - 1) * (sxx - cnt * cnt) - (sx - cnt) * (sx - cnt) AS varn
+      FROM hd JOIN sl USING (dow, hour) WHERE n >= 3),
+r AS (SELECT epoch_day, hour, cnt, dev, varn,
+             round(abs(dev) / sqrt(varn) + 1e-9, 6) AS az
+      FROM j WHERE varn > 0)
+SELECT epoch_day, hour, cnt, round(dev / sqrt(varn) + 1e-9, 4) AS z
+FROM (SELECT * FROM r ORDER BY az DESC, epoch_day, hour LIMIT 20) t"""),
+    "Top-20 seasonality-adjusted hourly anomalies (leave-one-out z vs the slot's own baseline).")
+
   val all: Seq[GQuery] =
     Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma,
       a13Transition, a14RollingDau, a15LevelShift, a16InterEventGap,
-      a17MadOutliers)
+      a17MadOutliers, a18Seasonal)
 }
