@@ -830,9 +830,81 @@ WHERE NOT EXISTS (
   WHERE (b.x > a.x AND b.y >= a.y) OR (b.x >= a.x AND b.y > a.y))"""),
     "2-D Pareto frontier over (volume, unit price) — hierarchical dominance, no all-pairs.")
 
+  // Iterative graph centrality: 5 rounds of PageRank over the
+  // symmetrized customer<->supplier purchase graph (an edge per distinct
+  // trading pair), ranking suppliers by how central they sit in the
+  // purchase network — the walk-based importance signal (the family web
+  // curation uses for URL/host authority). EVERY step is exact integer
+  // arithmetic: ranks live in a 1e12 fixed-point mass domain, each
+  // round is r'(v) = (15·(S div n)) div 100 + (85·Σ_{u→v} r(u) div
+  // deg(u)) div 100 — integer division is truncation on positive values
+  // in BOTH engines, so the fixpoint trajectory is bit-identical and
+  // the oracle replays it as 5 chained CTEs. Scale: each round is one
+  // edge-keyed join + one dst-keyed partial agg (the d_dedup_groups
+  // loop shape); localCheckpoint cuts lineage per round; node count
+  // enters as a broadcast one-row frame, never a driver scalar.
+  private val qPagerank = GQuery(
+    "q_pagerank",
+    (s, dir) => {
+      val SOff = 1000000000L
+      val S = 1000000000000L
+      val pairs = t("lineitem")(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(t("orders")(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + SOff).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
+        .union(pairs.select(col("sn").as("src"), col("c").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val base = nodes
+        .crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
+        .localCheckpoint()
+      var cur = base.select(col("node"), expr(s"$S div nn").as("rank"))
+      for (_ <- 1 to 5) {
+        val inflow = cur.join(edges, cur("node") === edges("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst"), expr("rank div deg").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+        cur = base
+          .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            expr(s"(15 * ($S div nn)) div 100 + (85 * coalesce(inflow, 0L)) div 100").as("rank"))
+          .localCheckpoint()
+      }
+      cur.filter(col("node") >= SOff)
+        .select((col("node") - SOff).as("s_suppkey"), col("rank"))
+        .orderBy(col("rank").desc, col("s_suppkey")).limit(20)
+    },
+    Some {
+      val S = "1000000000000"
+      def iter(k: Int): String =
+        s"""it$k AS (SELECT n.node,
+           CAST((15 * ($S // t.nn)) // 100
+                + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS rank
+         FROM nodes n CROSS JOIN t
+         LEFT JOIN (SELECT e.dst AS node, sum(i.rank // d.deg) AS inflow
+                    FROM it${k - 1} i JOIN e ON e.src = i.node JOIN d ON d.src = i.node
+                    GROUP BY e.dst) f USING (node))"""
+      s"""WITH p AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS sn
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT c AS src, sn AS dst FROM p UNION ALL SELECT sn, c FROM p),
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+t AS (SELECT count(*) AS nn FROM nodes),
+it0 AS (SELECT node, CAST($S // t.nn AS BIGINT) AS rank FROM nodes, t),
+${(1 to 5).map(iter).mkString(",\n")}
+SELECT node - 1000000000 AS s_suppkey, rank
+FROM it5 WHERE node >= 1000000000
+ORDER BY rank DESC, s_suppkey LIMIT 20"""
+    },
+    "5-round integer-exact PageRank over the purchase graph; top-20 suppliers by centrality.")
+
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, q6, q8, q10, q14, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
-      qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter, qParetoFrontier)
+      qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter, qParetoFrontier,
+      qPagerank)
 }

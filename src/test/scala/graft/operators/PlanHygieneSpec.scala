@@ -53,7 +53,9 @@ class PlanHygieneSpec extends SparkSpec {
       // side, the t_tfidf scalar-broadcast pattern
       "d_perplexity_band",
       // cross-joins the 1-row (total, sum-of-weights) scalar
-      "d_epoch_plan")
+      "d_epoch_plan",
+      // cross-joins the 1-row node-count scalar into the rank seed
+      "q_pagerank")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
