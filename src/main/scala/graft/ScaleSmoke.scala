@@ -151,7 +151,7 @@ object ScaleSmoke {
       "e_centroid_drift", "d_containment_pairs", "d_cluster_size_profile",
       "t_zipf_fit", "q_pareto_frontier",
       "j4_nearest_join", "d_perplexity_band", "e_knn_ivf_mp", "d_epoch_plan",
-      "a18_seasonal_anomaly", "q_pagerank")
+      "a18_seasonal_anomaly", "q_pagerank", "x3_cep_sequence")
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =

@@ -492,6 +492,61 @@ FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY adt, p_ts) AS 
 WHERE rn = 1"""),
     "Nearest-purchase join within ±15 min (bucketized, exact integer-µs argmin).")
 
+  // X3 (beyond the reference — Flink-CEP-style sequence matching): every
+  // signup EVENT (not user, unlike a9's first-completion funnel) matched
+  // through signup -> click -> purchase with each hop inside a 6-hour
+  // gap; emits the matched triple (earliest qualifying event per hop).
+  // Plan: NO self-joins — each hop is one per-user RANGE window over
+  // event-time microseconds (frame (1, gap] = strictly-after within gap;
+  // min over the frame picks the earliest next-stage event), and hop 2
+  // re-enters the same machinery by unioning the hop-1 anchors at their
+  // click time with the purchase stream. Two windows, both keyed on
+  // user_id (one exchange, reused); exact integer-µs arithmetic
+  // throughout. Streaming dual: StatefulProcessors.CepProcessor.
+  private val x3 = GQuery(
+    "x3_cep_sequence",
+    (s, dir) => {
+      val gapUs = 21600000000L // 6 h (x1's threshold; 30-min hops are vacuous at fixture density)
+      val e = events(s, dir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w1 = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(1L, gapUs)
+      val hop1 = e
+        .withColumn("c_us", min(when(col("event_type") === "click", col("us"))).over(w1))
+        .filter(col("event_type") === "signup" && col("c_us").isNotNull)
+      val anchors = hop1.select(col("event_id"), col("user_id"),
+        col("us").as("a_us"), col("c_us").as("us"), lit("anchor").as("event_type"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          lit(null).cast("long").as("a_us"), col("us"), col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(1L, gapUs)
+      anchors.unionByName(purch)
+        .withColumn("p_us", min(when(col("event_type") === "purchase", col("us"))).over(w2))
+        .filter(col("event_type") === "anchor" && col("p_us").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("a_us")).as("signup_ts"),
+          timestamp_micros(col("us")).as("click_ts"),
+          timestamp_micros(col("p_us")).as("purchase_ts"))
+    },
+    Some("""WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'signup'),
+c AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+h1 AS (SELECT a.event_id, a.user_id, a.us AS a_us,
+              (SELECT min(c.us) FROM c WHERE c.user_id = a.user_id
+                 AND c.us > a.us AND c.us <= a.us + 21600000000) AS c_us
+       FROM a),
+h2 AS (SELECT h1.event_id, h1.user_id, h1.a_us, h1.c_us,
+              (SELECT min(p.us) FROM p WHERE p.user_id = h1.user_id
+                 AND p.us > h1.c_us AND p.us <= h1.c_us + 21600000000) AS p_us
+       FROM h1 WHERE c_us IS NOT NULL)
+SELECT event_id, user_id, make_timestamp(a_us) AS signup_ts,
+       make_timestamp(c_us) AS click_ts, make_timestamp(p_us) AS purchase_ts
+FROM h2 WHERE p_us IS NOT NULL"""),
+    "CEP sequence match: signup->click->purchase per event, 6-h hop gaps, range-window hops.")
+
   // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
   // batch analog: lag() per user over the filtered event class; alert when two
   // 'error's land within 6 hours.
@@ -575,5 +630,5 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, a5, a5b, a6, a7, w2, w3, w4,
-    j1, j2, j3, j4, x1, x2, qDistinct, qExcept, qIntersect)
+    j1, j2, j3, j4, x1, x2, x3, qDistinct, qExcept, qIntersect)
 }

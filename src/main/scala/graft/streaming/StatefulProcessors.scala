@@ -661,6 +661,82 @@ object StatefulProcessors {
       .transformWithState(new StaircaseWatermarkProcessor(windowMs, advanceMs, bufferMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
 
+  /** X3 output: one completed first->second->third sequence (event-time
+    * microseconds per matched stage). */
+  final case class CepMatch(
+      user_id: Long, first_id: Long, first_us: Long, second_us: Long, third_us: Long)
+
+  /** X3 streaming dual (beyond the reference — the Flink-CEP sequence
+    * pattern): per key, match every `first` event through
+    * first -> second -> third with each hop inside `gapUs`, emitting the
+    * earliest-qualifying completion per `first` event — exactly the
+    * batch x3_cep_sequence semantics for in-order arrivals. State is a
+    * ListState of partial matches (first_id, first_us, second_us|-1),
+    * bounded by the gap horizon: every arriving event prunes partials
+    * whose live hop deadline has passed, so state per key is the number
+    * of in-flight sequences inside ~2 gaps, never event history. Events
+    * are sorted (ts, event_id) within a batch like the other
+    * processors; cross-batch late events are excluded by the same
+    * contract (a late `second` can no longer join an already-pruned
+    * partial — matching what the ts-ordered batch analog computes for
+    * on-time data). */
+  final class CepProcessor(first: String, second: String, third: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepMatch] {
+
+    @transient private var partials: org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      partials = getHandle.getListState[(Long, Long, Long)]("partials",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepMatch] = {
+      val out = Seq.newBuilder[CepMatch]
+      var ps = (if (partials.exists()) partials.get().toVector else Vector.empty)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        // full microsecond precision: getTime is millis; the micros-
+        // within-milli live in getNanos (ms-only fixtures get + 0)
+        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        e.event_type match {
+          case `first` => ps = ps :+ ((e.event_id, us, -1L))
+          case `second` =>
+            // earliest qualifying second wins: events arrive sorted, so
+            // only a still-empty slot is filled
+            ps = ps.map { case p @ (id, aUs, cUs) =>
+              if (cUs < 0L && us > aUs && us <= aUs + gapUs) (id, aUs, us) else p
+            }
+          case `third` =>
+            val (done, rest) = ps.partition { case (_, _, cUs) =>
+              cUs > 0L && us > cUs && us <= cUs + gapUs
+            }
+            done.foreach { case (id, aUs, cUs) =>
+              out += CepMatch(user, id, aUs, cUs, us)
+            }
+            ps = rest
+          case _ => ()
+        }
+        // prune partials whose live hop deadline has passed
+        ps = ps.filter { case (_, aUs, cUs) =>
+          if (cUs < 0L) us <= aUs + gapUs else us <= cUs + gapUs
+        }
+      }
+      partials.clear()
+      if (ps.nonEmpty) partials.put(ps.toArray)
+      out.result().iterator
+    }
+  }
+
+  private implicit val cepEnc = Encoders.product[CepMatch]
+
+  /** X3 wiring: CEP sequence matching over the typed event stream. */
+  def cepSequence(events: Dataset[Ev], first: String = "signup",
+      second: String = "click", third: String = "purchase",
+      gapUs: Long = 21600000000L): Dataset[CepMatch] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepProcessor(first, second, third, gapUs),
+        TimeMode.None(), OutputMode.Append())
+
   /** An event tagged with its source partition — the unit the reference's
     * watermark generator is instantiated per (one generator per source
     * subtask, EventTimeOperations.java:96-141). */
