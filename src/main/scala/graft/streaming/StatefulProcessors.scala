@@ -661,6 +661,110 @@ object StatefulProcessors {
       .transformWithState(new StaircaseWatermarkProcessor(windowMs, advanceMs, bufferMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
 
+  /** One finalized nearest-neighbor alignment: the purchase with the
+    * smallest |Δt| within the tolerance of a click (dt_us = click − purchase). */
+  final case class NearestMatch(
+      user_id: Long, click_id: Long, click_us: Long, purchase_us: Long, dt_us: Long)
+
+  /** Streaming dual of the batch `j4_nearest_join`: per user, align each
+    * click to the purchase with the smallest |Δt| within ±`tolUs` —
+    * ties to the EARLIER purchase, exactly the batch argmin. A click
+    * cannot finalize before the watermark passes `click + tol` (a nearer
+    * purchase may still arrive), so each click arms an EVENT-TIME timer
+    * at its deadline and emits from `handleExpiredTimer` — the
+    * watermark-delayed-emission pattern of [[SessionTimerProcessor]].
+    * State per key: the pending clicks inside the tolerance horizon and
+    * the purchases still inside ANY pending-or-future click's reach —
+    * purchases prune once `p + tol` sits behind BOTH the watermark (no
+    * future on-time click can reach back) and every pending click;
+    * clicks prune at finalization. Unmatched clicks finalize silently
+    * (the batch join is inner). Cross-batch late rows follow the suite
+    * contract: a click/purchase older than the watermark at arrival may
+    * finalize against an incomplete purchase set — the same rows the
+    * ts-ordered batch analog would treat as on-time are matched
+    * identically. */
+  final class NearestJoinProcessor(tolUs: Long)
+      extends StatefulProcessor[Long, Ev, NearestMatch] {
+
+    @transient private var clicks: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private var purchases: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      clicks = getHandle.getListState[(Long, Long)]("clicks",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      purchases = getHandle.getListState[Long]("purchases",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def us(e: Ev): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[NearestMatch] = {
+      var cs = if (clicks.exists()) clicks.get().toVector else Vector.empty
+      var psv = if (purchases.exists()) purchases.get().toVector else Vector.empty
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "click" =>
+            val cUs = us(e)
+            cs = cs :+ ((e.event_id, cUs))
+            // deadline in ms, rounded up: fires once the watermark passes
+            // click + tol (duplicate deadlines re-register harmlessly —
+            // stale firings find no due clicks and no-op)
+            getHandle.registerTimer((cUs + tolUs) / 1000L + 1L)
+          case "purchase" => psv = psv :+ us(e)
+          case _ => ()
+        }
+      }
+      prune(cs, psv, tv.getCurrentWatermarkInMs() * 1000L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[NearestMatch] = {
+      val wmUs = expired.getExpiryTimeInMs() * 1000L
+      var cs = if (clicks.exists()) clicks.get().toVector else Vector.empty
+      val psv = if (purchases.exists()) purchases.get().toVector else Vector.empty
+      val (due, pending) = cs.partition { case (_, cUs) => cUs + tolUs < wmUs }
+      val out = due.sortBy { case (id, cUs) => (cUs, id) }.flatMap { case (id, cUs) =>
+        val cands = psv.filter(p => math.abs(p - cUs) <= tolUs)
+        if (cands.isEmpty) None
+        else {
+          // smallest |Δt|, tie -> earlier purchase: the batch argmin
+          val best = cands.minBy(p => (math.abs(p - cUs), p))
+          Some(NearestMatch(user, id, cUs, best, cUs - best))
+        }
+      }
+      cs = pending
+      prune(cs, psv, wmUs)
+      out.iterator
+    }
+
+    /** Persist state, dropping purchases no pending or future on-time
+      * click can reach (p + tol behind both the watermark and every
+      * pending click). */
+    private def prune(cs: Vector[(Long, Long)], psv: Vector[Long], wmUs: Long): Unit = {
+      val minPending = cs.map(_._2).minOption.getOrElse(Long.MaxValue)
+      val keepFrom = math.min(wmUs, minPending) - tolUs
+      val kept = psv.filter(_ >= keepFrom)
+      clicks.clear()
+      if (cs.nonEmpty) clicks.put(cs.toArray)
+      purchases.clear()
+      if (kept.nonEmpty) purchases.put(kept.toArray)
+    }
+  }
+
+  private implicit val nmEnc = Encoders.product[NearestMatch]
+
+  /** J4 streaming wiring: nearest-purchase alignment with watermark-
+    * delayed finalization (event-time timers). */
+  def nearestJoin(events: Dataset[Ev], tolUs: Long = 900000000L,
+      delay: String = "10 seconds"): Dataset[NearestMatch] =
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new NearestJoinProcessor(tolUs),
+        TimeMode.EventTime(), OutputMode.Append())
+
   /** X3 output: one completed first->second->third sequence (event-time
     * microseconds per matched stage). */
   final case class CepMatch(
