@@ -250,6 +250,15 @@ FROM lineitem GROUP BY l_returnflag"""))
   // The exact countDistinct here is the verification harness, not the
   // production plan — the approx path alone (or q_hll_sketch below) is
   // what runs at scale.
+  //
+  // FIXTURE-PINNED GATE: the oracle hardcodes within_3rsd = 1, which is
+  // correct for the current fixtures but is a property of (fixture, rsd
+  // config, Spark's HLL++ implementation) — a new fixture, rsd change,
+  // or Spark upgrade can flip this row red with NO engine bug. If that
+  // happens, re-verify the estimator contract holds (it should at the
+  // default rsd with 3x slack) and re-pin. Perf note: this query pays
+  // for an exact distinct ON PURPOSE (the harness); never read its
+  // bench time as the cardinality path's cost — that's q_hll_sketch.
   private val qHll = GQuery(
     "q_hll_distinct",
     (s, dir) =>

@@ -75,13 +75,16 @@ object Generators {
         else fresh()
       texts += text
     }
-    val fileOffset = idOffset / perFile
+    // File names come from the first doc id in each file, so two calls with
+    // different idOffset/perFile can never silently collide on a name
+    // (colliding id ranges are the caller's bug and collide in content too).
     texts.grouped(perFile).zipWithIndex.foreach { case (group, f) =>
+      val firstId = idOffset + f.toLong * perFile
       val lines = group.zipWithIndex.map { case (text, j) =>
-        val id = idOffset + f.toLong * perFile + j
+        val id = firstId + j
         s"""{"doc_id":$id,"ts_s":${10 + id},"text":"$text","lang":"en","source":"src${id % sources}"}"""
       }
-      Files.writeString(Paths.get(dir, f"docs-${fileOffset + f}%05d.json"),
+      Files.writeString(Paths.get(dir, f"docs-$firstId%010d.json"),
         lines.mkString("", "\n", "\n"))
     }
   }

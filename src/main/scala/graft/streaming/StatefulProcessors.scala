@@ -899,9 +899,13 @@ object StatefulProcessors {
 
     /** Channel-min combine: min of `base − buffer` over non-idle
       * partitions, or the floor unchanged when all are idle/absent.
-      * Monotonic by construction (max with the floor). */
-    private def combined(now: Long, floor: Long): Long = {
-      val active = bases.iterator().filter { case (_, b) => now - b <= advanceMs }
+      * Monotonic by construction (max with the floor). Flink parity
+      * (`WatermarkOutputMultiplexer`): a quiet channel stays IN the min
+      * until `markIdle` actually fires in the timer — membership is
+      * decided by `idleMarked`, never by elapsed time here, so windows
+      * can't close in the gap between quiescence and the timer. */
+    private def combined(floor: Long): Long = {
+      val active = bases.iterator().filter { case (p, _) => !idleMarked.containsKey(p) }
       val m = active.map(_._2 - bufferMs).reduceOption(_ min _)
       m.fold(floor)(math.max(floor, _))
     }
@@ -932,7 +936,7 @@ object StatefulProcessors {
           open.updateValue(ws, n + 1L)
         }
       }
-      val effective = combined(now, floor)
+      val effective = combined(floor)
       out ++= closeReady(effective)
       if (effective > floor) closedUpTo.update(effective)
       if (armed.exists()) getHandle.deleteTimer(armed.get())
@@ -948,24 +952,25 @@ object StatefulProcessors {
       armed.clear()
       val floor = if (closedUpTo.exists()) closedUpTo.get() else Long.MinValue
       val out = Seq.newBuilder[PartWmWindow]
-      // Mark each newly idle partition once, emitting its final watermark.
+      // Mark each newly idle partition FIRST (this is `markIdle` firing —
+      // the one place a channel leaves the min), THEN recombine: excluding
+      // the just-marked channels can ADVANCE the combined watermark
+      // (markIdle releases the other sources) and close windows NOW.
       val newlyIdle = bases.iterator()
         .filter { case (p, b) => now - b > advanceMs && !idleMarked.containsKey(p) }.toSeq
-      // Excluding idle channels can ADVANCE the combined watermark
-      // (markIdle releases the other sources) and close windows NOW.
-      val effective = combined(now, floor)
+      newlyIdle.foreach { case (p, b) => idleMarked.updateValue(p, b - bufferMs) }
+      val effective = combined(floor)
       out ++= closeReady(effective)
       if (effective > floor) closedUpTo.update(effective)
       val stillOpen = open.iterator().size.toLong
       newlyIdle.sortBy(_._1).foreach { case (p, b) =>
-        idleMarked.updateValue(p, b - bufferMs)
         out += PartWmWindow(p, new Timestamp(b - bufferMs), stillOpen, "idle")
       }
       // Keep the periodic-emit channel alive while any partition is
       // active; once all are idle (and marked) the operator quiesces —
       // the watermark holds and open windows stall, as in Flink when
       // every input channel is idle.
-      val anyActive = bases.iterator().exists { case (_, b) => now - b <= advanceMs }
+      val anyActive = bases.iterator().exists { case (p, _) => !idleMarked.containsKey(p) }
       if (anyActive) {
         val want = now + advanceMs + 1L
         getHandle.registerTimer(want)

@@ -294,7 +294,7 @@ object StreamingPipelines {
 
   /** Calibrate the streaming perplexity-band filter from a STATIC
     * corpus frame (doc_id, text): returns the bigram model
-    * (`"w1w2" -> P(w2|w1)`) plus the band cut points in the 4 dp
+    * (length-prefixed key `"len(w1):w1w2" -> P(w2|w1)` — collision-free for any token content) plus the band cut points in the 4 dp
     * scaled-score domain — the exact quantile cuts the batch
     * `d_perplexity_band` computes (cum*4 >= N on the score histogram).
     * The model collect is bounded BY CONSTRUCTION (`limit(maxModel+1)`
@@ -313,7 +313,7 @@ object StreamingPipelines {
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val rows = c2.join(c1, Seq("w1"))
-      .selectExpr("concat(w1, '', w2) AS k", "c2 / cast(c1 AS double) AS p")
+      .selectExpr("concat(cast(length(w1) AS string), ':', w1, w2) AS k", "c2 / cast(c1 AS double) AS p")
       .limit(maxModel + 1).collect()
     require(rows.length <= maxModel,
       s"perplexityBandCalibrate: model exceeds $maxModel entries — " +
@@ -351,7 +351,7 @@ object StreamingPipelines {
     val g = docsStream
       .withColumn("toks", split(col("text"), " "))
       .withColumn("bgs", when(expr("size(toks) >= 2"), expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), '', element_at(toks, i + 1)))"))
+        "transform(sequence(1, size(toks) - 1), i -> concat(cast(length(element_at(toks, i)) AS string), ':', element_at(toks, i), element_at(toks, i + 1)))"))
         .otherwise(expr("cast(array() AS array<string>)")))
       .withColumn("lm_score", when(size(col("bgs")) > 0,
         round(aggregate(col("bgs"), lit(0.0d),
