@@ -566,7 +566,7 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
       .agg(round(avg(col("v")) + lit(1e-9), 6).as("c"))
       .groupBy(col("c_label"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.pin(_))
 
   /** Same model, DuckDB side: cent + cvec CTEs over duckPrep's n. */
   private val duckCentroids =

@@ -805,7 +805,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         .filter(col("x") > 0)
         .withColumn("y", expr("revc div x"))
         .select(col("p_brand"), col("p_type"), col("x"), col("y"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.pin(_))
       val bucketed = pts.withColumn("bx", expr("x div 1000"))
       val sufGt = bucketed.groupBy(col("bx")).agg(max(col("y")).as("by"))
         .withColumn("suf_gt", max(col("by")).over(
@@ -864,12 +864,12 @@ WHERE NOT EXISTS (
         .distinct()
       val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
         .union(pairs.select(col("sn").as("src"), col("c").as("dst")))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.pin(_))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val nodes = edges.select(col("src").as("node")).distinct()
       val base = nodes
         .crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.pin(_))
       var cur = base.select(col("node"), expr(s"$S div nn").as("rank"))
       for (_ <- 1 to 5) {
         val inflow = cur.join(edges, cur("node") === edges("src"))
@@ -880,7 +880,7 @@ WHERE NOT EXISTS (
           .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"),
             expr(s"(15 * ($S div nn)) div 100 + (85 * coalesce(inflow, 0L)) div 100").as("rank"))
-          .localCheckpoint()
+          .transform(graft.Checkpoints.pin(_))
       }
       cur.filter(col("node") >= SOff)
         .select((col("node") - SOff).as("s_suppkey"), col("rank"))

@@ -363,7 +363,7 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
   private[operators] def minLabelComponents(edges0: DataFrame): DataFrame = {
       // Materialize the edge list ONCE — the propagation loop joins
       // against it every iteration and must not re-run the LSH pipeline.
-      val edges = edges0.localCheckpoint()
+      val edges = edges0.transform(graft.Checkpoints.pin(_))
       val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       // Seed each label with the ONE-HOP neighborhood minimum (not self):
       // near-dup components are mostly size 2-3, which makes the seed
@@ -392,7 +392,7 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
         val next = prop.join(labels, prop("comp") === labels("l_id"), "left")
           .select(prop("doc_id"), col("old"),
             least(prop("comp"), coalesce(col("l_comp"), prop("comp"))).as("comp"))
-          .localCheckpoint()
+          .transform(graft.Checkpoints.pin(_))
         converged = next.filter(col("comp") =!= col("old")).isEmpty
         comp = next.select(col("doc_id"), col("comp"))
         iter += 1
@@ -578,7 +578,7 @@ SELECT doc_a, doc_b, min(hamming) AS hamming FROM p WHERE hamming <= 3 GROUP BY 
       // 100 TB that stores the (deduped, quality-gated) survivor text
       // once in exchange for dropping a second full-corpus scan.
       val survivors = quality.join(exactKeepers, Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.pin(_, eager = true))
       // near-dup representatives among the survivors: drop any doc whose
       // component label is a smaller doc_id
       val nearDupLosers = minLabelComponents(
@@ -828,7 +828,7 @@ SELECT doc_id, lm_score, n_bigrams FROM lm"""),
       // three times. The pinned frame is one row per document.
       val scored = lmScoresFrom(docs(s, dir))
         .withColumn("si", expr("CAST(round(lm_score * 10000, 0) AS BIGINT)"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.pin(_))
       val hist = scored.groupBy(col("si")).agg(count(lit(1)).as("n"))
       val wcum = Window.orderBy(col("si"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1250,7 +1250,7 @@ SELECT doc_id, n_tokens, n_oov,
         .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .filter(col("term").isin(qterms: _*))
         .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.pin(_, eager = true))
       val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfq), Seq("term")).crossJoin(broadcast(stats))
         .withColumn("idf", round(

@@ -321,7 +321,7 @@ object StreamingPipelines {
     val model = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
     val scored = graft.operators.TextOps.lmScoresFrom(calibDocs)
       .withColumn("si", expr("CAST(round(lm_score * 10000, 0) AS BIGINT)"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.pin(_))
     val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("si"))
       .rowsBetween(Long.MinValue, 0)
     val cuts = scored.groupBy(col("si")).agg(count(lit(1)).as("n"))
