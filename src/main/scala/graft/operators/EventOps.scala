@@ -547,6 +547,78 @@ SELECT event_id, user_id, make_timestamp(a_us) AS signup_ts,
 FROM h2 WHERE p_us IS NOT NULL"""),
     "CEP sequence match: signup->click->purchase per event, 6-h hop gaps, range-window hops.")
 
+  // X4 (beyond the reference — Flink-CEP `notFollowedBy`): signup, NOT
+  // followed by an error, followed by a purchase, each inside the 6-h gap.
+  // A signup matches its EARLIEST purchase in (us, us+gap]; the match is
+  // vetoed when any error lands strictly between the signup and that
+  // purchase. Plan: ONE per-user RANGE window computes both "earliest
+  // purchase in frame" and "earliest error in frame" over the same
+  // exchange — negation is a column compare, never an anti-join over the
+  // event stream. Streaming dual: StatefulProcessors.CepNegationProcessor.
+  private val x4 = GQuery(
+    "x4_cep_negation",
+    (s, dir) => {
+      val gapUs = 21600000000L
+      val e = events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(1L, gapUs)
+      e.withColumn("p_us", min(when(col("event_type") === "purchase", col("us"))).over(w))
+        .withColumn("e_us", min(when(col("event_type") === "error", col("us"))).over(w))
+        .filter(col("event_type") === "signup" && col("p_us").isNotNull
+          && (col("e_us").isNull || col("e_us") >= col("p_us")))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("us")).as("signup_ts"),
+          timestamp_micros(col("p_us")).as("purchase_ts"))
+    },
+    Some("""WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+x AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'),
+h AS (SELECT a.event_id, a.user_id, a.us AS a_us,
+             (SELECT min(p.us) FROM p WHERE p.user_id = a.user_id
+                AND p.us > a.us AND p.us <= a.us + 21600000000) AS p_us
+      FROM a)
+SELECT event_id, user_id, make_timestamp(a_us) AS signup_ts,
+       make_timestamp(p_us) AS purchase_ts
+FROM h WHERE p_us IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM x WHERE x.user_id = h.user_id AND x.us > h.a_us AND x.us < h.p_us)"""),
+    "CEP negation: signup notFollowedBy(error) followedBy(purchase) within 6 h, one range window.")
+
+  // X5 (beyond the reference — Flink-CEP `times(3)`): three clicks per
+  // user (relaxed contiguity: consecutive within the click SUBSTREAM,
+  // any other events may interleave) with the whole run inside the 6-h
+  // gap; emits the anchor click with its two successors. Plan: two
+  // lead()s over one per-user window on the filtered substream — the
+  // quantifier costs one exchange and zero joins at any scale.
+  // Streaming dual: StatefulProcessors.CepTimesProcessor.
+  private val x5 = GQuery(
+    "x5_cep_times",
+    (s, dir) => {
+      val gapUs = 21600000000L
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("us2", lead(col("us"), 1).over(w))
+        .withColumn("us3", lead(col("us"), 2).over(w))
+        .filter(col("us3").isNotNull && col("us3") - col("us") <= gapUs)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("us")).as("c1_ts"),
+          timestamp_micros(col("us2")).as("c2_ts"),
+          timestamp_micros(col("us3")).as("c3_ts"))
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, us,
+             lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS us2,
+             lead(us, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS us3
+      FROM c)
+SELECT event_id, user_id, make_timestamp(us) AS c1_ts,
+       make_timestamp(us2) AS c2_ts, make_timestamp(us3) AS c3_ts
+FROM r WHERE us3 IS NOT NULL AND us3 - us <= 21600000000"""),
+    "CEP times(3) quantifier: three clicks within 6 h per user, two lead()s on one window.")
+
   // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
   // batch analog: lag() per user over the filtered event class; alert when two
   // 'error's land within 6 hours.
@@ -630,5 +702,5 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, a5, a5b, a6, a7, w2, w3, w4,
-    j1, j2, j3, j4, x1, x2, x3, qDistinct, qExcept, qIntersect)
+    j1, j2, j3, j4, x1, x2, x3, x4, x5, qDistinct, qExcept, qIntersect)
 }

@@ -841,6 +841,125 @@ object StatefulProcessors {
       .transformWithState(new CepProcessor(first, second, third, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** X4 output: a `first` event matched to its earliest `last` with no
+    * intervening `neg` event (event-time microseconds). */
+  final case class CepNegMatch(user_id: Long, first_id: Long, first_us: Long, last_us: Long)
+
+  /** X4 streaming dual (Flink-CEP `notFollowedBy`): per key, match each
+    * `first` event to its EARLIEST `last` inside `gapUs`, vetoed when a
+    * `neg` event lands strictly between the two — exactly the batch
+    * x4_cep_negation semantics for in-order arrivals. A partial carries
+    * the earliest `neg` timestamp seen after its anchor (-1 = none);
+    * completion requires `neg_us >= last_us` — a tie (`neg` at the same
+    * microsecond as `last`) does NOT veto, matching the batch's strict
+    * `x.us < p_us` blocker no matter how the within-batch sort breaks
+    * the tie. A partial whose candidate `last` was vetoed is dropped
+    * (every later `last` is blocked by the same `neg` a fortiori), and
+    * anchors past their gap horizon prune on every event, so state per
+    * key is in-flight anchors within one gap, never event history. */
+  final class CepNegationProcessor(first: String, neg: String, last: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepNegMatch] {
+
+    @transient private var partials: org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      partials = getHandle.getListState[(Long, Long, Long)]("neg_partials",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepNegMatch] = {
+      val out = Seq.newBuilder[CepNegMatch]
+      var ps = (if (partials.exists()) partials.get().toVector else Vector.empty)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        e.event_type match {
+          case `first` => ps = ps :+ ((e.event_id, us, -1L))
+          case `neg` =>
+            // record the earliest neg STRICTLY after each anchor
+            ps = ps.map { case p @ (id, aUs, nUs) =>
+              if (nUs < 0L && us > aUs) (id, aUs, us) else p
+            }
+          case `last` =>
+            val (inRange, rest) = ps.partition { case (_, aUs, _) =>
+              us > aUs && us <= aUs + gapUs
+            }
+            inRange.foreach { case (id, aUs, nUs) =>
+              if (nUs < 0L || nUs >= us) out += CepNegMatch(user, id, aUs, us)
+              // vetoed anchors die: any later `last` is blocked by the
+              // same earlier `neg`
+            }
+            ps = rest
+          case _ => ()
+        }
+        ps = ps.filter { case (_, aUs, _) => us <= aUs + gapUs }
+      }
+      partials.clear()
+      if (ps.nonEmpty) partials.put(ps.toArray)
+      out.result().iterator
+    }
+  }
+
+  private implicit val cepNegEnc = Encoders.product[CepNegMatch]
+
+  /** X4 wiring: negated CEP over the typed event stream. */
+  def cepNegation(events: Dataset[Ev], first: String = "signup",
+      neg: String = "error", last: String = "purchase",
+      gapUs: Long = 21600000000L): Dataset[CepNegMatch] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepNegationProcessor(first, neg, last, gapUs),
+        TimeMode.None(), OutputMode.Append())
+
+  /** X5 output: a completed times(3) run of `typ` events per key. */
+  final case class CepTimesMatch(
+      user_id: Long, first_id: Long, c1_us: Long, c2_us: Long, c3_us: Long)
+
+  /** X5 streaming dual (Flink-CEP `times(3)` with relaxed contiguity):
+    * per key, every run of three consecutive `typ` events IN THE
+    * FILTERED SUBSTREAM (other event types interleave freely) whose span
+    * fits inside `gapUs` — exactly the batch x5_cep_times two-lead()
+    * window for in-order arrivals. The anchor is consumed by its own
+    * triple (each anchor emits at most once, with its IMMEDIATE two
+    * successors), so the whole state is the last two `typ` events per
+    * key: O(1) state, no horizon bookkeeping needed. */
+  final class CepTimesProcessor(typ: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepTimesMatch] {
+
+    @transient private var lastTwo: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTwo = getHandle.getValueState[(Long, Long, Long, Long)]("last_two",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepTimesMatch] = {
+      val out = Seq.newBuilder[CepTimesMatch]
+      // (id1, us1, id2, us2): the two most recent typ events, -1 = absent
+      var st = if (lastTwo.exists()) lastTwo.get() else (-1L, -1L, -1L, -1L)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .filter(_.event_type == typ).foreach { e =>
+          val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val (id1, us1, _, us2) = st
+          if (id1 >= 0L && us2 >= 0L && us - us1 <= gapUs)
+            out += CepTimesMatch(user, id1, us1, us2, us)
+          st = (st._3, st._4, e.event_id, us)
+        }
+      lastTwo.update(st)
+      out.result().iterator
+    }
+  }
+
+  private implicit val cepTimesEnc = Encoders.product[CepTimesMatch]
+
+  /** X5 wiring: times(3) quantifier over the typed event stream. */
+  def cepTimes(events: Dataset[Ev], typ: String = "click",
+      gapUs: Long = 21600000000L): Dataset[CepTimesMatch] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepTimesProcessor(typ, gapUs),
+        TimeMode.None(), OutputMode.Append())
+
   /** An event tagged with its source partition — the unit the reference's
     * watermark generator is instantiated per (one generator per source
     * subtask, EventTimeOperations.java:96-141). */

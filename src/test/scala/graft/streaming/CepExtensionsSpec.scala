@@ -1,0 +1,161 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.{SparkEntry, SparkSpec}
+
+/** X4 (notFollowedBy) and X5 (times(3)) streaming CEP vs crafted
+  * sequences and vs their batch duals. RocksDB provider, like the
+  * other processors. */
+class CepExtensionsSpec extends SparkSpec {
+
+  private def withRocksDb[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def ev(id: Long, tsMs: Long, user: Long, typ: String): Ev =
+    Ev(id, new Timestamp(tsMs), user, typ, 0.0)
+
+  test("negation: error between signup and purchase vetoes; error after the match does not") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val gapUs = 10000000L // 10 s
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepNegation(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepneg-ck").toString)
+        .format("memory").queryName("cepneg").start()
+      try {
+        in.addData(
+          // user 1: clean signup -> purchase, no error — match
+          ev(1, 1000, 1, "signup"), ev(2, 6000, 1, "purchase"),
+          // user 2: error strictly between — veto
+          ev(3, 1000, 2, "signup"), ev(4, 3000, 2, "error"), ev(5, 6000, 2, "purchase"),
+          // user 3: error AFTER the earliest purchase — match stands
+          ev(6, 1000, 3, "signup"), ev(7, 4000, 3, "purchase"), ev(8, 5000, 3, "error"),
+          // user 4: purchase past the gap — no match
+          ev(9, 1000, 4, "signup"), ev(10, 12001, 4, "purchase"),
+          // user 5: error at the SAME microsecond as the purchase — the
+          // batch blocker is strict (x.us < p_us), so the match stands
+          ev(11, 1000, 5, "signup"), ev(12, 4000, 5, "error"), ev(13, 4000, 5, "purchase"))
+        q.processAllAvailable()
+        val rows = s.table("cepneg")
+          .selectExpr("user_id", "first_id", "last_us")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(rows === Set((1L, 1L, 6000000L), (3L, 6L, 4000000L), (5L, 11L, 4000000L)))
+
+        // a vetoed anchor stays dead for later purchases
+        in.addData(ev(20, 8000, 2, "purchase"))
+        q.processAllAvailable()
+        assert(s.table("cepneg").where("user_id = 2").count() === 0L)
+
+        // cross-batch: state carries an un-vetoed anchor forward
+        in.addData(ev(30, 1000, 6, "signup"))
+        q.processAllAvailable()
+        in.addData(ev(31, 7000, 6, "purchase"))
+        q.processAllAvailable()
+        assert(s.table("cepneg").where("user_id = 6").count() === 1L)
+      } finally q.stop()
+    }
+  }
+
+  test("times(3): relaxed contiguity within the substream, span gate, O(1) state") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val gapUs = 10000000L // 10 s
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepTimes(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ceptimes-ck").toString)
+        .format("memory").queryName("ceptimes").start()
+      try {
+        in.addData(
+          // user 1: 4 clicks -> two overlapping triples; other types interleave
+          ev(1, 1000, 1, "click"), ev(2, 2000, 1, "signup"), ev(3, 3000, 1, "click"),
+          ev(4, 5000, 1, "click"), ev(5, 7000, 1, "click"),
+          // user 2: 3 clicks but the span exceeds the gap — no match
+          ev(6, 1000, 2, "click"), ev(7, 5000, 2, "click"), ev(8, 12000, 2, "click"))
+        q.processAllAvailable()
+        val rows = s.table("ceptimes")
+          .selectExpr("user_id", "first_id", "c1_us", "c2_us", "c3_us")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(rows === Set(
+          (1L, 1L, 1000000L, 3000000L, 5000000L),
+          (1L, 3L, 3000000L, 5000000L, 7000000L)))
+
+        // cross-batch: the last-two window carries forward
+        in.addData(ev(10, 1000, 3, "click"), ev(11, 2000, 3, "click"))
+        q.processAllAvailable()
+        in.addData(ev(12, 3000, 3, "click"))
+        q.processAllAvailable()
+        assert(s.table("ceptimes").where("user_id = 3").count() === 1L)
+      } finally q.stop()
+    }
+  }
+
+  test("stream matches the batch x4/x5 queries on the fixture (in-order feed)") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.t(s, sfDir, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+        .orderBy("ts", "event_id").as[Ev].collect().toSeq
+
+      val inNeg = MemoryStream[Ev]
+      val qNeg = StatefulProcessors.cepNegation(inNeg.toDS())
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepneg-eq-ck").toString)
+        .format("memory").queryName("cepneg_eq").start()
+      val inTimes = MemoryStream[Ev]
+      val qTimes = StatefulProcessors.cepTimes(inTimes.toDS())
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ceptimes-eq-ck").toString)
+        .format("memory").queryName("ceptimes_eq").start()
+      try {
+        inNeg.addData(fixture)
+        qNeg.processAllAvailable()
+        val streamNeg = s.table("cepneg_eq")
+          .selectExpr("user_id", "first_id", "first_us", "last_us")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val batchNeg = SparkEntry.queries("x4_cep_negation")(s, sfDir)
+          .selectExpr("user_id", "event_id", "unix_micros(signup_ts)", "unix_micros(purchase_ts)")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(streamNeg === batchNeg,
+          s"only-stream=${(streamNeg -- batchNeg).take(3)} only-batch=${(batchNeg -- streamNeg).take(3)}")
+        assert(batchNeg.nonEmpty, "x4 fixture equivalence is vacuous — no matches")
+
+        inTimes.addData(fixture)
+        qTimes.processAllAvailable()
+        val streamTimes = s.table("ceptimes_eq")
+          .selectExpr("user_id", "first_id", "c1_us", "c2_us", "c3_us")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        val batchTimes = SparkEntry.queries("x5_cep_times")(s, sfDir)
+          .selectExpr("user_id", "event_id", "unix_micros(c1_ts)",
+            "unix_micros(c2_ts)", "unix_micros(c3_ts)")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(streamTimes === batchTimes,
+          s"only-stream=${(streamTimes -- batchTimes).take(3)} only-batch=${(batchTimes -- streamTimes).take(3)}")
+        assert(batchTimes.nonEmpty, "x5 fixture equivalence is vacuous — no matches")
+      } finally { qNeg.stop(); qTimes.stop() }
+    }
+  }
+}
