@@ -242,3 +242,73 @@ final class IdempotentKafkaSink(
       .start()
   }
 }
+
+/** T4 as a TRUE tagged side output (EventTimeOperations.java:148-176,
+  * `sideOutputLateData` + `getSideOutput(tag)`): ONE streaming query
+  * classifies each micro-batch with the [[LateDataRouter]] watermark and
+  * materializes BOTH sides as first-class streams — not caller callbacks.
+  * Flink hands the late tag's stream to any sink; Structured Streaming
+  * has no engine-level side-output tag, so the equivalent idiom is the
+  * file relay: the classify query writes each side into its own
+  * directory, and [[onTimeStream]]/[[lateStream]] expose those
+  * directories as ordinary streaming sources — downstream queries attach
+  * watermarks, aggregations, and sinks to the late stream exactly as
+  * they would to `getSideOutput(lateTag)`.
+  *
+  * Exactly-once across restart, both sides: file names are DETERMINISTIC
+  * per (batchId, part index) and a replayed batch first deletes its own
+  * `batch-<id>-*` files, so re-processing converges to the same file set
+  * (the source-side offset contract guarantees identical batch content);
+  * the classification cutoff itself survives restart via the router's
+  * persisted watermark. Scale: the relay write is a normal distributed
+  * parquet write — the only driver work is the rename loop over that
+  * batch's part files (bounded by the batch's partition count). */
+final class TaggedSideOutput(delayUs: Long, root: String) extends Serializable {
+
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  val onTimeDir = s"$root/on_time"
+  val lateDir = s"$root/late"
+  Files.createDirectories(Paths.get(onTimeDir))
+  Files.createDirectories(Paths.get(lateDir))
+
+  private def relay(dir: String)(df: DataFrame, batchId: Long): Unit = {
+    val tmp = Paths.get(root, s".stage-${Paths.get(dir).getFileName}-$batchId")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // idempotent publish: clear this batch's previous files, then move the
+    // fresh parts under deterministic batch-keyed names
+    val target = Paths.get(dir)
+    Files.list(target).filter(_.getFileName.toString.startsWith(s"batch-$batchId-"))
+      .forEach(Files.delete(_))
+    val parts = Files.list(tmp)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sorted().toArray
+    parts.zipWithIndex.foreach { case (p: Any, i) =>
+      Files.move(p.asInstanceOf[java.nio.file.Path],
+        target.resolve(f"batch-$batchId-$i%05d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.deleteIfExists(_))
+  }
+
+  private val router = new LateDataRouter(delayUs, relay(onTimeDir), relay(lateDir))
+
+  /** Exposed for batch-driven restart tests (same contract as
+    * [[LateDataRouter.initState]]/process). */
+  def initState(checkpointDir: String): Unit = router.initState(checkpointDir)
+  def process(batch: DataFrame, batchId: Long): Unit = router.process(batch, batchId)
+
+  /** Start the single classify query. */
+  def start(df: DataFrame, checkpointDir: String): StreamingQuery =
+    router.start(df, checkpointDir)
+
+  /** The on-time tag as a first-class stream. */
+  def onTimeStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(onTimeDir)
+
+  /** The late tag as a first-class stream — Flink's `getSideOutput`. */
+  def lateStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(lateDir)
+}

@@ -65,4 +65,66 @@ class LateDataSpec extends SparkSpec {
     assert(late2.toSet === Set(2L))
     assert(onTime2.toSet === Set(3L))
   }
+
+  test("tagged side output: both tags are first-class streams fed by one classify query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("tagged-side").toString
+    val tagged = new TaggedSideOutput(delayUs = 10000000L, root = root)
+    val in = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("tagged-ckpt").toString
+    val classify = tagged.start(in.toDF(), ckpt)
+
+    // downstream queries attach to each tag like any other stream —
+    // the getSideOutput(tag) shape, not a callback
+    val schema = in.toDF().schema
+    val qOn = tagged.onTimeStream(s, schema)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tg-on-ck").toString)
+      .format("memory").queryName("tg_on").start()
+    val qLate = tagged.lateStream(s, schema)
+      .selectExpr("event_id", "ts") // late consumers can project/aggregate freely
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tg-late-ck").toString)
+      .format("memory").queryName("tg_late").start()
+    try {
+      in.addData(ev(1, 100))
+      classify.processAllAvailable()
+      in.addData(ev(2, 85), ev(3, 95)) // cutoff now 90 s: 2 late, 3 on-time
+      classify.processAllAvailable()
+      qOn.processAllAvailable(); qLate.processAllAvailable()
+      val on = s.table("tg_on").select("event_id").as[Long].collect().toSet
+      val late = s.table("tg_late").select("event_id").as[Long].collect().toSet
+      assert(on === Set(1L, 3L), s"on-time tag got $on")
+      assert(late === Set(2L), s"late tag got $late")
+    } finally { classify.stop(); qOn.stop(); qLate.stop() }
+  }
+
+  test("tagged side output: restart keeps the cutoff and replay converges to the same files") {
+    val s = spark
+    import s.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("tagged-side2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tagged-ckpt2").toString
+    val t1 = new TaggedSideOutput(10000000L, root)
+    t1.initState(ckpt)
+    t1.process(s.createDataset(Seq(ev(1, 100))).toDF(), 0L)
+
+    // a NEW instance on the same root+checkpoint (the restart): the
+    // persisted watermark must classify 85 s as late, and replaying
+    // batch 1 must overwrite -- not duplicate -- its files
+    val t2 = new TaggedSideOutput(10000000L, root)
+    t2.initState(ckpt)
+    t2.process(s.createDataset(Seq(ev(2, 85), ev(3, 95))).toDF(), 1L)
+    t2.process(s.createDataset(Seq(ev(2, 85), ev(3, 95))).toDF(), 1L) // replay
+
+    val late = s.read.parquet(t2.lateDir).select("event_id").as[Long].collect().toSeq
+    val on = s.read.parquet(t2.onTimeDir).select("event_id").as[Long].collect().toSeq
+    assert(late === Seq(2L), s"late after replay: $late")
+    assert(on.sorted === Seq(1L, 3L), s"on-time after replay: $on")
+  }
 }
