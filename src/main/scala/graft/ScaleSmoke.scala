@@ -42,9 +42,18 @@ object ScaleSmoke {
     // (benchmarks are fixed while corpora grow); the default replication
     // grows the eval side with the corpus and so overstates its cost.
     val constEval = args.contains("consteval")
+    // `saltab`: the salted-join A/B — lineitem gains a hot JOIN key (~20%
+    // of rows reassigned to l_partkey=7) and the same join/agg runs three
+    // ways: plain with AQE skew-join ON, plain with it OFF, and the
+    // manually salted q_salted_join shape. Broadcast is disabled for all
+    // three (the 100 TB regime where the dim side outgrows broadcast —
+    // with broadcast allowed there IS no shuffle skew problem and the
+    // whole question is moot).
+    val saltAb = args.contains("saltab")
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_sfbig_x$mult" +
-      (if (skewed) "_skew" else if (constEval) "_consteval" else "")
+      (if (skewed) "_skew" else if (constEval) "_consteval"
+       else if (saltAb) "_saltab" else "")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -76,6 +85,9 @@ object ScaleSmoke {
         val out = if (skewed && t == "events")
           rep.withColumn("user_id",
             when(pmod(col("event_id"), lit(5)) === 0, lit(7L)).otherwise(col("user_id")))
+        else if (saltAb && t == "lineitem")
+          rep.withColumn("l_partkey",
+            when(pmod(col("l_orderkey"), lit(5)) === 0, lit(7L)).otherwise(col("l_partkey")))
         else rep
         out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
@@ -152,6 +164,44 @@ object ScaleSmoke {
       "t_zipf_fit", "q_pareto_frontier",
       "j4_nearest_join", "d_perplexity_band", "e_knn_ivf_mp", "d_epoch_plan",
       "a18_seasonal_anomaly", "q_pagerank", "x3_cep_sequence")
+    if (saltAb) {
+      // Force the shuffle-join regime (see the saltAb comment above).
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // Fixture partitions are tens of MB, far under the 256 MB default
+      // skew threshold; scale the trigger to the fixture so the receipt
+      // exercises the same AQE mechanism a 100 TB run would.
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      def plainJoin(): DataFrame =
+        Tables.t(spark, dst, "lineitem")
+          .join(Tables.t(spark, dst, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2)
+              .as("revenue"))
+      def time2(label: String)(mk: => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val m = ts.min
+        println("[saltab] %-22s %8s s  (passes: %s)".format(label,
+          "%.2f".formatLocal(java.util.Locale.ROOT, m),
+          ts.map(d => "%.2f".formatLocal(java.util.Locale.ROOT, d)).mkString("/")))
+        m
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plainOff = time2("plain_skewjoin_off")(plainJoin())
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val plainOn = time2("plain_skewjoin_on")(plainJoin())
+      val salted = time2("manual_salt")(SparkEntry.queries("q_salted_join")(spark, dst))
+      def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      println(s"""{"plain_skewjoin_off":${n(plainOff)},"plain_skewjoin_on":${n(plainOn)},"manual_salt":${n(salted)},"mult":$mult,"mode":"saltab"}""")
+      spark.stop()
+      return
+    }
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
     val subset =
