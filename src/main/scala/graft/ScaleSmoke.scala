@@ -202,9 +202,12 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // `only=a,b,c` profiles an arbitrary query list against the fixture
+    // (two passes each, so cold-scan cost and warm plan cost separate).
+    val only = args.find(_.startsWith("only=")).map(_.drop(5).split(',').toSeq)
     // `hotq` runs the hot-key subset on the UNIFORM fixture — the
     // before/after baseline for the skew run's numbers.
-    val subset =
+    val subset = only.getOrElse(
       if (skewed || args.contains("hotq")) skewSubset
       else if (constEval) constEvalSubset
       else if (args.contains("fresh")) freshSubset
@@ -212,18 +215,23 @@ object ScaleSmoke {
       else if (args.contains("latest")) latestSubset
       else if (args.contains("calib64")) calib64Subset
       else if (args.contains("r7")) r7Subset
-      else uniformSubset
+      else uniformSubset)
+    val passes = if (only.isDefined) 2 else 1
     val times: Seq[(String, Option[Double])] = subset.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, dst)
-          .write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ts = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, dst)
+            .write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); false }
+        (System.nanoTime() - t0) / 1e9 -> ok
+      }
+      val ok = ts.forall(_._2)
       println("[scale] %-28s %8s s%s".format(name,
-        "%.2f".formatLocal(java.util.Locale.ROOT, dt), if (ok) "" else "  FAILED"))
-      name -> (if (ok) Some(dt) else None) // a crash is not a timing
+        ts.map(t => "%.2f".formatLocal(java.util.Locale.ROOT, t._1)).mkString("/"),
+        if (ok) "" else "  FAILED"))
+      name -> (if (ok) Some(ts.map(_._1).min) else None) // a crash is not a timing
     }
     println("{" + times.map { case (k, v) =>
         "\"" + k + "\":" + v.map(d => "%.2f".formatLocal(java.util.Locale.ROOT, d)).getOrElse("null") }

@@ -89,6 +89,36 @@ object Generators {
     }
   }
 
+  /** High-cardinality file-stream generator for state-scale soaks: writes
+    * `files` CSV files of `perFile` events each, generated PER FILE
+    * (constant driver memory at any corpus size, unlike [[writeCsvFiles]]
+    * which materializes the whole run). Event ids and timestamps grow
+    * monotonically from `idOffset` (step = `stepUs`), so a second call
+    * with `fileOffset`/`idOffset` advanced past the first extends the
+    * stream without name collisions or event-time regression — the
+    * restart half of a soak keeps the watermark moving forward. Users
+    * are drawn uniformly from `1..users` (the 10^6-key state domain). */
+  def writeCsvFilesWide(dir: String, seed: Long, files: Int, perFile: Int,
+      users: Int, stepUs: Long = 1000000L, fileOffset: Int = 0,
+      idOffset: Long = 0L): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    (0 until files).foreach { i =>
+      val r = new scala.util.Random(seed + fileOffset + i)
+      val base = idOffset + i.toLong * perFile
+      val sb = new StringBuilder(perFile * 48)
+      (0 until perFile).foreach { j =>
+        val id = base + j
+        val tsUs = id * stepUs + r.nextInt(1000) * 1000L
+        sb.append('"').append(id).append("\",\"").append(tsUs)
+          .append("\",\"").append(1L + r.nextInt(users))
+          .append("\",\"").append(eventTypes(r.nextInt(eventTypes.length)))
+          .append("\",\"").append(math.round(r.nextDouble() * 10000.0) / 100.0)
+          .append("\"\n")
+      }
+      Files.writeString(Paths.get(dir, f"events-${fileOffset + i}%05d.csv"), sb.toString)
+    }
+  }
+
   /** Continuous generator backed by Spark's rate source — the unbounded
     * analog (rows forever, `rowsPerSecond` throttle) for demo jobs. The
     * rate source's (timestamp, value) drives deterministic synth columns. */
