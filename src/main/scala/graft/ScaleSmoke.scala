@@ -164,6 +164,8 @@ object ScaleSmoke {
       "t_zipf_fit", "q_pareto_frontier",
       "j4_nearest_join", "d_perplexity_band", "e_knn_ivf_mp", "d_epoch_plan",
       "a18_seasonal_anomaly", "q_pagerank", "x3_cep_sequence")
+    // Round-8 additions (CEP negation + quantifier) needing receipts.
+    val r8Subset = Seq("x4_cep_negation", "x5_cep_times", "x3_cep_sequence")
     if (saltAb) {
       // Force the shuffle-join regime (see the saltAb comment above).
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -215,6 +217,7 @@ object ScaleSmoke {
       else if (args.contains("latest")) latestSubset
       else if (args.contains("calib64")) calib64Subset
       else if (args.contains("r7")) r7Subset
+      else if (args.contains("r8")) r8Subset
       else uniformSubset)
     val passes = if (only.isDefined) 2 else 1
     val times: Seq[(String, Option[Double])] = subset.map { name =>
