@@ -514,8 +514,66 @@ SELECT epoch_day, hour, cnt, round(dev / sqrt(varn) + 1e-9, 4) AS z
 FROM (SELECT * FROM r ORDER BY az DESC, epoch_day, hour LIMIT 20) t"""),
     "Top-20 seasonality-adjusted hourly anomalies (leave-one-out z vs the slot's own baseline).")
 
+  // Lag-1..7 autocorrelation of the daily event-count series — the
+  // seasonality probe behind a7/a18 (a strong lag-7 peak = weekly cycle).
+  // Integer-exact construction: both engines reduce the pairs to the six
+  // BIGINT Pearson sums (n, Σx, Σy, Σxy, Σx², Σy²) and combine them in
+  // ONE shared double expression, so the correlation is bit-identical
+  // cross-engine (no engine-internal corr() with its own summation
+  // order). At 100 TB: the daily rollup is the only corpus-wide shuffle;
+  // the lagged self-join runs on the ~O(days) rollup, which stays tiny
+  // forever. The lag fan-out is an in-scan explode, not a join.
+  private val a19Autocorr = GQuery(
+    "a19_autocorr",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val lagged = daily
+        .select(col("d").as("bd"), col("x").as("y"),
+          explode(expr("sequence(1L, 7L)")).as("lag"))
+        .select(expr("date_add(bd, cast(lag AS int))").as("d"),
+          col("lag"), col("y"))
+      daily.join(lagged, Seq("d"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .filter(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n_pairs") * col("syy") - col("sy") * col("sy") > 0)
+        .select(col("lag"), col("n_pairs"),
+          round((col("n_pairs").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n_pairs").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n_pairs").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double")))
+            + lit(1e-9), 6).as("r"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
+            FROM events GROUP BY 1),
+l AS (SELECT d + CAST(u.lag AS INTEGER) AS d, CAST(u.lag AS BIGINT) AS lag, x AS y
+      FROM daily, range(1, 8) u(lag)),
+p AS (SELECT l.lag, a.x AS x, l.y AS y FROM daily a JOIN l USING (d)),
+s AS (SELECT lag, count(*) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1)
+SELECT lag, n_pairs,
+       round((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+             + 1e-9, 6) AS r
+FROM s
+WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0"""),
+    "Lag-1..7 autocorrelation of daily event counts from shared integer Pearson sums.")
+
   val all: Seq[GQuery] =
     Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma,
       a13Transition, a14RollingDau, a15LevelShift, a16InterEventGap,
-      a17MadOutliers, a18Seasonal)
+      a17MadOutliers, a18Seasonal, a19Autocorr)
 }

@@ -920,10 +920,144 @@ ORDER BY rank DESC, s_suppkey LIMIT 20"""
     },
     "5-round integer-exact PageRank over the purchase graph; top-20 suppliers by centrality.")
 
+  // ---------------------------------------------------------------------
+  // SCD2 interval derivation — the change-data-capture primitive: per
+  // user, collapse the event stream into type-change validity intervals
+  // [valid_from, valid_to) with the row count per interval (valid_to is
+  // NULL on the open interval). The lakehouse pattern for turning an
+  // append-only log into a slowly-changing-dimension table. Scale shape:
+  // ONE shuffle on user_id; the change-flag lag, the running-sum group
+  // id, the interval fold, and the valid_to lead all run inside that
+  // partitioning (Catalyst reuses the exchange across the three window
+  // specs because they share partition key and ordering prefix).
+  private val qScd2 = GQuery(
+    "q_scd2_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val marked = t("events")(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("grp", sum(col("chg")).over(w))
+      marked.groupBy(col("user_id"), col("grp"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("grp"))))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"))
+    },
+    Some("""WITH m AS (SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+g AS (SELECT user_id, ts, event_type,
+             CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS grp
+      FROM m),
+iv AS (SELECT user_id, grp, min(event_type) AS event_type,
+              min(ts) AS valid_from, count(*) AS n_events
+       FROM g GROUP BY 1, 2)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to,
+       n_events
+FROM iv"""),
+    "CDC/SCD2: per-user event-type change intervals with open-ended current rows.")
+
+  // ---------------------------------------------------------------------
+  // Upsert / MERGE-INTO snapshot: events older than (max ts − 7 days)
+  // form the base snapshot (latest row per user), newer events are the
+  // update batch; the merged table keeps the newest row per user and
+  // classifies each key as base / updated / inserted — the lakehouse
+  // MERGE semantics expressed as ONE aggregation. Scale shape: the
+  // 1-row cutoff scalar broadcasts; the merge itself is a single
+  // user_id groupBy with two conditional max(struct) arg-max aggregates
+  // (partial aggregation collapses each side map-side — no window sort,
+  // no self-join, no second shuffle). Deterministic: struct ordering
+  // leads with (ts, event_id), which is unique per user.
+  private val qUpsert = GQuery(
+    "q_upsert_latest",
+    (s, dir) => {
+      val e = t("events")(s, dir)
+      val cutoff = e.agg(expr("timestampadd(DAY, -7, max(ts))").as("cut"))
+      e.crossJoin(broadcast(cutoff))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("ts") < col("cut"),
+            struct(col("ts"), col("event_id"), col("event_type"), col("value")))).as("b"),
+          max(when(col("ts") >= col("cut"),
+            struct(col("ts"), col("event_id"), col("event_type"), col("value")))).as("u"))
+        .select(col("user_id"),
+          coalesce(col("u.ts"), col("b.ts")).as("last_ts"),
+          coalesce(col("u.event_type"), col("b.event_type")).as("last_type"),
+          coalesce(col("u.value"), col("b.value")).as("last_value"),
+          when(col("u").isNull, lit("base"))
+            .when(col("b").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("src"))
+    },
+    Some("""WITH c AS (SELECT max(ts) - INTERVAL 7 DAY AS cut FROM events),
+e AS (SELECT ev.*, c.cut FROM events ev, c),
+b AS (SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e WHERE ts < cut),
+u AS (SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e WHERE ts >= cut)
+SELECT coalesce(b.user_id, u.user_id) AS user_id,
+       coalesce(u.ts, b.ts) AS last_ts,
+       coalesce(u.event_type, b.event_type) AS last_type,
+       coalesce(u.value, b.value) AS last_value,
+       CASE WHEN u.user_id IS NULL THEN 'base'
+            WHEN b.user_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS src
+FROM (SELECT * FROM b WHERE rn = 1) b
+FULL OUTER JOIN (SELECT * FROM u WHERE rn = 1) u ON b.user_id = u.user_id"""),
+    "MERGE-INTO snapshot: base + update batch folded to latest-per-key in one arg-max aggregation.")
+
+  // ---------------------------------------------------------------------
+  // Z-order clustering key — the data-layout lever for multi-dimension
+  // range queries at 100 TB: interleaving the low 16 bits of
+  // (l_partkey, l_suppkey) gives a 32-bit Morton code, and writing files
+  // range-partitioned + sorted by it makes parquet row-group min/max
+  // stats selective in BOTH dimensions at once (a scan filtered on
+  // either key skips most row groups; see BASELINE.md layout receipt).
+  // The bit math is a single codegen'd integer expression generated from
+  // one Scala builder for both engines, so the key is integer-exact
+  // cross-engine. The query reports per-z-bucket occupancy + the min/max
+  // box of each bucket — the clustering quality report (tight boxes =
+  // good layout). ZERO joins; one coarse-key aggregation.
+  private def zInterleave(spark: Boolean, x: String, y: String): String =
+    (0 until 16).map { i =>
+      if (spark)
+        s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))"
+      else
+        s"(((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" + ")
+
+  private val qZorder = GQuery(
+    "q_zorder_key",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .selectExpr("l_partkey & 65535 AS px", "l_suppkey & 65535 AS sy")
+        .withColumn("z", expr(zInterleave(spark = true, "px", "sy")))
+        .groupBy(expr("shiftright(z, 18)").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("px")).as("p_min"), max(col("px")).as("p_max"),
+          min(col("sy")).as("s_min"), max(col("sy")).as("s_max")),
+    Some(s"""WITH k AS (SELECT l_partkey & 65535 AS px, l_suppkey & 65535 AS sy FROM lineitem),
+z AS (SELECT px, sy, ${zInterleave(spark = false, "px", "sy")} AS z FROM k)
+SELECT z >> 18 AS z_bucket, count(*) AS n,
+       min(px) AS p_min, max(px) AS p_max,
+       min(sy) AS s_min, max(sy) AS s_max
+FROM z GROUP BY 1"""),
+    "Morton/Z-order clustering key (16+16 bit interleave) with per-bucket occupancy boxes.")
+
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, q6, q8, q10, q14, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
       qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter, qParetoFrontier,
-      qPagerank)
+      qPagerank, qScd2, qUpsert, qZorder)
 }

@@ -1827,6 +1827,62 @@ SELECT cfg, count(*) AS n_buckets_ge2,
 FROM g GROUP BY 1"""),
     "Candidate-pair counts for three LSH band layouts via per-bucket combinatorics.")
 
+  // ---------------------------------------------------------------------
+  // Segment-dedup corpus REWRITE (the C4 "keep first occurrence" rule,
+  // fixed-width form): every doc splits into non-overlapping 16-token
+  // segments; a segment occurrence survives iff it is the corpus-wide
+  // FIRST occurrence of its content hash under the deterministic total
+  // order (doc_id, seg_idx); the output is the rewritten corpus (kept
+  // segments re-joined in document order) plus the retention counts.
+  // Unlike d_boilerplate_segments (which only FLAGS cross-doc dup
+  // segments), this op produces the cleaned text — the dedup step that
+  // actually edits training data. Scale shape: one corpus scan, one
+  // hash-keyed shuffle for the first-occurrence window (each hash group
+  // is the duplicate multiplicity, so groups stay tiny even at 100 TB),
+  // then one doc_id shuffle to fold the rewrite. Segment payloads carry
+  // the token text only as far as the two keyed exchanges — no
+  // all-pairs stage, no broadcast of anything corpus-sized.
+  private val dSegmentDedupRewrite = GQuery(
+    "d_segment_dedup_rewrite",
+    (s, dir) => {
+      val seg = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("size(toks)"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(0, (n - 1) div 16)")).as(Seq("seg_idx", "k")))
+        .withColumn("seg", expr("slice(toks, k * 16 + 1, 16)"))
+        .select(col("doc_id"), col("seg_idx"),
+          concat_ws(" ", col("seg")).as("seg_txt"),
+          graft.functions.GraftFunctions.md5Hash48(
+            concat_ws("", col("seg"))).as("sh"))
+      val w = Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("seg_idx"))
+      seg.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_seg"),
+          sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          coalesce(
+            concat_ws(" ",
+              expr("transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(seg_idx, seg_txt) END)), x -> x.seg_txt)")),
+            lit("")).as("new_text"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+g AS (SELECT doc_id, unnest(range((n + 15) // 16)) AS k, toks, n FROM t),
+seg AS (SELECT doc_id, k AS seg_idx,
+               array_to_string(toks[k * 16 + 1 : least(k * 16 + 16, n)], ' ') AS seg_txt,
+               ('0x' || substr(md5(array_to_string(toks[k * 16 + 1 : least(k * 16 + 16, n)], chr(1))), 1, 12))::BIGINT AS sh
+        FROM g),
+r AS (SELECT doc_id, seg_idx, seg_txt,
+             row_number() OVER (PARTITION BY sh ORDER BY doc_id, seg_idx) AS rn
+      FROM seg)
+SELECT doc_id, count(*) AS n_seg,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(seg_txt, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS new_text
+FROM r GROUP BY 1"""),
+    "C4-style segment dedup that rewrites the corpus: global first occurrence survives, later copies are cut.")
+
   val all: Seq[GQuery] = Seq(
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     dNgramNovelty,
@@ -1839,5 +1895,5 @@ FROM g GROUP BY 1"""),
     dChunkOverlap, dBoilerplate, dQualityPrune,
     tGopherRules, dSourceQuota, dCrossSourceOverlap, dLshBandTuning,
     dContainmentPairs, dClusterSizeProfile, tZipfFit, dPerplexityBand,
-    dEpochPlan)
+    dEpochPlan, dSegmentDedupRewrite)
 }

@@ -55,7 +55,10 @@ class PlanHygieneSpec extends SparkSpec {
       // cross-joins the 1-row (total, sum-of-weights) scalar
       "d_epoch_plan",
       // cross-joins the 1-row node-count scalar into the rank seed
-      "q_pagerank")
+      "q_pagerank",
+      // cross-joins the 1-row (max ts − 7d) cutoff scalar — constant
+      // build side, the t_tfidf scalar-broadcast pattern
+      "q_upsert_latest")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
