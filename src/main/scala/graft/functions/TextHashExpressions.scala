@@ -224,4 +224,9 @@ object GraftFunctions {
   def pqAdcScaled(q: org.apache.spark.sql.Column, codes: org.apache.spark.sql.Column,
       cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.pqAdcScaled(q, codes, cb)
+
+  /** Mergeable decimal-DDSketch quantile aggregate —
+    * struct<n_vals, q50, q95, q99>. */
+  def ddSketch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.ddSketch(c)
 }

@@ -188,5 +188,50 @@ GROUP BY 1"""),
   ORDER BY p DESC, doc_id LIMIT 100) t"""),
     "Deterministic Efraimidis–Spirakis weighted sample (weight = n_chars).")
 
-  val all: Seq[GQuery] = Seq(qCmsTopk, qBloomSemi, dWeightedSample)
+  // ---------------------------------------------------------------------
+  // Mergeable quantile sketch — [[org.apache.spark.sql.graftext.DecimalDDSketch]],
+  // a custom TypedImperativeAggregate (the DDSketch idea on integer-exact
+  // decimal buckets: bucket = (#digits, first two digits) of ⌊x⌋, ≤5%
+  // relative error, constant ~1.4k-counter state). The 100 TB quantile
+  // path: ONE pass, partial aggregation collapses each map task to a
+  // fixed-size histogram before the shuffle — vs the exact two-phase rank
+  // selection in q_percentiles which must shuffle value buckets. Because
+  // the sketch merges by count addition it is merge-order-invariant, so
+  // the DuckDB oracle recomputes the IDENTICAL estimates with plain
+  // integer/string SQL — the estimates hash-match, no contract gate.
+  private val qDdQuantiles = GQuery(
+    "q_dd_quantiles",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.GraftFunctions.ddSketch(col("l_extendedprice")).as("sk"))
+        .select(col("l_returnflag"), col("sk.n_vals").as("n_vals"),
+          col("sk.q50").as("q50"), col("sk.q95").as("q95"), col("sk.q99").as("q99")),
+    Some("""WITH v AS (SELECT l_returnflag AS flag,
+                  least(l_extendedprice, 999999999999999.0) AS x
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+b AS (SELECT flag,
+             CASE WHEN x < 1 THEN 0 ELSE
+               len(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR)) * 100 +
+               CASE WHEN floor(x) < 10 THEN CAST(floor(x) AS INTEGER) * 10
+                    ELSE CAST(substr(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR), 1, 2) AS INTEGER) END
+             END AS bk
+      FROM v),
+c AS (SELECT flag, bk, count(*) AS cnt FROM b GROUP BY 1, 2),
+w AS (SELECT flag, bk,
+             CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bk) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n FROM c),
+q AS (SELECT flag, max(n) AS n_vals,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN bk END) AS b50,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN bk END) AS b95,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN bk END) AS b99
+      FROM w GROUP BY 1)
+SELECT flag AS l_returnflag, n_vals,
+       CASE WHEN b50 = 0 THEN 0.5 ELSE ((b50 % 100) + 0.5) * pow(10, (b50 // 100) - 2) END AS q50,
+       CASE WHEN b95 = 0 THEN 0.5 ELSE ((b95 % 100) + 0.5) * pow(10, (b95 // 100) - 2) END AS q95,
+       CASE WHEN b99 = 0 THEN 0.5 ELSE ((b99 % 100) + 0.5) * pow(10, (b99 // 100) - 2) END AS q99
+FROM q"""),
+    "Mergeable decimal-DDSketch quantiles (custom TypedImperativeAggregate, ≤5% relative error, one pass).")
+
+  val all: Seq[GQuery] = Seq(qCmsTopk, qBloomSemi, dWeightedSample, qDdQuantiles)
 }

@@ -87,7 +87,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_vec_dot"), info("graft_vec_dot"),
       arity("graft_vec_dot", 2)(args => VecDot(args(0), args(1)))),
     (FunctionIdentifier("graft_vec_l2sq"), info("graft_vec_l2sq"),
-      arity("graft_vec_l2sq", 2)(args => VecL2Sq(args(0), args(1)))))
+      arity("graft_vec_l2sq", 2)(args => VecL2Sq(args(0), args(1)))),
+    // aggregate function: the analyzer wraps a bare AggregateFunction
+    // into an AggregateExpression during resolution, so registering the
+    // function itself is enough for SQL `SELECT graft_dd_sketch(x) ...`
+    (FunctionIdentifier("graft_dd_sketch"), info("graft_dd_sketch"),
+      arity("graft_dd_sketch", 1)(args => DecimalDDSketch(args.head))))
 
   /** Register into an already-built session (the extensions config only
     * applies at session build time). */

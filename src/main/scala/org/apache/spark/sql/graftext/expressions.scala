@@ -159,6 +159,10 @@ object columns {
     ExpressionUtils.column(VecL2Sq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def ddSketch(c: Column): Column =
+    ExpressionUtils.column(
+      DecimalDDSketch(ExpressionUtils.expression(c)).toAggregateExpression())
+
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(LshBucket(ExpressionUtils.expression(v), planes))
 
