@@ -50,10 +50,24 @@ object ScaleSmoke {
     // with broadcast allowed there IS no shuffle skew problem and the
     // whole question is moot).
     val saltAb = args.contains("saltab")
+    // `organic`: unique-id/content regeneration per replica. The default
+    // replication is deliberately dup-heavy (every doc gains mult-1 exact
+    // copies; dimension keys shared), which exercises the degenerate LSH
+    // regime but FLATTERS dedup and understresses distinct-heavy
+    // aggregates (count-distinct cardinalities stay constant as the
+    // corpus multiplies). Organic mode salts the replica index into
+    // every key family (dims replicated with offset keys, fact FKs
+    // re-pointed at the copy-local dims), regenerates document
+    // vocabulary per copy (token-prefix rewrite -> cross-copy Jaccard
+    // 0, only the fixture's own ~10% dup rate remains), and perturbs
+    // embedding coordinates — so distinct counts, group counts, and
+    // join build sides all scale WITH the data, the way a real corpus
+    // grows.
+    val organic = args.contains("organic")
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_sfbig_x$mult" +
       (if (skewed) "_skew" else if (constEval) "_consteval"
-       else if (saltAb) "_saltab" else "")
+       else if (saltAb) "_saltab" else if (organic) "_organic" else "")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -63,6 +77,20 @@ object ScaleSmoke {
       "embeddings" -> Map("vec_id" -> 10000000L),
       "lineitem" -> Map("l_orderkey" -> 100000000L),
       "orders" -> Map("o_orderkey" -> 100000000L))
+    // Organic offsets: EVERY key family advances per replica (all well
+    // past the sf0.1 max of each key), so dims multiply and fact FKs
+    // land on the copy-local dim rows. region/nation stay shared — 5/25
+    // rows is their real-world cardinality at any scale.
+    val organicBig = Map(
+      "customer" -> Map("c_custkey" -> 10000000L),
+      "orders" -> Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L),
+      "supplier" -> Map("s_suppkey" -> 1000000L),
+      "part" -> Map("p_partkey" -> 10000000L),
+      "lineitem" -> Map("l_orderkey" -> 100000000L,
+        "l_partkey" -> 10000000L, "l_suppkey" -> 1000000L),
+      "events" -> Map("event_id" -> 100000000L, "user_id" -> 10000000L),
+      "documents" -> Map("doc_id" -> 10000000L),
+      "embeddings" -> Map("vec_id" -> 10000000L))
     // reuse sentinel = _SUCCESS marker written AFTER the last table — a
     // run killed mid-generation must regenerate, not silently reuse a
     // half-built fixture set
@@ -71,7 +99,29 @@ object ScaleSmoke {
       Tables.all.foreach { t =>
         val base = Tables.t(spark, src, t)
         val rep =
-          if (constEval && t == "documents") {
+          if (organic) {
+            val offs = organicBig.getOrElse(t, Map.empty[String, Long])
+            (0 until mult).map { i =>
+              val keyed = offs.foldLeft(base) { case (d, (c, off)) =>
+                d.withColumn(c, col(c) + lit(off * i))
+              }
+              if (i == 0) keyed
+              else if (t == "documents")
+                // per-copy vocabulary: token-prefix rewrite makes
+                // cross-copy shingle sets disjoint (Jaccard 0), so only
+                // the fixture's native dup structure survives replication
+                keyed
+                  .withColumn("text",
+                    regexp_replace(col("text"), "([a-z0-9]+)", s"r${i}_$$1"))
+                  .withColumn("n_chars", length(col("text")))
+              else if (t == "embeddings")
+                // deterministic per-copy perturbation: breaks the
+                // 99-identical-points geometry without moving vectors far
+                keyed.withColumn("embedding", expr(
+                  "transform(embedding, (x, j) -> cast(x + 0.001d * sin(vec_id * (j + 1)) AS float))"))
+              else keyed
+            }.reduce(_ unionByName _)
+          } else if (constEval && t == "documents") {
             // copy 0 intact; copies i>0 keep only train docs. Same eval
             // membership predicate as TextOps.contaminationHits (hash32
             // of the string doc_id, mod 4), applied to the offset id.
@@ -166,6 +216,17 @@ object ScaleSmoke {
       "a18_seasonal_anomaly", "q_pagerank", "x3_cep_sequence")
     // Round-8 additions (CEP negation + quantifier) needing receipts.
     val r8Subset = Seq("x4_cep_negation", "x5_cep_times", "x3_cep_sequence")
+    // Organic-fixture subset: the shuffle-heaviest query families whose
+    // dup-heavy-100x receipts the round-8 verdict flagged as flattered
+    // (dedup) or understressed (distinct-heavy aggregates with constant
+    // key cardinality). Re-receipted against per-replica-unique keys,
+    // vocabulary, and vectors.
+    val organicSubset = Seq(
+      "q_count_distinct", "q_hll_sketch", "q_percentiles", "q_dd_quantiles",
+      "q1_pricing_summary", "q5_region_revenue", "q9_product_profit",
+      "q18_large_volume", "a2_running_sum", "w3_session_window",
+      "d_dedup_groups", "d_minhash_lsh_pairs", "d_curate_corpus",
+      "e_knn_brute", "x6_cep_times_range", "x7_cep_one_or_more")
     if (saltAb) {
       // Force the shuffle-join regime (see the saltAb comment above).
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -218,6 +279,7 @@ object ScaleSmoke {
       else if (args.contains("calib64")) calib64Subset
       else if (args.contains("r7")) r7Subset
       else if (args.contains("r8")) r8Subset
+      else if (organic) organicSubset
       else uniformSubset)
     val passes = if (only.isDefined) 2 else 1
     val times: Seq[(String, Option[Double])] = subset.map { name =>

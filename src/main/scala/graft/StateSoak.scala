@@ -30,8 +30,10 @@ import graft.streaming.{Ev, Generators, Sinks, StatefulProcessors, StreamingPipe
   * in [[StatefulProcessors.NearestJoinProcessor]]/`CepProcessor` must
   * hold state rows far below total events) and "no OOM at 10^6 keys".
   *
-  * Usage: sbt 'runMain graft.StateSoak [nEvents] [users]'
-  * (defaults 4,000,000 events / 1,000,000 users per pipeline)
+  * Usage: sbt 'runMain graft.StateSoak [nEvents] [users] [cell,...]'
+  * (defaults 4,000,000 events / 1,000,000 users per pipeline; the
+  * optional third arg runs only the named cells — the iterate-on-one-
+  * pipeline loop)
   */
 object StateSoak {
 
@@ -112,26 +114,32 @@ object StateSoak {
         f""""state_mem_mb":${sus.stateMem / 1024 / 1024},"sst_mb":${sus.sstBytes / 1024 / 1024}}"""
     }
 
-    val results = Seq(
+    val cells: Seq[(String, (String, String, String) => StreamingQuery)] = Seq(
       // every key accumulates a two-slot session record -> state width = users
-      soak("sessionize") { (in, out, ck) =>
+      "sessionize" -> { (in, out, ck) =>
         Sinks.file(StatefulProcessors.sessionizeActions(events(in)).toDF(), out, ck)
       },
       // 10^6 distinct STRING keys, one admission counter each (job-9's gate)
-      soak("quota_route") { (in, out, ck) =>
+      "quota_route" -> { (in, out, ck) =>
         val docs = events(in).toDF().selectExpr(
           s"concat('s', pmod(user_id, $users)) AS source",
           "event_id AS doc_id", "ts", "'en' AS lang", "event_type AS text")
         Sinks.file(StatefulProcessors.quotaRouteStream(docs, quota = 2L).toDF(), out, ck)
       },
       // gap-horizon partials only: state rows must stay << events seen
-      soak("cep_sequence") { (in, out, ck) =>
+      "cep_sequence" -> { (in, out, ck) =>
         Sinks.file(StatefulProcessors.cepSequence(events(in)).toDF(), out, ck)
       },
       // event-time timers at scale + watermark-driven purge of both lists
-      soak("nearest_join") { (in, out, ck) =>
+      "nearest_join" -> { (in, out, ck) =>
         Sinks.file(StatefulProcessors.nearestJoin(events(in)).toDF(), out, ck)
       })
+
+    val only = args.drop(2).headOption.map(_.split(",").toSet)
+    val results = cells
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, mk) => soak(name)(mk) }
+    require(results.nonEmpty, s"no soak cell matches ${only.getOrElse(Set.empty)}")
 
     println(s"""{"metric":"state_soak","n_events":$n,"users":$users,${results.mkString(",")}}""")
     spark.stop()

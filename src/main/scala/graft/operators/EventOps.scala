@@ -619,6 +619,108 @@ SELECT event_id, user_id, make_timestamp(us) AS c1_ts,
 FROM r WHERE us3 IS NOT NULL AND us3 - us <= 21600000000"""),
     "CEP times(3) quantifier: three clicks within 6 h per user, two lead()s on one window.")
 
+  // X6 (beyond the reference — Flink-CEP `times(2, 4)` range quantifier,
+  // greedy): per click anchor, the LONGEST run of 2..4 consecutive clicks
+  // in the per-user click substream whose span from the anchor fits the
+  // 6-h gap; emits the anchor with the run length and last member. Greedy
+  // = take the max k ≤ 4; a run that could only reach k = 1 is no match.
+  // Plan: three lead()s + a CASE on ONE per-user window — the range
+  // quantifier costs the same single exchange as times(3), zero joins.
+  // Streaming dual: StatefulProcessors.CepTimesRangeProcessor (O(horizon)
+  // pending anchors, emits on cap or horizon close).
+  /** X6 core over any event frame — public so the streaming-equivalence
+    * spec can run it on an augmented (flushed) event set. Generic in the
+    * quantifier bounds: one lead() per possible run length, CASE ladder
+    * descending for the greedy pick. */
+  def cepTimesRangeBatch(ev: DataFrame, gapUs: Long, minTimes: Int,
+      maxTimes: Int, typ: String = "click"): DataFrame = {
+    require(minTimes >= 2 && maxTimes >= minTimes, "quantifier bounds")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val base = ev
+      .filter(col("event_type") === typ)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val withLeads = (minTimes to maxTimes).foldLeft(base) { (df, k) =>
+      df.withColumn(s"us$k", lead(col("us"), k - 1).over(w))
+    }
+    // ascending fold nests the LARGEST k outermost — the greedy pick
+    val nTimes = (minTimes to maxTimes).foldLeft(lit(null).cast("long")) {
+      (acc, k) =>
+        when(col(s"us$k").isNotNull && col(s"us$k") - col("us") <= gapUs,
+          lit(k.toLong)).otherwise(acc)
+    }
+    val lastUs = (minTimes to maxTimes).foldLeft(lit(null).cast("long")) {
+      (acc, k) => when(col("n_times") === k.toLong, col(s"us$k")).otherwise(acc)
+    }
+    withLeads
+      .withColumn("n_times", nTimes)
+      .filter(col("n_times").isNotNull)
+      .select(col("event_id"), col("user_id"), col("n_times"),
+        timestamp_micros(col("us")).as("first_ts"),
+        timestamp_micros(lastUs).as("last_ts"))
+  }
+
+  private val x6 = GQuery(
+    "x6_cep_times_range",
+    (s, dir) => cepTimesRangeBatch(events(s, dir), 21600000000L, 2, 4),
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, us,
+             lead(us, 1) OVER w AS us2, lead(us, 2) OVER w AS us3, lead(us, 3) OVER w AS us4
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+k AS (SELECT event_id, user_id, us, us2, us3, us4,
+             CASE WHEN us4 IS NOT NULL AND us4 - us <= 21600000000 THEN 4
+                  WHEN us3 IS NOT NULL AND us3 - us <= 21600000000 THEN 3
+                  WHEN us2 IS NOT NULL AND us2 - us <= 21600000000 THEN 2 END AS n_times
+      FROM r)
+SELECT event_id, user_id, n_times, make_timestamp(us) AS first_ts,
+       make_timestamp(CASE WHEN n_times = 4 THEN us4 WHEN n_times = 3 THEN us3 ELSE us2 END) AS last_ts
+FROM k WHERE n_times IS NOT NULL"""),
+    "CEP times(2..4) greedy range quantifier: longest 2..4-click run within 6 h, leads + CASE on one window.")
+
+  // X7 (beyond the reference — Flink-CEP `oneOrMore`, greedy, noSkip):
+  // per click anchor, EVERY click from the anchor to the end of its 6-h
+  // horizon joins the match (relaxed contiguity over the click
+  // substream); emits anchor, match size, and last member. noSkip: every
+  // click is its own anchor, so runs emit from each start — Flink's
+  // default AfterMatchSkipStrategy. Tie-safe: rows are sequenced by
+  // (us, event_id) via row_number, and the match size is max(rn) in the
+  // us-range frame minus the anchor's rn — identical to the arrival-
+  // order streaming fold even when several clicks share a microsecond.
+  // Plan: one exchange; the (us, event_id) sort serves both window
+  // specs. Streaming dual: StatefulProcessors.CepOneOrMoreProcessor.
+  /** X7 core over any event frame — public for the streaming-equivalence
+    * spec, like [[cepTimesRangeBatch]]. */
+  def cepOneOrMoreBatch(ev: DataFrame, gapUs: Long,
+      typ: String = "click"): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wRange = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(0L, gapUs)
+    ev.filter(col("event_type") === typ)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("max_rn", max(col("rn")).over(wRange))
+      .withColumn("last_us", max(col("us")).over(wRange))
+      .select(col("event_id"), col("user_id"),
+        (col("max_rn") - col("rn") + lit(1)).cast("long").as("n_times"),
+        timestamp_micros(col("us")).as("first_ts"),
+        timestamp_micros(col("last_us")).as("last_ts"))
+  }
+
+  private val x7 = GQuery(
+    "x7_cep_one_or_more",
+    (s, dir) => cepOneOrMoreBatch(events(s, dir), 21600000000L),
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, us,
+             row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      FROM c),
+g AS (SELECT event_id, user_id, us, rn,
+             max(rn) OVER wr AS max_rn, max(us) OVER wr AS last_us
+      FROM r WINDOW wr AS (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN CURRENT ROW AND 21600000000 FOLLOWING))
+SELECT event_id, user_id, CAST(max_rn - rn + 1 AS BIGINT) AS n_times,
+       make_timestamp(us) AS first_ts, make_timestamp(last_us) AS last_ts
+FROM g"""),
+    "CEP oneOrMore greedy quantifier (noSkip): per anchor, every click in its 6-h horizon; rank-difference on one exchange.")
+
   // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
   // batch analog: lag() per user over the filtered event class; alert when two
   // 'error's land within 6 hours.
@@ -702,5 +804,5 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, a5, a5b, a6, a7, w2, w3, w4,
-    j1, j2, j3, j4, x1, x2, x3, x4, x5, qDistinct, qExcept, qIntersect)
+    j1, j2, j3, j4, x1, x2, x3, x4, x5, x6, x7, qDistinct, qExcept, qIntersect)
 }

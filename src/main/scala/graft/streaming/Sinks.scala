@@ -80,6 +80,56 @@ object Sinks {
       }.start()
 }
 
+/** Driver-state + relay IO through the Hadoop FileSystem API. The
+  * reference's sinks are transport-addressed (Kafka,
+  * EventTimeOperations.java:182-208) — nothing in them assumes a local
+  * disk; the java.nio relay this replaces only reached the driver's
+  * kernel FS, so T4/K2 state broke the moment `root`/`checkpointDir`
+  * pointed at HDFS or an object store. Every path here is a URI
+  * (`file:`, `hdfs:`, `s3a:`, `abfs:`, …); a bare path resolves against
+  * the session's default FS. State writes go tmp-then-rename via
+  * `FileContext` with `Options.Rename.OVERWRITE` — the same atomic-on-
+  * HDFS recipe Spark's own HDFSMetadataLog uses (object stores degrade
+  * to copy+delete; the batch-keyed idempotence of every caller keeps
+  * that window safe). */
+private[streaming] object FsIo {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf())
+
+  def readString(uri: String): Option[String] = {
+    val p = new Path(uri)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** tmp-write + atomic-rename publish of a small state string. */
+  def writeStringAtomic(uri: String, s: String): Unit = {
+    val f0 = fs(new Path(uri))
+    val p = f0.makeQualified(new Path(uri))
+    f0.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = f0.create(tmp, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(p.toUri, hadoopConf())
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  def mkdirs(uri: String): Unit = { val p = new Path(uri); fs(p).mkdirs(p) }
+}
+
 /** T4: late-data side output (EventTimeOperations.java:148-176,
   * sideOutputLateData). Structured Streaming silently drops rows older
   * than the watermark inside windowed aggregations; this router surfaces
@@ -104,20 +154,18 @@ final class LateDataRouter(
     late: (DataFrame, Long) => Unit) extends Serializable {
 
   @volatile private var maxSeenUs: Long = Long.MinValue
-  @volatile private var stateFile: java.nio.file.Path = _
+  @volatile private var stateUri: String = _
 
   private def restore(): Unit =
-    if (stateFile != null && java.nio.file.Files.exists(stateFile)) {
-      try maxSeenUs = java.nio.file.Files.readString(stateFile).trim.toLong
+    if (stateUri != null) {
+      try FsIo.readString(stateUri).foreach(s => maxSeenUs = s.trim.toLong)
       catch { case _: Exception => () } // unreadable -> conservative -inf
     }
 
   private def saveWatermark(): Unit =
-    if (stateFile != null) {
-      try {
-        java.nio.file.Files.createDirectories(stateFile.getParent)
-        java.nio.file.Files.writeString(stateFile, maxSeenUs.toString)
-      } catch { case _: Exception => () }
+    if (stateUri != null) {
+      try FsIo.writeStringAtomic(stateUri, maxSeenUs.toString)
+      catch { case _: Exception => () }
     }
 
   /** foreachBatch body; watermark advances only after a batch completes,
@@ -139,7 +187,7 @@ final class LateDataRouter(
     * path (a MemoryStream checkpoint cannot be re-attached to a new
     * source instance). */
   def initState(checkpointDir: String): Unit = {
-    stateFile = java.nio.file.Paths.get(checkpointDir, "graft_watermark", "max_seen_us")
+    stateUri = s"$checkpointDir/graft_watermark/max_seen_us"
     restore()
   }
 
@@ -186,23 +234,16 @@ final class IdempotentKafkaSink(
     transport: (DataFrame, Long) => Unit) extends Serializable {
 
   @volatile private var committed: Long = -1L
-  @volatile private var stateFile: java.nio.file.Path = _
+  @volatile private var stateUri: String = _
 
   private def restore(): Unit =
-    if (stateFile != null && java.nio.file.Files.exists(stateFile)) {
-      try committed = java.nio.file.Files.readString(stateFile).trim.toLong
+    if (stateUri != null) {
+      try FsIo.readString(stateUri).foreach(s => committed = s.trim.toLong)
       catch { case _: Exception => () } // unreadable -> conservative -1 (replay, keys dedup)
     }
 
   private def saveCommitted(): Unit =
-    if (stateFile != null) {
-      java.nio.file.Files.createDirectories(stateFile.getParent)
-      val tmp = stateFile.resolveSibling(stateFile.getFileName.toString + ".tmp")
-      java.nio.file.Files.writeString(tmp, committed.toString)
-      java.nio.file.Files.move(tmp, stateFile,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+    if (stateUri != null) FsIo.writeStringAtomic(stateUri, committed.toString)
 
   /** Deterministic (key, value) framing for one micro-batch. */
   def keyed(batch: DataFrame, batchId: Long): DataFrame = {
@@ -229,7 +270,7 @@ final class IdempotentKafkaSink(
   /** Bind persisted commit state; exposed for batch-driven crash tests
     * (same contract as [[LateDataRouter.initState]]). */
   def initState(checkpointDir: String): Unit = {
-    stateFile = java.nio.file.Paths.get(checkpointDir, "graft_kafka_commit", "batch_id")
+    stateUri = s"$checkpointDir/graft_kafka_commit/batch_id"
     restore()
   }
 
@@ -262,33 +303,40 @@ final class IdempotentKafkaSink(
   * the classification cutoff itself survives restart via the router's
   * persisted watermark. Scale: the relay write is a normal distributed
   * parquet write — the only driver work is the rename loop over that
-  * batch's part files (bounded by the batch's partition count). */
+  * batch's part files (bounded by the batch's partition count).
+  *
+  * Portability: all relay IO goes through [[FsIo]] (Hadoop FileSystem),
+  * so `root` can be any URI — local disk in tests, HDFS/S3A/ABFS on a
+  * cluster — matching the reference sink's transport-agnostic reach
+  * (EventTimeOperations.java:182-208 publishes to Kafka, not a local
+  * path). Renames within one FS are cheap on HDFS and copy-backed on
+  * object stores; either way the batch-keyed names keep replay
+  * idempotent. */
 final class TaggedSideOutput(delayUs: Long, root: String) extends Serializable {
 
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import org.apache.hadoop.fs.Path
 
   val onTimeDir = s"$root/on_time"
   val lateDir = s"$root/late"
-  Files.createDirectories(Paths.get(onTimeDir))
-  Files.createDirectories(Paths.get(lateDir))
+  FsIo.mkdirs(onTimeDir)
+  FsIo.mkdirs(lateDir)
 
   private def relay(dir: String)(df: DataFrame, batchId: Long): Unit = {
-    val tmp = Paths.get(root, s".stage-${Paths.get(dir).getFileName}-$batchId")
+    val target = new Path(dir)
+    val fs = FsIo.fs(target)
+    val tmp = new Path(root, s".stage-${target.getName}-$batchId")
     df.write.mode("overwrite").parquet(tmp.toString)
     // idempotent publish: clear this batch's previous files, then move the
     // fresh parts under deterministic batch-keyed names
-    val target = Paths.get(dir)
-    Files.list(target).filter(_.getFileName.toString.startsWith(s"batch-$batchId-"))
-      .forEach(Files.delete(_))
-    val parts = Files.list(tmp)
-      .filter(_.getFileName.toString.endsWith(".parquet")).sorted().toArray
-    parts.zipWithIndex.foreach { case (p: Any, i) =>
-      Files.move(p.asInstanceOf[java.nio.file.Path],
-        target.resolve(f"batch-$batchId-$i%05d.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+    fs.globStatus(new Path(target, s"batch-$batchId-*"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val parts = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath, new Path(target, f"batch-$batchId-$i%05d.parquet"))
     }
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(Files.deleteIfExists(_))
+    fs.delete(tmp, true)
   }
 
   private val router = new LateDataRouter(delayUs, relay(onTimeDir), relay(lateDir))

@@ -960,6 +960,113 @@ object StatefulProcessors {
       .transformWithState(new CepTimesProcessor(typ, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** X6/X7 output: a finalized quantifier match — anchor, match size,
+    * and last member. */
+  final case class CepRangeMatch(
+      user_id: Long, first_id: Long, first_us: Long, n_times: Long, last_us: Long)
+
+  private implicit val cepRangeEnc = Encoders.product[CepRangeMatch]
+  private val pendingEnc = Encoders.tuple(Encoders.scalaLong,
+    Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+
+  /** X6 streaming dual (Flink-CEP `times(min, max)` range quantifier,
+    * greedy, relaxed contiguity): per key, every `typ` event opens an
+    * anchor; each later `typ` event inside the anchor's `gapUs` horizon
+    * grows every open anchor by one. An anchor finalizes by emitting its
+    * longest run when it either reaches `maxTimes` (the greedy cap — the
+    * batch x6 CASE ladder's first arm) or sees a `typ` event beyond its
+    * horizon (no further growth possible); runs shorter than `minTimes`
+    * die silently. State is the in-horizon pending-anchor list — the
+    * same gap-bounded O(horizon) contract as [[CepNegationProcessor]],
+    * never event volume. In-horizon anchors at stream end stay pending
+    * (emission needs proof the run cannot grow), matching the other CEP
+    * processors' finalize-on-evidence discipline. */
+  final class CepTimesRangeProcessor(typ: String, gapUs: Long,
+      minTimes: Int, maxTimes: Int)
+      extends StatefulProcessor[Long, Ev, CepRangeMatch] {
+
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getListState[(Long, Long, Long, Long)]("range_pending",
+        pendingEnc, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepRangeMatch] = {
+      val out = Seq.newBuilder[CepRangeMatch]
+      // (first_id, first_us, count, last_us), insertion-ordered
+      var ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .filter(_.event_type == typ).foreach { e =>
+          val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val (dead, live) = ps.partition { case (_, aUs, _, _) => us - aUs > gapUs }
+          dead.foreach { case (id, aUs, c, lUs) =>
+            if (c >= minTimes) out += CepRangeMatch(user, id, aUs, c, lUs)
+          }
+          ps = live.flatMap { case (id, aUs, c, _) =>
+            val c2 = c + 1
+            if (c2 >= maxTimes) { out += CepRangeMatch(user, id, aUs, c2, us); None }
+            else Some((id, aUs, c2, us))
+          }
+          ps = ps :+ ((e.event_id, us, 1L, us))
+        }
+      pending.clear()
+      if (ps.nonEmpty) pending.put(ps.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** X6 wiring: times(2..4) range quantifier over the typed stream. */
+  def cepTimesRange(events: Dataset[Ev], typ: String = "click",
+      gapUs: Long = 21600000000L, minTimes: Int = 2, maxTimes: Int = 4): Dataset[CepRangeMatch] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepTimesRangeProcessor(typ, gapUs, minTimes, maxTimes),
+        TimeMode.None(), OutputMode.Append())
+
+  /** X7 streaming dual (Flink-CEP `oneOrMore`, greedy, noSkip): like the
+    * range quantifier with no cap — every anchor emits exactly once,
+    * when a `typ` event beyond its horizon proves the match can no
+    * longer grow, carrying every in-horizon member (count ≥ 1 always
+    * matches, the anchor alone sufficing). noSkip: every event is also
+    * its own anchor, so overlapping runs emit from each start — Flink's
+    * default AfterMatchSkipStrategy. Same gap-bounded pending-list
+    * state as the range processor. */
+  final class CepOneOrMoreProcessor(typ: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepRangeMatch] {
+
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getListState[(Long, Long, Long, Long)]("oom_pending",
+        pendingEnc, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepRangeMatch] = {
+      val out = Seq.newBuilder[CepRangeMatch]
+      var ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .filter(_.event_type == typ).foreach { e =>
+          val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val (dead, live) = ps.partition { case (_, aUs, _, _) => us - aUs > gapUs }
+          dead.foreach { case (id, aUs, c, lUs) =>
+            out += CepRangeMatch(user, id, aUs, c, lUs)
+          }
+          ps = live.map { case (id, aUs, c, _) => (id, aUs, c + 1L, us) } :+
+            ((e.event_id, us, 1L, us))
+        }
+      pending.clear()
+      if (ps.nonEmpty) pending.put(ps.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** X7 wiring: greedy oneOrMore quantifier over the typed stream. */
+  def cepOneOrMore(events: Dataset[Ev], typ: String = "click",
+      gapUs: Long = 21600000000L): Dataset[CepRangeMatch] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepOneOrMoreProcessor(typ, gapUs),
+        TimeMode.None(), OutputMode.Append())
+
   /** An event tagged with its source partition — the unit the reference's
     * watermark generator is instantiated per (one generator per source
     * subtask, EventTimeOperations.java:96-141). */
@@ -995,6 +1102,23 @@ object StatefulProcessors {
     * a partition is idle exactly when `now − base > advanceMs` with no
     * event since (`onPeriodicEmit`'s test), emitting its final watermark
     * once at the moment it is marked. */
+  /** Channel-min combine policy, extracted pure for a deterministic
+    * regression pin (Flink `WatermarkOutputMultiplexer` parity): the
+    * operator watermark is min of `base − buffer` over channels NOT
+    * idle-marked, floored monotonically. Membership is decided ONLY by
+    * the `idleMarked` predicate — elapsed time never removes a channel
+    * here; a quiet channel leaves the min exactly when `markIdle` fires
+    * in the timer. (The round-7 advice flagged an early-exclusion
+    * variant that closed windows in the quiescence→timer gap; this
+    * signature makes that regression impossible to reintroduce
+    * silently.) */
+  private[streaming] def channelMin(floor: Long, bases: Iterator[(Int, Long)],
+      idleMarked: Int => Boolean, bufferMs: Long): Long = {
+    val m = bases.filter { case (p, _) => !idleMarked(p) }
+      .map(_._2 - bufferMs).reduceOption(_ min _)
+    m.fold(floor)(math.max(floor, _))
+  }
+
   final class PartitionStaircaseProcessor(
       windowMs: Long, advanceMs: Long, bufferMs: Long)
       extends StatefulProcessor[Int, PartEv, PartWmWindow] {
@@ -1016,18 +1140,14 @@ object StatefulProcessors {
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    /** Channel-min combine: min of `base − buffer` over non-idle
-      * partitions, or the floor unchanged when all are idle/absent.
-      * Monotonic by construction (max with the floor). Flink parity
-      * (`WatermarkOutputMultiplexer`): a quiet channel stays IN the min
-      * until `markIdle` actually fires in the timer — membership is
-      * decided by `idleMarked`, never by elapsed time here, so windows
-      * can't close in the gap between quiescence and the timer. */
-    private def combined(floor: Long): Long = {
-      val active = bases.iterator().filter { case (p, _) => !idleMarked.containsKey(p) }
-      val m = active.map(_._2 - bufferMs).reduceOption(_ min _)
-      m.fold(floor)(math.max(floor, _))
-    }
+    /** Channel-min combine — see [[StatefulProcessors.channelMin]] for
+      * the policy (and its deterministic regression pin in
+      * StaircaseWatermarkSpec): membership is decided by `idleMarked`,
+      * never by elapsed time here, so windows can't close in the gap
+      * between quiescence and the timer. */
+    private def combined(floor: Long): Long =
+      channelMin(floor, bases.iterator().map { case (p, b) => (p, b) },
+        p => idleMarked.containsKey(p), bufferMs)
 
     private def closeReady(effective: Long): Seq[PartWmWindow] = {
       val ready = open.iterator().filter { case (ws, _) => ws + windowMs <= effective }.toSeq

@@ -133,6 +133,28 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("cnt"))
 
+  /** Streaming dual of the batch q_dd_quantiles: per-(event-time
+    * window, event_type) value quantiles from the mergeable
+    * [[org.apache.spark.sql.graftext.DecimalDDSketch]] aggregate — the
+    * per-window latency-report shape. No custom processor: the sketch
+    * is a Catalyst TypedImperativeAggregate whose buffer serializes
+    * into the streaming state store, so the PLAIN watermarked window
+    * aggregation IS the operator — each micro-batch folds into the
+    * stored histogram by count addition. Merge-order invariance makes
+    * the finalized window a pure function of the window's value
+    * multiset: identical to the batch sketch over the same rows no
+    * matter how the rows split across micro-batches (the spec proves
+    * bit-equality). State per open window is the constant ~1.4k-counter
+    * histogram — safe at any key cardinality. */
+  def ddQuantilesStream(events: DataFrame, size: String = "1 hour",
+      delay: String = "10 seconds"): DataFrame =
+    watermarked(events, delay)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(graft.functions.GraftFunctions.ddSketch(col("value")).as("sk"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("sk.n_vals").as("n_vals"), col("sk.q50").as("q50"),
+        col("sk.q95").as("q95"), col("sk.q99").as("q99"))
+
   // W3: keyed session window (WindowingOperations.java:122-123).
   def sessionCount(events: DataFrame, gap: String = "5 seconds",
       delay: String = "10 seconds"): DataFrame =

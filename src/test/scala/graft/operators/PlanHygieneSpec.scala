@@ -70,6 +70,25 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_intervals runs in ONE user_id exchange (the scaladoc's claim, pinned)") {
+    // The SCD2 derivation chains two ordered windows, a groupBy, and a
+    // lead() window — all keyed by user_id. The scale contract is that
+    // Catalyst satisfies every downstream clustering from the FIRST
+    // hashpartitioning(user_id) exchange: the groupBy(user_id, grp) is
+    // clustered by the user_id subset and the lead() repartitions on the
+    // same key, so the whole query is one shuffle of the events table.
+    val plan = SparkEntry.queries("q_scd2_intervals")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"q_scd2_intervals must shuffle events exactly once on user_id; plan has $exchanges exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"the single exchange must key on user_id:\n$plan")
+    // and the exchange count is the TOTAL — no broadcast/range exchange hides elsewhere
+    assert("Exchange ".r.findAllIn(plan).size === 1,
+      s"unexpected additional exchange in q_scd2_intervals:\n$plan")
+  }
+
   test("filters and projection reach the parquet scan (s1_source_project)") {
     val plan = SparkEntry.queries("s1_source_project")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -108,6 +108,149 @@ class CepExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("times(2..4): greedy cap, horizon-close finalization, sub-min runs die") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val gapUs = 10000000L // 10 s
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepTimesRange(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ceprange-ck").toString)
+        .format("memory").queryName("ceprange").start()
+      try {
+        in.addData(
+          // user 1: 5 clicks in horizon — anchor 1 caps greedily at 4
+          // (emits at the 4th member, never grows to 5); other types interleave
+          ev(1, 1000, 1, "click"), ev(2, 1500, 1, "signup"), ev(3, 2000, 1, "click"),
+          ev(4, 3000, 1, "click"), ev(5, 4000, 1, "click"), ev(6, 5000, 1, "click"),
+          // user 2: 2 clicks, then a click past the gap — run of 2 finalizes
+          ev(7, 1000, 2, "click"), ev(8, 3000, 2, "click"), ev(9, 12001, 2, "click"),
+          // user 3: lone click, then one past the gap — run of 1 < min dies
+          ev(10, 1000, 3, "click"), ev(11, 12001, 3, "click"))
+        q.processAllAvailable()
+        val rows = s.table("ceprange")
+          .selectExpr("user_id", "first_id", "n_times", "last_us")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        // user 1: anchor 1 -> 4 members ending at 4000ms; anchor 3 -> caps
+        // at 4 ending 5000ms; anchors 4,5,6 still pending (could grow)
+        assert(rows === Set(
+          (1L, 1L, 4L, 4000000L), (1L, 3L, 4L, 5000000L),
+          (2L, 7L, 2L, 3000000L)))
+
+        // cross-batch growth: a pending anchor finalizes on later evidence
+        in.addData(ev(20, 30000, 1, "click")) // far beyond every open horizon
+        q.processAllAvailable()
+        val u1 = s.table("ceprange").where("user_id = 1")
+          .selectExpr("first_id", "n_times").as[(Long, Long)].collect().toSet
+        // anchor 4 had members 4,5,6 (n=3); anchor 5 members 5,6 (n=2); 6 alone dies
+        assert(u1 === Set((1L, 4L), (3L, 4L), (4L, 3L), (5L, 2L)))
+      } finally q.stop()
+    }
+  }
+
+  test("oneOrMore: every anchor emits its full horizon, noSkip overlapping runs") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val gapUs = 10000000L // 10 s
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepOneOrMore(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepoom-ck").toString)
+        .format("memory").queryName("cepoom").start()
+      try {
+        in.addData(
+          // user 1: 3 clicks in horizon + a flush click far out
+          ev(1, 1000, 1, "click"), ev(2, 3000, 1, "click"), ev(3, 5000, 1, "click"),
+          ev(4, 30000, 1, "click"))
+        q.processAllAvailable()
+        val rows = s.table("cepoom")
+          .selectExpr("user_id", "first_id", "n_times", "last_us")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        // noSkip: anchors 1, 2, 3 each emit with their in-horizon tail
+        assert(rows === Set(
+          (1L, 1L, 3L, 5000000L), (1L, 2L, 2L, 5000000L), (1L, 3L, 1L, 5000000L)))
+      } finally q.stop()
+    }
+  }
+
+  test("stream matches the batch x6/x7 queries on a flushed fixture") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val sfDir = "/root/testdata/sf0.001"
+      val gapUs = 21600000000L
+      val fixture = graft.Tables.t(s, sfDir, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+        .orderBy("ts", "event_id").as[Ev].collect().toSeq
+      // one flush click per user, two horizons past the fixture end:
+      // closes every pending anchor in the stream WITHOUT changing any
+      // fixture match (beyond-horizon members never join a run; the
+      // flush anchors themselves have no successors, so x6 filters them
+      // and x7's flush rows are excluded from the compare by id)
+      val maxTs = fixture.map(_.ts.getTime).max
+      val maxId = fixture.map(_.event_id).max
+      val flush = fixture.map(_.user_id).distinct.sorted.zipWithIndex.map {
+        case (u, i) =>
+          Ev(maxId + 1 + i, new Timestamp(maxTs + 2 * gapUs / 1000L), u, "click", 0.0)
+      }
+      val augmented = s.createDataset(fixture ++ flush)
+
+      val inR = MemoryStream[Ev]
+      val qR = StatefulProcessors.cepTimesRange(inR.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ceprange-eq-ck").toString)
+        .format("memory").queryName("ceprange_eq").start()
+      val inO = MemoryStream[Ev]
+      val qO = StatefulProcessors.cepOneOrMore(inO.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepoom-eq-ck").toString)
+        .format("memory").queryName("cepoom_eq").start()
+      try {
+        // batch twins, evaluated over the SAME augmented event set by
+        // swapping the registered query's source for a temp view
+        augmented.toDF().createOrReplaceTempView("events_aug")
+
+        inR.addData(fixture); inR.addData(flush.toSeq)
+        qR.processAllAvailable()
+        val streamR = s.table("ceprange_eq")
+          .selectExpr("user_id", "first_id", "n_times", "first_us", "last_us")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        val batchR = graft.operators.EventOps.cepTimesRangeBatch(
+            s.table("events_aug"), gapUs, 2, 4)
+          .selectExpr("user_id", "event_id", "n_times",
+            "unix_micros(first_ts)", "unix_micros(last_ts)")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(streamR === batchR,
+          s"x6 only-stream=${(streamR -- batchR).take(3)} only-batch=${(batchR -- streamR).take(3)}")
+        assert(batchR.nonEmpty, "x6 fixture equivalence is vacuous — no matches")
+
+        inO.addData(fixture); inO.addData(flush.toSeq)
+        qO.processAllAvailable()
+        val streamO = s.table("cepoom_eq")
+          .selectExpr("user_id", "first_id", "n_times", "first_us", "last_us")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        val batchO = graft.operators.EventOps.cepOneOrMoreBatch(
+            s.table("events_aug"), gapUs)
+          .where(s"event_id <= $maxId") // flush anchors close runs; they are not matches
+          .selectExpr("user_id", "event_id", "n_times",
+            "unix_micros(first_ts)", "unix_micros(last_ts)")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(streamO === batchO,
+          s"x7 only-stream=${(streamO -- batchO).take(3)} only-batch=${(batchO -- streamO).take(3)}")
+        assert(batchO.nonEmpty, "x7 fixture equivalence is vacuous — no matches")
+      } finally { qR.stop(); qO.stop() }
+    }
+  }
+
   test("stream matches the batch x4/x5 queries on the fixture (in-order feed)") {
     withRocksDb {
       val s = spark

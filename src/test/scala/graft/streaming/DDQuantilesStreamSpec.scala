@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming DDSketch dual vs its batch twin (q_dd_quantiles' core):
+  * the sketch buffer round-trips through the streaming state store
+  * across micro-batches, and because merge is count addition the
+  * finalized window must equal the batch sketch over the same rows
+  * BIT-FOR-BIT — not approximately — however the rows were split into
+  * batches. Runs on the sf0.001 events fixture so the value/bucket
+  * profile is the driver gate's, not a toy. */
+class DDQuantilesStreamSpec extends SparkSpec {
+
+  test("per-window stream quantiles equal the batch sketch bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val events = graft.Tables.t(s, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(events.length > 100, "fixture sanity")
+
+    val in = MemoryStream[Ev]
+    val q = StreamingPipelines.ddQuantilesStream(in.toDF(), size = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dd_stream").start()
+    try {
+      // three ts-ordered chunks: windows stay open ACROSS batch
+      // boundaries, so the state-store merge path is genuinely exercised
+      // (ts order keeps every row inside the watermark)
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel far past the fixture: closes every fixture window
+      val last = events.last
+      in.addData(Ev(last.event_id + 1,
+        new Timestamp(last.ts.getTime + 86400L * 1000L), 1L, "zz_sentinel", 0.0))
+      q.processAllAvailable()
+
+      val stream = s.table("dd_stream")
+        .where("event_type <> 'zz_sentinel'")
+        .selectExpr("cast(win_start AS long)", "event_type", "n_vals", "q50", "q95", "q99")
+        .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+
+      val batch = s.createDataset(events.toSeq).toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(graft.functions.GraftFunctions.ddSketch(col("value")).as("sk"))
+        .selectExpr("cast(window.start AS long)", "event_type",
+          "sk.n_vals", "sk.q50", "sk.q95", "sk.q99")
+        .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+
+      assert(stream === batch,
+        s"stream/batch sketch disagree: only-stream=${(stream -- batch).take(3)} " +
+          s"only-batch=${(batch -- stream).take(3)}")
+      assert(stream.nonEmpty)
+    } finally q.stop()
+  }
+}

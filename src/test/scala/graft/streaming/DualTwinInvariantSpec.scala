@@ -23,6 +23,7 @@ class DualTwinInvariantSpec extends AnyFunSuite {
     "StreamingPipelines.parseCsvQuarantine" -> "p1_parse_props",
     "StreamingPipelines.windowCount" -> "a1_window_count_5m",
     "StreamingPipelines.slidingCount" -> "w2_sliding_count",
+    "StreamingPipelines.ddQuantilesStream" -> "q_dd_quantiles",
     "StreamingPipelines.sessionCount" -> "w3_session_window",
     "StreamingPipelines.runningSum" -> "a2_running_sum",
     "StreamingPipelines.multiAgg" -> "a3_multi_agg",
@@ -57,6 +58,8 @@ class DualTwinInvariantSpec extends AnyFunSuite {
     "StatefulProcessors.cepSequence" -> "x3_cep_sequence",
     "StatefulProcessors.cepNegation" -> "x4_cep_negation",
     "StatefulProcessors.cepTimes" -> "x5_cep_times",
+    "StatefulProcessors.cepTimesRange" -> "x6_cep_times_range",
+    "StatefulProcessors.cepOneOrMore" -> "x7_cep_one_or_more",
     "StatefulOps.doubleEventAlerts" -> "x1_double_event_alert",
     "StatefulOps.sessionizeActions" -> "x2_sessionize")
 

@@ -127,4 +127,36 @@ class LateDataSpec extends SparkSpec {
     assert(late === Seq(2L), s"late after replay: $late")
     assert(on.sorted === Seq(1L, 3L), s"on-time after replay: $on")
   }
+
+  test("tagged side output takes a file: URI — relay and state go through the Hadoop FS") {
+    val s = spark
+    import s.implicits._
+
+    // explicit scheme: on a cluster this is hdfs://… or s3a://…; java.nio
+    // would throw on the authority-form path, the Hadoop FS resolves it
+    val root = "file://" + java.nio.file.Files.createTempDirectory("tagged-uri").toString
+    val ckpt = "file://" + java.nio.file.Files.createTempDirectory("tagged-uri-ck").toString
+    val t = new TaggedSideOutput(10000000L, root)
+    t.initState(ckpt)
+    t.process(s.createDataset(Seq(ev(1, 100))).toDF(), 0L)
+    t.process(s.createDataset(Seq(ev(2, 85), ev(3, 95))).toDF(), 1L)
+    t.process(s.createDataset(Seq(ev(2, 85), ev(3, 95))).toDF(), 1L) // replay: still idempotent
+
+    val late = s.read.parquet(t.lateDir).select("event_id").as[Long].collect().toSeq
+    val on = s.read.parquet(t.onTimeDir).select("event_id").as[Long].collect().toSeq.sorted
+    assert(late === Seq(2L), s"late via URI root: $late")
+    assert(on === Seq(1L, 3L), s"on-time via URI root: $on")
+
+    // the persisted watermark landed where the URI said, via the Hadoop FS
+    val wm = new org.apache.hadoop.fs.Path(s"$ckpt/graft_watermark/max_seen_us")
+    val fs = wm.getFileSystem(s.sessionState.newHadoopConf())
+    assert(fs.exists(wm), "watermark state file missing under the URI checkpoint")
+
+    // a restarted instance restores the cutoff through the same FS handle
+    val t2 = new TaggedSideOutput(10000000L, root)
+    t2.initState(ckpt)
+    t2.process(s.createDataset(Seq(ev(4, 80))).toDF(), 2L) // cutoff 90 s -> late
+    val late2 = s.read.parquet(t.lateDir).select("event_id").as[Long].collect().toSet
+    assert(late2 === Set(2L, 4L), s"late after URI restart: $late2")
+  }
 }

@@ -49,6 +49,22 @@ class PerplexityBandStreamSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop(); docs.unpersist() }
   }
 
+  test("length-prefixed model keys: adversarial token boundaries cannot alias") {
+    val s = spark
+    import s.implicits._
+    // ("ab","c") and ("a","bc") concatenate to the same bytes "abc"; the
+    // len(w1) prefix keeps them distinct model entries with their own
+    // P(w2|w1) — an unprefixed joiner (or any in-token separator char)
+    // would fuse their counts
+    val calib = Seq((1L, "ab c"), (2L, "a bc"), (3L, "a xx"))
+      .toDF("doc_id", "text")
+    val (model, _, _) = StreamingPipelines.perplexityBandCalibrate(calib)
+    assert(model.keySet === Set("2:abc", "1:abc", "1:axx"))
+    assert(model("2:abc") === 1.0, "P(c|ab) over 1 occurrence of w1=ab")
+    assert(model("1:abc") === 0.5, "P(bc|a) over 2 occurrences of w1=a")
+    assert(model("1:axx") === 0.5, "P(xx|a) over 2 occurrences of w1=a")
+  }
+
   test("unscorable and unseen docs route out-of-band") {
     val s = spark
     import s.implicits._

@@ -111,6 +111,27 @@ class StaircaseWatermarkSpec extends SparkSpec {
     }
   }
 
+  /** Deterministic parity pin for the idle-exclusion fix (Flink
+    * `WatermarkOutputMultiplexer`): membership in the channel-min is
+    * decided ONLY by the idle mark — the pure policy function has no
+    * `now` parameter at all, so an elapsed-time early-exclusion
+    * regression cannot be expressed through it. The wall-clock tests
+    * below prove the end-to-end release; this pins the policy itself
+    * without any scheduler in the loop. */
+  test("channel-min parity pin: a quiet channel stays in the min until idle-marked") {
+    import StatefulProcessors.channelMin
+    val floor = Long.MinValue
+    val bases = Seq(0 -> 10000L, 1 -> 1000L) // channel 1 quiet for ages
+    // not marked: the stale base still gates the min
+    assert(channelMin(floor, bases.iterator, _ => false, 100L) === 900L)
+    // marked: markIdle releases the other channels
+    assert(channelMin(floor, bases.iterator, _ == 1, 100L) === 9900L)
+    // every channel idle: the watermark holds at the applied floor
+    assert(channelMin(5000L, bases.iterator, _ => true, 100L) === 5000L)
+    // monotone: the combine never regresses below the floor
+    assert(channelMin(5000L, Seq(0 -> 1000L).iterator, _ => false, 100L) === 5000L)
+  }
+
   /** T3 at reference scope (per source PARTITION, not per key): two
     * partitions advance at different rates; the operator watermark is the
     * channel MIN over non-idle partitions, and an idle partition is

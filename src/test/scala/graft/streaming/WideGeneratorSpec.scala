@@ -36,4 +36,21 @@ class WideGeneratorSpec extends SparkSpec {
     assert(us.forall(u => u >= 1 && u <= 500))
     assert(us.distinct.length > 350, "uniform draw over 500 users must cover most keys")
   }
+
+  test("json doc generator: misaligned extension calls never collide on file names") {
+    val dir = Files.createTempDirectory("jsongen").toString
+    Generators.writeJsonDocs(dir, seed = 7, files = 2, perFile = 5)
+    // deliberately misaligned: idOffset is NOT a multiple of perFile — the
+    // old file-index naming silently overwrote call 1's files here
+    Generators.writeJsonDocs(dir, seed = 8, files = 2, perFile = 5, idOffset = 13)
+
+    val names = new java.io.File(dir).list().toSeq.sorted
+    assert(names === Seq("docs-0000000000.json", "docs-0000000005.json",
+      "docs-0000000013.json", "docs-0000000018.json"),
+      s"first-doc-id naming must keep misaligned calls disjoint: $names")
+    val docs = spark.read.json(dir)
+    assert(docs.count() === 20, "a silent overwrite would lose rows")
+    assert(docs.select("doc_id").distinct().count() === 20,
+      "non-overlapping id ranges must yield unique doc_ids")
+  }
 }
