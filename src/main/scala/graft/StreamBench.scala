@@ -132,6 +132,19 @@ object StreamBench {
           .option("checkpointLocation", d.ckpt)
           .format("memory").queryName(s"sb_cep_${d.ckpt.hashCode.abs}").start()
       },
+      run("dd_quantiles_window") { d =>
+        Sinks.file(StreamingPipelines.ddQuantilesStream(
+          StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
+      },
+      run("cep_one_or_more") { d =>
+        import spark.implicits._
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        StatefulProcessors.cepOneOrMore(good.as[graft.streaming.Ev])
+          .toDF().writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", d.ckpt)
+          .format("memory").queryName(s"sb_oom_${d.ckpt.hashCode.abs}").start()
+      },
       // docs are ~50 tokens each (vs ~5-field CSV events), so the
       // capstone corpus is n/10 docs for a comparable byte volume
       runCapstone(math.max(2048, n / 10)))
