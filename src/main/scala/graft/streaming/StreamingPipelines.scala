@@ -155,6 +155,24 @@ object StreamingPipelines {
         col("sk.n_vals").as("n_vals"), col("sk.q50").as("q50"),
         col("sk.q95").as("q95"), col("sk.q99").as("q99"))
 
+  /** Streaming dual of the q_hll_distinct cardinality path: per-window
+    * approximate distinct users via engine-native HLL++. Like
+    * [[ddQuantilesStream]], the plain watermarked window aggregation IS
+    * the operator — HLL++ registers merge by max, so the result is
+    * merge-order-invariant and the finalized window equals the batch
+    * estimate over the same rows bit-for-bit (HLL++ is hash-based, no
+    * RNG). State per open window is the fixed register array
+    * regardless of user cardinality — the per-window-unique-users
+    * query that would OOM as exact distinct state at 100 TB runs in
+    * constant memory here. */
+  def hllDistinctStream(events: DataFrame, size: String = "1 hour",
+      delay: String = "10 seconds"): DataFrame =
+    watermarked(events, delay)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("approx_users"))
+
   // W3: keyed session window (WindowingOperations.java:122-123).
   def sessionCount(events: DataFrame, gap: String = "5 seconds",
       delay: String = "10 seconds"): DataFrame =

@@ -62,4 +62,47 @@ class DDQuantilesStreamSpec extends SparkSpec {
       assert(stream.nonEmpty)
     } finally q.stop()
   }
+
+  test("per-window HLL++ distinct equals the batch estimate bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val events = graft.Tables.t(s, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+
+    val in = MemoryStream[Ev]
+    val q = StreamingPipelines.hllDistinctStream(in.toDF(), size = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hll_stream").start()
+    try {
+      // same cross-batch discipline as the sketch test: HLL++ register
+      // state must survive the state store and merge by max
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val last = events.last
+      in.addData(Ev(last.event_id + 1,
+        new Timestamp(last.ts.getTime + 86400L * 1000L), 1L, "zz_sentinel", 0.0))
+      q.processAllAvailable()
+
+      val stream = s.table("hll_stream")
+        .where("event_type <> 'zz_sentinel'")
+        .selectExpr("cast(win_start AS long)", "event_type", "approx_users")
+        .as[(Long, String, Long)].collect().toSet
+
+      val batch = s.createDataset(events.toSeq).toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .selectExpr("cast(window.start AS long)", "event_type", "approx_users")
+        .as[(Long, String, Long)].collect().toSet
+
+      assert(stream === batch,
+        s"stream/batch HLL disagree: only-stream=${(stream -- batch).take(3)} " +
+          s"only-batch=${(batch -- stream).take(3)}")
+      assert(stream.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -24,6 +24,7 @@ class DualTwinInvariantSpec extends AnyFunSuite {
     "StreamingPipelines.windowCount" -> "a1_window_count_5m",
     "StreamingPipelines.slidingCount" -> "w2_sliding_count",
     "StreamingPipelines.ddQuantilesStream" -> "q_dd_quantiles",
+    "StreamingPipelines.hllDistinctStream" -> "q_hll_distinct",
     "StreamingPipelines.sessionCount" -> "w3_session_window",
     "StreamingPipelines.runningSum" -> "a2_running_sum",
     "StreamingPipelines.multiAgg" -> "a3_multi_agg",
