@@ -179,6 +179,41 @@ class CepExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("times(2..4): pending anchors survive a stop/restart checkpoint cycle") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      val in = java.nio.file.Files.createTempDirectory("ceprange-rec-in")
+      val out = java.nio.file.Files.createTempDirectory("ceprange-rec-out").toString
+      val ck = java.nio.file.Files.createTempDirectory("ceprange-rec-ck").toString
+      def write(name: String, evs: Seq[Ev]): Unit =
+        java.nio.file.Files.writeString(in.resolve(name),
+          evs.map(Generators.toCsvLine).mkString("", "\n", "\n"))
+      def start() = Sinks.file(
+        StatefulProcessors.cepTimesRange(
+          StreamingPipelines.textFileSource(s, in.toString).as[Ev],
+          gapUs = 10000000L).toDF(), out, ck)
+
+      // phase 1: anchor 1 grows to count 2 (still growable), anchor 2 opens
+      write("f0.csv", Seq(ev(1, 1000, 1, "click"), ev(2, 3000, 1, "click")))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // phase 2, NEW query on the same checkpoint: one more in-horizon
+      // click must grow the RESTORED anchors, then an out-of-horizon
+      // click finalizes them. If the ListState had reset, click 3 would
+      // be a lone anchor, click 4 would kill it below min, and the
+      // output would be EMPTY — restored state is the only way to the
+      // expected rows.
+      write("f1.csv", Seq(ev(3, 5000, 1, "click"), ev(4, 30000, 1, "click")))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+      val rows = s.read.parquet(out)
+        .selectExpr("user_id", "first_id", "n_times", "last_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows === Set((1L, 1L, 3L, 5000000L), (1L, 2L, 2L, 5000000L)),
+        s"restored-anchor output wrong: $rows")
+    }
+  }
+
   test("stream matches the batch x6/x7 queries on a flushed fixture") {
     withRocksDb {
       val s = spark

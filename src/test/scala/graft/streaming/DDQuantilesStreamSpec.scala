@@ -63,6 +63,44 @@ class DDQuantilesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketch buffer survives a stop/restart checkpoint cycle mid-window") {
+    val s = spark
+    import s.implicits._
+    val in = java.nio.file.Files.createTempDirectory("ddq-rec-in")
+    val out = java.nio.file.Files.createTempDirectory("ddq-rec-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("ddq-rec-ck").toString
+    def ev(id: Long, sec: Long, v: Double): Ev =
+      Ev(id, new Timestamp(sec * 1000L), 1L, "click", v)
+    def write(name: String, evs: Seq[Ev]): Unit =
+      java.nio.file.Files.writeString(in.resolve(name),
+        evs.map(Generators.toCsvLine).mkString("", "\n", "\n"))
+    def start() = Sinks.file(StreamingPipelines.ddQuantilesStream(
+      StreamingPipelines.textFileSource(s, in.toString), size = "1 hour"), out, ck)
+
+    // phase 1: three values land in window [0, 1h); the window stays open
+    val p1 = Seq(ev(1, 100, 100.0), ev(2, 200, 900.0), ev(3, 300, 40000.0))
+    write("f0.csv", p1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // phase 2, new query on the same checkpoint: two more values join the
+    // SAME window from the RESTORED sketch, then a far-future row closes
+    // it. A reset buffer would report n_vals = 2; the restored one folds
+    // all five values and must equal the batch sketch bit-for-bit.
+    val p2 = Seq(ev(4, 400, 7.0), ev(5, 500, 123456.0))
+    write("f1.csv", p2 :+ ev(6, 86400, 0.0))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val stream = s.read.parquet(out)
+      .where("cast(win_start AS long) = 0")
+      .selectExpr("n_vals", "q50", "q95", "q99")
+      .as[(Long, Double, Double, Double)].collect().toSet
+    val batch = s.createDataset(p1 ++ p2).toDF()
+      .agg(graft.functions.GraftFunctions.ddSketch(col("value")).as("sk"))
+      .selectExpr("sk.n_vals", "sk.q50", "sk.q95", "sk.q99")
+      .as[(Long, Double, Double, Double)].collect().toSet
+    assert(stream === batch, s"restored sketch wrong: stream=$stream batch=$batch")
+    assert(stream.head._1 === 5L)
+  }
+
   test("per-window HLL++ distinct equals the batch estimate bit-for-bit") {
     val s = spark
     import s.implicits._
