@@ -1028,7 +1028,7 @@ FULL OUTER JOIN (SELECT * FROM u WHERE rn = 1) u ON b.user_id = u.user_id"""),
   // cross-engine. The query reports per-z-bucket occupancy + the min/max
   // box of each bucket — the clustering quality report (tight boxes =
   // good layout). ZERO joins; one coarse-key aggregation.
-  private def zInterleave(spark: Boolean, x: String, y: String): String =
+  private[operators] def zInterleave(spark: Boolean, x: String, y: String): String =
     (0 until 16).map { i =>
       if (spark)
         s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))"
