@@ -1883,7 +1883,79 @@ SELECT doc_id, count(*) AS n_seg,
 FROM r GROUP BY 1"""),
     "C4-style segment dedup that rewrites the corpus: global first occurrence survives, later copies are cut.")
 
+  // ---------------------------------------------------------------------
+  // BPE merge induction — vocabulary building for the tokenizer itself
+  // (Sennrich et al. '16): iteratively merge the corpus's most frequent
+  // adjacent symbol pair, starting from characters. The 100 TB shape is
+  // the standard one: ONE corpus-wide shuffle builds the word-frequency
+  // table (5k-ish rows at any corpus size — BPE trains on word counts,
+  // not raw text), then every merge round runs on that bounded frame:
+  // pair counts (one small shuffle), a TakeOrdered top-1, and a pure-map
+  // segmentation rewrite against the 1-row broadcast winner, lineage
+  // pinned per round like q_pagerank. Greedy left-to-right merge
+  // application is expressed as delimiter-exact string replace (symbols
+  // are space-joined, spaces doubled so consecutive merges don't consume
+  // each other's boundary — then doubles collapse), identical in both
+  // engines, so the whole merge TRAJECTORY is deterministic and the
+  // DuckDB oracle replays it as chained CTEs. Ties break (count DESC,
+  // l, r) — integer counts, ASCII symbols, no float anywhere.
+  private val bpeRounds = 4
+
+  /** One oracle round: pairs -> best -> rewritten segmentation. */
+  private def bpeRoundSql(k: Int): String =
+    s"""p$k AS (SELECT split_part(pr, '|', 1) AS l, split_part(pr, '|', 2) AS r,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT freq, unnest(list_transform(range(1, len(ts)),
+                     i -> ts[i] || '|' || ts[i + 1])) AS pr
+            FROM (SELECT freq, string_split(seg, ' ') AS ts FROM w${k - 1}) q) y
+      GROUP BY 1, 2),
+b$k AS (SELECT l, r, pair_count FROM p$k ORDER BY pair_count DESC, l, r LIMIT 1),
+w$k AS (SELECT trim(replace(replace(' ' || replace(seg, ' ', '  ') || ' ',
+               ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+               '  ', ' ')) AS seg, freq
+       FROM w${k - 1}, b$k b)"""
+
+  private val tBpeMerges = GQuery(
+    "t_bpe_merges",
+    (s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(concat_ws(" ", split(col("w"), "")).as("seg"), col("freq"))
+      var state = graft.Checkpoints.pin(words)
+      val rounds = (1 to bpeRounds).map { round =>
+        val pairs = state
+          .select(col("freq"), split(col("seg"), " ").as("ts"))
+          .filter(size(col("ts")) >= 2) // ANSI guard: sequence(1,0) descends
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS l, element_at(ts, i + 1) AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("pair_count"))
+        val best = graft.Checkpoints.pin(
+          pairs.orderBy(col("pair_count").desc, col("l"), col("r")).limit(1))
+        state = graft.Checkpoints.pin(
+          state.crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+            .select(expr(
+              "trim(replace(replace(concat(' ', replace(seg, ' ', '  '), ' '), concat(' ', bl, '  ', br, ' '), concat(' ', bl, br, ' ')), '  ', ' '))").as("seg"),
+              col("freq")))
+        best.select(lit(round).as("round"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("pair_count"))
+      }
+      rounds.reduce(_ unionByName _)
+    },
+    Some(s"""WITH w0 AS (
+  SELECT array_to_string(string_split(w, ''), ' ') AS seg, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE length(w) > 0 GROUP BY 1),
+${(1 to bpeRounds).map(bpeRoundSql).mkString(",\n")}
+${(1 to bpeRounds).map(k =>
+        s"SELECT $k AS round, l, r, l || r AS merged, pair_count FROM b$k")
+        .mkString("\nUNION ALL ")}"""),
+    s"BPE vocab induction: $bpeRounds greedy merge rounds over the word-frequency table, trajectory-exact cross-engine.")
+
   val all: Seq[GQuery] = Seq(
+    tBpeMerges,
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     dNgramNovelty,
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
