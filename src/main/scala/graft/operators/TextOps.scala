@@ -1954,8 +1954,63 @@ ${(1 to bpeRounds).map(k =>
         .mkString("\nUNION ALL ")}"""),
     s"BPE vocab induction: $bpeRounds greedy merge rounds over the word-frequency table, trajectory-exact cross-engine.")
 
+  /** Greedy merge application, shared expression text for both engines:
+    * the same double-space/replace/collapse as induction, with `l`/`r`
+    * as SQL expressions naming the round's winning pair. */
+  private def bpeApply(seg: String, l: String, r: String): String =
+    s"trim(replace(replace(concat(' ', replace($seg, ' ', '  '), ' '), " +
+      s"concat(' ', $l, '  ', $r, ' '), concat(' ', $l, $r, ' ')), '  ', ' '))"
+
+  // BPE tokenize — the application half of t_bpe_merges: segment every
+  // document under the induced merge table and count its BPE tokens.
+  // The whole doc becomes one space-joined symbol stream with a chr(1)
+  // word separator (no merge can cross it: merges are induced from
+  // within-word pairs, so neither side is ever chr(1)), the four merges
+  // apply in induction order as nested pure-string rewrites, and the
+  // token count is the surviving symbol count. Scale shape: ZERO
+  // shuffles — four 1-row broadcast merge winners against one documents
+  // scan, everything else codegen'd string ops inside the scan (token
+  // accounting under the real tokenizer vocab at 100 TB is a map job,
+  // and this plan says so).
+  private val tBpeTokenize = GQuery(
+    "t_bpe_tokenize",
+    (s, dir) => {
+      val merges = tBpeMerges.impl(s, dir) // pinned 1-row frames, cheap
+      var df = docs(s, dir).select(col("doc_id"), expr(
+        "array_join(transform(split(text, ' '), w -> array_join(split(w, ''), ' ')), concat(' ', chr(1), ' '))")
+        .as("seg"))
+      (1 to bpeRounds).foreach { k =>
+        df = df.crossJoin(broadcast(merges.filter(col("round") === k)
+          .select(col("l").as(s"l$k"), col("r").as(s"r$k"))))
+          .withColumn("seg", expr(bpeApply("seg", s"l$k", s"r$k")))
+      }
+      df.select(col("doc_id"), expr(
+        "size(filter(split(seg, ' '), t -> t != chr(1) AND t != ''))")
+        .cast("long").as("n_tokens"))
+    },
+    Some {
+      val apply4 = (1 to bpeRounds).foldLeft("doc_seg") { (acc, k) =>
+        bpeApply(acc, s"b$k.l", s"b$k.r")
+      }
+      s"""WITH w0 AS (
+  SELECT array_to_string(string_split(w, ''), ' ') AS seg, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE length(w) > 0 GROUP BY 1),
+${(1 to bpeRounds).map(bpeRoundSql).mkString(",\n")},
+d AS (SELECT doc_id,
+        array_to_string(list_transform(string_split(text, ' '),
+          w -> array_to_string(string_split(w, ''), ' ')),
+          ' ' || chr(1) || ' ') AS doc_seg
+      FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(string_split($apply4, ' '),
+         t -> t != chr(1) AND t != '')) AS BIGINT) AS n_tokens
+FROM d${(1 to bpeRounds).map(k => s", b$k").mkString}"""
+    },
+    "BPE token accounting: apply the induced merges to every document as a zero-shuffle map; count surviving symbols.")
+
   val all: Seq[GQuery] = Seq(
-    tBpeMerges,
+    tBpeMerges, tBpeTokenize,
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     dNgramNovelty,
     tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,

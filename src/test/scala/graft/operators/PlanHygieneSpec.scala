@@ -58,7 +58,10 @@ class PlanHygieneSpec extends SparkSpec {
       "q_pagerank",
       // cross-joins the 1-row (max ts − 7d) cutoff scalar — constant
       // build side, the t_tfidf scalar-broadcast pattern
-      "q_upsert_latest")
+      "q_upsert_latest",
+      // four 1-row broadcast merge winners against one documents scan —
+      // the zero-shuffle BPE application plan
+      "t_bpe_tokenize")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
