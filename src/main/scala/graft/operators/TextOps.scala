@@ -1915,10 +1915,11 @@ w$k AS (SELECT trim(replace(replace(' ' || replace(seg, ' ', '  ') || ' ',
                '  ', ' ')) AS seg, freq
        FROM w${k - 1}, b$k b)"""
 
-  private val tBpeMerges = GQuery(
-    "t_bpe_merges",
-    (s, dir) => {
-      val words = docs(s, dir)
+  /** Induction core over any (doc_id, text) frame — public so the
+    * streaming calibration path ([[graft.streaming.StreamingPipelines
+    * .bpeMergesCalibrate]]) shares it verbatim. */
+  def bpeMergesFrom(d: DataFrame): DataFrame = {
+      val words = d
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -1943,7 +1944,11 @@ w$k AS (SELECT trim(replace(replace(' ' || replace(seg, ' ', '  ') || ' ',
           concat(col("l"), col("r")).as("merged"), col("pair_count"))
       }
       rounds.reduce(_ unionByName _)
-    },
+  }
+
+  private val tBpeMerges = GQuery(
+    "t_bpe_merges",
+    (s, dir) => bpeMergesFrom(docs(s, dir)),
     Some(s"""WITH w0 AS (
   SELECT array_to_string(string_split(w, ''), ' ') AS seg, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
@@ -1957,7 +1962,7 @@ ${(1 to bpeRounds).map(k =>
   /** Greedy merge application, shared expression text for both engines:
     * the same double-space/replace/collapse as induction, with `l`/`r`
     * as SQL expressions naming the round's winning pair. */
-  private def bpeApply(seg: String, l: String, r: String): String =
+  private[graft] def bpeApply(seg: String, l: String, r: String): String =
     s"trim(replace(replace(concat(' ', replace($seg, ' ', '  '), ' '), " +
       s"concat(' ', $l, '  ', $r, ' '), concat(' ', $l, $r, ' ')), '  ', ' '))"
 
@@ -1972,22 +1977,29 @@ ${(1 to bpeRounds).map(k =>
   // scan, everything else codegen'd string ops inside the scan (token
   // accounting under the real tokenizer vocab at 100 TB is a map job,
   // and this plan says so).
-  private val tBpeTokenize = GQuery(
-    "t_bpe_tokenize",
-    (s, dir) => {
-      val merges = tBpeMerges.impl(s, dir) // pinned 1-row frames, cheap
-      var df = docs(s, dir).select(col("doc_id"), expr(
-        "array_join(transform(split(text, ' '), w -> array_join(split(w, ''), ' ')), concat(' ', chr(1), ' '))")
-        .as("seg"))
+  /** Whole-doc symbol stream with the chr(1) word separator. */
+  private[graft] val bpeDocSegExpr: String =
+    "array_join(transform(split(text, ' '), w -> array_join(split(w, ''), ' ')), concat(' ', chr(1), ' '))"
+  /** Surviving-symbol count after merge application. */
+  private[graft] def bpeCountExpr(seg: String): String =
+    s"cast(size(filter(split($seg, ' '), t -> t != chr(1) AND t != '')) AS long)"
+
+  /** Application core over any (doc_id, text) frame and a merge table
+    * shaped like [[bpeMergesFrom]]'s output — public for the streaming
+    * dual's batch twin. */
+  def bpeTokenizeFrom(d: DataFrame, merges: DataFrame): DataFrame = {
+      var df = d.select(col("doc_id"), expr(bpeDocSegExpr).as("seg"))
       (1 to bpeRounds).foreach { k =>
         df = df.crossJoin(broadcast(merges.filter(col("round") === k)
           .select(col("l").as(s"l$k"), col("r").as(s"r$k"))))
           .withColumn("seg", expr(bpeApply("seg", s"l$k", s"r$k")))
       }
-      df.select(col("doc_id"), expr(
-        "size(filter(split(seg, ' '), t -> t != chr(1) AND t != ''))")
-        .cast("long").as("n_tokens"))
-    },
+      df.select(col("doc_id"), expr(bpeCountExpr("seg")).as("n_tokens"))
+  }
+
+  private val tBpeTokenize = GQuery(
+    "t_bpe_tokenize",
+    (s, dir) => bpeTokenizeFrom(docs(s, dir), bpeMergesFrom(docs(s, dir))),
     Some {
       val apply4 = (1 to bpeRounds).foldLeft("doc_seg") { (acc, k) =>
         bpeApply(acc, s"b$k.l", s"b$k.r")

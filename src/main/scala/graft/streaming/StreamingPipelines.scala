@@ -405,6 +405,38 @@ object StreamingPipelines {
       g.filter(!col("in_band") || col("in_band").isNull).select(out: _*))
   }
 
+  /** Calibrate BPE merges from a static corpus frame, for the streaming
+    * tokenizer: the induction core is the batch t_bpe_merges' verbatim
+    * ([[graft.operators.TextOps.bpeMergesFrom]]); the collect is bounded
+    * BY CONSTRUCTION at exactly the merge-round count (4 rows). Returns
+    * (l, r) pairs in application order. */
+  def bpeMergesCalibrate(calibDocs: DataFrame): Seq[(String, String)] =
+    graft.operators.TextOps.bpeMergesFrom(calibDocs)
+      .orderBy(col("round"))
+      .select(col("l"), col("r")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Streaming dual of the batch t_bpe_tokenize, in the [[decontaminate]]
+    * calibrate-offline style: merges learned on a static corpus
+    * ([[bpeMergesCalibrate]]) are inlined as literals and each arriving
+    * document is segmented/counted by a STATELESS map — BPE token
+    * accounting inline during ingest, no watermark, no state. Symbols
+    * are single characters from the corpus, asserted quote-free before
+    * inlining. */
+  def bpeTokenizeStream(docsStream: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require((l + r).matches("[^'\\\\]+"),
+        s"BPE symbols must be literal-safe, got ($l, $r)")
+    }
+    val applied = merges.foldLeft(graft.operators.TextOps.bpeDocSegExpr) {
+      case (acc, (l, r)) =>
+        graft.operators.TextOps.bpeApply(acc, s"'$l'", s"'$r'")
+    }
+    docsStream.withColumn("n_tokens",
+      expr(graft.operators.TextOps.bpeCountExpr(applied)))
+  }
+
   /** Build the eval gram array for [[decontaminate]] from a static
     * document frame — bounded collect, mirrors the batch query's
     * broadcast side. The collect is bounded BY CONSTRUCTION, not by

@@ -36,6 +36,7 @@ class DualTwinInvariantSpec extends AnyFunSuite {
     "StreamingPipelines.streamingKnn" -> "e_knn_brute",
     "StreamingPipelines.decontaminate" -> "d_decontaminate",
     "StreamingPipelines.perplexityBand" -> "d_perplexity_band",
+    "StreamingPipelines.bpeTokenizeStream" -> "t_bpe_tokenize",
     "StreamingPipelines.splitMain" -> "m1_split_main",
     "StreamingPipelines.splitSide" -> "m1_split_side",
     "StreamingPipelines.tagAndMerge" -> "m2_merge_union",
