@@ -229,4 +229,10 @@ object GraftFunctions {
     * struct<n_vals, q50, q95, q99>. */
   def ddSketch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.ddSketch(c)
+
+  /** Parameterized variant: struct<n_vals, qs array<double>> answering
+    * the given quantile list (each in (0, 1]). */
+  def ddSketchQ(c: org.apache.spark.sql.Column,
+      qs: Seq[Double]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.ddSketchQ(c, qs)
 }

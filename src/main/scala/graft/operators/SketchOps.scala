@@ -233,5 +233,55 @@ SELECT flag AS l_returnflag, n_vals,
 FROM q"""),
     "Mergeable decimal-DDSketch quantiles (custom TypedImperativeAggregate, ≤5% relative error, one pass).")
 
-  val all: Seq[GQuery] = Seq(qCmsTopk, qBloomSemi, dWeightedSample, qDdQuantiles)
+  // ---------------------------------------------------------------------
+  // Parameterized quantiles from the same sketch — the q-list is an
+  // ARGUMENT (`graft_dd_sketch_q(x, array(0.25D, 0.9D, 0.999D))`), not a
+  // bake-in, so tail quantiles at 100 TB cost the identical constant
+  // state as the median. Output is one row per (group, quantile index)
+  // so every column stays scalar for the oracle hash; the estimates are
+  // recomputed by DuckDB bit-for-bit exactly like q_dd_quantiles.
+  private val ddqList = Seq(0.25, 0.9, 0.999)
+  private val qDdQuantilesParam = GQuery(
+    "q_dd_quantiles_param",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.GraftFunctions
+          .ddSketchQ(col("l_extendedprice"), ddqList).as("sk"))
+        .select(col("l_returnflag"), col("sk.n_vals").as("n_vals"),
+          posexplode(col("sk.qs")))
+        .select(col("l_returnflag"), col("n_vals"),
+          col("pos").cast("long").as("q_idx"), col("col").as("est")),
+    Some {
+      val arms = ddqList.zipWithIndex.map { case (q, i) =>
+        s"min(CASE WHEN cum >= greatest(1, CAST(ceil($q * n) AS BIGINT)) THEN bk END) AS bq$i"
+      }.mkString(",\n             ")
+      def rep(b: String) =
+        s"CASE WHEN $b = 0 THEN 0.5 ELSE (($b % 100) + 0.5) * pow(10, ($b // 100) - 2) END"
+      val caseArms = ddqList.indices.map(i => s"WHEN $i THEN ${rep(s"bq$i")}").mkString(" ")
+      s"""WITH v AS (SELECT l_returnflag AS flag,
+                  least(l_extendedprice, 999999999999999.0) AS x
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+b AS (SELECT flag,
+             CASE WHEN x < 1 THEN 0 ELSE
+               len(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR)) * 100 +
+               CASE WHEN floor(x) < 10 THEN CAST(floor(x) AS INTEGER) * 10
+                    ELSE CAST(substr(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR), 1, 2) AS INTEGER) END
+             END AS bk
+      FROM v),
+c AS (SELECT flag, bk, count(*) AS cnt FROM b GROUP BY 1, 2),
+w AS (SELECT flag, bk,
+             CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bk) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n FROM c),
+q AS (SELECT flag, max(n) AS n_vals,
+             $arms
+      FROM w GROUP BY 1)
+SELECT flag AS l_returnflag, n_vals, i AS q_idx,
+       CASE i $caseArms END AS est
+FROM q, (SELECT unnest(range(${ddqList.length})) AS i) idx"""
+    },
+    "Parameterized DDSketch quantiles: arbitrary q-list argument, same constant-state one-pass sketch.")
+
+  val all: Seq[GQuery] = Seq(qCmsTopk, qBloomSemi, dWeightedSample,
+    qDdQuantiles, qDdQuantilesParam)
 }

@@ -85,19 +85,8 @@ case class DecimalDDSketch(
     if (n == 0L) {
       InternalRow(0L, null, null, null)
     } else {
-      val keys = buffer.keysIterator.toArray.sorted
-      def quantile(q: Double): Double = {
-        val k = math.max(1L, math.ceil(q * n).toLong)
-        var cum = 0L
-        var i = 0
-        while (i < keys.length) {
-          cum += buffer(keys(i))
-          if (cum >= k) return DecimalDDSketch.rep(keys(i))
-          i += 1
-        }
-        DecimalDDSketch.rep(keys.last)
-      }
-      InternalRow(n, quantile(0.50), quantile(0.95), quantile(0.99))
+      def q(p: Double) = DecimalDDSketch.quantileOf(buffer, n, p)
+      InternalRow(n, q(0.50), q(0.95), q(0.99))
     }
   }
 
@@ -156,4 +145,114 @@ object DecimalDDSketch {
   def rep(bucket: Int): Double =
     if (bucket == 0) 0.5
     else ((bucket % 100) + 0.5) * math.pow(10.0, bucket / 100 - 2)
+
+  /** Inverted-CDF walk shared by both aggregate variants: the
+    * representative of the first bucket whose cumulative count reaches
+    * max(1, ⌈q·n⌉), ascending (mag, lead2) order. */
+  def quantileOf(buffer: mutable.HashMap[Int, Long], n: Long, q: Double): Double = {
+    val keys = buffer.keysIterator.toArray.sorted
+    val k = math.max(1L, math.ceil(q * n).toLong)
+    var cum = 0L
+    var i = 0
+    while (i < keys.length) {
+      cum += buffer(keys(i))
+      if (cum >= k) return rep(keys(i))
+      i += 1
+    }
+    rep(keys.last)
+  }
+}
+
+/** Parameterized-quantile variant of [[DecimalDDSketch]]: same buckets,
+  * same merge-order-invariant histogram state, but the reported
+  * quantiles come from a FOLDABLE array<double> second argument instead
+  * of the fixed (0.50, 0.95, 0.99) — `graft_dd_sketch_q(x,
+  * array(0.25D, 0.999D))`. Output struct<n_vals, qs array<double>>,
+  * `qs[i]` answering `quantiles[i]`. Tail quantiles (q = 0.999…) at
+  * 100 TB cost the same constant state as the median. */
+case class DecimalDDSketchQ(
+    child: Expression,
+    quantiles: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[Int, Long]]
+    with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(child, quantiles)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, ArrayType(DoubleType))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_dd_sketch_q"
+
+  @transient private lazy val qs: Array[Double] = {
+    require(quantiles.foldable, s"$prettyName: quantiles must be a literal array")
+    val arr = quantiles.eval(InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr != null && arr.numElements() > 0,
+      s"$prettyName: quantiles must be a non-empty array")
+    val out = arr.toDoubleArray()
+    out.foreach(q => require(q > 0.0 && q <= 1.0,
+      s"$prettyName: quantile $q outside (0, 1]"))
+    out
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_vals", LongType, nullable = false),
+    StructField("qs", ArrayType(DoubleType), nullable = true)))
+
+  override def createAggregationBuffer(): mutable.HashMap[Int, Long] =
+    mutable.HashMap.empty[Int, Long]
+
+  override def update(
+      buffer: mutable.HashMap[Int, Long],
+      input: InternalRow): mutable.HashMap[Int, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (!x.isNaN) {
+        val b = DecimalDDSketch.bucket(x)
+        buffer.update(b, buffer.getOrElse(b, 0L) + 1L)
+      }
+    }
+    buffer
+  }
+
+  override def merge(
+      b1: mutable.HashMap[Int, Long],
+      b2: mutable.HashMap[Int, Long]): mutable.HashMap[Int, Long] = {
+    b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
+    b1
+  }
+
+  override def eval(buffer: mutable.HashMap[Int, Long]): Any = {
+    val n = buffer.valuesIterator.sum
+    if (n == 0L) InternalRow(0L, null)
+    else InternalRow(n, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      qs.map(q => DecimalDDSketch.quantileOf(buffer, n, q))))
+  }
+
+  override def serialize(buffer: mutable.HashMap[Int, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { case (k, c) => out.writeInt(k); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Int, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val m = mutable.HashMap.empty[Int, Long]
+    var i = 0
+    while (i < size) { m.update(in.readInt(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DecimalDDSketchQ =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DecimalDDSketchQ =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DecimalDDSketchQ =
+    copy(child = newChildren(0), quantiles = newChildren(1))
 }

@@ -92,7 +92,9 @@ object GraftExtensions {
     // into an AggregateExpression during resolution, so registering the
     // function itself is enough for SQL `SELECT graft_dd_sketch(x) ...`
     (FunctionIdentifier("graft_dd_sketch"), info("graft_dd_sketch"),
-      arity("graft_dd_sketch", 1)(args => DecimalDDSketch(args.head))))
+      arity("graft_dd_sketch", 1)(args => DecimalDDSketch(args.head))),
+    (FunctionIdentifier("graft_dd_sketch_q"), info("graft_dd_sketch_q"),
+      arity("graft_dd_sketch_q", 2)(args => DecimalDDSketchQ(args(0), args(1)))))
 
   /** Register into an already-built session (the extensions config only
     * applies at session build time). */

@@ -163,6 +163,13 @@ object columns {
     ExpressionUtils.column(
       DecimalDDSketch(ExpressionUtils.expression(c)).toAggregateExpression())
 
+  def ddSketchQ(c: Column, qs: Seq[Double]): Column =
+    ExpressionUtils.column(
+      DecimalDDSketchQ(ExpressionUtils.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          qs.toArray, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))).toAggregateExpression())
+
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(LshBucket(ExpressionUtils.expression(v), planes))
 

@@ -78,4 +78,30 @@ class DDSketchSpec extends SparkSpec {
       .select($"s.n_vals", $"s.q50").head()
     assert(r.getLong(0) == 0L && r.isNullAt(1))
   }
+
+  test("parameterized variant answers an arbitrary q-list from the same state") {
+    import spark.implicits._
+    val xs = Seq.fill(9)(1234.0) :+ 9950.0
+    // qs[i] answers quantiles[i]; q=1.0 is the max bucket's rep; the
+    // fixed variant's (0.50, 0.95, 0.99) reproduce exactly
+    val r = xs.toDF("x")
+      .agg(GraftFunctions.ddSketchQ(col("x"), Seq(0.5, 0.95, 0.99, 0.1, 1.0)).as("s"))
+      .select($"s.n_vals", $"s.qs").head()
+    assert(r.getLong(0) == 10L)
+    assert(r.getSeq[Double](1) == Seq(1250.0, 9950.0, 9950.0, 1250.0, 9950.0))
+
+    // merge-order invariance carries over (same histogram state)
+    val big = (1 to 5000).map(i => 10.0 + i * 1.1)
+    def run(parts: Int) = big.toDF("x").repartition(parts)
+      .agg(GraftFunctions.ddSketchQ(col("x"), Seq(0.25, 0.999)).as("s"))
+      .select($"s.qs").head().getSeq[Double](0)
+    assert(run(1) == run(29))
+
+    // SQL path with an inline array literal
+    org.apache.spark.sql.graftext.GraftExtensions.registerAll(spark)
+    Seq((1, 100.0), (1, 200.0)).toDF("g", "x").createOrReplaceTempView("ddq_in")
+    val sql = spark.sql(
+      "SELECT graft_dd_sketch_q(x, array(0.5D, 1.0D)).qs AS qs FROM ddq_in").head()
+    assert(sql.getSeq[Double](0) == Seq(105.0, 205.0))
+  }
 }
