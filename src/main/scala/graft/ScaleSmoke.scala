@@ -226,7 +226,8 @@ object ScaleSmoke {
       "q1_pricing_summary", "q5_region_revenue", "q9_product_profit",
       "q18_large_volume", "a2_running_sum", "w3_session_window",
       "d_dedup_groups", "d_minhash_lsh_pairs", "d_curate_corpus",
-      "e_knn_brute", "x6_cep_times_range", "x7_cep_one_or_more")
+      "e_knn_brute", "x6_cep_times_range", "x7_cep_one_or_more",
+      "t_bpe_merges", "t_bpe_tokenize", "q_dd_quantiles_param")
     if (saltAb) {
       // Force the shuffle-join regime (see the saltAb comment above).
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
