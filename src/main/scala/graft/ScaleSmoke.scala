@@ -93,14 +93,23 @@ object ScaleSmoke {
       "embeddings" -> Map("vec_id" -> 10000000L))
     // reuse sentinel = _SUCCESS marker written AFTER the last table — a
     // run killed mid-generation must regenerate, not silently reuse a
-    // half-built fixture set
-    val done = new java.io.File(s"$dst/_SUCCESS")
+    // half-built fixture set. Organic fixtures carry a GENERATION tag:
+    // v2 = offset-less dims stay single-copy (round-10 fix) — a fixture
+    // built by the earlier dim-duplicating code must regenerate.
+    val done = new java.io.File(if (organic) s"$dst/_SUCCESS_v2" else s"$dst/_SUCCESS")
     if (!done.exists()) {
       Tables.all.foreach { t =>
         val base = Tables.t(spark, src, t)
         val rep =
           if (organic) {
-            val offs = organicBig.getOrElse(t, Map.empty[String, Long])
+            // Offset-less tables (region, nation) stay a SINGLE copy —
+            // replicating them without key offsets would union mult
+            // identical frames, giving the dims duplicate primary keys
+            // that fan out every nation/region join by ~mult per hop.
+            // 5/25 rows is their real-world cardinality at any scale.
+            if (!organicBig.contains(t)) base
+            else {
+            val offs = organicBig(t)
             (0 until mult).map { i =>
               val keyed = offs.foldLeft(base) { case (d, (c, off)) =>
                 d.withColumn(c, col(c) + lit(off * i))
@@ -121,6 +130,7 @@ object ScaleSmoke {
                   "transform(embedding, (x, j) -> cast(x + 0.001d * sin(vec_id * (j + 1)) AS float))"))
               else keyed
             }.reduce(_ unionByName _)
+            }
           } else if (constEval && t == "documents") {
             // copy 0 intact; copies i>0 keep only train docs. Same eval
             // membership predicate as TextOps.contaminationHits (hash32

@@ -15,19 +15,42 @@ import org.apache.spark.sql.functions._
   * engine-specific. */
 object Layout {
 
-  /** Write `df` Z-order-clustered on two non-negative integer key
-    * columns (low 16 bits of each are interleaved — the same Morton code
-    * as `q_zorder_key`). `numFiles` range-partitions on the code, so
-    * each output file owns a contiguous Z-range whose (x, y) bounding
-    * box is small in both dimensions; the within-partition sort keeps
-    * every ROW GROUP inside the file tight too. Scale shape: ONE range
-    * exchange (range boundaries from a sampled sketch — skew-tolerant by
-    * construction) + local sort; no other shuffle, no driver
-    * materialization at any input size. */
+  /** Write `df` Z-order-clustered on two integer key columns: each key
+    * is RESCALED from its actual [min, max] into the 16-bit interleave
+    * domain (equal-width buckets — integer division by the bucket width,
+    * overflow-free at any key magnitude), then the two 16-bit values are
+    * interleaved into the same Morton code as `q_zorder_key`. An earlier
+    * revision masked with `& 65535`, which silently WRAPPED keys above
+    * 65535 (organic-fixture part/supplier keys reach millions) so files
+    * spanned the full key range again; the rescale is monotone in each
+    * raw key, so per-file boxes stay contiguous in the raw domain no
+    * matter its magnitude. The min/max probe is ONE bounded 1-row
+    * aggregate — input-size-independent driver work. `numFiles`
+    * range-partitions on the code, so each output file owns a contiguous
+    * Z-range whose (x, y) bounding box is small in both dimensions; the
+    * within-partition sort keeps every ROW GROUP inside the file tight
+    * too. Scale shape: ONE range exchange (range boundaries from a
+    * sampled sketch — skew-tolerant by construction) + local sort; no
+    * other shuffle, no driver materialization at any input size. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
       path: String, numFiles: Int = 32): Unit = {
-    val keyed = df.withColumn("__zx", expr(s"$xCol & 65535"))
-      .withColumn("__zy", expr(s"$yCol & 65535"))
+    val b = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"writeZOrdered: $xCol and $yCol must have at least one non-null value")
+    def scaled(c: String, lo: Long, hi: Long): String =
+      if (hi <= lo) "0L"
+      else if (lo >= 0L && hi <= 65535L) c // already in-domain: keep exact values
+      else {
+        // bucket width ⌈(hi-lo+1)/65536⌉ via (hi-lo)/65535 + 1: divide
+        // FIRST so no product can overflow a long at any key magnitude
+        val width = (hi - lo) / 65535L + 1L
+        s"(($c - ${lo}L) div ${width}L)"
+      }
+    val keyed = df
+      .withColumn("__zx", expr(scaled(xCol, b.getLong(0), b.getLong(1))))
+      .withColumn("__zy", expr(scaled(yCol, b.getLong(2), b.getLong(3))))
       .withColumn("__z", expr(RelationalOps.zInterleave(spark = true, "__zx", "__zy")))
     keyed
       .repartitionByRange(numFiles, col("__z"))

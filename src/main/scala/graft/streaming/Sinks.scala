@@ -334,7 +334,13 @@ final class TaggedSideOutput(delayUs: Long, root: String) extends Serializable {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (st, i) =>
-      fs.rename(st.getPath, new Path(target, f"batch-$batchId-$i%05d.parquet"))
+      val dst = new Path(target, f"batch-$batchId-$i%05d.parquet")
+      // Hadoop signals rename failure by RETURNING false (existing dest,
+      // missing parent, cross-FS move) — unlike the java.nio Files.move
+      // this replaced, which threw. A silent false would drop this
+      // batch's relay files; fail the batch instead so the streaming
+      // query surfaces the error and the replay contract redelivers.
+      require(fs.rename(st.getPath, dst), s"relay rename failed: ${st.getPath} -> $dst")
     }
     fs.delete(tmp, true)
   }

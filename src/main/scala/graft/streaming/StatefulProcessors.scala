@@ -15,6 +15,15 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   */
 object StatefulProcessors {
 
+  /** Full event-time microseconds: getTime is millis, the micros within
+    * the milli live in getNanos. Every processor that computes horizons
+    * in microseconds must SORT by this derived value too — two events in
+    * the same millisecond with different microseconds would otherwise
+    * process out of us-order and diverge from the batch duals' strict
+    * (us, event_id) window ordering. */
+  private[streaming] def evUs(e: Ev): Long =
+    e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+
   /** X1: remember last watched-event timestamp per user; alert when two
     * arrive within the threshold. */
   final class DoubleEventProcessor(watch: String, thresholdUs: Long)
@@ -696,14 +705,13 @@ object StatefulProcessors {
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def us(e: Ev): Long =
-      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    private def us(e: Ev): Long = evUs(e)
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[NearestMatch] = {
       var cs = if (clicks.exists()) clicks.get().toVector else Vector.empty
       var psv = if (purchases.exists()) purchases.get().toVector else Vector.empty
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
         e.event_type match {
           case "click" =>
             val cUs = us(e)
@@ -798,10 +806,9 @@ object StatefulProcessors {
         tv: TimerValues): Iterator[CepMatch] = {
       val out = Seq.newBuilder[CepMatch]
       var ps = (if (partials.exists()) partials.get().toVector else Vector.empty)
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        // full microsecond precision: getTime is millis; the micros-
-        // within-milli live in getNanos (ms-only fixtures get + 0)
-        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id)).foreach { e =>
+        // full microsecond precision (ms-only fixtures get + 0)
+        val us = evUs(e)
         e.event_type match {
           case `first` => ps = ps :+ ((e.event_id, us, -1L))
           case `second` =>
@@ -871,8 +878,8 @@ object StatefulProcessors {
         tv: TimerValues): Iterator[CepNegMatch] = {
       val out = Seq.newBuilder[CepNegMatch]
       var ps = (if (partials.exists()) partials.get().toVector else Vector.empty)
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id)).foreach { e =>
+        val us = evUs(e)
         e.event_type match {
           case `first` => ps = ps :+ ((e.event_id, us, -1L))
           case `neg` =>
@@ -938,9 +945,9 @@ object StatefulProcessors {
       val out = Seq.newBuilder[CepTimesMatch]
       // (id1, us1, id2, us2): the two most recent typ events, -1 = absent
       var st = if (lastTwo.exists()) lastTwo.get() else (-1L, -1L, -1L, -1L)
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
         .filter(_.event_type == typ).foreach { e =>
-          val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val us = evUs(e)
           val (id1, us1, _, us2) = st
           if (id1 >= 0L && us2 >= 0L && us - us1 <= gapUs)
             out += CepTimesMatch(user, id1, us1, us2, us)
@@ -996,9 +1003,9 @@ object StatefulProcessors {
       val out = Seq.newBuilder[CepRangeMatch]
       // (first_id, first_us, count, last_us), insertion-ordered
       var ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
         .filter(_.event_type == typ).foreach { e =>
-          val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val us = evUs(e)
           val (dead, live) = ps.partition { case (_, aUs, _, _) => us - aUs > gapUs }
           dead.foreach { case (id, aUs, c, lUs) =>
             if (c >= minTimes) out += CepRangeMatch(user, id, aUs, c, lUs)
@@ -1044,9 +1051,9 @@ object StatefulProcessors {
         tv: TimerValues): Iterator[CepRangeMatch] = {
       val out = Seq.newBuilder[CepRangeMatch]
       var ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
         .filter(_.event_type == typ).foreach { e =>
-          val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val us = evUs(e)
           val (dead, live) = ps.partition { case (_, aUs, _, _) => us - aUs > gapUs }
           dead.foreach { case (id, aUs, c, lUs) =>
             out += CepRangeMatch(user, id, aUs, c, lUs)

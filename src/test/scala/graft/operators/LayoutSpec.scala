@@ -1,33 +1,39 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
 /** The Z-order layout must deliver what the clustering key promises:
   * per-file (x, y) bounding boxes that are small in BOTH dimensions —
-  * the property parquet min/max skipping monetizes. The spec writes
-  * lineitem twice, hash-spread vs Z-ordered, and compares the summed
-  * box areas file by file: a measured layout receipt, not a prose
-  * claim. */
+  * the property parquet min/max skipping monetizes — and a filtered
+  * scan against the layout must actually READ fewer rows. The spec
+  * writes lineitem twice, hash-spread vs Z-ordered, and gates on (a)
+  * summed per-file box area, (b) the same with keys far beyond the
+  * 16-bit interleave domain (the rescale path — a `& 65535` mask wraps
+  * such keys and quietly loses the property), and (c) the scan-node
+  * numOutputRows metric of a key-filtered aggregate: the measured
+  * row-group-skipping payoff, not just its geometric predictor. */
 class LayoutSpec extends SparkSpec {
 
-  private def boxArea(dir: String): Double = {
+  private def boxArea(dir: String, xExpr: String, yExpr: String): Double = {
     val fs = new java.io.File(dir).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
     assert(fs.length >= 4, s"expected several part files in $dir")
     fs.map { f =>
       val r = spark.read.parquet(f)
-        .selectExpr("min(l_partkey & 65535) AS x0", "max(l_partkey & 65535) AS x1",
-          "min(l_suppkey & 65535) AS y0", "max(l_suppkey & 65535) AS y1")
+        .selectExpr(s"min($xExpr) AS x0", s"max($xExpr) AS x1",
+          s"min($yExpr) AS y0", s"max($yExpr) AS y1")
         .head()
       (r.getLong(1) - r.getLong(0) + 1).toDouble * (r.getLong(3) - r.getLong(2) + 1)
     }.sum
   }
 
+  private def src: DataFrame = graft.Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+    .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
   test("z-ordered write shrinks per-file min/max boxes in both dimensions") {
-    val src = graft.Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
-      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     val plainDir = java.nio.file.Files.createTempDirectory("layout-plain").toString
     val zDir = java.nio.file.Files.createTempDirectory("layout-z").toString
 
@@ -41,13 +47,73 @@ class LayoutSpec extends SparkSpec {
     val nz = spark.read.parquet(zDir).count()
     assert(n0 === src.count() && nz === n0, "layout must not drop rows")
 
-    val plainArea = boxArea(plainDir)
-    val zArea = boxArea(zDir)
+    val plainArea = boxArea(plainDir, "l_partkey", "l_suppkey")
+    val zArea = boxArea(zDir, "l_partkey", "l_suppkey")
     // Z-ordering must cut the summed box area by at least 2x on this
     // fixture (measured ~4-10x; 2x keeps the gate robust to fixture
     // regeneration). Smaller boxes = more row groups skipped by a
     // min/max-pruned scan on EITHER key.
     assert(zArea * 2 <= plainArea,
       f"z-order layout not selective: z=$zArea%.0f plain=$plainArea%.0f")
+  }
+
+  test("rescale keeps boxes tight for keys far beyond the 16-bit domain") {
+    // Keys * 2^17: under the old `& 65535` mask EVERY scaled x-key
+    // collapses to 0, the Morton code degenerates to the y dimension,
+    // and per-file x-boxes span the whole key range — the silent-wrap
+    // regression ADVICE r9 flagged. The rescale path must keep raw-
+    // domain boxes tight at any key magnitude.
+    val big = src
+      .withColumn("l_partkey", col("l_partkey") * 131072L)
+      .withColumn("l_suppkey", col("l_suppkey") * 131072L)
+    val plainDir = java.nio.file.Files.createTempDirectory("layout-bigplain").toString
+    val zDir = java.nio.file.Files.createTempDirectory("layout-bigz").toString
+    big.repartition(8).write.mode("overwrite").parquet(plainDir)
+    Layout.writeZOrdered(big, "l_partkey", "l_suppkey", zDir, numFiles = 8)
+    val plainArea = boxArea(plainDir, "l_partkey", "l_suppkey")
+    val zArea = boxArea(zDir, "l_partkey", "l_suppkey")
+    assert(zArea * 2 <= plainArea,
+      f"big-key z-order layout not selective: z=$zArea%.0f plain=$plainArea%.0f")
+  }
+
+  /** Rows the parquet reader MATERIALIZED for `df` — the scan node's
+    * numOutputRows after row-group/page skipping (record-level parquet
+    * filtering is off by default, so surviving row groups stream out in
+    * full and the Spark Filter node prunes rows after the scan; fewer
+    * scan-output rows == more row groups skipped). AQE is disabled by
+    * the caller so the executed plan is a plain tree. */
+  private def rowsScanned(df: DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a parquet scan in the plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("filtered scan against the z-layout reads >=2x fewer rows (skipping receipt)") {
+    val plainDir = java.nio.file.Files.createTempDirectory("layout-scanplain").toString
+    val zDir = java.nio.file.Files.createTempDirectory("layout-scanz").toString
+    src.repartition(8).write.mode("overwrite").parquet(plainDir)
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", zDir, numFiles = 8)
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def probe(dir: String, pred: String): (Long, Double) = {
+        val q = spark.read.parquet(dir).filter(expr(pred))
+          .agg(sum(col("l_quantity").cast("double")).as("q"))
+        val scanned = rowsScanned(q)
+        (scanned, q.head().getDouble(0))
+      }
+      // both clustered dimensions must pay — partkey AND suppkey
+      for (pred <- Seq("l_partkey <= 25", "l_suppkey <= 2")) {
+        val (plainRows, pSum) = probe(plainDir, pred)
+        val (zRows, zSum) = probe(zDir, pred)
+        assert(math.abs(pSum - zSum) < 1e-6, s"layouts disagree on $pred")
+        assert(zRows * 2 <= plainRows,
+          s"z-layout scan not skipping on $pred: z=$zRows plain=$plainRows")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 }

@@ -25,6 +25,47 @@ class CepExtensionsSpec extends SparkSpec {
   private def ev(id: Long, tsMs: Long, user: Long, typ: String): Ev =
     Ev(id, new Timestamp(tsMs), user, typ, 0.0)
 
+  /** Event at full MICROSECOND precision: getTime carries the millis,
+    * the micros-within-milli ride in getNanos. */
+  private def evU(id: Long, tsUs: Long, user: Long, typ: String): Ev = {
+    val ms = tsUs / 1000L
+    val t = new Timestamp(ms)
+    t.setNanos((ms % 1000L).toInt * 1000000 + (tsUs % 1000L).toInt * 1000)
+    Ev(id, t, user, typ, 0.0)
+  }
+
+  test("within-millisecond events process in microsecond order (ADVICE r9 pin)") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepSequence(in.toDS(), gapUs = 10000000L)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepus-ck").toString)
+        .format("memory").queryName("cepus").start()
+      try {
+        // signup and click land in the SAME millisecond; the signup is
+        // EARLIER in microseconds but has the LARGER event_id, so a
+        // millisecond-granularity sort (ms, event_id) would process the
+        // click first — before its anchor exists — and the sequence
+        // would never complete. The us-precision sort the batch dual
+        // uses must see signup -> click -> purchase and emit the match.
+        in.addData(
+          evU(1, 1000200L, 1, "click"),
+          evU(2, 1000100L, 1, "signup"),
+          evU(3, 5000000L, 1, "purchase"))
+        q.processAllAvailable()
+        val rows = s.table("cepus")
+          .selectExpr("user_id", "first_id", "first_us", "second_us", "third_us")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(rows === Set((1L, 2L, 1000100L, 1000200L, 5000000L)),
+          s"us-order processing broken: $rows")
+      } finally q.stop()
+    }
+  }
+
   test("negation: error between signup and purchase vetoes; error after the match does not") {
     withRocksDb {
       val s = spark
