@@ -721,6 +721,99 @@ SELECT event_id, user_id, CAST(max_rn - rn + 1 AS BIGINT) AS n_times,
 FROM g"""),
     "CEP oneOrMore greedy quantifier (noSkip): per anchor, every click in its 6-h horizon; rank-difference on one exchange.")
 
+  // X8 (beyond the reference — Flink-CEP AfterMatchSkipStrategy
+  // `skipPastLastEvent` over oneOrMore): greedy NON-OVERLAPPING runs.
+  // The first click opens a match that absorbs every click within
+  // `gapUs` of its anchor; the next click past that horizon CLOSES the
+  // match and anchors the next one — vs x7 (noSkip) where every click
+  // starts its own overlapping run, here each click belongs to exactly
+  // ONE match. The segmentation is inherently sequential per key (each
+  // anchor depends on where the previous match ended — a chain, not a
+  // fixed-depth window stack), so the scalable shape is ONE exchange +
+  // ONE per-key sort and an O(1)-state streaming fold over each user's
+  // click substream: `groupByKey(user).flatMapSortedGroups(us, id)`,
+  // Spark's typed secondary-sort operator — the iterator streams off
+  // the sorted shuffle files, nothing is materialized per group, so a
+  // user with 10^9 clicks costs constant memory. The DuckDB oracle
+  // walks the same chain with a recursive CTE over precomputed
+  // horizon-end ranks (next anchor rank = this match's end rank + 1).
+  // Streaming dual: StatefulProcessors.CepSkipPastProcessor — O(1)
+  // state (just the open match), even cheaper than x7's pending list.
+
+  /** One `typ` event of the per-user substream, microsecond-stamped. */
+  private[graft] final case class ClickAt(event_id: Long, user_id: Long, us: Long)
+
+  /** A closed skip-past segment (pre-timestamp projection). */
+  private[graft] final case class SkipSeg(event_id: Long, user_id: Long,
+      n_times: Long, first_us: Long, last_us: Long)
+
+  /** X8 core over any event frame — public for the streaming-equivalence
+    * spec, like [[cepOneOrMoreBatch]]. Batch close-out semantics: end of
+    * input closes the final open segment (the input is complete). */
+  def cepSkipPastBatch(ev: DataFrame, gapUs: Long,
+      typ: String = "click"): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.filter(col("event_type") === typ)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[ClickAt]
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"us", $"event_id") { (user: Long, it: Iterator[ClickAt]) =>
+        // O(1) fold state: the currently open segment
+        var anchor: ClickAt = null
+        var n = 0L
+        var lastUs = 0L
+        def open(c: ClickAt): Unit = { anchor = c; n = 1L; lastUs = c.us }
+        val closed = it.flatMap { c =>
+          if (anchor == null) { open(c); Iterator.empty[SkipSeg] }
+          else if (c.us - anchor.us <= gapUs) {
+            n += 1L; lastUs = c.us; Iterator.empty[SkipSeg]
+          } else {
+            val seg = SkipSeg(anchor.event_id, user, n, anchor.us, lastUs)
+            open(c)
+            Iterator.single(seg)
+          }
+        }
+        // lazily evaluated AFTER `closed` drains — emits the final segment
+        val tail = new Iterator[SkipSeg] {
+          def hasNext: Boolean = anchor != null
+          def next(): SkipSeg = {
+            val seg = SkipSeg(anchor.event_id, user, n, anchor.us, lastUs)
+            anchor = null
+            seg
+          }
+        }
+        closed ++ tail
+      }
+      .select(col("event_id"), col("user_id"), col("n_times"),
+        timestamp_micros(col("first_us")).as("first_ts"),
+        timestamp_micros(col("last_us")).as("last_ts"))
+  }
+
+  private val x8 = GQuery(
+    "x8_cep_skip_past",
+    (s, dir) => cepSkipPastBatch(events(s, dir), 21600000000L),
+    Some("""WITH RECURSIVE c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE event_type = 'click'),
+h AS (
+  SELECT event_id, user_id, us, rn,
+         max(rn) OVER (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN CURRENT ROW AND 21600000000 FOLLOWING) AS end_rn
+  FROM c),
+seg AS (
+  SELECT user_id, rn AS anchor_rn, end_rn FROM h WHERE rn = 1
+  UNION ALL
+  SELECT h.user_id, h.rn, h.end_rn
+  FROM seg s JOIN h ON h.user_id = s.user_id AND h.rn = s.end_rn + 1)
+SELECT a.event_id, s.user_id, CAST(s.end_rn - s.anchor_rn + 1 AS BIGINT) AS n_times,
+       make_timestamp(a.us) AS first_ts, make_timestamp(l.us) AS last_ts
+FROM seg s
+JOIN h a ON a.user_id = s.user_id AND a.rn = s.anchor_rn
+JOIN h l ON l.user_id = s.user_id AND l.rn = s.end_rn"""),
+    "CEP skipPastLastEvent: greedy non-overlapping oneOrMore runs; secondary-sorted O(1) per-key fold, recursive-CTE oracle.")
+
   // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
   // batch analog: lag() per user over the filtered event class; alert when two
   // 'error's land within 6 hours.
@@ -804,5 +897,5 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, a5, a5b, a6, a7, w2, w3, w4,
-    j1, j2, j3, j4, x1, x2, x3, x4, x5, x6, x7, qDistinct, qExcept, qIntersect)
+    j1, j2, j3, j4, x1, x2, x3, x4, x5, x6, x7, x8, qDistinct, qExcept, qIntersect)
 }

@@ -1074,6 +1074,53 @@ object StatefulProcessors {
       .transformWithState(new CepOneOrMoreProcessor(typ, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** X8 streaming dual (Flink-CEP AfterMatchSkipStrategy
+    * `skipPastLastEvent` over oneOrMore): greedy NON-OVERLAPPING runs —
+    * exactly one match is open per key at any moment; a `typ` event
+    * inside its `gapUs` horizon joins it, the first event beyond the
+    * horizon closes and emits it and anchors the next. State is ONE
+    * tuple per key (the open match) — O(1), cheaper than x7's pending
+    * list, because skip-past forbids overlap by construction. The open
+    * match at stream end stays pending (finalize-on-evidence, like the
+    * other CEP processors); the batch x8 closes it at end-of-input, so
+    * the equivalence spec feeds a beyond-horizon flush event. */
+  final class CepSkipPastProcessor(typ: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepRangeMatch] {
+
+    @transient private var cur: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, Long, Long, Long)]("skip_cur",
+        pendingEnc, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepRangeMatch] = {
+      val out = Seq.newBuilder[CepRangeMatch]
+      // (anchor_id, anchor_us, count, last_us); anchor_id = -1 -> none
+      var st = if (cur.exists()) cur.get() else (-1L, -1L, -1L, -1L)
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
+        .filter(_.event_type == typ).foreach { e =>
+          val us = evUs(e)
+          val (id, aUs, c, lUs) = st
+          if (id < 0L) st = (e.event_id, us, 1L, us)
+          else if (us - aUs <= gapUs) st = (id, aUs, c + 1L, us)
+          else {
+            out += CepRangeMatch(user, id, aUs, c, lUs)
+            st = (e.event_id, us, 1L, us)
+          }
+        }
+      cur.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** X8 wiring: skip-past-last-event segmentation over the typed stream. */
+  def cepSkipPast(events: Dataset[Ev], typ: String = "click",
+      gapUs: Long = 21600000000L): Dataset[CepRangeMatch] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepSkipPastProcessor(typ, gapUs),
+        TimeMode.None(), OutputMode.Append())
+
   /** An event tagged with its source partition — the unit the reference's
     * watermark generator is instantiated per (one generator per source
     * subtask, EventTimeOperations.java:96-141). */

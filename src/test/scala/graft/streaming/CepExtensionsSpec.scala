@@ -377,4 +377,96 @@ class CepExtensionsSpec extends SparkSpec {
       } finally { qNeg.stop(); qTimes.stop() }
     }
   }
+
+  test("skipPastLastEvent: non-overlapping greedy runs, O(1) state, cross-batch") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val gapUs = 10000000L // 10 s
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepSkipPast(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepskip-ck").toString)
+        .format("memory").queryName("cepskip").start()
+      try {
+        in.addData(
+          // user 1: three clicks inside the first horizon, a fourth past
+          // it (closes run 1, anchors run 2), a fifth past THAT (closes
+          // run 2, anchors run 3 — pending). Interleaved non-clicks are
+          // ignored. vs x7 (noSkip) this must emit exactly ONE run per
+          // segment, never the overlapping per-anchor tails.
+          ev(1, 1000, 1, "click"), ev(2, 1500, 1, "signup"),
+          ev(3, 3000, 1, "click"), ev(4, 5000, 1, "click"),
+          ev(5, 12000, 1, "click"), ev(6, 30000, 1, "click"),
+          // user 2: lone click — stays pending, nothing emits
+          ev(7, 1000, 2, "click"))
+        q.processAllAvailable()
+        val rows = s.table("cepskip")
+          .selectExpr("user_id", "first_id", "n_times", "last_us")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(rows === Set(
+          (1L, 1L, 3L, 5000000L), (1L, 5L, 1L, 12000000L)),
+          s"skip-past segmentation wrong: $rows")
+
+        // cross-batch: the pending run-3 anchor (click 6) grows with an
+        // in-horizon click, then a beyond-horizon click finalizes n=2 —
+        // only possible if the single-tuple state survived the batch
+        in.addData(ev(10, 35000, 1, "click"))
+        q.processAllAvailable()
+        in.addData(ev(11, 60000, 1, "click"))
+        q.processAllAvailable()
+        val u1 = s.table("cepskip").where("user_id = 1")
+          .selectExpr("first_id", "n_times").as[(Long, Long)].collect().toSet
+        assert(u1 === Set((1L, 3L), (5L, 1L), (6L, 2L)), s"cross-batch wrong: $u1")
+      } finally q.stop()
+    }
+  }
+
+  test("stream matches the batch x8 query on a flushed fixture") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val sfDir = "/root/testdata/sf0.001"
+      val gapUs = 21600000000L
+      val fixture = graft.Tables.t(s, sfDir, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+        .orderBy("ts", "event_id").as[Ev].collect().toSeq
+      // flush clicks close each user's final open segment in the stream;
+      // the flush anchors' own one-click segments (closed by batch
+      // end-of-input) are excluded from the batch side by id
+      val maxTs = fixture.map(_.ts.getTime).max
+      val maxId = fixture.map(_.event_id).max
+      val flush = fixture.map(_.user_id).distinct.sorted.zipWithIndex.map {
+        case (u, i) =>
+          Ev(maxId + 1 + i, new Timestamp(maxTs + 2 * gapUs / 1000L), u, "click", 0.0)
+      }
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepSkipPast(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepskip-eq-ck").toString)
+        .format("memory").queryName("cepskip_eq").start()
+      try {
+        s.createDataset(fixture ++ flush).toDF()
+          .createOrReplaceTempView("events_aug_x8")
+        in.addData(fixture); in.addData(flush.toSeq)
+        q.processAllAvailable()
+        val stream = s.table("cepskip_eq")
+          .selectExpr("user_id", "first_id", "n_times", "first_us", "last_us")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        val batch = graft.operators.EventOps.cepSkipPastBatch(
+            s.table("events_aug_x8"), gapUs)
+          .where(s"event_id <= $maxId")
+          .selectExpr("user_id", "event_id", "n_times",
+            "unix_micros(first_ts)", "unix_micros(last_ts)")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(stream === batch,
+          s"x8 only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+        assert(batch.nonEmpty, "x8 fixture equivalence is vacuous — no matches")
+      } finally q.stop()
+    }
+  }
 }
