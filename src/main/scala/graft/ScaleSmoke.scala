@@ -30,46 +30,108 @@ object ScaleSmoke {
       }
     }.reduce(_ unionByName _)
 
-  def main(args: Array[String]): Unit = {
-    // tolerant parse: `ScaleSmoke skew` (flag only) falls back to x16
-    // instead of throwing NumberFormatException on the mode word
-    val mult = args.headOption.filter(a => a.nonEmpty && a.forall(_.isDigit))
-      .map(_.toInt).getOrElse(16)
-    val skewed = args.contains("skew")
-    // `consteval`: scale the TRAIN side only — replicated document
-    // copies drop their would-be eval docs so the eval set stays the
-    // original copy's. This is decontamination's production shape
-    // (benchmarks are fixed while corpora grow); the default replication
-    // grows the eval side with the corpus and so overstates its cost.
-    val constEval = args.contains("consteval")
-    // `saltab`: the salted-join A/B — lineitem gains a hot JOIN key (~20%
-    // of rows reassigned to l_partkey=7) and the same join/agg runs three
-    // ways: plain with AQE skew-join ON, plain with it OFF, and the
-    // manually salted q_salted_join shape. Broadcast is disabled for all
-    // three (the 100 TB regime where the dim side outgrows broadcast —
-    // with broadcast allowed there IS no shuffle skew problem and the
-    // whole question is moot).
-    val saltAb = args.contains("saltab")
-    // `organic`: unique-id/content regeneration per replica. The default
-    // replication is deliberately dup-heavy (every doc gains mult-1 exact
-    // copies; dimension keys shared), which exercises the degenerate LSH
-    // regime but FLATTERS dedup and understresses distinct-heavy
-    // aggregates (count-distinct cardinalities stay constant as the
-    // corpus multiplies). Organic mode salts the replica index into
-    // every key family (dims replicated with offset keys, fact FKs
-    // re-pointed at the copy-local dims), regenerates document
-    // vocabulary per copy (token-prefix rewrite -> cross-copy Jaccard
-    // 0, only the fixture's own ~10% dup rate remains), and perturbs
-    // embedding coordinates — so distinct counts, group counts, and
-    // join build sides all scale WITH the data, the way a real corpus
-    // grows.
-    val organic = args.contains("organic")
+  /** Organic-fixture subset — ALSO the standing scale gate's pinned
+    * query list (round-9 verdict task 1): the shuffle-heaviest families
+    * whose dup-heavy-100x receipts were flagged as flattered (dedup) or
+    * understressed (distinct-heavy aggregates), plus each round's new
+    * operators. Append new queries; don't remove — removals hide
+    * regressions. */
+  val organicSubset: Seq[String] = Seq(
+    "q_count_distinct", "q_hll_sketch", "q_percentiles", "q_dd_quantiles",
+    "q1_pricing_summary", "q5_region_revenue", "q9_product_profit",
+    "q18_large_volume", "a2_running_sum", "w3_session_window",
+    "d_dedup_groups", "d_minhash_lsh_pairs", "d_curate_corpus",
+    "e_knn_brute", "x6_cep_times_range", "x7_cep_one_or_more",
+    "t_bpe_merges", "t_bpe_tokenize", "q_dd_quantiles_param",
+    // round-10 additions
+    "x8_cep_skip_past", "w2b_sliding_dd_pane", "w2c_sliding_hll_pane")
+
+  /** Two timed passes (cold scan + warm plan), min — the same protocol
+    * as the saltab A/B. */
+  private def timeAb(tag: String, label: String)(mk: => DataFrame): Double = {
+    val ts = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val m = ts.min
+    println("[%s] %-28s %8s s  (passes: %s)".format(tag, label,
+      "%.2f".formatLocal(java.util.Locale.ROOT, m),
+      ts.map(d => "%.2f".formatLocal(java.util.Locale.ROOT, d)).mkString("/")))
+    m
+  }
+
+  /** Standing scale gate (`runMain graft.ScaleSmoke gate r10`): builds
+    * the x4 and x100 ORGANIC fixtures, times the pinned
+    * [[organicSubset]] on both (two passes, min), and FAILS (exit 1) if
+    * any query's x100/x4 ratio breaches the sub-linearity threshold.
+    * Emits SCALE_r{N}.json in the repo root — the per-round artifact
+    * the round ledger records.
+    *
+    * Threshold: data grows 25× between the fixtures (100/4), so a
+    * linear operator scores ratio ≈ 25. The gate demands ratio ≤ 20
+    * (0.8× linear — every operator here does sub-linear work per added
+    * row: caps, sketches, broadcast probes; the round-9 worst case was
+    * q9 at 12.3). Queries finishing under 2 s at x100 are exempt from
+    * the ratio check: at sub-second scales the ratio measures host
+    * noise and fixed costs, not scaling shape — but their absolute
+    * time still lands in the artifact, so a regression into the tens
+    * of seconds can't hide. A query that CRASHES at either scale fails
+    * the gate outright. */
+  private def runGate(spark: SparkSession, args: Array[String]): Unit = {
+    val tag = args.find(_.matches("r\\d+")).getOrElse("rX")
+    val ratioMax = 20.0
+    val absFloorSec = 2.0
+    val multLo = 4
+    val multHi = 100
+    def timings(mult: Int): Map[String, Option[Double]] = {
+      val dst = ensureFixture(spark, mult, skewed = false,
+        constEval = false, saltAb = false, organic = true)
+      organicSubset.map { name =>
+        name -> (try Some(timeAb(s"gate x$mult", name)(
+          SparkEntry.queries(name)(spark, dst)))
+        catch { case e: Throwable =>
+          System.err.println(s"[gate] $name FAILED at x$mult: ${e.getMessage}")
+          None
+        })
+      }.toMap
+    }
+    val lo = timings(multLo)
+    val hi = timings(multHi)
+    def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val rows = organicSubset.map { name =>
+      (lo(name), hi(name)) match {
+        case (Some(tl), Some(th)) =>
+          val ratio = th / math.max(tl, 0.05)
+          val pass = th <= absFloorSec || ratio <= ratioMax
+          (name, s"""{"t_lo":${n(tl)},"t_hi":${n(th)},"ratio":${n(ratio)},"pass":$pass}""", pass)
+        case (tl, th) =>
+          val f = (v: Option[Double]) => v.map(n).getOrElse("null")
+          (name, s"""{"t_lo":${f(tl)},"t_hi":${f(th)},"ratio":null,"pass":false}""", false)
+      }
+    }
+    val failed = rows.collect { case (name, _, false) => name }
+    val json = s"""{"mode":"scale_gate","fixture":"organic","mult_lo":$multLo,"mult_hi":$multHi,""" +
+      s""""ratio_max":$ratioMax,"abs_floor_sec":$absFloorSec,""" +
+      s""""queries":{${rows.map { case (k, v, _) => s""""$k":$v""" }.mkString(",")}},""" +
+      s""""failed":[${failed.map(f => s""""$f"""").mkString(",")}],"pass":${failed.isEmpty}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"SCALE_$tag.json"), json + "\n")
+    println(json)
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Build (or reuse) the x`mult` fixture set for the given mode flags;
+    * returns the fixture directory. Factored out of main so the `gate`
+    * mode can build BOTH comparison points (x4 and x100 organic) in one
+    * run. */
+  def ensureFixture(spark: SparkSession, mult: Int, skewed: Boolean,
+      constEval: Boolean, saltAb: Boolean, organic: Boolean): String = {
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_sfbig_x$mult" +
       (if (skewed) "_skew" else if (constEval) "_consteval"
        else if (saltAb) "_saltab" else if (organic) "_organic" else "")
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
-    spark.sparkContext.setLogLevel("WARN")
 
     val big = Map(
       "events" -> Map("event_id" -> 100000000L),
@@ -154,6 +216,64 @@ object ScaleSmoke {
       done.createNewFile()
       println(s"[scale] wrote x$mult fixtures to $dst")
     } else println(s"[scale] reusing fixtures in $dst")
+    dst
+  }
+
+  def main(args: Array[String]): Unit = {
+    // tolerant parse: `ScaleSmoke skew` (flag only) falls back to x16
+    // instead of throwing NumberFormatException on the mode word
+    val mult = args.headOption.filter(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toInt).getOrElse(16)
+    val skewed = args.contains("skew")
+    // `consteval`: scale the TRAIN side only — replicated document
+    // copies drop their would-be eval docs so the eval set stays the
+    // original copy's. This is decontamination's production shape
+    // (benchmarks are fixed while corpora grow); the default replication
+    // grows the eval side with the corpus and so overstates its cost.
+    val constEval = args.contains("consteval")
+    // `saltab`: the salted-join A/B — lineitem gains a hot JOIN key (~20%
+    // of rows reassigned to l_partkey=7) and the same join/agg runs three
+    // ways: plain with AQE skew-join ON, plain with it OFF, and the
+    // manually salted q_salted_join shape. Broadcast is disabled for all
+    // three (the 100 TB regime where the dim side outgrows broadcast —
+    // with broadcast allowed there IS no shuffle skew problem and the
+    // whole question is moot).
+    val saltAb = args.contains("saltab")
+    // `organic`: unique-id/content regeneration per replica. The default
+    // replication is deliberately dup-heavy (every doc gains mult-1 exact
+    // copies; dimension keys shared), which exercises the degenerate LSH
+    // regime but FLATTERS dedup and understresses distinct-heavy
+    // aggregates (count-distinct cardinalities stay constant as the
+    // corpus multiplies). Organic mode salts the replica index into
+    // every key family (dims replicated with offset keys, fact FKs
+    // re-pointed at the copy-local dims), regenerates document
+    // vocabulary per copy (token-prefix rewrite -> cross-copy Jaccard
+    // 0, only the fixture's own ~10% dup rate remains), and perturbs
+    // embedding coordinates — so distinct counts, group counts, and
+    // join build sides all scale WITH the data, the way a real corpus
+    // grows.
+    val organic = args.contains("organic")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
+    spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("gate")) { runGate(spark, args); return }
+    val dst = ensureFixture(spark, mult, skewed, constEval, saltAb, organic)
+
+    // `paneab`: the pane-sharing A/B — the registered pane plans vs
+    // their naive row-replicating duals on the same fixture (run with
+    // `organic` for the 100x receipt). Same outputs bit-for-bit
+    // (PaneSpec), so the delta is pure plan shape: the naive side
+    // shuffles k x |rows|, the pane side |rows| + k x |cells|.
+    if (args.contains("paneab")) {
+      val ev = Tables.t(spark, dst, "events")
+      val ddNaive = timeAb("paneab", "dd_naive")(operators.PaneOps.slidingDdQuantilesNaive(ev))
+      val ddPane = timeAb("paneab", "dd_pane")(operators.PaneOps.slidingDdQuantilesPane(ev))
+      val hllNaive = timeAb("paneab", "hll_naive")(operators.PaneOps.slidingHllDistinctNaive(ev))
+      val hllPane = timeAb("paneab", "hll_pane")(operators.PaneOps.slidingHllDistinctPane(ev))
+      def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      println(s"""{"dd_naive":${n(ddNaive)},"dd_pane":${n(ddPane)},"hll_naive":${n(hllNaive)},"hll_pane":${n(hllPane)},"mult":$mult,"mode":"paneab"}""")
+      spark.stop()
+      return
+    }
 
     // Hot-key subset: every query keyed on user_id, paired where possible
     // with its skew remedy (a2 unsalted vs a2b salted is the headline
@@ -226,18 +346,6 @@ object ScaleSmoke {
       "a18_seasonal_anomaly", "q_pagerank", "x3_cep_sequence")
     // Round-8 additions (CEP negation + quantifier) needing receipts.
     val r8Subset = Seq("x4_cep_negation", "x5_cep_times", "x3_cep_sequence")
-    // Organic-fixture subset: the shuffle-heaviest query families whose
-    // dup-heavy-100x receipts the round-8 verdict flagged as flattered
-    // (dedup) or understressed (distinct-heavy aggregates with constant
-    // key cardinality). Re-receipted against per-replica-unique keys,
-    // vocabulary, and vectors.
-    val organicSubset = Seq(
-      "q_count_distinct", "q_hll_sketch", "q_percentiles", "q_dd_quantiles",
-      "q1_pricing_summary", "q5_region_revenue", "q9_product_profit",
-      "q18_large_volume", "a2_running_sum", "w3_session_window",
-      "d_dedup_groups", "d_minhash_lsh_pairs", "d_curate_corpus",
-      "e_knn_brute", "x6_cep_times_range", "x7_cep_one_or_more",
-      "t_bpe_merges", "t_bpe_tokenize", "q_dd_quantiles_param")
     if (saltAb) {
       // Force the shuffle-join regime (see the saltAb comment above).
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -24,7 +24,8 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.EmbeddingOps.all ++
       operators.MultimodalOps.all ++
-      operators.SketchOps.all
+      operators.SketchOps.all ++
+      operators.PaneOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5-style 6-way join with broadcast dims — the showcase plan. */

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, Tables}
+
+/** Pane-shared sliding-window sketches (beyond the reference — the
+  * classic "panes" optimization of Li et al., "No Pane, No Gain", over
+  * the engine's mergeable sketches).
+  *
+  * A sliding window of size S and slide s covers k = S/s non-overlapping
+  * PANES (tumbling s-width buckets). The naive sliding plan replicates
+  * every RAW ROW into its k covering windows before aggregating — k× the
+  * shuffle bytes, k× the aggregation work. Because the engine's sketches
+  * merge associatively (DDSketch bucket counts add; HLL registers max),
+  * the pane plan aggregates raw rows ONCE per pane, then replicates and
+  * merges only the constant-size pane sketches: shuffle volume drops
+  * from k×|rows| to |rows| + k×|panes|×|sketch cells|, and the pane
+  * count is time-bounded, not data-bounded — at 100 TB/day with a 30-min
+  * slide there are 48 panes/day regardless of row count. The estimates
+  * are IDENTICAL to the naive plan's (merge-order invariance), which the
+  * PaneSpec asserts and the DuckDB oracle (written in the naive,
+  * row-replicating form — an independent derivation) hash-verifies.
+  *
+  * Streaming duals live in
+  * [[graft.streaming.StreamingPipelines.slidingDdQuantilesPaneStream]]:
+  * the same pane→window two-level shape as chained watermarked
+  * aggregations.
+  */
+object PaneOps {
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+
+  /** 2-hour windows sliding every 30 minutes. */
+  private[graft] val slideUs = 1800000000L
+  private[graft] val paneK = 4
+
+  /** The decimal-DDSketch bucket of SQL expression `x` — the same
+    * (#digits, first-two-digits) bucket the
+    * [[org.apache.spark.sql.graftext.DecimalDDSketch]] aggregate uses,
+    * as a plain SQL expression (valid in BOTH Spark and DuckDB up to
+    * the `//`-vs-`div` spelling handled by the caller), so pane-grouped
+    * sketch STATE is expressible as (bucket, count) rows that stay
+    * inside whole-stage codegen. */
+  private[graft] def ddBucketExpr(x: String): String =
+    s"""CASE WHEN $x < 1 THEN 0 ELSE
+       length(CAST(CAST(floor($x) AS BIGINT) AS STRING)) * 100 +
+       CASE WHEN floor($x) < 10 THEN CAST(floor($x) AS INT) * 10
+            ELSE CAST(substring(CAST(CAST(floor($x) AS BIGINT) AS STRING), 1, 2) AS INT) END
+     END"""
+
+  /** Bucket → representative value (midpoint), matching DecimalDDSketch. */
+  private def ddRepExpr(b: String): String =
+    s"CASE WHEN $b = 0 THEN 0.5 ELSE (CAST($b % 100 AS DOUBLE) + 0.5) * pow(10, ($b div 100) - 2) END"
+
+  /** Quantile arm: smallest bucket whose cumulative count reaches ⌈q·n⌉. */
+  private def qArm(q: Double): org.apache.spark.sql.Column =
+    min(when(col("cum") >= greatest(lit(1L), ceil(lit(q) * col("n")).cast("long")),
+      col("bk")))
+
+  /** Shared tail: (event_type, win_start_us, bk, cnt) → per-window
+    * quantile estimates. One exchange on (event_type, win_start_us) for
+    * the cumulative walk — the input is already sketch-sized. */
+  private def quantilesFromCells(cells: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy("event_type", "win_start_us").orderBy("bk")
+    val wAll = Window.partitionBy("event_type", "win_start_us")
+    cells
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"), col("win_start_us"))
+      .agg(max(col("n")).as("n_vals"), qArm(0.50).as("b50"),
+        qArm(0.95).as("b95"), qArm(0.99).as("b99"))
+      .select(col("event_type"),
+        timestamp_micros(col("win_start_us")).as("win_start"), col("n_vals"),
+        expr(ddRepExpr("b50")).as("q50"), expr(ddRepExpr("b95")).as("q95"),
+        expr(ddRepExpr("b99")).as("q99"))
+  }
+
+  /** PANE plan: raw rows aggregate once into per-pane sketch cells; only
+    * the cells replicate into the k covering windows. */
+  def slidingDdQuantilesPane(ev: DataFrame): DataFrame = {
+    val cells = ev.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+        expr(ddBucketExpr(s"least(value, 999999999999999.0d)")).as("bk"))
+      .groupBy("event_type", "pane", "bk")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("win_start_us", explode(expr(
+        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .groupBy("event_type", "win_start_us", "bk")
+      .agg(sum(col("cnt")).as("cnt"))
+    quantilesFromCells(cells)
+  }
+
+  /** NAIVE plan (the A/B receipt's baseline, not registered): every raw
+    * row replicates into its k windows before any aggregation. Same
+    * output bit-for-bit — merge-order invariance. */
+  def slidingDdQuantilesNaive(ev: DataFrame): DataFrame = {
+    val cells = ev.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+        expr(ddBucketExpr(s"least(value, 999999999999999.0d)")).as("bk"))
+      .withColumn("win_start_us", explode(expr(
+        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .groupBy("event_type", "win_start_us", "bk")
+      .agg(count(lit(1)).as("cnt"))
+    quantilesFromCells(cells)
+  }
+
+  private val w2b = GQuery(
+    "w2b_sliding_dd_pane",
+    (s, dir) => slidingDdQuantilesPane(events(s, dir)),
+    Some {
+      def rep(b: String) =
+        s"CASE WHEN $b = 0 THEN 0.5 ELSE (CAST($b % 100 AS DOUBLE) + 0.5) * pow(10, ($b // 100) - 2) END"
+      s"""WITH v AS (SELECT event_type, epoch_us(ts) AS us, least(value, 999999999999999.0) AS x
+           FROM events WHERE value IS NOT NULL),
+wv AS (SELECT event_type, (us // $slideUs) * $slideUs - i * $slideUs AS win_start_us, x
+       FROM v, (SELECT unnest(range($paneK)) AS i)),
+b AS (SELECT event_type, win_start_us,
+             CASE WHEN x < 1 THEN 0 ELSE
+               len(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR)) * 100 +
+               CASE WHEN floor(x) < 10 THEN CAST(floor(x) AS INTEGER) * 10
+                    ELSE CAST(substr(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR), 1, 2) AS INTEGER) END
+             END AS bk
+      FROM wv),
+c AS (SELECT event_type, win_start_us, bk, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+w AS (SELECT event_type, win_start_us, bk,
+             CAST(sum(cnt) OVER (PARTITION BY event_type, win_start_us ORDER BY bk) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type, win_start_us) AS BIGINT) AS n FROM c),
+q AS (SELECT event_type, win_start_us, max(n) AS n_vals,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN bk END) AS b50,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN bk END) AS b95,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN bk END) AS b99
+      FROM w GROUP BY 1, 2)
+SELECT event_type, make_timestamp(win_start_us) AS win_start, n_vals,
+       ${rep("b50")} AS q50, ${rep("b95")} AS q95, ${rep("b99")} AS q99
+FROM q"""
+    },
+    "Sliding-window DDSketch quantiles via pane decomposition: raw rows aggregate once per pane; only sketch cells replicate into windows.")
+
+  /** PANE plan for sliding distinct-user estimates: per-pane HLL
+    * registers (max rho per bucket) merge into windows by max — the
+    * register rows, never the raw rows, replicate k×. Same hash-
+    * deterministic m=64 sketch as q_hll_sketch, so the oracle recomputes
+    * the estimate bit-for-bit in its naive row-replicating form. */
+  def slidingHllDistinctPane(ev: DataFrame): DataFrame = {
+    val m = RelationalOps.hllM
+    ev.select(col("event_type"),
+        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+        graft.functions.GraftFunctions
+          .md5Hash48(col("user_id").cast("string")).as("h"))
+      .selectExpr("event_type", "pane", s"h % $m AS bucket",
+        s"${RelationalOps.hllRho("(h div 64)")} AS rho")
+      .groupBy("event_type", "pane", "bucket")
+      .agg(max(col("rho")).as("rho"))
+      .withColumn("win_start_us", explode(expr(
+        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .groupBy("event_type", "win_start_us", "bucket")
+      .agg(max(col("rho")).as("rho"))
+      .groupBy("event_type", "win_start_us")
+      .agg((sum(expr("1.0 / cast(shiftleft(1L, rho) AS double)"))
+        + (lit(m) - count(lit(1)))).as("sum_inv"))
+      .select(col("event_type"),
+        timestamp_micros(col("win_start_us")).as("win_start"),
+        round(expr(s"0.709 * $m * $m") / col("sum_inv") + lit(1e-9), 2).as("hll_est"))
+  }
+
+  /** NAIVE baseline for the HLL A/B receipt (not registered). */
+  def slidingHllDistinctNaive(ev: DataFrame): DataFrame = {
+    val m = RelationalOps.hllM
+    ev.select(col("event_type"),
+        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+        graft.functions.GraftFunctions
+          .md5Hash48(col("user_id").cast("string")).as("h"))
+      .withColumn("win_start_us", explode(expr(
+        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .selectExpr("event_type", "win_start_us", s"h % $m AS bucket",
+        s"${RelationalOps.hllRho("(h div 64)")} AS rho")
+      .groupBy("event_type", "win_start_us", "bucket")
+      .agg(max(col("rho")).as("rho"))
+      .groupBy("event_type", "win_start_us")
+      .agg((sum(expr("1.0 / cast(shiftleft(1L, rho) AS double)"))
+        + (lit(m) - count(lit(1)))).as("sum_inv"))
+      .select(col("event_type"),
+        timestamp_micros(col("win_start_us")).as("win_start"),
+        round(expr(s"0.709 * $m * $m") / col("sum_inv") + lit(1e-9), 2).as("hll_est"))
+  }
+
+  private val w2c = GQuery(
+    "w2c_sliding_hll_pane",
+    (s, dir) => slidingHllDistinctPane(events(s, dir)),
+    Some {
+      val m = RelationalOps.hllM
+      s"""WITH v AS (SELECT event_type, epoch_us(ts) AS us,
+                  (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) AS h
+           FROM events),
+wv AS (SELECT event_type, (us // $slideUs) * $slideUs - i * $slideUs AS win_start_us, h
+       FROM v, (SELECT unnest(range($paneK)) AS i)),
+r AS (SELECT event_type, win_start_us, h % $m AS bucket,
+             max(${RelationalOps.hllRho("(h // 64)")}) AS rho
+      FROM wv GROUP BY 1, 2, 3),
+e AS (SELECT event_type, win_start_us,
+             sum(1.0 / (1::BIGINT << rho)::DOUBLE) + ($m - count(*)) AS sum_inv
+      FROM r GROUP BY 1, 2)
+SELECT event_type, make_timestamp(win_start_us) AS win_start,
+       round(0.709 * $m * $m / sum_inv + 1e-9, 2) AS hll_est
+FROM e"""
+    },
+    "Sliding-window HLL distinct users via pane decomposition: per-pane registers max-merge into windows; raw rows never replicate.")
+
+  val all: Seq[GQuery] = Seq(w2b, w2c)
+}

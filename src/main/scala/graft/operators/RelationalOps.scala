@@ -286,12 +286,12 @@ FROM lineitem GROUP BY l_returnflag"""),
   // estimate is biased high (PropertiesSpec pins the valid regime). At
   // 100 TB this is the cardinality plan: one pass, 64 longs of state per
   // group, no distinct shuffle.
-  private val hllM = 64
+  private[operators] val hllM = 64
   // leading-zero rank of the 42-bit remainder via minimal-length binary
   // rendering — bin() is minimal in BOTH engines, so this one string works
   // verbatim on each side. (An earlier 42-branch CASE ladder blew the
   // generated projection past codegen limits: 2x slower at a 16x scale-up.)
-  private def hllRho(w: String): String =
+  private[operators] def hllRho(w: String): String =
     s"(CASE WHEN $w > 0 THEN 43 - length(bin($w)) ELSE 43 END)"
 
   /** Reusable HLL core: per-`group` cardinality estimate of `valueExpr`

@@ -155,6 +155,47 @@ object StreamingPipelines {
         col("sk.n_vals").as("n_vals"), col("sk.q50").as("q50"),
         col("sk.q95").as("q95"), col("sk.q99").as("q99"))
 
+  /** Streaming dual of the batch w2b_sliding_dd_pane: sliding-window
+    * DDSketch quantiles with PANE SHARING as chained watermarked
+    * aggregations — two stateful operators in append mode. Stage 1
+    * folds raw rows ONCE into per-(tumbling slide-width pane, bucket)
+    * counts; stage 2 re-windows the FINALIZED pane cells into the k
+    * covering sliding windows (`window(window_time(...), size, slide)`)
+    * and collects each window's ≤ k×1.4k cells; the cumulative quantile
+    * walk is then a scalar higher-order fold over the bucket-sorted
+    * cells (duplicate buckets from different panes accumulate the same
+    * as pre-merged ones, so no third stateful merge stage is needed).
+    * Raw rows hit exactly one stateful operator — the k× replication
+    * happens to constant-size sketch cells, the same shuffle shape as
+    * the batch pane plan — and per-operator state is pane/window cells,
+    * never rows. Estimates are bit-identical to the batch query over
+    * the same finalized rows (PaneSpec). */
+  def slidingDdQuantilesPaneStream(events: DataFrame,
+      size: String = "2 hours", slide: String = "30 minutes",
+      delay: String = "10 seconds"): DataFrame = {
+    val paneCells = watermarked(events, delay)
+      .filter(col("value").isNotNull)
+      .withColumn("bk", expr(graft.operators.PaneOps
+        .ddBucketExpr("least(value, 999999999999999.0d)")).cast("long"))
+      .groupBy(window(col("ts"), slide), col("event_type"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+    def rep(b: String) =
+      s"CASE WHEN $b = 0 THEN 0.5 ELSE (CAST($b % 100 AS DOUBLE) + 0.5) * pow(10, ($b div 100) - 2) END"
+    def bq(q: String) =
+      s"""aggregate(cells, named_struct('cum', 0L, 'bk', -1L),
+         (acc, x) -> IF(acc.bk >= 0L, acc,
+           named_struct('cum', acc.cum + x.cnt,
+             'bk', IF(acc.cum + x.cnt >= greatest(1L, CAST(ceil($q * n_vals) AS BIGINT)), x.bk, -1L))),
+         acc -> acc.bk)"""
+    paneCells
+      .groupBy(window(window_time(col("window")), size, slide), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bk"), col("cnt")))).as("cells"))
+      .withColumn("n_vals", expr("aggregate(cells, 0L, (a, x) -> a + x.cnt)"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_vals"), expr(rep(bq("0.50"))).as("q50"),
+        expr(rep(bq("0.95"))).as("q95"), expr(rep(bq("0.99"))).as("q99"))
+  }
+
   /** Streaming dual of the q_hll_distinct cardinality path: per-window
     * approximate distinct users via engine-native HLL++. Like
     * [[ddQuantilesStream]], the plain watermarked window aggregation IS

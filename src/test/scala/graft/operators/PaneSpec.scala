@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.{Ev, StreamingPipelines}
+
+/** The pane-shared sliding sketches must deliver both halves of their
+  * claim: (1) bit-identical estimates to the naive row-replicating
+  * plan — merge-order invariance is what LICENSES the pane shortcut;
+  * (2) the pane PLAN SHAPE — raw rows aggregate before the window
+  * explosion (the explosion's input is sketch cells), where the naive
+  * plan explodes raw rows first. And the streaming dual (chained
+  * watermarked aggregations) must equal the batch query on finalized
+  * windows. */
+class PaneSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def events = graft.Tables.t(spark, sfDir, "events")
+
+  test("pane DDSketch quantiles == naive row-replicating plan, bit-for-bit") {
+    val pane = PaneOps.slidingDdQuantilesPane(events)
+      .orderBy("event_type", "win_start").collect().toSeq
+    val naive = PaneOps.slidingDdQuantilesNaive(events)
+      .orderBy("event_type", "win_start").collect().toSeq
+    assert(pane.nonEmpty, "vacuous — no windows")
+    assert(pane === naive)
+  }
+
+  test("pane HLL distinct == naive row-replicating plan, bit-for-bit") {
+    val pane = PaneOps.slidingHllDistinctPane(events)
+      .orderBy("event_type", "win_start").collect().toSeq
+    val naive = PaneOps.slidingHllDistinctNaive(events)
+      .orderBy("event_type", "win_start").collect().toSeq
+    assert(pane.nonEmpty, "vacuous — no windows")
+    assert(pane === naive)
+  }
+
+  /** Does any Generate (the window explosion) in the optimized plan have
+    * an Aggregate BELOW it (i.e. the explosion consumes aggregated pane
+    * cells, not raw rows)? */
+  private def explodesAggregated(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+      .exists(g => g.child.collect { case a: Aggregate => a }.nonEmpty)
+
+  test("plan shape: pane plans explode sketch cells; naive plans explode raw rows") {
+    assert(explodesAggregated(PaneOps.slidingDdQuantilesPane(events)),
+      "pane DD plan lost its pre-explosion aggregate — raw rows would replicate k×")
+    assert(!explodesAggregated(PaneOps.slidingDdQuantilesNaive(events)),
+      "naive DD plan unexpectedly aggregates before exploding — A/B receipt is comparing pane to pane")
+    assert(explodesAggregated(PaneOps.slidingHllDistinctPane(events)),
+      "pane HLL plan lost its pre-explosion aggregate")
+    assert(!explodesAggregated(PaneOps.slidingHllDistinctNaive(events)),
+      "naive HLL plan unexpectedly aggregates before exploding")
+  }
+
+  test("streaming pane dual matches the batch query on finalized windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val fixture = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+      .orderBy("ts", "event_id").as[Ev].collect().toSeq
+    // a flush event one day past the fixture advances the watermark past
+    // every fixture window's end; its own windows stay open and unemitted
+    val maxTs = fixture.map(_.ts.getTime).max
+    val maxId = fixture.map(_.event_id).max
+    val flush = Ev(maxId + 1, new Timestamp(maxTs + 86400000L), 1L, "click", 1.0)
+
+    val in = MemoryStream[Ev]
+    val q = StreamingPipelines.slidingDdQuantilesPaneStream(in.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("pane-ck").toString)
+      .format("memory").queryName("pane_stream").start()
+    try {
+      in.addData(fixture); in.addData(flush)
+      q.processAllAvailable()
+      val stream = s.table("pane_stream")
+        .selectExpr("event_type", "unix_micros(win_start)", "n_vals", "q50", "q95", "q99")
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      val batch = PaneOps.slidingDdQuantilesPane(events)
+        .selectExpr("event_type", "unix_micros(win_start)", "n_vals", "q50", "q95", "q99")
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      assert(stream === batch,
+        s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+      assert(batch.nonEmpty, "vacuous — no finalized windows")
+    } finally q.stop()
+  }
+}
