@@ -568,6 +568,13 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
       .transform(graft.Checkpoints.pin(_))
 
+  /** Public handle on the E-step centroid model — the streaming IVF
+    * ingest ([[graft.streaming.StreamingPipelines.ivfIngestAssign]])
+    * calibrates from this, so ingest-time assignment classifies against
+    * bit-identical model vectors to the batch e_assign_confusion. */
+  def centroidModel(s: SparkSession, dir: String): DataFrame =
+    centroidVectors(s, dir)
+
   /** Same model, DuckDB side: cent + cvec CTEs over duckPrep's n. */
   private val duckCentroids =
     """cent AS (SELECT label AS c_label, i AS pos, round(avg(ed[i + 1]) + 1e-9, 6) AS c

@@ -1121,6 +1121,70 @@ object StatefulProcessors {
       .transformWithState(new CepSkipPastProcessor(typ, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** An ingested embedding routed to its IVF cell (the drift monitor's
+    * input row). */
+  final case class AssignedVec(cell: Int, ed: Seq[Double])
+
+  /** Per-cell drift reading: members ingested so far and the running
+    * mean's L2 distance from the calibrated centroid. */
+  final case class CellDrift(cell: Int, n_members: Long, drift: Double)
+
+  /** Per-cell running sums — the drift monitor's whole state: one count
+    * + `dim` doubles per cell, corpus-size-independent. */
+  final case class CellSums(n: Long, sums: Array[Double])
+
+  private implicit val cellDriftEnc = Encoders.product[CellDrift]
+  private implicit val cellSumsEnc = Encoders.product[CellSums]
+
+  /** Streaming IVF ingest drift monitor
+    * ([[graft.streaming.StreamingPipelines.ivfIngestDrift]] wires it):
+    * per cell, fold arriving member vectors into (count, per-dimension
+    * sums) and emit the running mean's distance from the calibrated
+    * centroid after each batch — e_centroid_drift's exact math (6-dp
+    * mean pin with the +1e-9 nudge, integer-microdomain deltas, sqrt
+    * last), so a full-corpus ingest reproduces the batch monitor's
+    * drift bit-for-bit (IvfIngestSpec). */
+  final class CellDriftProcessor(model: Map[Int, Array[Double]])
+      extends StatefulProcessor[Int, AssignedVec, CellDrift] {
+
+    @transient private var st: ValueState[CellSums] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CellSums]("cell_sums", cellSumsEnc, TTLConfig.NONE)
+
+    private def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    override def handleInputRows(cell: Int, rows: Iterator[AssignedVec],
+        tv: TimerValues): Iterator[CellDrift] = {
+      val cv = model.getOrElse(cell,
+        throw new IllegalStateException(s"unknown cell $cell"))
+      val cur = if (st.exists()) st.get() else CellSums(0L, new Array[Double](cv.length))
+      var n = cur.n
+      val sums = cur.sums.clone()
+      rows.foreach { r =>
+        var i = 0
+        while (i < cv.length) { sums(i) += r.ed(i); i += 1 }
+        n += 1L
+      }
+      st.update(CellSums(n, sums))
+      var acc = 0L
+      var i = 0
+      while (i < cv.length) {
+        val mi = round6(sums(i) / n + 1e-9)
+        // HALF_UP like the batch round(x, 0) — math.round differs on
+        // negative half-way values
+        val di = java.math.BigDecimal.valueOf((mi - cv(i)) * 1000000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        acc += di * di
+        i += 1
+      }
+      Iterator.single(CellDrift(cell, n,
+        round6(math.sqrt(acc.toDouble) / 1000000.0 + 1e-9)))
+    }
+  }
+
   /** An event tagged with its source partition — the unit the reference's
     * watermark generator is instantiated per (one generator per source
     * subtask, EventTimeOperations.java:96-141). */

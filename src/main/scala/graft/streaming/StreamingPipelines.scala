@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -476,6 +476,82 @@ object StreamingPipelines {
     }
     docsStream.withColumn("n_tokens",
       expr(graft.operators.TextOps.bpeCountExpr(applied)))
+  }
+
+  /** Offline calibration for the streaming IVF ingest: the batch
+    * E-step's centroid model
+    * ([[graft.operators.EmbeddingOps.centroidModel]]) collected to
+    * (cell label, centroid vector) pairs — one row per cell (10×64
+    * doubles on the fixture), bounded by the cell-count k of the IVF
+    * index, never by corpus size. */
+  def ivfCellsCalibrate(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, Seq[Double])] =
+    graft.operators.EmbeddingOps.centroidModel(s, dir)
+      .orderBy("c_label")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+
+  /** Render the calibrated cell model as a SQL array literal (cells in
+    * c_label order; centroid coordinates are 6-dp-rounded by
+    * construction, so the %.6f render is value-exact). */
+  private def cellArrayLit(cells: Seq[(Int, Seq[Double])]): String = {
+    require(cells.nonEmpty, "ivf ingest: empty cell model")
+    def fmt(v: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+    cells.sortBy(_._1).map { case (l, cv) =>
+      s"named_struct('c_label', $l, 'cv', array(${cv.map(v => s"CAST(${fmt(v)} AS DOUBLE)").mkString(", ")}))"
+    }.mkString("array(", ", ", ")")
+  }
+
+  /** The nearest-cell fold shared by assign and drift: a scalar argmin
+    * over the literal cell model using the native `vecL2Sq` kernel
+    * inside Column-level higher-order functions. The strict `<` over
+    * the c_label-ordered model keeps the SMALLEST cell label on
+    * distance ties — the batch E-step's (d2, c_label) rank order. */
+  private def nearestCell(cells: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    val cands = transform(expr(cellArrayLit(cells)), m => struct(
+      round(graft.functions.GraftFunctions.vecL2Sq(col("ed"), m.getField("cv")), 6).as("d2"),
+      m.getField("c_label").as("lbl")))
+    aggregate(cands,
+      struct(lit(Double.PositiveInfinity).as("d2"), lit(-1).as("lbl")),
+      (acc, x) => when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
+  }
+
+  /** Streaming IVF INGEST assignment — the third side of the ANN loop
+    * (offline build = e_kmeans_step, query = e_knn_ivf, ingest = this):
+    * each arriving embedding is routed to its nearest cell by a
+    * STATELESS scalar fold over the broadcast-literal cell model — no
+    * state, no watermark, no shuffle, the shape that runs inline at
+    * 100 TB/day ingest rates. The argmin uses the identical rounded
+    * squared-L2 (native vecL2Sq kernel + round 6) and smallest-cell-
+    * label tiebreak as the batch E-step, so assignment is bit-identical
+    * to e_assign_confusion (IvfIngestSpec proves it). */
+  def ivfIngestAssign(vecs: DataFrame, cells: Seq[(Int, Seq[Double])]): DataFrame =
+    vecs
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("best", nearestCell(cells))
+      .select(col("vec_id"), col("label"),
+        col("best.lbl").as("assigned"), col("best.d2").as("d2"))
+
+  /** Streaming IVF ingest DRIFT monitor: per-cell running mean of the
+    * ingested vectors vs the calibrated centroid —
+    * [[graft.operators.EventOps]]-family stateful dual of
+    * e_centroid_drift's math (6-dp mean pin, integer-domain delta,
+    * sqrt at the end), emitted per micro-batch so index staleness is
+    * visible DURING ingest, not at the next offline rebuild. State per
+    * cell is (count, 64 running sums) — O(k·dim), corpus-independent. */
+  def ivfIngestDrift(vecs: DataFrame, cells: Seq[(Int, Seq[Double])]): Dataset[StatefulProcessors.CellDrift] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    vecs
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("best", nearestCell(cells))
+      .select(col("best.lbl").as("cell"), col("ed"))
+      .as[StatefulProcessors.AssignedVec]
+      .groupByKey(_.cell)
+      .transformWithState(
+        new StatefulProcessors.CellDriftProcessor(
+          cells.map { case (l, cv) => l -> cv.toArray }.toMap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** Build the eval gram array for [[decontaminate]] from a static

@@ -62,6 +62,10 @@ class DualTwinInvariantSpec extends AnyFunSuite {
     "StatefulProcessors.cepTimes" -> "x5_cep_times",
     "StatefulProcessors.cepTimesRange" -> "x6_cep_times_range",
     "StatefulProcessors.cepOneOrMore" -> "x7_cep_one_or_more",
+    "StatefulProcessors.cepSkipPast" -> "x8_cep_skip_past",
+    "StreamingPipelines.slidingDdQuantilesPaneStream" -> "w2b_sliding_dd_pane",
+    "StreamingPipelines.ivfIngestAssign" -> "e_assign_confusion",
+    "StreamingPipelines.ivfIngestDrift" -> "e_centroid_drift",
     "StatefulOps.doubleEventAlerts" -> "x1_double_event_alert",
     "StatefulOps.sessionizeActions" -> "x2_sessionize")
 
