@@ -16,6 +16,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
 
+  /** The full typed registry — [[OperatorIndex]] renders the user-facing
+    * OPERATORS.md from it so the index cannot drift from the code. */
+  private[graft] def registryAll: Seq[GQuery] = registry
+
   private def registry: Seq[GQuery] =
     operators.EventOps.all ++
       operators.AnalyticsOps.all ++

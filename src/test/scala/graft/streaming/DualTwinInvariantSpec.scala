@@ -17,68 +17,12 @@ import graft.SparkEntry
   * infra), so CORRECTNESS_r{N} keeps covering the shared logic. */
 class DualTwinInvariantSpec extends AnyFunSuite {
 
-  /** dual ("Object.method") -> its batch twin in SparkEntry.queries. */
-  private val twinOf: Map[String, String] = Map(
-    "StreamingPipelines.parseCsvLines" -> "p1_parse_props",
-    "StreamingPipelines.parseCsvQuarantine" -> "p1_parse_props",
-    "StreamingPipelines.windowCount" -> "a1_window_count_5m",
-    "StreamingPipelines.slidingCount" -> "w2_sliding_count",
-    "StreamingPipelines.ddQuantilesStream" -> "q_dd_quantiles",
-    "StreamingPipelines.hllDistinctStream" -> "q_hll_distinct",
-    "StreamingPipelines.sessionCount" -> "w3_session_window",
-    "StreamingPipelines.runningSum" -> "a2_running_sum",
-    "StreamingPipelines.multiAgg" -> "a3_multi_agg",
-    "StreamingPipelines.userActionWindowCount" -> "a4_user_action_window",
-    "StreamingPipelines.dedupWithinWatermark" -> "d_exact_dedup",
-    "StreamingPipelines.curateDocs" -> "d_curate_corpus",
-    "StreamingPipelines.gopherRules" -> "t_gopher_rules",
-    "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
-    "StreamingPipelines.streamingKnn" -> "e_knn_brute",
-    "StreamingPipelines.decontaminate" -> "d_decontaminate",
-    "StreamingPipelines.perplexityBand" -> "d_perplexity_band",
-    "StreamingPipelines.bpeTokenizeStream" -> "t_bpe_tokenize",
-    "StreamingPipelines.splitMain" -> "m1_split_main",
-    "StreamingPipelines.splitSide" -> "m1_split_side",
-    "StreamingPipelines.tagAndMerge" -> "m2_merge_union",
-    "StreamingPipelines.staticEnrich" -> "q_broadcast_star",
-    "StreamingPipelines.windowJoin" -> "j1_window_join",
-    "StreamingPipelines.intervalJoin" -> "j3_interval_join",
-    "StreamingPipelines.windowJoinOuter" -> "q_outer_join",
-    "StatefulProcessors.doubleEventAlerts" -> "x1_double_event_alert",
-    "StatefulProcessors.sessionizeActions" -> "x2_sessionize",
-    "StatefulProcessors.funnelAdvances" -> "a9_funnel",
-    "StatefulProcessors.sessionSummaries" -> "w3_session_window",
-    "StatefulProcessors.heavyHitters" -> "q_cms_topk",
-    "StatefulProcessors.topKPerKey" -> "q_topk_per_brand",
-    "StatefulProcessors.packStream" -> "d_pack_sequences",
-    "StatefulProcessors.sourceQuotaStream" -> "d_source_quota",
-    "StatefulProcessors.quotaRouteStream" -> "d_source_quota",
-    "StatefulProcessors.reservoirStream" -> "d_reservoir_sample",
-    "StatefulProcessors.staircaseWindows" -> "w4_hour_window",
-    "StatefulProcessors.staircaseWindowsByPartition" -> "w4_hour_window",
-    "StatefulProcessors.nearestJoin" -> "j4_nearest_join",
-    "StatefulProcessors.cepSequence" -> "x3_cep_sequence",
-    "StatefulProcessors.cepNegation" -> "x4_cep_negation",
-    "StatefulProcessors.cepTimes" -> "x5_cep_times",
-    "StatefulProcessors.cepTimesRange" -> "x6_cep_times_range",
-    "StatefulProcessors.cepOneOrMore" -> "x7_cep_one_or_more",
-    "StatefulProcessors.cepSkipPast" -> "x8_cep_skip_past",
-    "StreamingPipelines.slidingDdQuantilesPaneStream" -> "w2b_sliding_dd_pane",
-    "StreamingPipelines.ivfIngestAssign" -> "e_assign_confusion",
-    "StreamingPipelines.ivfIngestDrift" -> "e_centroid_drift",
-    "StatefulOps.doubleEventAlerts" -> "x1_double_event_alert",
-    "StatefulOps.sessionizeActions" -> "x2_sessionize")
+  /** Single source of truth lives in [[graft.OperatorIndex]] (the
+    * generated OPERATORS.md renders the inverse mapping); this spec
+    * enforces it stays total over the reflected streaming surface. */
+  private val twinOf: Map[String, String] = graft.OperatorIndex.streamingTwinOf
 
-  /** Streaming-side plumbing with no query semantics of its own: sources
-    * (wire adapters), conf/metrics wrappers, and driver-side calibration
-    * helpers whose outputs feed a mapped dual. Additions here should be
-    * rare and need the same scrutiny as a twin mapping. */
-  private val infra: Set[String] = Set(
-    "StreamingPipelines.csvFileSource",
-    "StreamingPipelines.textFileSource",
-    "StreamingPipelines.kafkaSource",
-    "StreamingPipelines.withObservedMetrics",
-    "StreamingPipelines.watermarked")
+  private val infra: Set[String] = graft.OperatorIndex.streamingInfra
 
   private def streamingTransforms(obj: AnyRef, name: String): Seq[String] = {
     val ds = classOf[Dataset[_]]
