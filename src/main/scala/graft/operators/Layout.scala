@@ -39,12 +39,23 @@ object Layout {
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
     require(!b.isNullAt(0) && !b.isNullAt(2),
       s"writeZOrdered: $xCol and $yCol must have at least one non-null value")
+    // Always STRETCH to the full 16-bit domain, never just clamp into
+    // it: a narrow key range left at exact values (e.g. suppkey 1..10)
+    // occupies only the LOW bits of the interleave, so every range cut
+    // lands on the other dimension's high bits and that key gets zero
+    // file-level discrimination — the scan-receipt test caught exactly
+    // this (suppkey probe: 1.0x skipped). Bit-balanced dimensions are
+    // what make Morton cuts pay in BOTH predicates.
     def scaled(c: String, lo: Long, hi: Long): String =
       if (hi <= lo) "0L"
-      else if (lo >= 0L && hi <= 65535L) c // already in-domain: keep exact values
+      else if (hi - lo < 65536L)
+        // narrow range: multiply first (no overflow — both factors
+        // < 2^16 after the shift), stretching [lo, hi] over 0..65535
+        s"((($c - ${lo}L) * 65535L) div ${hi - lo}L)"
       else {
-        // bucket width ⌈(hi-lo+1)/65536⌉ via (hi-lo)/65535 + 1: divide
-        // FIRST so no product can overflow a long at any key magnitude
+        // wide range: bucket width ⌈(hi-lo+1)/65536⌉ via (hi-lo)/65535
+        // + 1 — divide FIRST so no product can overflow at any key
+        // magnitude
         val width = (hi - lo) / 65535L + 1L
         s"(($c - ${lo}L) div ${width}L)"
       }

@@ -40,7 +40,7 @@ class LayoutSpec extends SparkSpec {
     // hash spread: every file sees the whole key range (the default
     // layout a 100 TB ingest produces without clustering)
     src.repartition(8).write.mode("overwrite").parquet(plainDir)
-    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", zDir, numFiles = 8)
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", zDir, numFiles = 16)
 
     // same rows either way
     val n0 = spark.read.parquet(plainDir).count()
@@ -83,19 +83,24 @@ class LayoutSpec extends SparkSpec {
     * scan-output rows == more row groups skipped). AQE is disabled by
     * the caller so the executed plan is a plain tree. */
   private def rowsScanned(df: DataFrame): Long = {
-    df.write.format("noop").mode("overwrite").save()
+    // drive the Dataset's OWN QueryExecution — a noop write builds a
+    // fresh QueryExecution and leaves these metrics at zero, turning
+    // the gate into a vacuous 0 <= 0
+    df.collect()
     val scans = df.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.nonEmpty, "expected a parquet scan in the plan")
-    scans.map(_.metrics("numOutputRows").value).sum
+    val n = scans.map(_.metrics("numOutputRows").value).sum
+    assert(n > 0, "scan metric read zero — the receipt would be vacuous")
+    n
   }
 
   test("filtered scan against the z-layout reads >=2x fewer rows (skipping receipt)") {
     val plainDir = java.nio.file.Files.createTempDirectory("layout-scanplain").toString
     val zDir = java.nio.file.Files.createTempDirectory("layout-scanz").toString
     src.repartition(8).write.mode("overwrite").parquet(plainDir)
-    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", zDir, numFiles = 8)
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", zDir, numFiles = 16)
 
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -103,14 +108,14 @@ class LayoutSpec extends SparkSpec {
       def probe(dir: String, pred: String): (Long, Double) = {
         val q = spark.read.parquet(dir).filter(expr(pred))
           .agg(sum(col("l_quantity").cast("double")).as("q"))
-        val scanned = rowsScanned(q)
-        (scanned, q.head().getDouble(0))
+        (rowsScanned(q), q.head().getDouble(0))
       }
       // both clustered dimensions must pay — partkey AND suppkey
       for (pred <- Seq("l_partkey <= 25", "l_suppkey <= 2")) {
         val (plainRows, pSum) = probe(plainDir, pred)
         val (zRows, zSum) = probe(zDir, pred)
         assert(math.abs(pSum - zSum) < 1e-6, s"layouts disagree on $pred")
+        info(f"$pred%-18s scan rows: z=$zRows plain=$plainRows (${plainRows.toDouble / zRows}%.1fx skipped)")
         assert(zRows * 2 <= plainRows,
           s"z-layout scan not skipping on $pred: z=$zRows plain=$plainRows")
       }
