@@ -130,6 +130,12 @@ object StateSoak {
       "cep_sequence" -> { (in, out, ck) =>
         Sinks.file(StatefulProcessors.cepSequence(events(in)).toDF(), out, ck)
       },
+      // x8: O(1) state per key BY CONSTRUCTION (a single open-match
+      // tuple — skip-past forbids overlap), the cheapest CEP cell;
+      // state rows must track active users, never event volume
+      "cep_skip_past" -> { (in, out, ck) =>
+        Sinks.file(StatefulProcessors.cepSkipPast(events(in)).toDF(), out, ck)
+      },
       // event-time timers at scale + watermark-driven purge of both lists
       "nearest_join" -> { (in, out, ck) =>
         Sinks.file(StatefulProcessors.nearestJoin(events(in)).toDF(), out, ck)

@@ -145,6 +145,35 @@ object StreamBench {
           .option("checkpointLocation", d.ckpt)
           .format("memory").queryName(s"sb_oom_${d.ckpt.hashCode.abs}").start()
       },
+      run("cep_skip_past") { d =>
+        import spark.implicits._
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        StatefulProcessors.cepSkipPast(good.as[graft.streaming.Ev])
+          .toDF().writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", d.ckpt)
+          .format("memory").queryName(s"sb_skip_${d.ckpt.hashCode.abs}").start()
+      },
+      run("sliding_dd_pane") { d =>
+        Sinks.file(StreamingPipelines.slidingDdQuantilesPaneStream(
+          StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
+      },
+      // IVF ingest: events re-shaped into deterministic 64-dim vectors,
+      // routed through the stateless nearest-cell fold against the
+      // sf0.001-calibrated model — the per-row cost of the 100 TB/day
+      // ingest path (10 cells x 64-dim L2 per row, no state).
+      run("ivf_ingest_assign") { d =>
+        val cells = StreamingPipelines.ivfCellsCalibrate(spark, "/root/testdata/sf0.001")
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        val vecs = good.selectExpr("event_id AS vec_id",
+          "CAST(user_id % 10 AS INT) AS label",
+          "transform(sequence(1, 64), j -> CAST(sin(event_id * j) AS float)) AS embedding")
+        StreamingPipelines.ivfIngestAssign(vecs, cells)
+          .writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", d.ckpt)
+          .format("memory").queryName(s"sb_ivf_${d.ckpt.hashCode.abs}").start()
+      },
       // docs are ~50 tokens each (vs ~5-field CSV events), so the
       // capstone corpus is n/10 docs for a comparable byte volume
       runCapstone(math.max(2048, n / 10)))

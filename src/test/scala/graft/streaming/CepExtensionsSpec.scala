@@ -424,6 +424,40 @@ class CepExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("skipPastLastEvent: the open match survives a stop/restart checkpoint cycle") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      val in = java.nio.file.Files.createTempDirectory("cepskip-rec-in")
+      val out = java.nio.file.Files.createTempDirectory("cepskip-rec-out").toString
+      val ck = java.nio.file.Files.createTempDirectory("cepskip-rec-ck").toString
+      def write(name: String, evs: Seq[Ev]): Unit =
+        java.nio.file.Files.writeString(in.resolve(name),
+          evs.map(Generators.toCsvLine).mkString("", "\n", "\n"))
+      def start() = Sinks.file(
+        StatefulProcessors.cepSkipPast(
+          StreamingPipelines.textFileSource(s, in.toString).as[Ev],
+          gapUs = 10000000L).toDF(), out, ck)
+
+      // phase 1: a match opens (anchor 1) and grows to count 2
+      write("f0.csv", Seq(ev(1, 1000, 1, "click"), ev(2, 3000, 1, "click")))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // phase 2, NEW query on the same checkpoint: an in-horizon click
+      // grows the RESTORED match to 3, then a beyond-horizon click
+      // closes it. A reset ValueState would make click 3 a fresh anchor
+      // and the emitted match would read (3, n=1) — restored state is
+      // the only way to (1, n=3).
+      write("f1.csv", Seq(ev(3, 5000, 1, "click"), ev(4, 30000, 1, "click")))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+      val rows = s.read.parquet(out)
+        .selectExpr("user_id", "first_id", "n_times", "last_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows === Set((1L, 1L, 3L, 5000000L)),
+        s"restored-match output wrong: $rows")
+    }
+  }
+
   test("stream matches the batch x8 query on a flushed fixture") {
     withRocksDb {
       val s = spark
