@@ -235,4 +235,82 @@ class PropertiesSpec extends SparkSpec {
     assert(exactHits >= est.size - 1,
       s"only $exactHits/${est.size} CMS estimates exact — rows look correlated")
   }
+
+  test("property: x8 skip-past segmentation equals a sequential reference fold") {
+    val s = spark
+    import s.implicits._
+    val gapUs = 300000000L // 5 min — short enough to cut many segments
+    // coarse second domain forces same-timestamp ties; ids reassigned
+    // unique so the (us, event_id) order is total
+    (1 to 8).foreach { _ =>
+      val evs = sample(Gen.listOfN(250, genEv))
+        .zipWithIndex.map { case (e, i) => e.copy(event_id = i.toLong + 1L) }
+      val dir = eventsFixture(evs)
+      val got = graft.operators.EventOps
+        .cepSkipPastBatch(graft.Tables.t(s, dir, "events"), gapUs)
+        .selectExpr("user_id", "event_id", "n_times",
+          "unix_micros(first_ts)", "unix_micros(last_ts)")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // reference: per user, sort clicks by (us, id), greedily absorb
+      // while us - anchor_us <= gap, close on the first event beyond
+      val want = evs.filter(_.event_type == "click").groupBy(_.user_id)
+        .flatMap { case (u, es) =>
+          val sorted = es.sortBy(e => (e.ts.getTime * 1000L, e.event_id))
+          val segs = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+          var anchor: Ev = null; var n = 0L; var last = 0L
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (anchor == null) { anchor = e; n = 1; last = us }
+            else if (us - anchor.ts.getTime * 1000L <= gapUs) { n += 1; last = us }
+            else {
+              segs += ((u, anchor.event_id, n, anchor.ts.getTime * 1000L, last))
+              anchor = e; n = 1; last = us
+            }
+          }
+          if (anchor != null)
+            segs += ((u, anchor.event_id, n, anchor.ts.getTime * 1000L, last))
+          segs.result()
+        }.toSet
+      assert(got === want,
+        s"only-spark=${(got -- want).take(3)} only-ref=${(want -- got).take(3)}")
+      // segmentation must PARTITION the click substream: per-user match
+      // sizes sum to the user's click count
+      val clicksPerUser = evs.filter(_.event_type == "click")
+        .groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      val sizesPerUser = got.groupBy(_._1).view
+        .mapValues(_.toSeq.map(_._3).sum).toMap
+      assert(sizesPerUser === clicksPerUser.filter(_._2 > 0))
+    }
+  }
+
+  test("property: pane-shared sliding sketches equal their naive duals on random data") {
+    val s = spark
+    // value domain stresses the DD bucket edges: sub-1 (bucket 0), the
+    // 1/10/100 digit-count boundaries, and large magnitudes
+    val gen = for {
+      id <- Gen.choose(1L, 1000000L)
+      sec <- Gen.choose(0L, 100000L)
+      user <- Gen.choose(1L, 50L)
+      typ <- Gen.oneOf("click", "view", "purchase")
+      v <- Gen.oneOf(
+        Gen.choose(0, 99).map(_ / 100.0),        // [0, 1)
+        Gen.oneOf(0.0, 1.0, 9.99, 10.0, 99.5, 100.0, 999.0, 1000.0),
+        Gen.choose(1, 2000000000).map(_.toDouble))
+    } yield Ev(id, new Timestamp(sec * 1000L), user, typ, v)
+    (1 to 5).foreach { _ =>
+      val evs = sample(Gen.listOfN(400, gen))
+      val dir = eventsFixture(evs)
+      val ev = graft.Tables.t(s, dir, "events")
+      val ddP = graft.operators.PaneOps.slidingDdQuantilesPane(ev)
+        .orderBy("event_type", "win_start").collect().toSeq
+      val ddN = graft.operators.PaneOps.slidingDdQuantilesNaive(ev)
+        .orderBy("event_type", "win_start").collect().toSeq
+      assert(ddP.nonEmpty && ddP === ddN)
+      val hP = graft.operators.PaneOps.slidingHllDistinctPane(ev)
+        .orderBy("event_type", "win_start").collect().toSeq
+      val hN = graft.operators.PaneOps.slidingHllDistinctNaive(ev)
+        .orderBy("event_type", "win_start").collect().toSeq
+      assert(hP.nonEmpty && hP === hN)
+    }
+  }
 }
