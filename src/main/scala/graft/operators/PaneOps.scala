@@ -212,5 +212,60 @@ FROM e"""
     },
     "Sliding-window HLL distinct users via pane decomposition: per-pane registers max-merge into windows; raw rows never replicate.")
 
-  val all: Seq[GQuery] = Seq(w2b, w2c)
+  /** PANE plan for EXACT sliding-window top-k (heaviest users per 2-h
+    * window): per-key counts merge by addition — losslessly — so the
+    * pane trick needs no sketch at all. Raw rows aggregate once per
+    * (pane, user); only the per-pane count cells replicate into the k
+    * windows; the final top-k is a rank window over per-window per-user
+    * cells. Deterministic: count-desc with a user_id tiebreak. */
+  def slidingTopkPane(ev: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("win_start_us")
+      .orderBy(col("cnt").desc, col("user_id"))
+    ev.select(
+        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+        col("user_id"))
+      .groupBy("pane", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("win_start_us", explode(expr(
+        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .groupBy("win_start_us", "user_id")
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(timestamp_micros(col("win_start_us")).as("win_start"),
+        col("user_id"), col("cnt"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** NAIVE baseline for the top-k A/B (not registered). */
+  def slidingTopkNaive(ev: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("win_start_us")
+      .orderBy(col("cnt").desc, col("user_id"))
+    ev.select(
+        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+        col("user_id"))
+      .withColumn("win_start_us", explode(expr(
+        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .groupBy("win_start_us", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(timestamp_micros(col("win_start_us")).as("win_start"),
+        col("user_id"), col("cnt"), col("rnk").cast("long").as("rnk"))
+  }
+
+  private val w2d = GQuery(
+    "w2d_sliding_topk_pane",
+    (s, dir) => slidingTopkPane(events(s, dir)),
+    Some(s"""WITH v AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+wv AS (SELECT (us // $slideUs) * $slideUs - i * $slideUs AS win_start_us, user_id
+       FROM v, (SELECT unnest(range($paneK)) AS i)),
+c AS (SELECT win_start_us, user_id, count(*) AS cnt FROM wv GROUP BY 1, 2),
+r AS (SELECT win_start_us, user_id, cnt,
+             row_number() OVER (PARTITION BY win_start_us ORDER BY cnt DESC, user_id) AS rnk
+      FROM c)
+SELECT make_timestamp(win_start_us) AS win_start, user_id, cnt, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5"""),
+    "Exact sliding-window top-5 users via pane decomposition — per-key counts add losslessly, no sketch needed.")
+
+  val all: Seq[GQuery] = Seq(w2b, w2c, w2d)
 }

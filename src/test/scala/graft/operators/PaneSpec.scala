@@ -46,6 +46,15 @@ class PaneSpec extends SparkSpec {
     df.queryExecution.optimizedPlan.collect { case g: Generate => g }
       .exists(g => g.child.collect { case a: Aggregate => a }.nonEmpty)
 
+  test("pane exact top-k == naive row-replicating plan") {
+    val pane = PaneOps.slidingTopkPane(events)
+      .orderBy("win_start", "rnk").collect().toSeq
+    val naive = PaneOps.slidingTopkNaive(events)
+      .orderBy("win_start", "rnk").collect().toSeq
+    assert(pane.nonEmpty, "vacuous — no windows")
+    assert(pane === naive)
+  }
+
   test("plan shape: pane plans explode sketch cells; naive plans explode raw rows") {
     assert(explodesAggregated(PaneOps.slidingDdQuantilesPane(events)),
       "pane DD plan lost its pre-explosion aggregate — raw rows would replicate k×")
@@ -55,6 +64,10 @@ class PaneSpec extends SparkSpec {
       "pane HLL plan lost its pre-explosion aggregate")
     assert(!explodesAggregated(PaneOps.slidingHllDistinctNaive(events)),
       "naive HLL plan unexpectedly aggregates before exploding")
+    assert(explodesAggregated(PaneOps.slidingTopkPane(events)),
+      "pane top-k plan lost its pre-explosion aggregate")
+    assert(!explodesAggregated(PaneOps.slidingTopkNaive(events)),
+      "naive top-k plan unexpectedly aggregates before exploding")
   }
 
   test("streaming pane dual matches the batch query on finalized windows") {
