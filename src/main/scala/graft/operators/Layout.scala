@@ -33,40 +33,61 @@ object Layout {
     * sampled sketch — skew-tolerant by construction) + local sort; no
     * other shuffle, no driver materialization at any input size. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
-      path: String, numFiles: Int = 32): Unit = {
+      path: String, numFiles: Int = 32): Unit =
+    writeZOrderedN(df, Seq(xCol, yCol), path, numFiles)
+
+  /** N-column generalization (2..4 keys — Delta's OPTIMIZE ZORDER BY
+    * shape): each key stretches into a `min(16, 63/n)`-bit domain, and
+    * bit i of key j lands at interleave position `i*n + j` — for n = 2
+    * this is bit-for-bit the classic (x even, y odd) Morton code, so
+    * the two-column API above is a pure alias. All keys share bit
+    * significance equally, so the range cuts discriminate on every
+    * clustered column (the file count bounds how many leading interleave
+    * bits the cuts can resolve: numFiles = 2^b spends ~b/n bits per
+    * key — more files, more per-key skipping). Same scale shape: one
+    * bounded min/max probe, ONE range exchange, local sort. */
+  def writeZOrderedN(df: DataFrame, keyCols: Seq[String], path: String,
+      numFiles: Int = 32): Unit = {
+    val n = keyCols.size
+    require(n >= 2 && n <= 4, s"writeZOrderedN: 2..4 key columns, got $n")
+    val bitsPer = math.min(16, 63 / n)
+    val domain = (1L << bitsPer) - 1L
     val b = df.agg(
-      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
-      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
-    require(!b.isNullAt(0) && !b.isNullAt(2),
-      s"writeZOrdered: $xCol and $yCol must have at least one non-null value")
-    // Always STRETCH to the full 16-bit domain, never just clamp into
-    // it: a narrow key range left at exact values (e.g. suppkey 1..10)
+      keyCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))).head,
+      keyCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))).tail: _*).head()
+    keyCols.indices.foreach(j => require(!b.isNullAt(2 * j),
+      s"writeZOrderedN: ${keyCols(j)} must have at least one non-null value"))
+    // Always STRETCH to the full bit domain, never just clamp into it:
+    // a narrow key range left at exact values (e.g. suppkey 1..10)
     // occupies only the LOW bits of the interleave, so every range cut
-    // lands on the other dimension's high bits and that key gets zero
+    // lands on the other keys' high bits and that key gets zero
     // file-level discrimination — the scan-receipt test caught exactly
-    // this (suppkey probe: 1.0x skipped). Bit-balanced dimensions are
-    // what make Morton cuts pay in BOTH predicates.
+    // this (suppkey probe: 1.0x skipped). Bit-balanced keys are what
+    // make Morton cuts pay in EVERY predicate.
     def scaled(c: String, lo: Long, hi: Long): String =
       if (hi <= lo) "0L"
-      else if (hi - lo < 65536L)
+      else if (hi - lo <= domain)
         // narrow range: multiply first (no overflow — both factors
-        // < 2^16 after the shift), stretching [lo, hi] over 0..65535
-        s"((($c - ${lo}L) * 65535L) div ${hi - lo}L)"
+        // < 2^bitsPer after the shift), stretching [lo, hi] over the domain
+        s"((($c - ${lo}L) * ${domain}L) div ${hi - lo}L)"
       else {
-        // wide range: bucket width ⌈(hi-lo+1)/65536⌉ via (hi-lo)/65535
-        // + 1 — divide FIRST so no product can overflow at any key
-        // magnitude
-        val width = (hi - lo) / 65535L + 1L
+        // wide range: bucket width ⌈(hi-lo+1)/2^bitsPer⌉ via
+        // (hi-lo)/domain + 1 — divide FIRST so no product can overflow
+        // at any key magnitude
+        val width = (hi - lo) / domain + 1L
         s"(($c - ${lo}L) div ${width}L)"
       }
-    val keyed = df
-      .withColumn("__zx", expr(scaled(xCol, b.getLong(0), b.getLong(1))))
-      .withColumn("__zy", expr(scaled(yCol, b.getLong(2), b.getLong(3))))
-      .withColumn("__z", expr(RelationalOps.zInterleave(spark = true, "__zx", "__zy")))
-    keyed
+    val keyed = keyCols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+      d.withColumn(s"__zk$j", expr(scaled(c, b.getLong(2 * j), b.getLong(2 * j + 1))))
+    }
+    val zExpr = (0 until bitsPer).flatMap { i =>
+      keyCols.indices.map(j =>
+        s"shiftleft(shiftright(__zk$j, $i) & 1, ${i * n + j})")
+    }.mkString(" + ")
+    keyed.withColumn("__z", expr(zExpr))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__zx", "__zy", "__z")
+      .drop(keyCols.indices.map(j => s"__zk$j") :+ "__z": _*)
       .write.mode("overwrite").parquet(path)
   }
 }
