@@ -196,6 +196,35 @@ object StreamingPipelines {
         expr(rep(bq("0.95"))).as("q95"), expr(rep(bq("0.99"))).as("q99"))
   }
 
+  /** Streaming dual of the batch w2d_sliding_topk_pane: EXACT sliding
+    * top-k heaviest users with pane sharing — three chained watermarked
+    * stateful operators in append mode. Stage 1 counts raw rows once
+    * per (slide-width pane, user); stage 2 re-windows finalized pane
+    * cells into the k covering sliding windows and sums per (window,
+    * user); stage 3 collects each finalized window's per-user cells and
+    * takes the top `k` as a scalar sort+slice (count-desc, user-asc
+    * tiebreak — the batch rank order). Raw rows cross exactly one
+    * stateful operator; stages 2-3 handle cells only. rnk is emitted as
+    * the slice position, identical to the batch row_number. */
+  def slidingTopkPaneStream(events: DataFrame, k: Int = 5,
+      size: String = "2 hours", slide: String = "30 minutes",
+      delay: String = "10 seconds"): DataFrame = {
+    val paneCells = watermarked(events, delay)
+      .groupBy(window(col("ts"), slide), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val winCells = paneCells
+      .groupBy(window(window_time(col("window")), size, slide), col("user_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+    winCells
+      .groupBy(col("window"))
+      // negate user_id so one DESC struct sort yields (cnt desc, user asc)
+      .agg(expr(s"slice(sort_array(collect_list(struct(cnt, -user_id AS nu)), false), 1, $k)").as("top"))
+      .select(col("window.start").as("win_start"), posexplode(col("top")))
+      .select(col("win_start"), col("col.nu").cast("long").as("user_id"),
+        col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rnk"))
+      .withColumn("user_id", -col("user_id"))
+  }
+
   /** Streaming dual of the q_hll_distinct cardinality path: per-window
     * approximate distinct users via engine-native HLL++. Like
     * [[ddQuantilesStream]], the plain watermarked window aggregation IS

@@ -70,6 +70,38 @@ class PaneSpec extends SparkSpec {
       "naive top-k plan unexpectedly aggregates before exploding")
   }
 
+  test("streaming pane top-k (three chained stateful ops) matches the batch query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val fixture = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+      .orderBy("ts", "event_id").as[Ev].collect().toSeq
+    val maxTs = fixture.map(_.ts.getTime).max
+    val maxId = fixture.map(_.event_id).max
+    val flush = Ev(maxId + 1, new Timestamp(maxTs + 86400000L), 1L, "click", 1.0)
+
+    val in = MemoryStream[Ev]
+    val q = StreamingPipelines.slidingTopkPaneStream(in.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("panetopk-ck").toString)
+      .format("memory").queryName("panetopk_stream").start()
+    try {
+      in.addData(fixture); in.addData(flush)
+      q.processAllAvailable()
+      val stream = s.table("panetopk_stream")
+        .selectExpr("unix_micros(win_start)", "user_id", "cnt", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = PaneOps.slidingTopkPane(events)
+        .selectExpr("unix_micros(win_start)", "user_id", "cnt", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(stream === batch,
+        s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+      assert(batch.nonEmpty, "vacuous — no finalized windows")
+    } finally q.stop()
+  }
+
   test("streaming pane dual matches the batch query on finalized windows") {
     val s = spark
     import s.implicits._
