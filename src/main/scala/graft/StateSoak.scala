@@ -139,6 +139,15 @@ object StateSoak {
       // event-time timers at scale + watermark-driven purge of both lists
       "nearest_join" -> { (in, out, ck) =>
         Sinks.file(StatefulProcessors.nearestJoin(events(in)).toDF(), out, ck)
+      },
+      // pane-shared sliding sketch: state is (pane x bucket x type)
+      // CELLS in two chained operators — bounded by TIME and sketch
+      // width, NOT by the 10^6-user key cardinality every other cell
+      // here scales with. state_rows must stay orders of magnitude
+      // below the user count.
+      "sliding_dd_pane" -> { (in, out, ck) =>
+        Sinks.file(StreamingPipelines.slidingDdQuantilesPaneStream(
+          events(in).toDF()), out, ck)
       })
 
     val only = args.drop(2).headOption.map(_.split(",").toSet)
