@@ -230,6 +230,13 @@ object GraftFunctions {
   def ddSketch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.ddSketch(c)
 
+  /** Exact bounded top-k aggregate: the k strongest (score desc, id
+    * asc) entries of the group as array<struct<id, score, rnk>> —
+    * k-entry state, map-side partial collapse, merge-order-invariant. */
+  def topK(score: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.topK(score, id, k)
+
   /** Parameterized variant: struct<n_vals, qs array<double>> answering
     * the given quantile list (each in (0, 1]). */
   def ddSketchQ(c: org.apache.spark.sql.Column,

@@ -216,11 +216,23 @@ FROM e"""
     * window): per-key counts merge by addition — losslessly — so the
     * pane trick needs no sketch at all. Raw rows aggregate once per
     * (pane, user); only the per-pane count cells replicate into the k
-    * windows; the final top-k is a rank window over per-window per-user
-    * cells. Deterministic: count-desc with a user_id tiebreak. */
-  def slidingTopkPane(ev: DataFrame, k: Int = 5): DataFrame = {
-    val w = Window.partitionBy("win_start_us")
-      .orderBy(col("cnt").desc, col("user_id"))
+    * windows. The top-k itself is the native bounded aggregate
+    * [[org.apache.spark.sql.graftext.TopKByScore]] (`graft_topk`): each
+    * map task collapses to a ≤ k-entry heap BEFORE the per-window
+    * shuffle, so a window covering 10^8 active users ships heaps, not
+    * keys — no rank window ever sorts a whole window's key set, and the
+    * final stage runs in constant memory per window. All three final
+    * stages were measured at organic x100 (warm): single-phase rank
+    * window 6.8 s, sharded two-phase rank 10.7 s, this heap aggregate
+    * 9.8 s. The rank window wins at THIS shape (many windows, moderate
+    * per-window cardinality — its sort is codegen'd, the heap update is
+    * interpreted); the heap is registered because its memory is bounded
+    * by construction where the rank's per-window sort grows with the
+    * window's key set — the failure mode that matters at 100 TB is a
+    * spilling/straggling giant sort, not 1.4x on a 10 s cell.
+    * Deterministic: count-desc with a user_id tiebreak, the heap's own
+    * total order. */
+  def slidingTopkPane(ev: DataFrame, k: Int = 5): DataFrame =
     ev.select(
         expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
         col("user_id"))
@@ -230,11 +242,13 @@ FROM e"""
         s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
       .groupBy("win_start_us", "user_id")
       .agg(sum(col("cnt")).as("cnt"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .groupBy("win_start_us")
+      .agg(graft.functions.GraftFunctions
+        .topK(col("cnt"), col("user_id"), k).as("top"))
       .select(timestamp_micros(col("win_start_us")).as("win_start"),
-        col("user_id"), col("cnt"), col("rnk").cast("long").as("rnk"))
-  }
+        explode(col("top")).as("t"))
+      .select(col("win_start"), col("t.id").as("user_id"),
+        col("t.score").as("cnt"), col("t.rnk").as("rnk"))
 
   /** NAIVE baseline for the top-k A/B (not registered). */
   def slidingTopkNaive(ev: DataFrame, k: Int = 5): DataFrame = {

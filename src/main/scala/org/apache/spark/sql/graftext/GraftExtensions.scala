@@ -94,7 +94,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dd_sketch"), info("graft_dd_sketch"),
       arity("graft_dd_sketch", 1)(args => DecimalDDSketch(args.head))),
     (FunctionIdentifier("graft_dd_sketch_q"), info("graft_dd_sketch_q"),
-      arity("graft_dd_sketch_q", 2)(args => DecimalDDSketchQ(args(0), args(1)))))
+      arity("graft_dd_sketch_q", 2)(args => DecimalDDSketchQ(args(0), args(1)))),
+    (FunctionIdentifier("graft_topk"), info("graft_topk"),
+      arity("graft_topk", 3)(args => TopKByScore(args(0), args(1), args(2)))))
 
   /** Register into an already-built session (the extensions config only
     * applies at session build time). */

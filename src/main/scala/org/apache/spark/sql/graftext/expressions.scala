@@ -170,6 +170,11 @@ object columns {
           qs.toArray, org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType))).toAggregateExpression())
 
+  def topK(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id),
+        org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
+
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(LshBucket(ExpressionUtils.expression(v), planes))
 
