@@ -282,6 +282,77 @@ FROM q, (SELECT unnest(range(${ddqList.length})) AS i) idx"""
     },
     "Parameterized DDSketch quantiles: arbitrary q-list argument, same constant-state one-pass sketch.")
 
+  // ---------------------------------------------------------------------
+  // HLL SET ALGEBRA — the sketch-union property q_hll_sketch's registers
+  // buy beyond plain cardinality: registers of A ∪ B are the bucket-wise
+  // MAX of A's and B's registers (no rescan of either side), and
+  // |A ∩ B| ≈ |A| + |B| − |A ∪ B| by inclusion–exclusion. Audience
+  // overlap between event types from ONE corpus pass: per-(type, bucket)
+  // max-rho registers (map-side collapse to ≤ types×64 cells), densified
+  // to 64-length arrays (absent bucket = empty register = rho 0), then
+  // every type pair is a constant-size zip — nothing pair-proportional
+  // ever touches the corpus. Same hash-deterministic m=64 sketch as
+  // q_hll_sketch, so DuckDB recomputes every estimate bit-for-bit (each
+  // 2^-rho term is an exact power of two; the ≤64-term sums are
+  // order-exact in IEEE754, so engine sum order cannot matter).
+  // Inclusion–exclusion can go slightly negative on disjoint sets (both
+  // raw estimates carry +bias); reported raw, not clamped — the oracle
+  // computes the identical value.
+  private val hllM = RelationalOps.hllM
+  private val qHllSetAlgebra = GQuery(
+    "q_hll_set_algebra",
+    (s, dir) => {
+      val est = (si: Column) =>
+        round(expr(s"0.709 * $hllM * $hllM") / si + lit(1e-9), 2)
+      val sumInv = (regs: String) => expr(
+        s"aggregate($regs, 0.0d, (acc, x) -> acc + 1.0 / cast(shiftleft(1L, x) AS double))")
+      val regs = t("events")(s, dir)
+        .select(col("event_type"),
+          GraftFunctions.md5Hash48(col("user_id").cast("string")).as("h"))
+        .selectExpr("event_type", s"h % $hllM AS bucket",
+          s"${RelationalOps.hllRho("(h div 64)")} AS rho")
+        .groupBy("event_type", "bucket")
+        .agg(max(col("rho")).as("m"))
+        .groupBy("event_type")
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("m")))).as("mm"))
+        .withColumn("regs", expr(
+          s"transform(sequence(0, ${hllM - 1}), j -> coalesce(element_at(mm, j), 0L))"))
+        .select(col("event_type"), col("regs"))
+      val a = regs.select(col("event_type").as("type_a"), col("regs").as("ra"))
+      val b = regs.select(col("event_type").as("type_b"), col("regs").as("rb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .withColumn("ru", expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
+        .withColumn("sa", sumInv("ra")).withColumn("sb", sumInv("rb"))
+        .withColumn("su", sumInv("ru"))
+        .select(col("type_a"), col("type_b"),
+          est(col("sa")).as("est_a"), est(col("sb")).as("est_b"),
+          est(col("su")).as("est_union"),
+          round(est(col("sa")) + est(col("sb")) - est(col("su")) + lit(1e-9), 2)
+            .as("est_intersect"))
+    },
+    Some(s"""WITH h AS (SELECT event_type, (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) AS h FROM events),
+r AS (SELECT event_type, h % $hllM AS bucket, max(${RelationalOps.hllRho("(h // 64)")}) AS m
+      FROM h GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM events),
+d AS (SELECT ty.event_type, x.j, coalesce(r.m, 0) AS m
+      FROM ty CROSS JOIN (SELECT unnest(range($hllM)) AS j) x
+      LEFT JOIN r ON r.event_type = ty.event_type AND r.bucket = x.j),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             sum(1.0 / (1::BIGINT << a.m)::DOUBLE) AS sa,
+             sum(1.0 / (1::BIGINT << b.m)::DOUBLE) AS sb,
+             sum(1.0 / (1::BIGINT << greatest(a.m, b.m))::DOUBLE) AS su
+      FROM d a JOIN d b ON a.j = b.j AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b,
+       round(0.709 * $hllM * $hllM / sa + 1e-9, 2) AS est_a,
+       round(0.709 * $hllM * $hllM / sb + 1e-9, 2) AS est_b,
+       round(0.709 * $hllM * $hllM / su + 1e-9, 2) AS est_union,
+       round(round(0.709 * $hllM * $hllM / sa + 1e-9, 2)
+           + round(0.709 * $hllM * $hllM / sb + 1e-9, 2)
+           - round(0.709 * $hllM * $hllM / su + 1e-9, 2) + 1e-9, 2) AS est_intersect
+FROM p"""),
+    "HLL set algebra: pairwise audience union (register max) + inclusion-exclusion intersection from one corpus pass.")
+
   val all: Seq[GQuery] = Seq(qCmsTopk, qBloomSemi, dWeightedSample,
-    qDdQuantiles, qDdQuantilesParam)
+    qDdQuantiles, qDdQuantilesParam, qHllSetAlgebra)
 }
