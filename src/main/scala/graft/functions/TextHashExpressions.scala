@@ -230,6 +230,12 @@ object GraftFunctions {
   def ddSketch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.ddSketch(c)
 
+  /** Weighted decimal-DDSketch quantiles: each value counts `w` (long)
+    * times — struct<n_weight, q50, q95, q99>, same constant state. */
+  def ddSketchW(c: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.ddSketchW(c, w)
+
   /** Exact bounded top-k aggregate: the k strongest (score desc, id
     * asc) entries of the group as array<struct<id, score, rnk>> —
     * k-entry state, map-side partial collapse, merge-order-invariant. */

@@ -283,6 +283,53 @@ FROM q, (SELECT unnest(range(${ddqList.length})) AS i) idx"""
     "Parameterized DDSketch quantiles: arbitrary q-list argument, same constant-state one-pass sketch.")
 
   // ---------------------------------------------------------------------
+  // WEIGHTED quantiles from the same constant-state sketch
+  // ([[org.apache.spark.sql.graftext.DecimalDDSketchW]]): each value
+  // counts its LONG weight times — the importance-weighted quantile a
+  // curation pipeline needs (price weighted by quantity here; document
+  // quality weighted by token count in a corpus). Integer weights keep
+  // the histogram exact and merge-order-invariant, so the oracle
+  // recomputes the estimates from sum(weight) bit-for-bit, exactly like
+  // the unweighted variant.
+  private val qDdQuantilesW = GQuery(
+    "q_dd_quantiles_w",
+    (s, dir) =>
+      t("lineitem")(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.GraftFunctions
+          .ddSketchW(col("l_extendedprice"), col("l_quantity").cast("long")).as("sk"))
+        .select(col("l_returnflag"), col("sk.n_weight").as("n_weight"),
+          col("sk.q50").as("q50"), col("sk.q95").as("q95"), col("sk.q99").as("q99")),
+    Some("""WITH v AS (SELECT l_returnflag AS flag,
+                  least(l_extendedprice, 999999999999999.0) AS x,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             AND CAST(l_quantity AS BIGINT) > 0),
+b AS (SELECT flag, w,
+             CASE WHEN x < 1 THEN 0 ELSE
+               len(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR)) * 100 +
+               CASE WHEN floor(x) < 10 THEN CAST(floor(x) AS INTEGER) * 10
+                    ELSE CAST(substr(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR), 1, 2) AS INTEGER) END
+             END AS bk
+      FROM v),
+c AS (SELECT flag, bk, CAST(sum(w) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+w AS (SELECT flag, bk,
+             CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bk) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n FROM c),
+q AS (SELECT flag, max(n) AS n_weight,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN bk END) AS b50,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN bk END) AS b95,
+             min(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN bk END) AS b99
+      FROM w GROUP BY 1)
+SELECT flag AS l_returnflag, n_weight,
+       CASE WHEN b50 = 0 THEN 0.5 ELSE ((b50 % 100) + 0.5) * pow(10, (b50 // 100) - 2) END AS q50,
+       CASE WHEN b95 = 0 THEN 0.5 ELSE ((b95 % 100) + 0.5) * pow(10, (b95 // 100) - 2) END AS q95,
+       CASE WHEN b99 = 0 THEN 0.5 ELSE ((b99 % 100) + 0.5) * pow(10, (b99 // 100) - 2) END AS q99
+FROM q"""),
+    "Weighted DDSketch quantiles (long weights, price-by-quantity): same one-pass constant state, oracle-recomputed bit-for-bit.")
+
+  // ---------------------------------------------------------------------
   // HLL SET ALGEBRA — the sketch-union property q_hll_sketch's registers
   // buy beyond plain cardinality: registers of A ∪ B are the bucket-wise
   // MAX of A's and B's registers (no rescan of either side), and
@@ -354,5 +401,5 @@ FROM p"""),
     "HLL set algebra: pairwise audience union (register max) + inclusion-exclusion intersection from one corpus pass.")
 
   val all: Seq[GQuery] = Seq(qCmsTopk, qBloomSemi, dWeightedSample,
-    qDdQuantiles, qDdQuantilesParam, qHllSetAlgebra)
+    qDdQuantiles, qDdQuantilesParam, qDdQuantilesW, qHllSetAlgebra)
 }

@@ -256,3 +256,95 @@ case class DecimalDDSketchQ(
       newChildren: IndexedSeq[Expression]): DecimalDDSketchQ =
     copy(child = newChildren(0), quantiles = newChildren(1))
 }
+
+/** WEIGHTED variant of [[DecimalDDSketch]]: each value contributes its
+  * long `weight` to the bucket count instead of 1 — the importance-
+  * weighted quantile a curation pipeline needs (quantiles of document
+  * quality weighted by token count, of price weighted by quantity, …).
+  * Weights are LONGS so the histogram stays integer-exact and
+  * merge-order-invariant, and the oracle recomputes the estimates from
+  * `sum(weight)` bit-for-bit. Null/NaN values and null or non-positive
+  * weights contribute nothing (a zero weight is a no-op by definition;
+  * negative weights have no quantile meaning and are ignored rather
+  * than corrupting the CDF). Same constant ≤ ~1.4k-counter state. */
+case class DecimalDDSketchW(
+    child: Expression,
+    weight: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[Int, Long]]
+    with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(child, weight)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_dd_sketch_w"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_weight", LongType, nullable = false),
+    StructField("q50", DoubleType, nullable = true),
+    StructField("q95", DoubleType, nullable = true),
+    StructField("q99", DoubleType, nullable = true)))
+
+  override def createAggregationBuffer(): mutable.HashMap[Int, Long] =
+    mutable.HashMap.empty[Int, Long]
+
+  override def update(
+      buffer: mutable.HashMap[Int, Long],
+      input: InternalRow): mutable.HashMap[Int, Long] = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val x = v.asInstanceOf[Double]
+      val ww = w.asInstanceOf[Long]
+      if (!x.isNaN && ww > 0L) {
+        val b = DecimalDDSketch.bucket(x)
+        buffer.update(b, buffer.getOrElse(b, 0L) + ww)
+      }
+    }
+    buffer
+  }
+
+  override def merge(
+      b1: mutable.HashMap[Int, Long],
+      b2: mutable.HashMap[Int, Long]): mutable.HashMap[Int, Long] = {
+    b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
+    b1
+  }
+
+  override def eval(buffer: mutable.HashMap[Int, Long]): Any = {
+    val n = buffer.valuesIterator.sum
+    if (n == 0L) {
+      InternalRow(0L, null, null, null)
+    } else {
+      def q(p: Double) = DecimalDDSketch.quantileOf(buffer, n, p)
+      InternalRow(n, q(0.50), q(0.95), q(0.99))
+    }
+  }
+
+  override def serialize(buffer: mutable.HashMap[Int, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { case (k, c) => out.writeInt(k); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Int, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val m = mutable.HashMap.empty[Int, Long]
+    var i = 0
+    while (i < size) { m.update(in.readInt(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DecimalDDSketchW =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DecimalDDSketchW =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DecimalDDSketchW =
+    copy(child = newChildren(0), weight = newChildren(1))
+}

@@ -96,7 +96,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dd_sketch_q"), info("graft_dd_sketch_q"),
       arity("graft_dd_sketch_q", 2)(args => DecimalDDSketchQ(args(0), args(1)))),
     (FunctionIdentifier("graft_topk"), info("graft_topk"),
-      arity("graft_topk", 3)(args => TopKByScore(args(0), args(1), args(2)))))
+      arity("graft_topk", 3)(args => TopKByScore(args(0), args(1), args(2)))),
+    (FunctionIdentifier("graft_dd_sketch_w"), info("graft_dd_sketch_w"),
+      arity("graft_dd_sketch_w", 2)(args => DecimalDDSketchW(args(0), args(1)))))
 
   /** Register into an already-built session (the extensions config only
     * applies at session build time). */

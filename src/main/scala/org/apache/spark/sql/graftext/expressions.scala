@@ -170,6 +170,11 @@ object columns {
           qs.toArray, org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType))).toAggregateExpression())
 
+  def ddSketchW(c: Column, w: Column): Column =
+    ExpressionUtils.column(
+      DecimalDDSketchW(ExpressionUtils.expression(c),
+        ExpressionUtils.expression(w)).toAggregateExpression())
+
   def topK(score: Column, id: Column, k: Int): Column =
     ExpressionUtils.column(
       TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id),

@@ -104,4 +104,34 @@ class DDSketchSpec extends SparkSpec {
       "SELECT graft_dd_sketch_q(x, array(0.5D, 1.0D)).qs AS qs FROM ddq_in").head()
     assert(sql.getSeq[Double](0) == Seq(105.0, 205.0))
   }
+
+  test("weighted variant: weight-1 equals unweighted; weights equal row replication") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq((12.0, 3L), (150.0, 1L), (7.0, 5L), (2000.0, 2L), (0.4, 4L))
+    val df = vals.toDF("x", "w")
+    // weight 1 == the plain sketch
+    val w1 = df.agg(GraftFunctions.ddSketchW(col("x"), lit(1L)).as("sk"))
+      .selectExpr("sk.n_weight", "sk.q50", "sk.q95", "sk.q99").head()
+    val plain = df.agg(GraftFunctions.ddSketch(col("x")).as("sk"))
+      .selectExpr("sk.n_vals", "sk.q50", "sk.q95", "sk.q99").head()
+    assert(w1 === plain)
+    // weight w == the value appearing w times
+    val expanded = vals.flatMap { case (x, w) => Seq.fill(w.toInt)(x) }.toDF("x")
+    val wk = df.agg(GraftFunctions.ddSketchW(col("x"), col("w")).as("sk"))
+      .selectExpr("sk.n_weight", "sk.q50", "sk.q95", "sk.q99").head()
+    val rep = expanded.agg(GraftFunctions.ddSketch(col("x")).as("sk"))
+      .selectExpr("sk.n_vals", "sk.q50", "sk.q95", "sk.q99").head()
+    assert(wk === rep)
+    // null / non-positive weights contribute nothing
+    val guarded = Seq((5.0, 0L), (5.0, -2L), (9.0, 2L)).toDF("x", "w")
+      .agg(GraftFunctions.ddSketchW(col("x"), when(col("w") =!= -2L, col("w"))).as("sk"))
+      .selectExpr("sk.n_weight").head().getLong(0)
+    assert(guarded === 2L)
+    // SQL registration
+    org.apache.spark.sql.graftext.GraftExtensions.registerAll(s)
+    df.createOrReplaceTempView("ddw_in")
+    val sql = s.sql("SELECT graft_dd_sketch_w(x, w).n_weight AS n FROM ddw_in").head().getLong(0)
+    assert(sql === vals.map(_._2).sum)
+  }
 }
