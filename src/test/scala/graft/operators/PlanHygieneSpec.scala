@@ -45,6 +45,11 @@ class PlanHygieneSpec extends SparkSpec {
       // multi-probe IVF: the identical 16-row coarse-codebook cross join
       // as e_knn_ivf (only the probe count differs)
       "e_knn_ivf_mp",
+      // pairwise register algebra over the per-event-type HLL sketches:
+      // both join sides are the <= |event-type-domain|-row register
+      // table (5 rows of 64 longs here) — constant-size by construction,
+      // nothing corpus-proportional crosses the nested loop
+      "q_hll_set_algebra",
       // the Lloyd step's centroid-model cross join (constant 10x64 build
       // side), shared with e_kmeans_step; the drift join itself is an
       // equi BroadcastHashJoin on (cluster, pos)
