@@ -36,6 +36,25 @@ object Layout {
       path: String, numFiles: Int = 32): Unit =
     writeZOrderedN(df, Seq(xCol, yCol), path, numFiles)
 
+  /** Persist `df` as a BUCKETED table: Spark's durable hash-clustering
+    * on the join key (`bucketBy` + in-bucket `sortBy`). Every future
+    * equi-join or aggregation on `key` between tables bucketed the same
+    * way (same key, same bucket count) runs WITHOUT an exchange on
+    * either side — the co-located-join layout for a fact table that is
+    * joined on the same key every day at 100 TB: pay the clustering
+    * shuffle once at write time, never again at read time. The
+    * BucketSpec receipt asserts the join plan really drops both
+    * exchanges (and that the unbucketed twin keeps them). `path` keeps
+    * the data outside the metastore warehouse (external table). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** N-column generalization (2..4 keys — Delta's OPTIMIZE ZORDER BY
     * shape): each key stretches into a `min(16, 63/n)`-bit domain, and
     * bit i of key j lands at interleave position `i*n + j` — for n = 2
