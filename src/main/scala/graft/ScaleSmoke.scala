@@ -347,6 +347,36 @@ object ScaleSmoke {
       "a18_seasonal_anomaly", "q_pagerank", "x3_cep_sequence")
     // Round-8 additions (CEP negation + quantifier) needing receipts.
     val r8Subset = Seq("x4_cep_negation", "x5_cep_times", "x3_cep_sequence")
+    // `topkab`: the native graft_topk heap aggregate vs the rank-window
+    // shape on q_topk_per_brand's semantics — the FEW-GROUPS × MANY-
+    // ROWS-PER-GROUP regime (25 brands × ~80k parts/brand at x100
+    // organic) where the window's parallelism collapses to #groups
+    // tasks while the heap's partial aggregation stays map-parallel.
+    // Both shapes verified row-identical before timing (prices in exact
+    // integer cents, same (score desc, id asc) tiebreak).
+    if (args.contains("topkab")) {
+      val part = Tables.t(spark, dst, "part")
+      def viaWindow: DataFrame = SparkEntry.queries("q_topk_per_brand")(spark, dst)
+        .select(col("p_brand"), col("p_partkey"), col("rn").cast("long").as("rn"))
+      def viaHeap: DataFrame = part
+        .select(col("p_brand"),
+          expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").as("score"),
+          col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(graft.functions.GraftFunctions.topK(col("score"), col("p_partkey"), 3).as("top"))
+        .select(col("p_brand"), explode(col("top")).as("t"))
+        .select(col("p_brand"), col("t.id").as("p_partkey"), col("t.rnk").as("rn"))
+      val a = viaWindow.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val b = viaHeap.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      require(a == b && a.nonEmpty, s"shapes disagree: only-window=${(a -- b).take(3)} only-heap=${(b -- a).take(3)}")
+      val tw = timeAb("topkab", "rank_window")(viaWindow)
+      val th = timeAb("topkab", "graft_topk_heap")(viaHeap)
+      def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      println(s"""{"rank_window":${n(tw)},"graft_topk_heap":${n(th)},"mult":$mult,"mode":"topkab"}""")
+      spark.stop()
+      return
+    }
+
     if (saltAb) {
       // Force the shuffle-join regime (see the saltAb comment above).
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
