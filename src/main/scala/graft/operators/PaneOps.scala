@@ -34,9 +34,38 @@ object PaneOps {
   private def events(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "events")
 
-  /** 2-hour windows sliding every 30 minutes. */
-  private[graft] val slideUs = 1800000000L
-  private[graft] val paneK = 4
+  /** Validated (window, slide) pair for the pane decomposition; k is
+    * derived. Window must be a positive multiple of slide. */
+  final case class PaneParams(windowUs: Long, slideUs: Long) {
+    require(windowUs > 0 && slideUs > 0,
+      s"window/slide must be positive, got $windowUs/$slideUs")
+    require(windowUs % slideUs == 0,
+      s"window ($windowUs us) must be a whole multiple of slide ($slideUs us)")
+    val k: Int = (windowUs / slideUs).toInt
+    require(k <= 4096, s"pane count $k exceeds 4096 — widen the slide")
+
+    /** Pane start in µs, FLOOR division (floorMod rewrite) so pre-1970
+      * negative micros land in the pane below zero — agreeing with both
+      * Spark's `window()` (the streaming duals) and DuckDB's `//` (the
+      * oracles); a plain `div` truncates toward zero and would disagree
+      * on negative timestamps. */
+    def paneExpr(tsCol: String = "ts"): String =
+      s"(unix_micros($tsCol) - ((unix_micros($tsCol) % ${slideUs}L + ${slideUs}L) % ${slideUs}L))"
+
+    /** The k sliding-window starts that cover pane column `pane`. */
+    def coveringWindowsExpr: String =
+      s"transform(sequence(0, ${k - 1}), j -> pane - j * ${slideUs}L)"
+  }
+
+  object PaneParams {
+    /** 2-hour windows sliding every 30 minutes — the registered shape. */
+    val default: PaneParams = PaneParams(7200000000L, 1800000000L)
+    def ofMinutes(windowMin: Int, slideMin: Int): PaneParams =
+      PaneParams(windowMin * 60000000L, slideMin * 60000000L)
+  }
+
+  private[graft] val slideUs = PaneParams.default.slideUs
+  private[graft] val paneK = PaneParams.default.k
 
   /** The decimal-DDSketch bucket of SQL expression `x` — the same
     * (#digits, first-two-digits) bucket the
@@ -81,15 +110,14 @@ object PaneOps {
 
   /** PANE plan: raw rows aggregate once into per-pane sketch cells; only
     * the cells replicate into the k covering windows. */
-  def slidingDdQuantilesPane(ev: DataFrame): DataFrame = {
+  def slidingDdQuantilesPane(ev: DataFrame,
+      p: PaneParams = PaneParams.default): DataFrame = {
     val cells = ev.filter(col("value").isNotNull)
-      .select(col("event_type"),
-        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+      .select(col("event_type"), expr(p.paneExpr()).as("pane"),
         expr(ddBucketExpr(s"least(value, 999999999999999.0d)")).as("bk"))
       .groupBy("event_type", "pane", "bk")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("win_start_us", explode(expr(
-        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))
       .groupBy("event_type", "win_start_us", "bk")
       .agg(sum(col("cnt")).as("cnt"))
     quantilesFromCells(cells)
@@ -98,13 +126,12 @@ object PaneOps {
   /** NAIVE plan (the A/B receipt's baseline, not registered): every raw
     * row replicates into its k windows before any aggregation. Same
     * output bit-for-bit — merge-order invariance. */
-  def slidingDdQuantilesNaive(ev: DataFrame): DataFrame = {
+  def slidingDdQuantilesNaive(ev: DataFrame,
+      p: PaneParams = PaneParams.default): DataFrame = {
     val cells = ev.filter(col("value").isNotNull)
-      .select(col("event_type"),
-        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+      .select(col("event_type"), expr(p.paneExpr()).as("pane"),
         expr(ddBucketExpr(s"least(value, 999999999999999.0d)")).as("bk"))
-      .withColumn("win_start_us", explode(expr(
-        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))
       .groupBy("event_type", "win_start_us", "bk")
       .agg(count(lit(1)).as("cnt"))
     quantilesFromCells(cells)
@@ -147,18 +174,17 @@ FROM q"""
     * register rows, never the raw rows, replicate k×. Same hash-
     * deterministic m=64 sketch as q_hll_sketch, so the oracle recomputes
     * the estimate bit-for-bit in its naive row-replicating form. */
-  def slidingHllDistinctPane(ev: DataFrame): DataFrame = {
+  def slidingHllDistinctPane(ev: DataFrame,
+      p: PaneParams = PaneParams.default): DataFrame = {
     val m = RelationalOps.hllM
-    ev.select(col("event_type"),
-        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+    ev.select(col("event_type"), expr(p.paneExpr()).as("pane"),
         graft.functions.GraftFunctions
           .md5Hash48(col("user_id").cast("string")).as("h"))
       .selectExpr("event_type", "pane", s"h % $m AS bucket",
         s"${RelationalOps.hllRho("(h div 64)")} AS rho")
       .groupBy("event_type", "pane", "bucket")
       .agg(max(col("rho")).as("rho"))
-      .withColumn("win_start_us", explode(expr(
-        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))
       .groupBy("event_type", "win_start_us", "bucket")
       .agg(max(col("rho")).as("rho"))
       .groupBy("event_type", "win_start_us")
@@ -170,14 +196,13 @@ FROM q"""
   }
 
   /** NAIVE baseline for the HLL A/B receipt (not registered). */
-  def slidingHllDistinctNaive(ev: DataFrame): DataFrame = {
+  def slidingHllDistinctNaive(ev: DataFrame,
+      p: PaneParams = PaneParams.default): DataFrame = {
     val m = RelationalOps.hllM
-    ev.select(col("event_type"),
-        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
+    ev.select(col("event_type"), expr(p.paneExpr()).as("pane"),
         graft.functions.GraftFunctions
           .md5Hash48(col("user_id").cast("string")).as("h"))
-      .withColumn("win_start_us", explode(expr(
-        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))
       .selectExpr("event_type", "win_start_us", s"h % $m AS bucket",
         s"${RelationalOps.hllRho("(h div 64)")} AS rho")
       .groupBy("event_type", "win_start_us", "bucket")
@@ -232,14 +257,12 @@ FROM e"""
     * spilling/straggling giant sort, not 1.4x on a 10 s cell.
     * Deterministic: count-desc with a user_id tiebreak, the heap's own
     * total order. */
-  def slidingTopkPane(ev: DataFrame, k: Int = 5): DataFrame =
-    ev.select(
-        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
-        col("user_id"))
+  def slidingTopkPane(ev: DataFrame, k: Int = 5,
+      p: PaneParams = PaneParams.default): DataFrame =
+    ev.select(expr(p.paneExpr()).as("pane"), col("user_id"))
       .groupBy("pane", "user_id")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("win_start_us", explode(expr(
-        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+      .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))
       .groupBy("win_start_us", "user_id")
       .agg(sum(col("cnt")).as("cnt"))
       .groupBy("win_start_us")
@@ -251,14 +274,12 @@ FROM e"""
         col("t.score").as("cnt"), col("t.rnk").as("rnk"))
 
   /** NAIVE baseline for the top-k A/B (not registered). */
-  def slidingTopkNaive(ev: DataFrame, k: Int = 5): DataFrame = {
+  def slidingTopkNaive(ev: DataFrame, k: Int = 5,
+      p: PaneParams = PaneParams.default): DataFrame = {
     val w = Window.partitionBy("win_start_us")
       .orderBy(col("cnt").desc, col("user_id"))
-    ev.select(
-        expr(s"(unix_micros(ts) div ${slideUs}L) * ${slideUs}L").as("pane"),
-        col("user_id"))
-      .withColumn("win_start_us", explode(expr(
-        s"transform(sequence(0, ${paneK - 1}), j -> pane - j * ${slideUs}L)")))
+    ev.select(expr(p.paneExpr()).as("pane"), col("user_id"))
+      .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))
       .groupBy("win_start_us", "user_id")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(w))

@@ -57,9 +57,17 @@ case class TopKByScore(
     StructField("rnk", LongType, nullable = false))), containsNull = false)
 
   // Root of the queue = the WEAKEST kept entry (smallest score, then
-  // largest id), so a cap-replace keeps the strongest k.
-  private def weakestFirst: Ordering[(Long, Long)] =
-    Ordering.by { (t: (Long, Long)) => (-t._1, t._2) }
+  // largest id), so a cap-replace keeps the strongest k. Scala's
+  // PriorityQueue is a max-heap, so "weaker" must compare GREATER.
+  // Built from explicit Long.compare (no negation: -Long.MinValue
+  // overflows back to Long.MinValue and would rank the weakest
+  // possible score as strongest).
+  private def weakestFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1) // lower score = weaker = greater
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id = weaker = greater
+    }
+  }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
     mutable.PriorityQueue.empty[(Long, Long)](weakestFirst)
@@ -93,7 +101,8 @@ case class TopKByScore(
   }
 
   override def eval(buffer: mutable.PriorityQueue[(Long, Long)]): Any = {
-    val ranked = buffer.toArray.sortBy { case (s, i) => (-s, i) }
+    // ascending under weakestFirst = strongest first (same no-negation rule)
+    val ranked = buffer.toArray.sorted(weakestFirst)
     new GenericArrayData(ranked.zipWithIndex.map { case ((s, i), r) =>
       InternalRow(i, s, (r + 1).toLong)
     })

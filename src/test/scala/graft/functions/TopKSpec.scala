@@ -57,6 +57,23 @@ class TopKSpec extends SparkSpec {
       Set((0, 12L, 9L, 1L), (0, 10L, 5L, 2L), (0, 11L, 5L, 3L)))
   }
 
+  test("extreme scores (Long.MinValue / Long.MaxValue) rank correctly") {
+    // ADVICE r10: an Ordering built with -score overflows at
+    // Long.MinValue (-Long.MinValue == Long.MinValue), ranking the
+    // weakest possible score as strongest and corrupting eviction.
+    val s = spark
+    import s.implicits._
+    val extremes = Seq(
+      (0, 1L, Long.MinValue), (0, 2L, -5L), (0, 3L, 0L),
+      (0, 4L, 7L), (0, 5L, Long.MaxValue), (0, 6L, Long.MinValue + 1))
+      .toDF("g", "id", "score")
+    for (k <- Seq(1, 2, 3, 6)) {
+      assert(viaTopk(extremes, k) === viaRank(extremes, k), s"k=$k")
+      assert(viaTopk(extremes.repartition(3), k) === viaRank(extremes, k),
+        s"k=$k partitioned")
+    }
+  }
+
   test("graft_topk is SQL-callable via the extensions registry") {
     val s = spark
     org.apache.spark.sql.graftext.GraftExtensions.registerAll(s)

@@ -70,6 +70,42 @@ class PaneSpec extends SparkSpec {
       "naive top-k plan unexpectedly aggregates before exploding")
   }
 
+  test("PaneParams validates and derives k; k=12 hourly/5-min pane == naive") {
+    import PaneOps.PaneParams
+    assertThrows[IllegalArgumentException](PaneParams(7200000000L, 1700000000L))
+    assertThrows[IllegalArgumentException](PaneParams(-1L, 1800000000L))
+    val p12 = PaneParams.ofMinutes(60, 5)
+    assert(p12.k === 12)
+    val pane = PaneOps.slidingTopkPane(events, 5, p12)
+      .orderBy("win_start", "rnk").collect().toSeq
+    val naive = PaneOps.slidingTopkNaive(events, 5, p12)
+      .orderBy("win_start", "rnk").collect().toSeq
+    assert(pane.nonEmpty && pane === naive)
+    val dd = PaneOps.slidingDdQuantilesPane(events, p12)
+      .orderBy("event_type", "win_start").collect().toSeq
+    val ddN = PaneOps.slidingDdQuantilesNaive(events, p12)
+      .orderBy("event_type", "win_start").collect().toSeq
+    assert(dd.nonEmpty && dd === ddN)
+  }
+
+  test("pane assignment FLOORS on pre-1970 timestamps, agreeing with window()") {
+    // ADVICE r10: `unix_micros(ts) div slide` truncates toward zero, so
+    // negative micros landed one pane HIGH vs the streaming dual's
+    // window() and the oracle's DuckDB `//` (both floor).
+    val s = spark
+    import s.implicits._
+    val ts = Seq("1969-12-31 23:45:00", "1969-12-31 22:10:00", "1970-01-01 00:20:00")
+      .map(java.sql.Timestamp.valueOf)
+    val df = ts.map(t => Tuple1(t)).toDF("ts")
+    val viaPane = df
+      .selectExpr(s"${PaneOps.PaneParams.default.paneExpr()} AS pane", "ts")
+      .select(org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("pane")).as("pane_ts"), $"ts")
+    val viaWindow = df.select(
+      org.apache.spark.sql.functions.window($"ts", "30 minutes")("start").as("pane_ts"), $"ts")
+    assert(viaPane.collect().toSet === viaWindow.collect().toSet)
+  }
+
   test("streaming pane top-k (three chained stateful ops) matches the batch query") {
     val s = spark
     import s.implicits._
