@@ -62,6 +62,7 @@ object OperatorIndex {
     "StatefulProcessors.cepTimesRange" -> "x6_cep_times_range",
     "StatefulProcessors.cepOneOrMore" -> "x7_cep_one_or_more",
     "StatefulProcessors.cepSkipPast" -> "x8_cep_skip_past",
+    "StatefulProcessors.cepSkipToNext" -> "x9_cep_skip_to_next",
     "StatefulOps.doubleEventAlerts" -> "x1_double_event_alert",
     "StatefulOps.sessionizeActions" -> "x2_sessionize")
 

@@ -814,6 +814,70 @@ JOIN h a ON a.user_id = s.user_id AND a.rn = s.anchor_rn
 JOIN h l ON l.user_id = s.user_id AND l.rn = s.end_rn"""),
     "CEP skipPastLastEvent: greedy non-overlapping oneOrMore runs; secondary-sorted O(1) per-key fold, recursive-CTE oracle.")
 
+  // X9 (beyond the reference — Flink-CEP AfterMatchSkipStrategy
+  // `skipToNext`, completing the strategy family x7/x8/x9): pattern
+  // `click+ purchase` (reluctant) within a 6-h horizon of the anchor
+  // click. skipToNext emits exactly the FIRST completed match per
+  // anchor and then advances the anchor to the NEXT event — not past
+  // the match's last event (that is x8's skipPast) and not every match
+  // per anchor (noSkip; with this composite pattern noSkip would also
+  // emit the runs ending at every LATER purchase). So matches OVERLAP
+  // (consecutive anchors share clicks and usually the same purchase)
+  // but each click anchors at most one match — distinct output from
+  // both x7 (click-only runs, no end event) and x8 (disjoint
+  // segments) on the same fixture. Unlike x8's sequential chain, the
+  // anchor set here is NOT recursive (every click with an in-horizon
+  // purchase anchors), so the whole operator stays in window functions
+  // over ONE exchange + ONE (us, event_id) sort: a running click count
+  // and a min-struct "next purchase" lookahead (struct min = first
+  // purchase in sequence order, carrying its us/id/click-count
+  // atomically so no self-join is needed). n_times = clicks from the
+  // anchor through the matched purchase = crn(purchase) - crn(anchor)
+  // + 1. Streaming dual: StatefulProcessors.CepSkipToNextProcessor —
+  // pending anchors empty on every purchase (matched) or horizon
+  // expiry (failed), so state is gap-bounded like x7's list.
+  /** X9 core over any event frame — public for the streaming-equivalence
+    * spec, like [[cepSkipPastBatch]]. */
+  def cepSkipToNextBatch(ev: DataFrame, gapUs: Long,
+      typ: String = "click", end: String = "purchase"): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wFollow = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.filter(col("event_type").isin(typ, end))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("typ"))
+      .withColumn("crn",
+        sum(when(col("typ") === typ, 1L).otherwise(0L)).over(wSeq))
+      .withColumn("np", min(when(col("typ") === end,
+        struct(col("us"), col("event_id"), col("crn")))).over(wFollow))
+      .filter(col("typ") === typ && col("np").isNotNull &&
+        col("np.us") <= col("us") + gapUs)
+      .select(col("event_id"), col("user_id"),
+        (col("np.crn") - col("crn") + lit(1L)).as("n_times"),
+        timestamp_micros(col("us")).as("first_ts"),
+        col("np.event_id").as("end_id"),
+        timestamp_micros(col("np.us")).as("end_ts"))
+  }
+
+  private val x9 = GQuery(
+    "x9_cep_skip_to_next",
+    (s, dir) => cepSkipToNextBatch(events(s, dir), 21600000000L),
+    Some("""WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type AS typ,
+         row_number() OVER w AS rn,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS crn
+  FROM events WHERE event_type IN ('click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+f AS (
+  SELECT *, min(CASE WHEN typ = 'purchase' THEN rn END) OVER
+    (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_rn
+  FROM e)
+SELECT a.event_id, a.user_id, CAST(p.crn - a.crn + 1 AS BIGINT) AS n_times,
+       make_timestamp(a.us) AS first_ts, p.event_id AS end_id, make_timestamp(p.us) AS end_ts
+FROM f a JOIN e p ON p.user_id = a.user_id AND p.rn = a.np_rn
+WHERE a.typ = 'click' AND p.us <= a.us + 21600000000"""),
+    "CEP skipToNext: first completed click+->purchase match per click anchor; overlapping matches, one exchange, min-struct lookahead.")
+
   // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
   // batch analog: lag() per user over the filtered event class; alert when two
   // 'error's land within 6 hours.
@@ -897,5 +961,5 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, a5, a5b, a6, a7, w2, w3, w4,
-    j1, j2, j3, j4, x1, x2, x3, x4, x5, x6, x7, x8, qDistinct, qExcept, qIntersect)
+    j1, j2, j3, j4, x1, x2, x3, x4, x5, x6, x7, x8, x9, qDistinct, qExcept, qIntersect)
 }

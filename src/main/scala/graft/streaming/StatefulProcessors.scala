@@ -1121,6 +1121,77 @@ object StatefulProcessors {
       .transformWithState(new CepSkipPastProcessor(typ, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** X9 output: one completed click+ -> purchase match (anchor click,
+    * click count through the matched end event, end event id/us). */
+  final case class CepNextMatch(user_id: Long, first_id: Long,
+      first_us: Long, n_times: Long, end_id: Long, end_us: Long)
+
+  private implicit val cepNextEnc = Encoders.product[CepNextMatch]
+
+  /** X9 streaming dual (Flink-CEP AfterMatchSkipStrategy `skipToNext`
+    * over the reluctant `typ+ end` pattern): every `typ` event becomes a
+    * pending anchor; the next `end` event inside an anchor's `gapUs`
+    * horizon completes that anchor's FIRST (and only) match. An `end`
+    * event resolves EVERY pending anchor — matched (in horizon, emit) or
+    * failed (horizon passed without an end, drop silently) — so pending
+    * empties on each `end` and is otherwise pruned on expiry: state per
+    * key is the anchors inside one gap horizon plus one running click
+    * counter, never event history. Matches overlap (consecutive anchors
+    * share clicks and the same end event) but each anchor emits at most
+    * once — the skipToNext contract, vs x7's noSkip (no end condition)
+    * and x8's skipPast (disjoint segments). */
+  final class CepSkipToNextProcessor(typ: String, end: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepNextMatch] {
+
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+    @transient private var clicks: ValueState[Long] = _
+
+    private val anchorEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[(Long, Long, Long)]("next_pending",
+        anchorEnc, TTLConfig.NONE)
+      clicks = getHandle.getValueState[Long]("next_crn", longEnc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepNextMatch] = {
+      val out = Seq.newBuilder[CepNextMatch]
+      var ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
+      var crn = if (clicks.exists()) clicks.get() else 0L
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
+        .filter(e => e.event_type == typ || e.event_type == end)
+        .foreach { e =>
+          val us = evUs(e)
+          if (e.event_type == typ) {
+            crn += 1L
+            // expired anchors can never match (their first end event
+            // would be beyond the horizon) — prune, no emission
+            ps = ps.filter { case (_, aUs, _) => us - aUs <= gapUs } :+
+              ((e.event_id, us, crn))
+          } else {
+            ps.foreach { case (id, aUs, aCrn) =>
+              if (us - aUs <= gapUs)
+                out += CepNextMatch(user, id, aUs, crn - aCrn + 1L, e.event_id, us)
+            }
+            ps = Vector.empty // every anchor matched or failed here
+          }
+        }
+      pending.clear()
+      if (ps.nonEmpty) pending.put(ps.toArray)
+      clicks.update(crn)
+      out.result().iterator
+    }
+  }
+
+  /** X9 wiring: skipToNext first-match-per-anchor over the typed stream. */
+  def cepSkipToNext(events: Dataset[Ev], typ: String = "click",
+      end: String = "purchase", gapUs: Long = 21600000000L): Dataset[CepNextMatch] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepSkipToNextProcessor(typ, end, gapUs),
+        TimeMode.None(), OutputMode.Append())
+
   /** An ingested embedding routed to its IVF cell (the drift monitor's
     * input row). */
   final case class AssignedVec(cell: Int, ed: Seq[Double])

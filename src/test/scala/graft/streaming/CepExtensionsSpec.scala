@@ -503,4 +503,89 @@ class CepExtensionsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("skipToNext: first match per anchor, overlap allowed, purchase clears pending") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val gapUs = 10000000L // 10 s
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepSkipToNext(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepnext-ck").toString)
+        .format("memory").queryName("cepnext").start()
+      try {
+        in.addData(
+          // user 1: two clicks then a purchase — BOTH anchors match the
+          // SAME purchase (overlap: the skipToNext signature, impossible
+          // under x8's skipPast); then a click whose first purchase is
+          // beyond the horizon (fails silently); then a click+purchase
+          // pair matching again.
+          ev(1, 1000, 1, "click"), ev(2, 3000, 1, "click"),
+          ev(3, 5000, 1, "purchase"), ev(4, 7000, 1, "click"),
+          ev(5, 20000, 1, "purchase"), ev(6, 25000, 1, "click"),
+          ev(7, 26000, 1, "purchase"),
+          // user 2: purchase before any click, click with no purchase
+          ev(8, 1000, 2, "purchase"), ev(9, 2000, 2, "click"))
+        q.processAllAvailable()
+        val rows = s.table("cepnext")
+          .selectExpr("user_id", "first_id", "n_times", "end_id")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(rows === Set(
+          (1L, 1L, 2L, 3L), (1L, 2L, 1L, 3L), (1L, 6L, 1L, 7L)),
+          s"skipToNext matching wrong: $rows")
+
+        // cross-batch: a pending anchor (click 9, user 2) matches a
+        // purchase arriving in a LATER batch — pending list + click
+        // counter must both survive
+        in.addData(ev(10, 4000, 2, "purchase"))
+        q.processAllAvailable()
+        val u2 = s.table("cepnext").where("user_id = 2")
+          .selectExpr("first_id", "n_times", "end_id")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(u2 === Set((9L, 1L, 10L)), s"cross-batch wrong: $u2")
+      } finally q.stop()
+    }
+  }
+
+  test("stream matches the batch x9 query on the fixture; matches overlap") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.t(s, sfDir, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+        .orderBy("ts", "event_id").as[Ev].collect().toSeq
+      // no flush needed: anchors without an in-horizon purchase emit in
+      // NEITHER engine (skipToNext matches only on purchase evidence)
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepSkipToNext(in.toDS())
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepnext-eq-ck").toString)
+        .format("memory").queryName("cepnext_eq").start()
+      try {
+        in.addData(fixture)
+        q.processAllAvailable()
+        val stream = s.table("cepnext_eq")
+          .selectExpr("user_id", "first_id", "n_times", "first_us", "end_id", "end_us")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+        val batch = SparkEntry.queries("x9_cep_skip_to_next")(s, sfDir)
+          .selectExpr("user_id", "event_id", "n_times",
+            "unix_micros(first_ts)", "end_id", "unix_micros(end_ts)")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+        assert(stream === batch,
+          s"x9 only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+        assert(batch.nonEmpty, "x9 fixture equivalence is vacuous — no matches")
+        // distinctness from x8: at least one end event is shared by two
+        // anchors (overlapping matches — skipPast forbids this)
+        val sharedEnds = batch.groupBy(_._5).filter(_._2.size >= 2)
+        assert(sharedEnds.nonEmpty,
+          "fixture produced no overlapping matches — x9 would be indistinguishable from a segmentation")
+      } finally q.stop()
+    }
+  }
 }
