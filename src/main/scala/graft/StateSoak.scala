@@ -148,6 +148,22 @@ object StateSoak {
       "sliding_dd_pane" -> { (in, out, ck) =>
         Sinks.file(StreamingPipelines.slidingDdQuantilesPaneStream(
           events(in).toDF()), out, ck)
+      },
+      // w2d streaming dual: THREE chained stateful ops. EXACT top-k
+      // cannot be key-free — stage 1's state is per-(open pane, user)
+      // count cells, purged as the watermark finalizes panes: the
+      // a2-running-sum contract (active keys inside the horizon), NOT
+      // the DD/HLL cells' time×sketch-width bound. The soak pins that
+      // state tracks open-horizon activity and collapses on pane
+      // finalization instead of accumulating event history.
+      "sliding_topk_pane" -> { (in, out, ck) =>
+        Sinks.file(StreamingPipelines.slidingTopkPaneStream(
+          events(in).toDF()), out, ck)
+      },
+      // x9: pending anchors empty on every end event or horizon expiry
+      // -> state is gap-bounded anchor tuples + one counter per key
+      "cep_skip_to_next" -> { (in, out, ck) =>
+        Sinks.file(StatefulProcessors.cepSkipToNext(events(in)).toDF(), out, ck)
       })
 
     val only = args.drop(2).headOption.map(_.split(",").toSet)

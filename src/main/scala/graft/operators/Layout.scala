@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout writers — the actionable half of the clustering keys the
@@ -108,5 +108,103 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop(keyCols.indices.map(j => s"__zk$j") :+ "__z": _*)
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** What a [[compactSmallFiles]] run did — the before/after receipt the
+    * LayoutSpec gate asserts on. */
+  final case class CompactReceipt(filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long, binsRewritten: Int, binsMoved: Int)
+
+  /** The third lakehouse layout primitive beside Z-order and bucketing:
+    * bin-pack a directory of small parquet files up to `targetBytes`
+    * WITHOUT re-sorting. Small files are the steady-state failure of any
+    * streaming/incremental writer at 100 TB — a scan pays one task (and
+    * one open/footer read) per file, so 100k 1 MB files cost 100k tasks
+    * where 800 128 MB files cost 800 — but a full rewrite-with-sort
+    * (writeZOrderedN) pays a cluster-wide range exchange to fix what is
+    * only a packing problem. This compacts instead: files are taken in
+    * NAME order — which for range-partitioned output (the Z-order and
+    * repartitionByRange writers) IS clustering order — and consecutive
+    * runs are greedily packed into bins of at most `targetBytes`; each
+    * multi-file bin is rewritten as ONE file by concatenating its
+    * members in order (union of per-file scans + coalesce(1): no
+    * shuffle, no sort, row order inside every input file preserved), so
+    * a merged file's min/max box is exactly the union of its consecutive
+    * members' boxes and the layout's skipping power survives. A file
+    * already at or above `targetBytes` forms its own bin and is MOVED
+    * (one metadata rename, zero IO) — re-compacting an already-compact
+    * table is free. Scale shape: driver work is O(file count) listing —
+    * the quantity being fixed — and each bin rewrite is an independent
+    * single-task job with no exchange anywhere.
+    *
+    * The swap (originals out, compacted files in) is plain Hadoop-FS
+    * renames — not transactional; a production lakehouse runs this
+    * under a table-format commit (Delta/Iceberg), which is metadata
+    * beyond this primitive's scope. */
+  def compactSmallFiles(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): CompactReceipt = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    require(parts.nonEmpty, s"compactSmallFiles: no part-* files under $path")
+    val bytesBefore = parts.map(_.getLen).sum
+
+    // greedy consecutive bin-pack: never reorder across files
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[org.apache.hadoop.fs.FileStatus]]
+    var cur = Vector.empty[org.apache.hadoop.fs.FileStatus]
+    var curBytes = 0L
+    parts.foreach { p =>
+      if (cur.nonEmpty && curBytes + p.getLen > targetBytes) {
+        bins += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur :+= p; curBytes += p.getLen
+    }
+    if (cur.nonEmpty) bins += cur
+
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_graft_compact_tmp")
+    fs.delete(tmp, true); fs.mkdirs(tmp)
+    // a multi-split member would lose row order (FileSourceScan orders
+    // splits by size, not offset) — keep every rewritten file one split
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val mpbOld = spark.conf.get(mpbKey)
+    spark.conf.set(mpbKey, (targetBytes * 2).toString)
+    var rewritten = 0; var moved = 0
+    try {
+      bins.zipWithIndex.foreach { case (bin, i) =>
+        val outName = f"part-$i%05d-compact.parquet"
+        if (bin.size == 1) {
+          fs.rename(bin.head.getPath, new org.apache.hadoop.fs.Path(tmp, outName))
+          moved += 1
+        } else {
+          val binDir = new org.apache.hadoop.fs.Path(tmp, f"bin_$i%05d")
+          bin.map(s => spark.read.parquet(s.getPath.toString))
+            .reduce(_ unionByName _)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(binDir.toString)
+          val part = fs.listStatus(binDir)
+            .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          require(part.length == 1, s"expected one part file in $binDir")
+          fs.rename(part.head.getPath, new org.apache.hadoop.fs.Path(tmp, outName))
+          fs.delete(binDir, true)
+          rewritten += 1
+        }
+      }
+      // swap: originals out (rewritten bins' members only — moved bins'
+      // files are already gone from the root), compacted files in
+      parts.foreach(p => fs.delete(p.getPath, false))
+      fs.listStatus(tmp).filter(_.isFile).foreach { s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir, s.getPath.getName))
+      }
+    } finally {
+      spark.conf.set(mpbKey, mpbOld)
+      fs.delete(tmp, true)
+    }
+    val after = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    CompactReceipt(parts.length, after.length, bytesBefore,
+      after.map(_.getLen).sum, rewritten, moved)
   }
 }

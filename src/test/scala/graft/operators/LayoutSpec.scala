@@ -130,6 +130,69 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("compactSmallFiles: fewer files and scan tasks, same rows, skipping survives") {
+    val plainDir = java.nio.file.Files.createTempDirectory("layout-cplain").toString
+    val zDir = java.nio.file.Files.createTempDirectory("layout-cz").toString
+    src.repartition(8).write.mode("overwrite").parquet(plainDir)
+    // 64 deliberately-small z-files; consecutive bins then merge back to
+    // ~16 — the same range partition the 16-file z-write would produce,
+    // so the existing >=2x skipping gate must survive compaction intact
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", zDir, numFiles = 64)
+    def checksum(dir: String): (Long, Long) = {
+      val r = spark.read.parquet(dir).selectExpr("count(*)",
+        "sum(cast(hash(l_orderkey, l_partkey, l_suppkey, l_quantity) AS bigint))").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = checksum(zDir)
+    val tasksBefore = spark.read.parquet(zDir).rdd.getNumPartitions
+    val fsz = new java.io.File(zDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length)
+    assert(fsz.length === 64, s"fixture expected 64 small files, got ${fsz.length}")
+
+    val receipt = Layout.compactSmallFiles(spark, zDir, targetBytes = fsz.sum / 16 + 1)
+    info(s"receipt: $receipt, scan tasks $tasksBefore -> " +
+      s"${spark.read.parquet(zDir).rdd.getNumPartitions}")
+    assert(receipt.filesBefore === 64)
+    assert(receipt.filesAfter <= 24 && receipt.filesAfter >= 8,
+      s"bin-packing off: $receipt")
+    assert(new java.io.File(zDir).listFiles()
+      .count(_.getName.startsWith("part-")) === receipt.filesAfter)
+    assert(checksum(zDir) === before, "compaction changed the data")
+    assert(spark.read.parquet(zDir).rdd.getNumPartitions <= tasksBefore,
+      "compaction must never cost scan tasks")
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def probe(dir: String, pred: String): (Long, Double) = {
+        val q = spark.read.parquet(dir).filter(expr(pred))
+          .agg(sum(col("l_quantity").cast("double")).as("q"))
+        (rowsScanned(q), q.head().getDouble(0))
+      }
+      for (pred <- Seq("l_partkey <= 25", "l_suppkey <= 2")) {
+        val (plainRows, pSum) = probe(plainDir, pred)
+        val (zRows, zSum) = probe(zDir, pred)
+        assert(math.abs(pSum - zSum) < 1e-6, s"layouts disagree on $pred")
+        info(f"$pred%-18s scan rows after compaction: z=$zRows plain=$plainRows (${plainRows.toDouble / zRows}%.1fx skipped)")
+        assert(zRows * 2 <= plainRows,
+          s"compaction destroyed the clustering on $pred: z=$zRows plain=$plainRows")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("compactSmallFiles moves (never rewrites) files already at target") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-cmove").toString
+    src.repartition(4).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.length).sorted.toSeq
+    val receipt = Layout.compactSmallFiles(spark, dir, targetBytes = 1L)
+    assert(receipt === Layout.CompactReceipt(4, 4, before.sum, before.sum, 0, 4),
+      s"expected a pure-move run: $receipt")
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.length).sorted.toSeq
+    assert(after === before, "a metadata-only move must keep every byte")
+  }
+
   test("filtered scan against the z-layout reads >=2x fewer rows (skipping receipt)") {
     val plainDir = java.nio.file.Files.createTempDirectory("layout-scanplain").toString
     val zDir = java.nio.file.Files.createTempDirectory("layout-scanz").toString
