@@ -1,0 +1,44 @@
+package graft
+
+/** Single-query timing forensics: run ONE registered query N times
+  * back-to-back in one JVM and print every pass beside a fixed spin
+  * probe, so a bench swing can be attributed (wide pass spread + spin
+  * spread = host band; uniformly slower passes + flat spin = plan or
+  * data change) without re-running the whole Bench workload. Usage:
+  *   sbt 'runMain graft.Profile <sfDir> <query> [passes=6]'
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val name = args.lift(1).getOrElse("q_percentiles")
+    val passes = args.lift(2).map(_.toInt).getOrElse(6)
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    // the same fixed xorshift workload Bench calibrates against
+    def spinMs(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e6
+    }
+    // untimed warm-up scan so pass 1 is plan cost, not parquet-footer cost
+    Tables.all.foreach { t =>
+      try Tables.t(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+    val times = (1 to passes).map { i =>
+      val s0 = spinMs()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name%-24s pass$i%-2d $dt%7.3f s   spin $s0%6.1f ms")
+      dt
+    }
+    def n(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    println(s"""{"query":"$name","sf":"$sfDir","passes":[${times.map(n).mkString(",")}],"min":${n(times.min)},"max":${n(times.max)}}""")
+    spark.stop()
+  }
+}

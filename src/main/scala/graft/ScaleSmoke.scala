@@ -272,8 +272,17 @@ object ScaleSmoke {
       val ddPane = timeAb("paneab", "dd_pane")(operators.PaneOps.slidingDdQuantilesPane(ev))
       val hllNaive = timeAb("paneab", "hll_naive")(operators.PaneOps.slidingHllDistinctNaive(ev))
       val hllPane = timeAb("paneab", "hll_pane")(operators.PaneOps.slidingHllDistinctPane(ev))
+      // k-scaling check (round-10 verdict task 7): the pane win should
+      // GROW with k, since the naive side replicates raw rows k× while
+      // the pane side's k× applies only to constant-size cells. k=12 =
+      // hourly windows sliding every 5 minutes, vs the default k=4.
+      val p12 = operators.PaneOps.PaneParams.ofMinutes(60, 5)
+      val ddNaive12 = timeAb("paneab", "dd_naive_k12")(
+        operators.PaneOps.slidingDdQuantilesNaive(ev, p12))
+      val ddPane12 = timeAb("paneab", "dd_pane_k12")(
+        operators.PaneOps.slidingDdQuantilesPane(ev, p12))
       def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-      println(s"""{"dd_naive":${n(ddNaive)},"dd_pane":${n(ddPane)},"hll_naive":${n(hllNaive)},"hll_pane":${n(hllPane)},"mult":$mult,"mode":"paneab"}""")
+      println(s"""{"dd_naive":${n(ddNaive)},"dd_pane":${n(ddPane)},"hll_naive":${n(hllNaive)},"hll_pane":${n(hllPane)},"dd_naive_k12":${n(ddNaive12)},"dd_pane_k12":${n(ddPane12)},"mult":$mult,"mode":"paneab"}""")
       spark.stop()
       return
     }

@@ -154,8 +154,21 @@ object StreamBench {
           .option("checkpointLocation", d.ckpt)
           .format("memory").queryName(s"sb_skip_${d.ckpt.hashCode.abs}").start()
       },
+      run("cep_skip_to_next") { d =>
+        import spark.implicits._
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        StatefulProcessors.cepSkipToNext(good.as[graft.streaming.Ev])
+          .toDF().writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", d.ckpt)
+          .format("memory").queryName(s"sb_next_${d.ckpt.hashCode.abs}").start()
+      },
       run("sliding_dd_pane") { d =>
         Sinks.file(StreamingPipelines.slidingDdQuantilesPaneStream(
+          StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
+      },
+      run("sliding_topk_pane") { d =>
+        Sinks.file(StreamingPipelines.slidingTopkPaneStream(
           StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
       },
       // IVF ingest: events re-shaped into deterministic 64-dim vectors,
