@@ -125,8 +125,15 @@ object Bench {
     // measurement is stall-contaminated (the roving multi-second host
     // stalls hit one pass, not the query), and when both exceed 1 s the
     // stall may have hit both — either way one more sample tightens the
-    // reported min. Bounded (<=40 retakes) so the wall-time cost stays
-    // a fraction of the two base passes even if the whole run is noisy.
+    // reported min. The retake runs IMMEDIATELY after the query's pass 2
+    // (code/data still warm — a round-11 experiment with retakes batched
+    // at the end measured them effectively cold and LOOSENED every min
+    // despite better base passes). Budget 64: rounds 9/10 exhausted the
+    // old 40-query cap before the alphabet reached q_*, so q_percentiles
+    // (a slow JIT converger: 4.1/1.3/0.9/0.9... solo) never got its
+    // warm retake and reported a still-converging pass as steady state —
+    // the round-10 "repeat offender" was retake starvation, not a plan
+    // or host effect.
     var retakes = 0
     val pass2 = scala.collection.mutable.Map.empty[String, Option[Double]]
     val pass3 = scala.collection.mutable.Map.empty[String, Option[Double]]
@@ -137,7 +144,7 @@ object Bench {
         case (Some(a), Some(b)) =>
           val m = math.min(a, b)
           val noisy = math.max(a, b) > m * 1.4 || m > 1.0
-          if (noisy && retakes < 40) {
+          if (noisy && retakes < 64) {
             retakes += 1
             timeOnce(3, name, fn) match {
               case Some(c) => pass3(name) = Some(c); Some(math.min(m, c))

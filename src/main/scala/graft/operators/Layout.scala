@@ -146,6 +146,14 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a streaming file sink's exactly-once contract lives in its
+    // _spark_metadata log, which names the original part files —
+    // renaming them would corrupt every metadata-log reader. Refuse
+    // loudly; compacting a sink output needs a log-aware rewriter.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata")),
+      s"compactSmallFiles: $path is a streaming file-sink output " +
+        "(_spark_metadata present); renaming its files would break the sink's " +
+        "exactly-once log. Copy the data out with a batch read first.")
     val parts = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)

@@ -180,6 +180,17 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("compactSmallFiles refuses a streaming file-sink output") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-csink").toString
+    src.repartition(2).write.mode("overwrite").parquet(dir)
+    // simulate a sink dir: the metadata log names the original files,
+    // so renames would corrupt every metadata-log reader
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "_spark_metadata"))
+    val e = intercept[IllegalArgumentException](
+      Layout.compactSmallFiles(spark, dir, targetBytes = 1L << 20))
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   test("compactSmallFiles moves (never rewrites) files already at target") {
     val dir = java.nio.file.Files.createTempDirectory("layout-cmove").toString
     src.repartition(4).write.mode("overwrite").parquet(dir)
