@@ -215,4 +215,48 @@ object Layout {
     CompactReceipt(parts.length, after.length, bytesBefore,
       after.map(_.getLen).sum, rewritten, moved)
   }
+
+  /** Build a per-FILE min/max manifest for the integer key columns of a
+    * parquet directory — the Delta/Iceberg data-skipping statistics as a
+    * plain, persistable DataFrame. Parquet's own min/max live at row-
+    * group level INSIDE each footer: a selective scan over 100k files
+    * still opens 100k footers just to discover 99k are irrelevant. The
+    * manifest hoists those bounds into one tiny table (a row per file —
+    * KBs for a 100 TB table), so pruning costs a lookup instead of a
+    * listing+footer pass. Build is ONE full scan (pay once at write
+    * time, like the clustering itself); re-run after compaction or
+    * Z-order maintenance. */
+  def buildManifest(spark: SparkSession, path: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "buildManifest: at least one key column")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        keyCols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"${c}_min"),
+          max(col(c)).cast("long").as(s"${c}_max"))): _*)
+  }
+
+  /** Scan `path` reading ONLY the files whose manifest [min, max] box
+    * intersects every given `(column, lo, hi)` bound, then apply the
+    * same bounds as a residual row filter (kept files may still hold
+    * out-of-range rows). Results are identical to a full scan with the
+    * filter; the win is that non-intersecting FILES never open — on a
+    * Z-ordered layout the kept set shrinks in every clustered dimension.
+    * The driver-side collect is bounded by the MANIFEST row count (one
+    * row per file — the quantity compactSmallFiles keeps small), never
+    * by data volume. */
+  def scanPruned(spark: SparkSession, path: String, manifest: DataFrame,
+      bounds: Seq[(String, Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "scanPruned: at least one (column, lo, hi) bound")
+    val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
+      m.filter(col(s"${c}_min") <= hi && col(s"${c}_max") >= lo)
+    }.select("file").collect().map(_.getString(0))
+    val residual = bounds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    if (keep.isEmpty)
+      // preserve schema with an empty frame rather than failing the read
+      spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(keep.toIndexedSeq: _*).filter(residual)
+  }
 }

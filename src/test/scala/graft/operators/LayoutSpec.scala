@@ -180,6 +180,41 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("manifest-pruned scan: fewer files opened on the z-layout, identical results") {
+    val plainDir = java.nio.file.Files.createTempDirectory("layout-mplain").toString
+    val zDir = java.nio.file.Files.createTempDirectory("layout-mz").toString
+    src.repartition(8).write.mode("overwrite").parquet(plainDir)
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", zDir, numFiles = 16)
+    val mPlain = Layout.buildManifest(spark, plainDir, Seq("l_partkey", "l_suppkey"))
+    val mZ = Layout.buildManifest(spark, zDir, Seq("l_partkey", "l_suppkey"))
+    assert(mZ.count() === 16 && mPlain.count() === 8, "one manifest row per file")
+
+    def full(dir: String, bounds: Seq[(String, Long, Long)]) =
+      bounds.foldLeft(spark.read.parquet(dir)) { case (d, (c, lo, hi)) =>
+        d.filter(col(c) >= lo && col(c) <= hi) }
+    for (bounds <- Seq(
+        Seq(("l_partkey", 0L, 25L)),
+        Seq(("l_suppkey", 0L, 2L)),
+        Seq(("l_partkey", 100L, 140L), ("l_suppkey", 5L, 7L)))) {
+      val pruned = Layout.scanPruned(spark, zDir, mZ, bounds)
+      val expect = full(zDir, bounds)
+      assert(pruned.count() === expect.count() &&
+        pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+        s"pruned scan diverges on $bounds")
+      val filesKept = pruned.inputFiles.length
+      info(s"$bounds: z-layout files ${filesKept}/16, " +
+        s"plain ${Layout.scanPruned(spark, plainDir, mPlain, bounds).inputFiles.length}/8")
+      // the z-layout's tight boxes must actually exclude files
+      assert(filesKept * 2 <= 16, s"no file-level pruning on $bounds: $filesKept/16")
+      // a hash layout prunes nothing — every file spans the key range
+      assert(Layout.scanPruned(spark, plainDir, mPlain, bounds)
+        .inputFiles.length === 8, "hash layout unexpectedly pruned (fixture drift?)")
+    }
+    // disjoint bounds: empty result, schema preserved, no files read
+    val none = Layout.scanPruned(spark, zDir, mZ, Seq(("l_partkey", 100000L, 200000L)))
+    assert(none.count() === 0 && none.schema === spark.read.parquet(zDir).schema)
+  }
+
   test("compactSmallFiles refuses a streaming file-sink output") {
     val dir = java.nio.file.Files.createTempDirectory("layout-csink").toString
     src.repartition(2).write.mode("overwrite").parquet(dir)
