@@ -302,5 +302,88 @@ SELECT make_timestamp(win_start_us) AS win_start, user_id, cnt, CAST(rnk AS BIGI
 FROM r WHERE rnk <= 5"""),
     "Exact sliding-window top-5 users via pane decomposition — per-key counts add losslessly, no sketch needed.")
 
-  val all: Seq[GQuery] = Seq(w2b, w2c, w2d)
+  /** APPROXIMATE pane plan for sliding-window top-k — the KEY-FREE
+    * window stage the exact w2d cannot have. The w2d soak showed the
+    * honest bound of exact top-k: its per-(pane, user) count cells are
+    * key-proportional, so the window merge shuffles (and a streaming
+    * stage-2/3 holds) one cell per active user per window. This variant
+    * caps everything that leaves a pane at m + depth×width CELLS
+    * regardless of user cardinality: per pane it keeps (a) the exact
+    * top-`m` candidate ids (graft_topk — map tasks collapse to m-entry
+    * heaps) and (b) a depth×width Count-Min sketch of ALL users (the
+    * same md5-salted CMS as q_cms_topk, so the oracle recomputes it
+    * bit-for-bit); windows then union candidate ids and SUM sketch
+    * cells (CMS is mergeable), estimate each candidate's window count
+    * from the merged sketch (min over depth rows), and rank top-k.
+    * Approximation surface, stated: a window's true heavy hitter is
+    * missed only if it cracks no pane's top-m (m = 3k default), and
+    * estimates carry CMS collision inflation — the classic
+    * panes+candidates trade for dropping per-key state; the DuckDB
+    * oracle recomputes the identical algorithm, so the gate checks the
+    * estimator bit-for-bit, collisions included. */
+  def slidingTopkCmsPane(ev: DataFrame, k: Int = 5, m: Int = 15,
+      p: PaneParams = PaneParams.default): DataFrame = {
+    val base = ev.select(expr(p.paneExpr()).as("pane"), col("user_id"))
+    // (a) exact per-pane candidates, collapsed to <= m rows per pane
+    val cand = base.groupBy("pane", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("pane")
+      .agg(graft.functions.GraftFunctions.topK(col("cnt"), col("user_id"), m).as("top"))
+      .select(col("pane"), explode(col("top.id")).as("user_id"))
+    // (b) per-pane CMS cells: depth rows x width buckets, <= 2048/pane
+    val cells = base
+      .select(col("pane"), posexplode(array(
+        (0 until SketchOps.cmsDepth).map(SketchOps.cmsBucketS): _*)).as(Seq("j", "bucket")))
+      .groupBy("pane", "j", "bucket").agg(count(lit(1)).as("c"))
+    // window union of candidates / sum of sketch cells — bounded cells only
+    val wCand = cand
+      .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))
+      .select("win_start_us", "user_id").distinct()
+    val wCells = cells
+      .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))
+      .groupBy("win_start_us", "j", "bucket").agg(sum(col("c")).as("c"))
+    // estimate candidates from the merged window sketch: min over rows
+    val est = wCand
+      .select(col("win_start_us"), col("user_id"), posexplode(array(
+        (0 until SketchOps.cmsDepth).map(SketchOps.cmsBucketS): _*)).as(Seq("j", "bucket")))
+      .join(wCells, Seq("win_start_us", "j", "bucket"))
+      .groupBy("win_start_us", "user_id").agg(min(col("c")).as("est"))
+    val w = Window.partitionBy("win_start_us").orderBy(col("est").desc, col("user_id"))
+    est.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(timestamp_micros(col("win_start_us")).as("win_start"),
+        col("user_id"), col("est"), col("rnk").cast("long").as("rnk"))
+  }
+
+  private val w2e = GQuery(
+    "w2e_sliding_cms_topk",
+    (s, dir) => slidingTopkCmsPane(events(s, dir)),
+    Some {
+      val d = SketchOps.cmsDepth
+      def bucketRows(src: String) = (0 until d).map(j =>
+        s"SELECT *, $j AS j, ${SketchOps.cmsBucketD(j)} AS bucket FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""WITH p AS (SELECT (epoch_us(ts) // $slideUs) * $slideUs AS pane, user_id FROM events),
+pc AS (SELECT pane, user_id, count(*) AS cnt FROM p GROUP BY 1, 2),
+cand AS (SELECT pane, user_id FROM (
+  SELECT pane, user_id, row_number() OVER (PARTITION BY pane ORDER BY cnt DESC, user_id) AS r
+  FROM pc) WHERE r <= 15),
+cells AS (SELECT pane, j, bucket, count(*) AS c FROM (
+  ${bucketRows("p")}) GROUP BY 1, 2, 3),
+wins AS (SELECT unnest(range(${paneK})) AS i),
+wcand AS (SELECT DISTINCT pane - i * $slideUs AS win_start_us, user_id FROM cand, wins),
+wcells AS (SELECT pane - i * $slideUs AS win_start_us, j, bucket, CAST(sum(c) AS BIGINT) AS c
+           FROM cells, wins GROUP BY 1, 2, 3),
+cb AS (${bucketRows("wcand")}),
+est AS (SELECT win_start_us, user_id, min(c) AS est
+        FROM cb JOIN wcells USING (win_start_us, j, bucket) GROUP BY 1, 2),
+r AS (SELECT win_start_us, user_id, est,
+             row_number() OVER (PARTITION BY win_start_us ORDER BY est DESC, user_id) AS rnk
+      FROM est)
+SELECT make_timestamp(win_start_us) AS win_start, user_id, est, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5"""
+    },
+    "Approximate sliding top-k via pane-shared CMS + candidate union: everything leaving a pane is m + depth*width cells, key-count-free.")
+
+  val all: Seq[GQuery] = Seq(w2b, w2c, w2d, w2e)
 }

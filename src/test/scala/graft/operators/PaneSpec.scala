@@ -106,6 +106,23 @@ class PaneSpec extends SparkSpec {
     assert(viaPane.collect().toSet === viaWindow.collect().toSet)
   }
 
+  test("w2e approximate top-k: pane plan shape + candidates cover the exact winners here") {
+    assert(explodesAggregated(PaneOps.slidingTopkCmsPane(events)),
+      "w2e lost its pre-explosion aggregates — raw rows would replicate k×")
+    // on this small fixture every pane's top-15 covers each window's
+    // exact top-5, and CMS estimates are upper bounds — the approximate
+    // ids can only differ where estimates collide; assert the id SETS
+    // per window are plausible: every exact top-1 must appear in the
+    // approximate top-5 (a total miss would mean the candidate union or
+    // the estimator is broken, not a collision artifact)
+    val exact1 = PaneOps.slidingTopkPane(events).filter("rnk = 1")
+      .select("win_start", "user_id").collect().map(r => (r.get(0), r.getLong(1))).toSet
+    val approx = PaneOps.slidingTopkCmsPane(events)
+      .select("win_start", "user_id").collect().map(r => (r.get(0), r.getLong(1))).toSet
+    assert(exact1.subsetOf(approx),
+      s"exact winners missing from approximate top-5: ${(exact1 -- approx).take(3)}")
+  }
+
   test("streaming pane top-k (three chained stateful ops) matches the batch query") {
     val s = spark
     import s.implicits._
