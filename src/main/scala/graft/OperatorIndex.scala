@@ -63,6 +63,7 @@ object OperatorIndex {
     "StatefulProcessors.cepOneOrMore" -> "x7_cep_one_or_more",
     "StatefulProcessors.cepSkipPast" -> "x8_cep_skip_past",
     "StatefulProcessors.cepSkipToNext" -> "x9_cep_skip_to_next",
+    "StatefulProcessors.cepSkipToLast" -> "x10_cep_skip_to_last",
     "StatefulOps.doubleEventAlerts" -> "x1_double_event_alert",
     "StatefulOps.sessionizeActions" -> "x2_sessionize")
 

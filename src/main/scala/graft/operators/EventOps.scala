@@ -878,6 +878,100 @@ FROM f a JOIN e p ON p.user_id = a.user_id AND p.rn = a.np_rn
 WHERE a.typ = 'click' AND p.us <= a.us + 21600000000"""),
     "CEP skipToNext: first completed click+->purchase match per click anchor; overlapping matches, one exchange, min-struct lookahead.")
 
+  // X10 (beyond the reference — Flink-CEP AfterMatchSkipStrategy
+  // `skipToLast`, completing the ENTIRE strategy enum: x7 noSkip, x8
+  // skipPastLastEvent, x9 skipToNext, x10 skipToLast): greedy oneOrMore
+  // runs whose next anchor is the LAST event of the previous match —
+  // consecutive matches OVERLAP BY EXACTLY ONE event (vs x8's disjoint
+  // segments), and a singleton match advances by one like x9. The chain
+  // rule in rank terms: next_anchor_rn = end_rn if end_rn > anchor_rn
+  // else anchor_rn + 1 — x8's recursion with one changed expression,
+  // and like x8 it is inherently sequential per key, so the scalable
+  // shape is the same ONE exchange + ONE per-key sort with an
+  // O(1)-state `flatMapSortedGroups` fold. End-of-input closes the
+  // chain at its fixpoint: the final open match emits, and when it has
+  // more than one member its last event also emits its own singleton
+  // (nothing can extend it — the same finalize-on-evidence the
+  // streaming dual gets from a beyond-horizon event).
+  /** X10 core over any event frame — public for the streaming-equivalence
+    * spec, like [[cepSkipPastBatch]]. */
+  def cepSkipToLastBatch(ev: DataFrame, gapUs: Long,
+      typ: String = "click"): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.filter(col("event_type") === typ)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[ClickAt]
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"us", $"event_id") { (user: Long, it: Iterator[ClickAt]) =>
+        // O(1) fold state: the open match (anchor + its last member)
+        var anchor: ClickAt = null
+        var last: ClickAt = null
+        var n = 0L
+        def open(c: ClickAt): Unit = { anchor = c; last = c; n = 1L }
+        def seg = SkipSeg(anchor.event_id, user, n, anchor.us, last.us)
+        val closed = it.flatMap { c =>
+          if (anchor == null) { open(c); Iterator.empty[SkipSeg] }
+          else if (c.us - anchor.us <= gapUs) {
+            n += 1L; last = c; Iterator.empty[SkipSeg]
+          } else {
+            val out = Vector.newBuilder[SkipSeg]
+            out += seg
+            if (last.event_id != anchor.event_id) {
+              // advance to the previous match's last event; c may extend
+              // the new match or close it as a singleton immediately
+              val prevLast = last
+              open(prevLast)
+              if (c.us - prevLast.us <= gapUs) { n += 1L; last = c }
+              else { out += seg; open(c) }
+            } else open(c)
+            out.result().iterator
+          }
+        }
+        // evaluated AFTER `closed` drains: the chain's end-of-input
+        // fixpoint — the open match, plus its last event's singleton
+        // when the match has more than one member
+        val tail = new Iterator[SkipSeg] {
+          def hasNext: Boolean = anchor != null
+          def next(): SkipSeg = {
+            val out = seg
+            if (last.event_id != anchor.event_id) { open(last) }
+            else anchor = null
+            out
+          }
+        }
+        closed ++ tail
+      }
+      .select(col("event_id"), col("user_id"), col("n_times"),
+        timestamp_micros(col("first_us")).as("first_ts"),
+        timestamp_micros(col("last_us")).as("last_ts"))
+  }
+
+  private val x10 = GQuery(
+    "x10_cep_skip_to_last",
+    (s, dir) => cepSkipToLastBatch(events(s, dir), 21600000000L),
+    Some("""WITH RECURSIVE c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE event_type = 'click'),
+h AS (
+  SELECT event_id, user_id, us, rn,
+         max(rn) OVER (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN CURRENT ROW AND 21600000000 FOLLOWING) AS end_rn
+  FROM c),
+seg AS (
+  SELECT user_id, rn AS anchor_rn, end_rn FROM h WHERE rn = 1
+  UNION ALL
+  SELECT h.user_id, h.rn, h.end_rn
+  FROM seg s JOIN h ON h.user_id = s.user_id
+   AND h.rn = CASE WHEN s.end_rn > s.anchor_rn THEN s.end_rn ELSE s.anchor_rn + 1 END)
+SELECT a.event_id, s.user_id, CAST(s.end_rn - s.anchor_rn + 1 AS BIGINT) AS n_times,
+       make_timestamp(a.us) AS first_ts, make_timestamp(l.us) AS last_ts
+FROM seg s
+JOIN h a ON a.user_id = s.user_id AND a.rn = s.anchor_rn
+JOIN h l ON l.user_id = s.user_id AND l.rn = s.end_rn"""),
+    "CEP skipToLast: greedy runs chained on the previous match's last event (overlap-by-one); O(1)-state sorted fold, recursive-CTE oracle.")
+
   // X1: keyed ValueState double-event detector (StatefulOperations.java:87-126)
   // batch analog: lag() per user over the filtered event class; alert when two
   // 'error's land within 6 hours.
@@ -961,5 +1055,5 @@ SELECT user_id FROM events WHERE event_type = 'purchase'"""))
   val all: Seq[GQuery] = Seq(
     s1, p1, p2, p3, p5, m1a, m1b, m2,
     a1, a2, a2b, a3, a4, a5, a5b, a6, a7, w2, w3, w4,
-    j1, j2, j3, j4, x1, x2, x3, x4, x5, x6, x7, x8, x9, qDistinct, qExcept, qIntersect)
+    j1, j2, j3, j4, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, qDistinct, qExcept, qIntersect)
 }

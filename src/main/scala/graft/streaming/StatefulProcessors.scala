@@ -1192,6 +1192,66 @@ object StatefulProcessors {
       .transformWithState(new CepSkipToNextProcessor(typ, end, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** X10 streaming dual (Flink-CEP AfterMatchSkipStrategy `skipToLast`
+    * over oneOrMore, completing the enum beside x7/x8/x9): greedy runs
+    * whose next anchor is the previous match's LAST event — consecutive
+    * matches overlap by exactly one event; a singleton advances by one
+    * like skipToNext. State is ONE five-field tuple per key (anchor +
+    * last member of the open match) — the same O(1) contract as x8,
+    * because the overlap is bounded at one event by construction. A
+    * beyond-horizon `typ` event closes the open match, re-anchors at
+    * its last member (which the closing event may immediately extend or
+    * close as a singleton — both handled in the same fold step), and
+    * the chain's end-of-stream fixpoint stays pending until evidence
+    * arrives, like every CEP processor here. */
+  final class CepSkipToLastProcessor(typ: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepRangeMatch] {
+
+    @transient private var cur: ValueState[(Long, Long, Long, Long, Long)] = _
+
+    private val stEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, Long, Long, Long, Long)]("skiplast_cur",
+        stEnc, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepRangeMatch] = {
+      val out = Seq.newBuilder[CepRangeMatch]
+      // (anchor_id, anchor_us, n, last_id, last_us); anchor_id = -1 -> none
+      var st = if (cur.exists()) cur.get() else (-1L, -1L, -1L, -1L, -1L)
+      def emit(): Unit =
+        out += CepRangeMatch(user, st._1, st._2, st._3, st._5)
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
+        .filter(_.event_type == typ).foreach { e =>
+          val us = evUs(e)
+          if (st._1 < 0L) st = (e.event_id, us, 1L, e.event_id, us)
+          else if (us - st._2 <= gapUs)
+            st = (st._1, st._2, st._3 + 1L, e.event_id, us)
+          else {
+            emit()
+            if (st._4 != st._1) {
+              // re-anchor at the last member; e extends or closes it
+              st = (st._4, st._5, 1L, st._4, st._5)
+              if (us - st._2 <= gapUs)
+                st = (st._1, st._2, 2L, e.event_id, us)
+              else { emit(); st = (e.event_id, us, 1L, e.event_id, us) }
+            } else st = (e.event_id, us, 1L, e.event_id, us)
+          }
+        }
+      cur.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** X10 wiring: skip-to-last overlap-by-one chains over the typed stream. */
+  def cepSkipToLast(events: Dataset[Ev], typ: String = "click",
+      gapUs: Long = 21600000000L): Dataset[CepRangeMatch] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CepSkipToLastProcessor(typ, gapUs),
+        TimeMode.None(), OutputMode.Append())
+
   /** An ingested embedding routed to its IVF cell (the drift monitor's
     * input row). */
   final case class AssignedVec(cell: Int, ed: Seq[Double])

@@ -504,6 +504,104 @@ class CepExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("skipToLast: chains overlap by one event; singleton advance; cross-batch") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val gapUs = 10000000L // 10 s
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepSkipToLast(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepskiplast-ck").toString)
+        .format("memory").queryName("cepskiplast").start()
+      try {
+        in.addData(
+          // run [1,2,3] closes at click 4 (beyond 1's horizon) and
+          // RE-ANCHORS at click 3 — beyond 3's horizon too, so 3 also
+          // emits its singleton (overlap-by-one chain, impossible under
+          // x8); then [4,5] closes at 6, re-anchors at 5, singleton.
+          ev(1, 1000, 1, "click"), ev(2, 3000, 1, "click"),
+          ev(3, 5000, 1, "click"), ev(4, 20000, 1, "click"),
+          ev(5, 25000, 1, "click"), ev(6, 45000, 1, "click"))
+        q.processAllAvailable()
+        val rows = s.table("cepskiplast")
+          .selectExpr("user_id", "first_id", "n_times", "last_us")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(rows === Set(
+          (1L, 1L, 3L, 5000000L), (1L, 3L, 1L, 5000000L),
+          (1L, 4L, 2L, 25000000L), (1L, 5L, 1L, 25000000L)),
+          s"skipToLast chain wrong: $rows")
+
+        // cross-batch: click 6 is the pending anchor; an in-horizon
+        // click grows it, then a beyond-horizon click closes [6,7] and
+        // re-anchors at 7 — only possible if the 5-field state survived
+        in.addData(ev(7, 50000, 1, "click"))
+        q.processAllAvailable()
+        in.addData(ev(8, 90000, 1, "click"))
+        q.processAllAvailable()
+        val u1 = s.table("cepskiplast")
+          .selectExpr("first_id", "n_times").as[(Long, Long)].collect().toSet
+        assert(u1 === Set((1L, 3L), (3L, 1L), (4L, 2L), (5L, 1L),
+          (6L, 2L), (7L, 1L)), s"cross-batch wrong: $u1")
+      } finally q.stop()
+    }
+  }
+
+  test("stream matches the batch x10 query on a flushed fixture") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val sfDir = "/root/testdata/sf0.001"
+      val gapUs = 21600000000L
+      val fixture = graft.Tables.t(s, sfDir, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+        .orderBy("ts", "event_id").as[Ev].collect().toSeq
+      // flush clicks (2 gaps out) close each user's chain: the open
+      // match emits, its last member's singleton emits, and the flush
+      // anchors' own matches are excluded from the batch side by id
+      val maxTs = fixture.map(_.ts.getTime).max
+      val maxId = fixture.map(_.event_id).max
+      val flush = fixture.map(_.user_id).distinct.sorted.zipWithIndex.map {
+        case (u, i) =>
+          Ev(maxId + 1 + i, new Timestamp(maxTs + 2 * gapUs / 1000L), u, "click", 0.0)
+      }
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepSkipToLast(in.toDS(), gapUs = gapUs)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepskiplast-eq-ck").toString)
+        .format("memory").queryName("cepskiplast_eq").start()
+      try {
+        s.createDataset(fixture ++ flush).toDF()
+          .createOrReplaceTempView("events_aug_x10")
+        in.addData(fixture); in.addData(flush.toSeq)
+        q.processAllAvailable()
+        val stream = s.table("cepskiplast_eq")
+          .selectExpr("user_id", "first_id", "n_times", "first_us", "last_us")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        val batch = graft.operators.EventOps.cepSkipToLastBatch(
+            s.table("events_aug_x10"), gapUs)
+          .where(s"event_id <= $maxId")
+          .selectExpr("user_id", "event_id", "n_times",
+            "unix_micros(first_ts)", "unix_micros(last_ts)")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(stream === batch,
+          s"x10 only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+        assert(batch.nonEmpty, "x10 fixture equivalence is vacuous — no matches")
+        // distinctness from x8: anchors that are another match's last
+        // member must exist (overlap-by-one — skipPast forbids them)
+        val anchors = batch.map(_._2)
+        val lastsByUser = batch.groupBy(_._1).view.mapValues(_.map(_._5)).toMap
+        assert(batch.exists { case (u, a, n, fus, _) =>
+          n == 1L && lastsByUser(u).exists(_ == fus) && anchors.contains(a) },
+          "no overlap-by-one chains on the fixture — x10 degenerated to a segmentation")
+      } finally q.stop()
+    }
+  }
+
   test("skipToNext: first match per anchor, overlap allowed, purchase clears pending") {
     withRocksDb {
       val s = spark
