@@ -164,6 +164,11 @@ object StateSoak {
       // -> state is gap-bounded anchor tuples + one counter per key
       "cep_skip_to_next" -> { (in, out, ck) =>
         Sinks.file(StatefulProcessors.cepSkipToNext(events(in)).toDF(), out, ck)
+      },
+      // x10: O(1) state per key by construction (anchor + last member of
+      // the one open match — overlap is bounded at one event)
+      "cep_skip_to_last" -> { (in, out, ck) =>
+        Sinks.file(StatefulProcessors.cepSkipToLast(events(in)).toDF(), out, ck)
       })
 
     val only = args.drop(2).headOption.map(_.split(",").toSet)

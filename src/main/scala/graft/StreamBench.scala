@@ -163,6 +163,15 @@ object StreamBench {
           .option("checkpointLocation", d.ckpt)
           .format("memory").queryName(s"sb_next_${d.ckpt.hashCode.abs}").start()
       },
+      run("cep_skip_to_last") { d =>
+        import spark.implicits._
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        StatefulProcessors.cepSkipToLast(good.as[graft.streaming.Ev])
+          .toDF().writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", d.ckpt)
+          .format("memory").queryName(s"sb_last_${d.ckpt.hashCode.abs}").start()
+      },
       run("sliding_dd_pane") { d =>
         Sinks.file(StreamingPipelines.slidingDdQuantilesPaneStream(
           StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
