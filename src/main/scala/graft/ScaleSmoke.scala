@@ -261,6 +261,81 @@ object ScaleSmoke {
     if (args.contains("gate")) { runGate(spark, args); return }
     val dst = ensureFixture(spark, mult, skewed, constEval, saltAb, organic)
 
+    // `layoutab`: the layout-stack receipt at organic scale — lineitem
+    // from the fixture is written once Z-ordered on (l_partkey,
+    // l_suppkey) with a rebuilt manifest (reused across runs via
+    // _SUCCESS), then the same filtered aggregate is timed three ways:
+    // plain scan of the fixture's own layout, scan of the z-layout
+    // (row-group skipping only), and the manifest-pruned scan of the
+    // z-layout (file skipping + row-group skipping). Run cold (drop
+    // page caches before the JVM) for the IO-bound numbers; results
+    // are equality-checked before timing.
+    if (args.contains("layoutab")) {
+      val zDir = s"$dst/lineitem_zorder"
+      val fs = new org.apache.hadoop.fs.Path(zDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(zDir, "_SUCCESS"))) {
+        System.err.println(s"[layoutab] writing z-ordered lineitem to $zDir")
+        operators.Layout.writeZOrdered(
+          Tables.t(spark, dst, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+          "l_partkey", "l_suppkey", zDir, numFiles = 256)
+      }
+      val manifest = operators.Layout
+        .buildManifest(spark, zDir, Seq("l_partkey", "l_suppkey")).cache()
+      val nFiles = manifest.count()
+      // probe: one clustered-key range, ~1% of the partkey domain
+      val (lo, hi) = {
+        val r = spark.read.parquet(zDir)
+          .agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+        val span = r.getLong(1) - r.getLong(0)
+        (r.getLong(0) + span / 2, r.getLong(0) + span / 2 + span / 100)
+      }
+      def agg(df: DataFrame) = df
+        .filter(col("l_partkey") >= lo && col("l_partkey") <= hi)
+        .agg(sum(col("l_quantity").cast("double")).as("q"))
+      val pruned = operators.Layout.scanPruned(spark, zDir, manifest,
+        Seq(("l_partkey", lo, hi)))
+        .agg(sum(col("l_quantity").cast("double")).as("q"))
+      // Cold discipline: drop the OS page cache before EVERY timed pass
+      // (this sandbox runs as root; a failed write just means warm
+      // numbers, and the flag in the JSON says which you got). The
+      // equality check runs AFTER timing — an earlier revision checked
+      // first and silently re-warmed everything it was about to time.
+      val cold = scala.util.Try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+      }.isSuccess
+      def timeCold(label: String)(mk: => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          if (cold) java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+          val t0 = System.nanoTime()
+          mk.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println("[%s] %-28s %8s s  (passes: %s)".format("layoutab", label,
+          "%.2f".formatLocal(java.util.Locale.ROOT, ts.min),
+          ts.map(d => "%.2f".formatLocal(java.util.Locale.ROOT, d)).mkString("/")))
+        ts.min
+      }
+      val tPlain = timeCold("plain_scan")(agg(Tables.t(spark, dst, "lineitem")))
+      val tZ = timeCold("zorder_scan")(agg(spark.read.parquet(zDir)))
+      val tPruned = timeCold("manifest_pruned")(
+        operators.Layout.scanPruned(spark, zDir, manifest, Seq(("l_partkey", lo, hi)))
+          .agg(sum(col("l_quantity").cast("double")).as("q")))
+      val expect = agg(spark.read.parquet(zDir)).head().getDouble(0)
+      require(math.abs(pruned.head().getDouble(0) - expect) < 1e-6 &&
+        math.abs(agg(Tables.t(spark, dst, "lineitem")).head().getDouble(0) - expect) < 1e-6,
+        "layouts disagree — receipt would be meaningless")
+      val keptFiles = operators.Layout.scanPruned(spark, zDir, manifest,
+        Seq(("l_partkey", lo, hi))).inputFiles.length
+      def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      println(s"""{"plain_scan":${n(tPlain)},"zorder_scan":${n(tZ)},"manifest_pruned":${n(tPruned)},"files_kept":$keptFiles,"files_total":$nFiles,"cold":$cold,"mult":$mult,"mode":"layoutab"}""")
+      spark.stop()
+      return
+    }
+
     // `paneab`: the pane-sharing A/B — the registered pane plans vs
     // their naive row-replicating duals on the same fixture (run with
     // `organic` for the 100x receipt). Same outputs bit-for-bit

@@ -215,6 +215,29 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() === 0 && none.schema === spark.read.parquet(zDir).schema)
   }
 
+  test("layout lifecycle: z-order -> compact -> rebuilt manifest still prunes") {
+    // the maintenance loop a 100 TB table actually runs: cluster once,
+    // compact the small files the next increments produce, refresh the
+    // skipping stats — each primitive must compose with the others
+    val dir = java.nio.file.Files.createTempDirectory("layout-cycle").toString
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", dir, numFiles = 48)
+    val receipt = Layout.compactSmallFiles(spark, dir,
+      targetBytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.length).sum / 12 + 1)
+    assert(receipt.filesAfter < receipt.filesBefore / 2, s"no compaction: $receipt")
+    val manifest = Layout.buildManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+    assert(manifest.count() === receipt.filesAfter, "manifest rows != files")
+    val bounds = Seq(("l_partkey", 0L, 25L))
+    val pruned = Layout.scanPruned(spark, dir, manifest, bounds)
+    val expect = spark.read.parquet(dir)
+      .filter(col("l_partkey") >= 0 && col("l_partkey") <= 25)
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+    val kept = pruned.inputFiles.length
+    info(s"post-compaction pruning: $kept/${receipt.filesAfter} files")
+    assert(kept * 2 <= receipt.filesAfter,
+      s"compaction destroyed manifest prunability: $kept/${receipt.filesAfter}")
+  }
+
   test("compactSmallFiles refuses a streaming file-sink output") {
     val dir = java.nio.file.Files.createTempDirectory("layout-csink").toString
     src.repartition(2).write.mode("overwrite").parquet(dir)
