@@ -356,8 +356,15 @@ object ScaleSmoke {
         operators.PaneOps.slidingDdQuantilesNaive(ev, p12))
       val ddPane12 = timeAb("paneab", "dd_pane_k12")(
         operators.PaneOps.slidingDdQuantilesPane(ev, p12))
+      // k=24 (2h window / 5-min slide): the trend's third point — the
+      // naive side should track k linearly, the pane side stay flat.
+      val p24 = operators.PaneOps.PaneParams.ofMinutes(120, 5)
+      val ddNaive24 = timeAb("paneab", "dd_naive_k24")(
+        operators.PaneOps.slidingDdQuantilesNaive(ev, p24))
+      val ddPane24 = timeAb("paneab", "dd_pane_k24")(
+        operators.PaneOps.slidingDdQuantilesPane(ev, p24))
       def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-      println(s"""{"dd_naive":${n(ddNaive)},"dd_pane":${n(ddPane)},"hll_naive":${n(hllNaive)},"hll_pane":${n(hllPane)},"dd_naive_k12":${n(ddNaive12)},"dd_pane_k12":${n(ddPane12)},"mult":$mult,"mode":"paneab"}""")
+      println(s"""{"dd_naive":${n(ddNaive)},"dd_pane":${n(ddPane)},"hll_naive":${n(hllNaive)},"hll_pane":${n(hllPane)},"dd_naive_k12":${n(ddNaive12)},"dd_pane_k12":${n(ddPane12)},"dd_naive_k24":${n(ddNaive24)},"dd_pane_k24":${n(ddPane24)},"mult":$mult,"mode":"paneab"}""")
       spark.stop()
       return
     }
