@@ -15,6 +15,14 @@ object Profile {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
+    // validate up front with a usable error — a bare NoSuchElementException
+    // from the registry lookup is the wrong failure mode for a forensics
+    // tool whose whole job is attribution
+    require(SparkEntry.queries.contains(name),
+      s"Profile: unknown query '$name'. Closest registered: " +
+        SparkEntry.queries.keys.toSeq.sorted
+          .sortBy(k => -k.zip(name).count { case (a, b) => a == b })
+          .take(5).mkString(", "))
     val fn = SparkEntry.queries(name)
     // the same fixed xorshift workload Bench calibrates against
     def spinMs(): Double = {
@@ -24,10 +32,15 @@ object Profile {
       if (x == 42L) System.err.println("")
       (System.nanoTime() - t0) / 1e6
     }
-    // untimed warm-up scan so pass 1 is plan cost, not parquet-footer cost
+    // untimed warm-up scan so pass 1 is plan cost, not parquet-footer
+    // cost; a table missing from sfDir is reported, not swallowed — a
+    // misconfigured directory must not silently skip the warm-up
     Tables.all.foreach { t =>
       try Tables.t(spark, sfDir, t).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch {
+        case e @ (_: org.apache.spark.sql.AnalysisException | _: java.io.IOException) =>
+          System.err.println(s"[profile] warm-up skipping table '$t' in $sfDir: ${e.getMessage.linesIterator.next()}")
+      }
     }
     val times = (1 to passes).map { i =>
       val s0 = spinMs()

@@ -324,9 +324,21 @@ object ScaleSmoke {
       val tPruned = timeCold("manifest_pruned")(
         operators.Layout.scanPruned(spark, zDir, manifest, Seq(("l_partkey", lo, hi)))
           .agg(sum(col("l_quantity").cast("double")).as("q")))
-      val expect = agg(spark.read.parquet(zDir)).head().getDouble(0)
-      require(math.abs(pruned.head().getDouble(0) - expect) < 1e-6 &&
-        math.abs(agg(Tables.t(spark, dst, "lineitem")).head().getDouble(0) - expect) < 1e-6,
+      // sum(double) is summation-order-dependent, so equality across
+      // different plans needs a RELATIVE tolerance (an absolute 1e-6 on
+      // an ~1e8-magnitude x100 sum would flag pure reassociation error);
+      // and sum over zero rows is NULL, so guard before getDouble
+      def sumOf(df: DataFrame): Double = {
+        val r = df.head()
+        require(!r.isNullAt(0),
+          "layoutab probe range matched no rows — receipt would be vacuous")
+        r.getDouble(0)
+      }
+      def close(a: Double, b: Double): Boolean =
+        math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.max(math.abs(b), 1.0))
+      val expect = sumOf(agg(spark.read.parquet(zDir)))
+      require(close(sumOf(pruned), expect) &&
+        close(sumOf(agg(Tables.t(spark, dst, "lineitem"))), expect),
         "layouts disagree — receipt would be meaningless")
       val keptFiles = operators.Layout.scanPruned(spark, zDir, manifest,
         Seq(("l_partkey", lo, hi))).inputFiles.length

@@ -135,15 +135,36 @@ object Layout {
     * (one metadata rename, zero IO) — re-compacting an already-compact
     * table is free. Scale shape: driver work is O(file count) listing —
     * the quantity being fixed — and each bin rewrite is an independent
-    * single-task job with no exchange anywhere.
+    * single-task job with no exchange anywhere; bins run CONCURRENTLY on
+    * a bounded pool of `maxConcurrentBins` submitter threads (Spark job
+    * scheduling is thread-safe), so at production file counts the
+    * wall-clock is bounded by IO, not by serialized job submission.
     *
-    * The swap (originals out, compacted files in) is plain Hadoop-FS
-    * renames — not transactional; a production lakehouse runs this
-    * under a table-format commit (Delta/Iceberg), which is metadata
-    * beyond this primitive's scope. */
+    * Failure atomicity: phase 1 (bin rewrites) writes ONLY new files
+    * under a temp dir — the originals are never touched, so an exception
+    * there cleans up the temp dir and loses nothing. Phase 2 (the swap)
+    * renames per BIN: a bin's members are deleted only AFTER its
+    * compacted replacement landed in the source dir (every rename checked
+    * — Hadoop signals failure by returning false, not throwing), so at
+    * any crash point each bin's bytes exist in full under exactly one
+    * name set. The swap is still not a table-format COMMIT: a reader
+    * racing phase 2 can see a bin doubled (replacement in, originals not
+    * yet deleted); a production lakehouse runs this under a Delta/Iceberg
+    * commit, which is metadata beyond this primitive's scope.
+    *
+    * Naming: compacted files carry a monotone GENERATION counter
+    * (`part-00007-c0003.parquet` = bin 7, generation 3, one past the
+    * highest generation present before the run), so name order stays
+    * clustering order across re-compactions and a dir whose layout was
+    * later polluted by an incremental writer's `part-<uuid>` appends is
+    * DETECTABLE (mixed generation markers). The "name order IS clustering
+    * order" premise assumes a single writer that re-clusters before
+    * appending; compacting a dir where fresh appends interleave with an
+    * old generation keeps the data correct but degrades box tightness. */
   def compactSmallFiles(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): CompactReceipt = {
+      targetBytes: Long = 128L << 20, maxConcurrentBins: Int = 8): CompactReceipt = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(maxConcurrentBins > 0, "maxConcurrentBins must be positive")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a streaming file sink's exactly-once contract lives in its
@@ -172,6 +193,20 @@ object Layout {
     }
     if (cur.nonEmpty) bins += cur
 
+    // monotone generation: one past the highest marker already present,
+    // so re-compaction output never collides with (and stays name-ordered
+    // against) the files it replaces
+    val genRe = "-c(\\d{4})\\.parquet$".r
+    val gen = parts.flatMap(p => genRe.findFirstMatchIn(p.getPath.getName)
+      .map(_.group(1).toInt)).foldLeft(0)(math.max) + 1
+    def outName(i: Int) = f"part-$i%05d-c$gen%04d.parquet"
+    def checkedRename(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      // Hadoop rename signals failure by returning FALSE, not throwing —
+      // an unchecked rename here would turn into silent data loss once
+      // the swap deletes the originals
+      require(fs.rename(from, to), s"compactSmallFiles: rename $from -> $to failed")
+
     val tmp = new org.apache.hadoop.fs.Path(dir, "_graft_compact_tmp")
     fs.delete(tmp, true); fs.mkdirs(tmp)
     // a multi-split member would lose row order (FileSourceScan orders
@@ -179,37 +214,69 @@ object Layout {
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val mpbOld = spark.conf.get(mpbKey)
     spark.conf.set(mpbKey, (targetBytes * 2).toString)
-    var rewritten = 0; var moved = 0
+    val multiBins = bins.zipWithIndex.filter(_._1.size > 1)
+    val rewritten = multiBins.size
+    val moved = bins.size - rewritten
+    var swapping = false
     try {
+      // ---- phase 1: rewrite multi-file bins into tmp. Writes NEW bytes
+      // only; originals untouched — an exception here deletes tmp and
+      // loses nothing. Bins are independent single-task jobs, submitted
+      // from a bounded thread pool so wall-clock tracks IO, not a
+      // serialized driver loop.
+      if (rewritten > 0) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrentBins, rewritten))
+        try {
+          val futures = multiBins.map { case (bin, i) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                val binDir = new org.apache.hadoop.fs.Path(tmp, f"bin_$i%05d")
+                bin.map(s => spark.read.parquet(s.getPath.toString))
+                  .reduce(_ unionByName _)
+                  .coalesce(1)
+                  .write.mode("overwrite").parquet(binDir.toString)
+                val part = fs.listStatus(binDir)
+                  .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+                require(part.length == 1, s"expected one part file in $binDir")
+                checkedRename(part.head.getPath,
+                  new org.apache.hadoop.fs.Path(tmp, outName(i)))
+                fs.delete(binDir, true)
+              }
+            })
+          }
+          futures.foreach(_.get()) // rethrows the first bin failure
+        } finally pool.shutdown()
+      }
+      // ---- phase 2: per-bin swap. Order per bin: replacement IN first,
+      // members OUT second — at any crash point a bin's bytes exist under
+      // at least one complete name set (worst case: briefly doubled,
+      // never lost).
+      swapping = true
       bins.zipWithIndex.foreach { case (bin, i) =>
-        val outName = f"part-$i%05d-compact.parquet"
-        if (bin.size == 1) {
-          fs.rename(bin.head.getPath, new org.apache.hadoop.fs.Path(tmp, outName))
-          moved += 1
-        } else {
-          val binDir = new org.apache.hadoop.fs.Path(tmp, f"bin_$i%05d")
-          bin.map(s => spark.read.parquet(s.getPath.toString))
-            .reduce(_ unionByName _)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(binDir.toString)
-          val part = fs.listStatus(binDir)
-            .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-          require(part.length == 1, s"expected one part file in $binDir")
-          fs.rename(part.head.getPath, new org.apache.hadoop.fs.Path(tmp, outName))
-          fs.delete(binDir, true)
-          rewritten += 1
+        if (bin.size == 1)
+          // pure move: one in-place metadata rename, zero IO, no window
+          checkedRename(bin.head.getPath, new org.apache.hadoop.fs.Path(dir, outName(i)))
+        else {
+          checkedRename(new org.apache.hadoop.fs.Path(tmp, outName(i)),
+            new org.apache.hadoop.fs.Path(dir, outName(i)))
+          bin.foreach(p => fs.delete(p.getPath, false))
         }
       }
-      // swap: originals out (rewritten bins' members only — moved bins'
-      // files are already gone from the root), compacted files in
-      parts.foreach(p => fs.delete(p.getPath, false))
-      fs.listStatus(tmp).filter(_.isFile).foreach { s =>
-        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir, s.getPath.getName))
-      }
-    } finally {
-      spark.conf.set(mpbKey, mpbOld)
-      fs.delete(tmp, true)
-    }
+      fs.delete(tmp, true) // success: tmp holds no replacements anymore
+    } catch {
+      case e: Throwable if !swapping =>
+        fs.delete(tmp, true) // only new bytes live in tmp — safe to drop
+        throw e
+      case e: Throwable =>
+        // tmp is KEPT: it may hold not-yet-swapped replacements for bins
+        // whose originals are still intact; nothing is lost either way
+        throw new IllegalStateException(
+          s"compactSmallFiles: swap interrupted mid-run; every bin's bytes " +
+            s"survive under either its original part names or $dir/" +
+            f"part-NNNNN-c$gen%04d.parquet (pending replacements remain in " +
+            s"$tmp — NOT deleted). Re-list the directory before retrying.", e)
+    } finally spark.conf.set(mpbKey, mpbOld)
     val after = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     CompactReceipt(parts.length, after.length, bytesBefore,
@@ -245,10 +312,41 @@ object Layout {
     * Z-ordered layout the kept set shrinks in every clustered dimension.
     * The driver-side collect is bounded by the MANIFEST row count (one
     * row per file — the quantity compactSmallFiles keeps small), never
-    * by data volume. */
+    * by data volume.
+    *
+    * Staleness guard: a manifest describes the directory AS OF its
+    * build, and a file added afterwards would be INVISIBLY excluded from
+    * results — the silent-wrong-answer failure mode of every external
+    * statistics store. So before pruning, the directory's data-file name
+    * set is reconciled against the manifest's (one O(file count) listing
+    * — the same cost class as the manifest lookup itself, and paid
+    * without opening a single footer); any drift fails loudly with the
+    * added/removed names. `allowStale = true` is the explicit escape
+    * hatch (results then reflect the manifest's snapshot of the
+    * directory, not the directory), for callers that pin immutable
+    * snapshots externally. */
   def scanPruned(spark: SparkSession, path: String, manifest: DataFrame,
-      bounds: Seq[(String, Long, Long)]): DataFrame = {
+      bounds: Seq[(String, Long, Long)], allowStale: Boolean = false): DataFrame = {
     require(bounds.nonEmpty, "scanPruned: at least one (column, lo, hi) bound")
+    if (!allowStale) {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // compare by NAME (unique within the dir): input_file_name() and
+      // Hadoop listings spell the same local path as file:/// vs file:/
+      val listed = fs.listStatus(dir)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).toSet
+      val inManifest = manifest.select("file").collect()
+        .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)).toSet
+      if (listed != inManifest)
+        throw new IllegalStateException(
+          s"scanPruned: manifest is STALE for $path — results would silently " +
+            s"exclude data. Not in manifest: ${(listed -- inManifest).take(5)}; " +
+            s"manifest-only: ${(inManifest -- listed).take(5)}. Rebuild with " +
+            "buildManifest (or pass allowStale = true to scan the manifest's " +
+            "snapshot of the directory).")
+    }
     val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
       m.filter(col(s"${c}_min") <= hi && col(s"${c}_max") >= lo)
     }.select("file").collect().map(_.getString(0))

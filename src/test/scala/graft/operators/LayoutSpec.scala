@@ -262,6 +262,87 @@ class LayoutSpec extends SparkSpec {
     assert(after === before, "a metadata-only move must keep every byte")
   }
 
+  test("scanPruned fails loudly on a stale manifest; allowStale is the explicit escape") {
+    // ADVICE r11 / verdict task 1: a file written AFTER buildManifest was
+    // silently excluded from results — the one API that could return
+    // wrong data through correct use. The reconciliation must catch both
+    // drift directions, and a rebuild must clear it.
+    val dir = java.nio.file.Files.createTempDirectory("layout-stale").toString
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", dir, numFiles = 8)
+    val manifest = Layout.buildManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+      .cache()
+    manifest.count()
+    val bounds = Seq(("l_partkey", 0L, 25L))
+    val fresh = Layout.scanPruned(spark, dir, manifest, bounds).count()
+    assert(fresh > 0, "vacuous fixture")
+
+    // simulate an incremental writer appending a file post-build
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val added = java.nio.file.Paths.get(dir, "part-zz-appended.parquet")
+    java.nio.file.Files.copy(first.toPath, added)
+    val e = intercept[IllegalStateException](
+      Layout.scanPruned(spark, dir, manifest, bounds).count())
+    assert(e.getMessage.contains("STALE") && e.getMessage.contains("appended"))
+    // escape hatch: manifest's snapshot of the directory, not the dir
+    assert(Layout.scanPruned(spark, dir, manifest, bounds,
+      allowStale = true).count() === fresh)
+    // removal drift must fail too
+    java.nio.file.Files.delete(added)
+    java.nio.file.Files.delete(first.toPath)
+    intercept[IllegalStateException](
+      Layout.scanPruned(spark, dir, manifest, bounds).count())
+    // rebuild reconciles (drop Spark's own file-listing cache first —
+    // the files were deleted behind its back; without the refresh the
+    // rebuilt manifest lists the deleted file and the guard — correctly —
+    // keeps firing)
+    spark.catalog.refreshByPath(dir)
+    val rebuilt = Layout.buildManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+    Layout.scanPruned(spark, dir, rebuilt, bounds).count() // must not throw
+  }
+
+  test("compactSmallFiles: a failed bin rewrite preserves every original byte") {
+    // ADVICE r12-high regression pin: single-file bins used to be renamed
+    // INTO the temp dir before the swap, so a later bin's failure deleted
+    // their only copy with the temp cleanup. Now phase 1 writes only NEW
+    // files; any failure must leave the source dir bit-identical.
+    val dir = java.nio.file.Files.createTempDirectory("layout-cfail").toString
+    src.repartition(4).write.mode("overwrite").parquet(dir)
+    // a garbage member makes its bin's rewrite throw mid-run
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-zz-corrupt.parquet"),
+      "not parquet".getBytes)
+    def snapshot() = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.length).sortBy(_._1).toSeq
+    val before = snapshot()
+    intercept[Exception](
+      Layout.compactSmallFiles(spark, dir, targetBytes = Long.MaxValue / 4))
+    assert(snapshot() === before,
+      "a failed compaction must leave the directory untouched")
+    assert(!new java.io.File(dir, "_graft_compact_tmp").exists(),
+      "phase-1 failure must clean up its temp dir")
+  }
+
+  test("compacted names carry a monotone generation; re-runs increment it") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-cgen").toString
+    src.repartition(8).write.mode("overwrite").parquet(dir)
+    val total = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    Layout.compactSmallFiles(spark, dir, targetBytes = total / 4 + 1)
+    def names() = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).sorted.toSeq
+    assert(names().forall(_.matches("part-\\d{5}-c0001\\.parquet")),
+      s"expected generation-1 names, got ${names()}")
+    // second run (pure moves or merges) must mint generation 2, so mixed
+    // writer generations in a dir are detectable by name alone
+    Layout.compactSmallFiles(spark, dir, targetBytes = total + 1)
+    assert(names().forall(_.matches("part-\\d{5}-c0002\\.parquet")),
+      s"expected generation-2 names, got ${names()}")
+    // data unchanged through both swaps
+    assert(spark.read.parquet(dir).count() === src.count())
+  }
+
   test("filtered scan against the z-layout reads >=2x fewer rows (skipping receipt)") {
     val plainDir = java.nio.file.Files.createTempDirectory("layout-scanplain").toString
     val zDir = java.nio.file.Files.createTempDirectory("layout-scanz").toString
