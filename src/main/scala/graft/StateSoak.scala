@@ -160,6 +160,17 @@ object StateSoak {
         Sinks.file(StreamingPipelines.slidingTopkPaneStream(
           events(in).toDF()), out, ck)
       },
+      // w2e streaming dual: FOUR chained stateful ops. Stage 1 shares
+      // w2d's horizon bound (per-(open pane, user) counts, purged on
+      // pane finalization); every stage PAST it holds only candidate
+      // ids and CMS cells — ≤ m + depth×width rows per open pane or
+      // window regardless of the 10^6-user cardinality. The soak pins
+      // that total state tracks w2d's stage-1 bound (the shared stage),
+      // not a multiple of it: the key-count-free claim, at key scale.
+      "sliding_cms_topk" -> { (in, out, ck) =>
+        Sinks.file(StreamingPipelines.slidingTopkCmsPaneStream(
+          events(in).toDF()), out, ck)
+      },
       // x9: pending anchors empty on every end event or horizon expiry
       // -> state is gap-bounded anchor tuples + one counter per key
       "cep_skip_to_next" -> { (in, out, ck) =>

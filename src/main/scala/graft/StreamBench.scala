@@ -180,6 +180,10 @@ object StreamBench {
         Sinks.file(StreamingPipelines.slidingTopkPaneStream(
           StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
       },
+      run("sliding_cms_topk_pane") { d =>
+        Sinks.file(StreamingPipelines.slidingTopkCmsPaneStream(
+          StreamingPipelines.textFileSource(spark, d.in)), d.out, d.ckpt)
+      },
       // IVF ingest: events re-shaped into deterministic 64-dim vectors,
       // routed through the stateless nearest-cell fold against the
       // sf0.001-calibrated model — the per-row cost of the 100 TB/day

@@ -34,13 +34,13 @@ object SketchOps {
   // the product never wraps P, so the mod was a no-op and odd `a` made
   // every row's bucket a bijection of h mod 512: keys collided in all
   // four rows or none, and the depth gave zero protection over depth 1.)
-  private[operators] val cmsW = 512
-  private[operators] val cmsDepth = 4
+  private[graft] val cmsW = 512
+  private[graft] val cmsDepth = 4
   /** Row-j bucket, Spark side: md5_48("j:" + key) % W. */
-  private[operators] def cmsBucketS(j: Int): Column =
+  private[graft] def cmsBucketS(j: Int): Column =
     GraftFunctions.md5Hash48(expr(s"concat('$j:', cast(user_id AS string))")) % cmsW
   /** Row-j bucket, DuckDB side — same value bit-for-bit. */
-  private[operators] def cmsBucketD(j: Int): String =
+  private[graft] def cmsBucketD(j: Int): String =
     s"${hD48(s"'$j:' || CAST(user_id AS VARCHAR)")} % $cmsW"
 
   /** The sketch update stream is a posexplode into (row, bucket) cells,

@@ -225,6 +225,99 @@ object StreamingPipelines {
       .withColumn("user_id", -col("user_id"))
   }
 
+  /** Streaming dual of the batch w2e_sliding_cms_topk — APPROXIMATE
+    * sliding top-k with the key-count-free window stage, restoring the
+    * batch↔stream twin convention for the newest pane operator. Four
+    * chained watermarked aggregations in append mode, all of them over
+    * event-time windows (the supported multiple-stateful-operator
+    * shape):
+    *
+    *   S1  pane counts: raw rows fold once per (slide-width pane, user).
+    *       The ONLY key-proportional state, and it is horizon-bounded —
+    *       a pane's per-user cells drop as soon as the watermark passes
+    *       the pane (same stage as the exact w2d dual's stage 1).
+    *   S2a pane top-m candidates: re-window the finalized pane cells
+    *       into the same pane (`window(window_time(w), slide)` of a
+    *       slide-width window is the identity regroup) and collapse to
+    *       the native bounded `graft_topk` heap — ≤ m rows per pane.
+    *   S2b window CMS cells: each pane-user cell expands into `depth`
+    *       (j, bucket) rows weighted by its count (a user's CMS
+    *       contribution is bucket_j(user) × cnt — identical to hashing
+    *       the raw rows, summed per user first) and sums straight into
+    *       the k covering sliding windows. State per open window is
+    *       ≤ depth×width cells regardless of user cardinality.
+    *   S3a window candidate union: finalized pane candidates re-window
+    *       into their k covering sliding windows, deduplicated by
+    *       grouping — ≤ k_panes×m rows per open window.
+    *   S4  estimate + rank: the two branches UNION into one tagged cell
+    *       stream and regroup by the window (the slide-width tumbling
+    *       window of `window_time(W)` is in bijection with W, since
+    *       sliding starts are slide-aligned), collecting each finalized
+    *       window's ≤ m×k_panes + depth×width cells into one row; the
+    *       estimate (per candidate: min over depth of its bucket's
+    *       merged count) and the (est desc, user asc) top-k slice are
+    *       then scalar higher-order-function work on that bounded row.
+    *
+    * Everything that crosses a stage boundary after S1 is sketch cells
+    * or candidate ids — the state bound that is w2e's whole point — and
+    * finalized output equals the batch query bit-for-bit (PaneSpec),
+    * because every stage mirrors the batch plan's algebra: same panes,
+    * same md5-salted buckets, same min-over-depth estimator, same
+    * tiebreak. */
+  def slidingTopkCmsPaneStream(events: DataFrame, k: Int = 5, m: Int = 15,
+      p: graft.operators.PaneOps.PaneParams = graft.operators.PaneOps.PaneParams.default,
+      delay: String = "10 seconds"): DataFrame = {
+    val depth = graft.operators.SketchOps.cmsDepth
+    val size = s"${p.windowUs} microseconds"
+    val slide = s"${p.slideUs} microseconds"
+    // S1: per-(pane, user) counts — raw rows aggregate exactly once
+    val paneCells = watermarked(events, delay)
+      .groupBy(window(col("ts"), slide), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    // S2a -> S3a: pane top-m heap, exploded, unioned into the k covering
+    // windows (the groupBy dedups a candidate appearing via several panes)
+    val wCand = paneCells
+      .groupBy(window(window_time(col("window")), slide))
+      .agg(graft.functions.GraftFunctions.topK(col("cnt"), col("user_id"), m).as("top"))
+      .select(col("window"), explode(col("top.id")).as("user_id"))
+      .groupBy(window(window_time(col("window")), size, slide), col("user_id"))
+      .agg(count(lit(1)).as("np"))
+    // S2b: pane-user cells -> depth (j, bucket) rows -> summed per window
+    val wCells = paneCells
+      .select(col("window"), col("cnt"), posexplode(array(
+        (0 until depth).map(graft.operators.SketchOps.cmsBucketS): _*)).as(Seq("j", "bucket")))
+      .groupBy(window(window_time(col("window")), size, slide), col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+    // S4: tagged union -> identity regroup by window -> scalar estimate +
+    // top-k. Candidates carry their own depth bucket ids (a pure function
+    // of user_id), so the lookup needs no join.
+    val candRows = wCand.select(col("window"),
+      struct(lit("cand").as("kind"), col("user_id"),
+        array((0 until depth).map(graft.operators.SketchOps.cmsBucketS): _*).as("bks"),
+        lit(-1).as("j"), lit(-1L).as("bucket"), lit(-1L).as("c")).as("cell"))
+    val cellRows = wCells.select(col("window"),
+      struct(lit("cell").as("kind"), lit(-1L).as("user_id"),
+        array().cast("array<bigint>").as("bks"),
+        col("j"), col("bucket"), col("c")).as("cell"))
+    candRows.unionByName(cellRows)
+      .groupBy(window(window_time(col("window")), slide))
+      .agg(collect_list(col("cell")).as("cells"))
+      // the regroup window is [W.end - slide, W.end); recover W.start
+      .withColumn("win_start_us",
+        expr(s"unix_micros(window.start) - ${p.windowUs - p.slideUs}L"))
+      .withColumn("sk", expr("filter(cells, x -> x.kind = 'cell')"))
+      .withColumn("est", expr(
+        """transform(filter(cells, x -> x.kind = 'cand'),
+           u -> named_struct(
+             'est', array_min(transform(u.bks,
+               (b, j) -> element_at(filter(sk, s -> s.j = j AND s.bucket = b), 1).c)),
+             'nu', -u.user_id))"""))
+      .select(timestamp_micros(col("win_start_us")).as("win_start"),
+        posexplode(expr(s"slice(sort_array(est, false), 1, $k)")))
+      .select(col("win_start"), (-col("col.nu")).cast("long").as("user_id"),
+        col("col.est").as("est"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Streaming dual of the q_hll_distinct cardinality path: per-window
     * approximate distinct users via engine-native HLL++. Like
     * [[ddQuantilesStream]], the plain watermarked window aggregation IS

@@ -155,6 +155,41 @@ class PaneSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming w2e dual (candidates + CMS, four chained stateful ops) matches batch") {
+    // verdict r11 task 2: the newest registered query regains its
+    // batch↔stream twin. Bit-equality is the claim — same panes, same
+    // md5-salted buckets, same min-over-depth estimator, same tiebreak.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val fixture = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+      .orderBy("ts", "event_id").as[Ev].collect().toSeq
+    val maxTs = fixture.map(_.ts.getTime).max
+    val maxId = fixture.map(_.event_id).max
+    val flush = Ev(maxId + 1, new Timestamp(maxTs + 86400000L), 1L, "click", 1.0)
+
+    val in = MemoryStream[Ev]
+    val q = StreamingPipelines.slidingTopkCmsPaneStream(in.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("panecms-ck").toString)
+      .format("memory").queryName("panecms_stream").start()
+    try {
+      in.addData(fixture); in.addData(flush)
+      q.processAllAvailable()
+      val stream = s.table("panecms_stream")
+        .selectExpr("unix_micros(win_start)", "user_id", "est", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = PaneOps.slidingTopkCmsPane(events)
+        .selectExpr("unix_micros(win_start)", "user_id", "est", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(stream === batch,
+        s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+      assert(batch.nonEmpty, "vacuous — no finalized windows")
+    } finally q.stop()
+  }
+
   test("streaming pane dual matches the batch query on finalized windows") {
     val s = spark
     import s.implicits._

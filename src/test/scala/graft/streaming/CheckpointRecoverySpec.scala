@@ -40,4 +40,142 @@ class CheckpointRecoverySpec extends SparkSpec {
     // phase-1 rows were not re-emitted
     assert(out.count() === afterPhase1 + 1)
   }
+
+  private def withRocksDb[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def line(id: Long, tsUs: Long, user: Long, typ: String): String =
+    s""""$id","$tsUs","$user","$typ","1.0""""
+
+  test("x10 skip-to-last recovers its open-match state across a restart") {
+    // verdict r11 task 8: the RECOVER-path coverage for CepSkipToLast.
+    // Chains deliberately SPAN the restart: the open anchor+last tuple
+    // written before the stop must survive the checkpoint reload and
+    // complete against post-restart clicks; the whole run must equal an
+    // uninterrupted query AND the batch dual on the same rows.
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      val gapUs = 21600000000L // processor default, 6 h
+      // phase 1: mid-chain clicks (user 1 three, user 2 one, user 3 one)
+      val p1 = Seq(
+        line(1, 1000000L, 1, "click"), line(2, 2000000L, 1, "click"),
+        line(3, 3000000L, 1, "click"), line(4, 1000000L, 2, "click"),
+        line(7, 1000000L, 3, "click"))
+      // phase 2: user 1 continues the SAME chain; user 2 continues; user
+      // 3's click lands past the gap (a NEW anchor); flush clicks 2 gaps
+      // out close every chain
+      val maxUs = gapUs + 5000000L
+      val p2 = Seq(
+        line(5, 4000000L, 1, "click"), line(6, 2000000L, 2, "click"),
+        line(8, maxUs, 3, "click")) ++
+        Seq(1L, 2L, 3L).map(u => line(900 + u, maxUs + 2 * gapUs, u, "click"))
+
+      def runStream(in: String, out: String, ck: String): Unit = {
+        val q = Sinks.file(StatefulProcessors.cepSkipToLast(
+          StreamingPipelines.textFileSource(spark, in).as[Ev]).toDF(), out, ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      def dirs(tag: String) = (
+        Files.createTempDirectory(s"x10rec-in-$tag").toString,
+        Files.createTempDirectory(s"x10rec-out-$tag").toString,
+        Files.createTempDirectory(s"x10rec-ck-$tag").toString)
+
+      // restarted run: phase 1, stop, phase 2 on the same checkpoint
+      val (inR, outR, ckR) = dirs("r")
+      Files.writeString(java.nio.file.Paths.get(inR, "p1.csv"),
+        p1.mkString("", "\n", "\n"))
+      runStream(inR, outR, ckR)
+      Files.writeString(java.nio.file.Paths.get(inR, "p2.csv"),
+        p2.mkString("", "\n", "\n"))
+      runStream(inR, outR, ckR)
+      // uninterrupted run: all files up front
+      val (inS, outS, ckS) = dirs("s")
+      Files.writeString(java.nio.file.Paths.get(inS, "p1.csv"),
+        p1.mkString("", "\n", "\n"))
+      Files.writeString(java.nio.file.Paths.get(inS, "p2.csv"),
+        p2.mkString("", "\n", "\n"))
+      runStream(inS, outS, ckS)
+
+      def resultSet(out: String) = spark.read.parquet(out)
+        .selectExpr("user_id", "first_id", "n_times", "first_us", "last_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val restarted = resultSet(outR)
+      val single = resultSet(outS)
+      assert(restarted === single,
+        s"restart diverged: only-restart=${(restarted -- single).take(3)} " +
+          s"only-single=${(single -- restarted).take(3)}")
+      // both equal the batch dual (flush-anchored matches excluded by id)
+      val batch = graft.operators.EventOps.cepSkipToLastBatch(
+          StreamingPipelines.parseCsvLines((p1 ++ p2).toDF("value")), gapUs)
+        .where("event_id < 900")
+        .selectExpr("user_id", "event_id", "n_times",
+          "unix_micros(first_ts)", "unix_micros(last_ts)")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(restarted === batch,
+        s"only-stream=${(restarted -- batch).take(3)} only-batch=${(batch -- restarted).take(3)}")
+      // the cross-restart chain must be a real match: user 1's anchor
+      // (id 1) spans its four clicks, the post-restart one included
+      assert(batch.exists { case (u, a, n, _, lus) =>
+        u == 1L && a == 1L && n == 4L && lus == 4000000L },
+        s"user 1's chain did not span the restart: $batch")
+    }
+  }
+
+  test("w2e CMS top-k dual recovers pane and window cells across a restart") {
+    // verdict r11 task 8 (post-task-2): the four chained stateful
+    // operators' state — open pane counts, pane candidates, window CMS
+    // cells, window collect — must all reload from one checkpoint and
+    // finish bit-identical to the batch query on the full fixture.
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      val rnd = new scala.util.Random(7)
+      val slideUs = graft.operators.PaneOps.PaneParams.default.slideUs
+      // ~4 panes of skewed activity: user u's weight ~ 1/u over 12 users.
+      // TIME-ORDERED before the phase split so no phase-2 event is late
+      // against the watermark the phase-1 drain left behind (batch input
+      // has no watermark and would keep late rows the stream dropped).
+      val evs = (1 to 400).map { i =>
+        val u = 1 + math.min(11, (12 * math.pow(rnd.nextDouble(), 3)).toInt)
+        ((rnd.nextDouble() * 4 * slideUs).toLong, i.toLong, u.toLong)
+      }.sortBy(_._1).map { case (ts, id, u) => line(id, ts, u, "click") }
+      val (p1, p2base) = evs.splitAt(200)
+      val p2 = p2base :+ line(9000L, 30L * 86400000000L, 1L, "click") // flush
+
+      val in = Files.createTempDirectory("w2erec-in").toString
+      val out = Files.createTempDirectory("w2erec-out").toString
+      val ck = Files.createTempDirectory("w2erec-ck").toString
+      def drain(): Unit = {
+        val q = Sinks.file(StreamingPipelines.slidingTopkCmsPaneStream(
+          StreamingPipelines.textFileSource(spark, in)), out, ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      Files.writeString(java.nio.file.Paths.get(in, "p1.csv"),
+        p1.mkString("", "\n", "\n"))
+      drain()
+      Files.writeString(java.nio.file.Paths.get(in, "p2.csv"),
+        p2.mkString("", "\n", "\n"))
+      drain()
+
+      val stream = spark.read.parquet(out)
+        .selectExpr("unix_micros(win_start)", "user_id", "est", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.PaneOps.slidingTopkCmsPane(
+          StreamingPipelines.parseCsvLines((p1 ++ p2base).toDF("value")))
+        .selectExpr("unix_micros(win_start)", "user_id", "est", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(stream === batch,
+        s"only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+      assert(batch.nonEmpty, "vacuous — no finalized windows")
+    }
+  }
 }
