@@ -53,6 +53,36 @@ object Bench {
     // round-8 additions
     "x4_cep_negation")
 
+  /** Multi-thread stream-copy probe: `threads` workers each copy a
+    * 64 MiB long array (well past any L3) `reps` times; the aggregate
+    * GB/s (read + write) is the host's effective memory bandwidth at the
+    * moment of the sample. Motivation (round-11 forensics): the roving
+    * host band showed up as a ~7% DIFFUSE inflation on bit-identical
+    * plans while the single-thread spin probe read clean — a shared-
+    * memory-bus effect a compute-bound probe cannot see. Sampled beside
+    * the spin samples, its spread makes that band attributable from the
+    * artifacts alone. */
+  private[graft] def bwGbps(threads: Int = 8): Double = {
+    val longs = (64 << 20) / 8
+    val reps = 4
+    val pairs = Array.fill(threads)((new Array[Long](longs), new Array[Long](longs)))
+    pairs.foreach { case (s, d) => s(0) = 1L; d(0) = 1L; s(longs - 1) = 1L }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    try pairs.map { case (s, d) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var r = 0
+          while (r < reps) { System.arraycopy(s, 0, d, 0, longs); r += 1 }
+        }
+      })
+    }.foreach(_.get())
+    finally pool.shutdown()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // bytes touched = copies * (read + write)
+    threads.toLong * reps * longs * 8L * 2L / sec / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the host's full core count: an unset SPARK_GRAFT_CPUS
@@ -61,6 +91,9 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     val spark = Sessions.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("concurrent")) {
+      ConcurrentBench.run(spark, sfDir, args.drop(1)); return
+    }
     // Warm-up (untimed): scan every table once and run one higher-order-
     // function-heavy query so codegen/JIT/interpreted-expression paths are
     // compiled before timing starts — otherwise the alphabetically-first
@@ -118,9 +151,11 @@ object Bench {
     val gc0 = gcMs()
     val steal0 = stealTicks()
     val spinSamples = scala.collection.mutable.ArrayBuffer(spinMs())
+    val bwSamples = scala.collection.mutable.ArrayBuffer(bwGbps())
 
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(1, name, fn) }.toMap
     spinSamples += spinMs()
+    bwSamples += bwGbps()
     // Adaptive third pass: when the two timings DISAGREE past 1.4x the
     // measurement is stall-contaminated (the roving multi-second host
     // stalls hit one pass, not the query), and when both exceed 1 s the
@@ -156,6 +191,7 @@ object Bench {
       name -> min
     }
     spinSamples += spinMs()
+    bwSamples += bwGbps()
     val gcDelta = gcMs() - gc0
     val stealPct: Option[Double] = for {
       (s0, t0) <- steal0; (s1, t1) <- stealTicks() if t1 > t0
@@ -182,7 +218,7 @@ object Bench {
     val passes =
       s"""{"p1":${num(p1Total)},"p2":${num(p2Total)},"p3_n":${pass3.size}}"""
     val probe =
-      s"""{"gc_ms":$gcDelta,"steal_pct":${stealPct.map(num).getOrElse("null")},"spin_ms":[${spinSamples.map(num).mkString(",")}]}"""
+      s"""{"gc_ms":$gcDelta,"steal_pct":${stealPct.map(num).getOrElse("null")},"spin_ms":[${spinSamples.map(num).mkString(",")}],"bw_gbps":[${bwSamples.map(num).mkString(",")}]}"""
     // --- Normalized gate (round-8): the raw s/query gate drifts with the
     // host, so the verdict is computed against a spin-normalized value.
     // SPIN_REF_MS is the calibrated clean-host nominal of the fixed spin
