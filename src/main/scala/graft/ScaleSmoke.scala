@@ -348,6 +348,144 @@ object ScaleSmoke {
       return
     }
 
+    // `manifestmany`: the manifest's economics at a PRODUCTION file
+    // count (verdict r11 task 6). layoutab's 256-file receipt was an
+    // honest null (CPU-bound NVMe scan, footer cost invisible); here the
+    // same organic lineitem is written as ~8k tiny z-ordered files — the
+    // small-file regime a streaming writer leaves behind — and the same
+    // ~1%-of-domain probe is timed cold: full scan (8k listings + 8k
+    // footer opens + task scheduling) vs the manifest-pruned scan
+    // (driver lookup + only intersecting files opened). Alongside wall
+    // time, the artifact pins the STRUCTURAL receipt: files opened and
+    // scan partitions, both sides.
+    if (args.contains("manifestmany")) {
+      val mDir = s"$dst/lineitem_manyfiles"
+      val fsm = new org.apache.hadoop.fs.Path(mDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fsm.exists(new org.apache.hadoop.fs.Path(mDir, "_SUCCESS"))) {
+        // single-key range clustering, NOT z-order: the organic fixture's
+        // key domain is 100 sparse clusters over ~1B, which the 16-bit
+        // equal-width z-rescale collapses to only 386 distinct codes —
+        // range partitioning caps at non-empty code count, so a z-layout
+        // here cannot exceed 386 files (measured; see the writeZOrderedN
+        // scaladoc note on sparse clustered domains). Raw l_partkey has
+        // millions of distinct values, so 8192 range files materialize,
+        // each with a tight partkey box — the regime the manifest prices.
+        System.err.println(s"[manifestmany] writing ~8k-file range layout to $mDir")
+        Tables.t(spark, dst, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+          .repartitionByRange(8192, col("l_partkey"))
+          .sortWithinPartitions(col("l_partkey"))
+          .write.mode("overwrite").parquet(mDir)
+      }
+      // materialize the manifest OUT of the scan lineage (collect +
+      // rebuild from local rows): production persists it as its own tiny
+      // table, and the refreshByPath below would otherwise invalidate a
+      // cached plan over mDir and silently re-scan 497 MB per timed pass
+      val manifest = {
+        val built = operators.Layout
+          .buildManifest(spark, mDir, Seq("l_partkey", "l_suppkey"))
+        spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(built.collect(): _*)),
+          built.schema)
+      }
+      val nFiles = manifest.count()
+      val (lo, hi) = {
+        val r = spark.read.parquet(mDir)
+          .agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+        val span = r.getLong(1) - r.getLong(0)
+        (r.getLong(0) + span / 2, r.getLong(0) + span / 2 + span / 100)
+      }
+      def scanFull() = spark.read.parquet(mDir)
+        .filter(col("l_partkey") >= lo && col("l_partkey") <= hi)
+      def full() = scanFull().agg(sum(col("l_quantity").cast("double")).as("q"))
+      def prunedDf() = operators.Layout.scanPruned(spark, mDir, manifest,
+        Seq(("l_partkey", lo, hi)))
+      val cold = scala.util.Try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+      }.isSuccess
+      def timeCold(label: String)(mk: => DataFrame): Double = {
+        val ts = (1 to 2).map { _ =>
+          if (cold) java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+          // drop Spark's listing/footer caches too — a warm
+          // InMemoryFileIndex would hide exactly the cost being measured
+          spark.catalog.refreshByPath(mDir)
+          val t0 = System.nanoTime()
+          mk.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println("[%s] %-18s %8s s  (passes: %s)".format("manifestmany", label,
+          "%.2f".formatLocal(java.util.Locale.ROOT, ts.min),
+          ts.map(d => "%.2f".formatLocal(java.util.Locale.ROOT, d)).mkString("/")))
+        ts.min
+      }
+      val tFull = timeCold("full_scan")(full())
+      val tPruned = timeCold("manifest_pruned")(
+        prunedDf().agg(sum(col("l_quantity").cast("double")).as("q")))
+      def sumOf(df: DataFrame): Double = {
+        val r = df.head()
+        require(!r.isNullAt(0), "probe matched no rows"); r.getDouble(0)
+      }
+      val (a, b) = (sumOf(full()), sumOf(prunedDf()
+        .agg(sum(col("l_quantity").cast("double")).as("q"))))
+      require(math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.max(math.abs(b), 1.0)),
+        "layouts disagree — receipt would be meaningless")
+      val filesKept = prunedDf().inputFiles.length
+      // SCAN task counts (pre-aggregation): the schedulable unit a 100k-
+      // file table multiplies
+      val tasksFull = scanFull().rdd.getNumPartitions
+      val tasksPruned = prunedDf().rdd.getNumPartitions
+      def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      println(s"""{"full_scan":${n(tFull)},"manifest_pruned":${n(tPruned)},""" +
+        s""""files_kept":$filesKept,"files_total":$nFiles,""" +
+        s""""tasks_full":$tasksFull,"tasks_pruned":$tasksPruned,""" +
+        s""""cold":$cold,"mult":$mult,"mode":"manifestmany"}""")
+      spark.stop()
+      return
+    }
+
+    // `compactab`: the bin-parallelism receipt behind compactSmallFiles'
+    // bounded submitter pool (verdict r11 task 3) — the same 256-file
+    // z-layout is compacted twice into ~64 four-file bins, once with
+    // maxConcurrentBins=1 (the old serialized driver loop) and once
+    // with 8. Each bin is a single-task job over a few MB, so job
+    // SUBMISSION is a real fraction of the wall — the regime where a
+    // production 100k-file table lives — and the pool should win
+    // near-linearly until IO saturates.
+    if (args.contains("compactab")) {
+      val base = Tables.t(spark, dst, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      def build(tag: String): String = {
+        val d = s"$dst/lineitem_compactab_$tag"
+        operators.Layout.writeZOrdered(base, "l_partkey", "l_suppkey", d, numFiles = 256)
+        d
+      }
+      def files(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      def timeCompact(d: String, pool: Int): (Double, operators.Layout.CompactReceipt) = {
+        val target = files(d).map(_.length).sum / 64 + 1
+        val t0 = System.nanoTime()
+        val r = operators.Layout.compactSmallFiles(spark, d, target, maxConcurrentBins = pool)
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val d1 = build("p1"); val d8 = build("p8")
+      val n1 = spark.read.parquet(d1).count()
+      val (t1, r1) = timeCompact(d1, 1)
+      val (t8, r8) = timeCompact(d8, 8)
+      require(spark.read.parquet(d1).count() == n1 &&
+        spark.read.parquet(d8).count() == n1, "compaction changed row counts")
+      def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      println(s"[compactab] pool=1 ${n(t1)} s $r1")
+      println(s"[compactab] pool=8 ${n(t8)} s $r8")
+      println(s"""{"pool1_sec":${n(t1)},"pool8_sec":${n(t8)},"speedup":${n(t1 / t8)},""" +
+        s""""files_before":${r1.filesBefore},"files_after":${r1.filesAfter},""" +
+        s""""bins_rewritten":${r1.binsRewritten},"mult":$mult,"mode":"compactab"}""")
+      spark.stop()
+      return
+    }
+
     // `paneab`: the pane-sharing A/B — the registered pane plans vs
     // their naive row-replicating duals on the same fixture (run with
     // `organic` for the 100x receipt). Same outputs bit-for-bit

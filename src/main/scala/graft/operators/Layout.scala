@@ -57,6 +57,17 @@ object Layout {
 
   /** N-column generalization (2..4 keys — Delta's OPTIMIZE ZORDER BY
     * shape): each key stretches into a `min(16, 63/n)`-bit domain, and
+    *
+    * Known limit (measured, round 12): the rescale is EQUAL-WIDTH, so a
+    * sparse CLUSTERED key domain — e.g. snowflake-style ids, or the
+    * organic fixture's 100 narrow clusters spread over a ~10^9 range —
+    * collapses to few distinct scaled values (386 z-codes on that
+    * fixture), which caps the non-empty range partitions (file count)
+    * and coarsens per-file boxes. Dense or uniformly-spread domains are
+    * unaffected. The fix at 100 TB is equi-DEPTH scaling (quantile-
+    * boundary bucketing per key before the interleave); until then,
+    * prefer keys without huge intra-domain gaps, or remap sparse ids to
+    * dense ranks upstream.
     * bit i of key j lands at interleave position `i*n + j` — for n = 2
     * this is bit-for-bit the classic (x even, y odd) Morton code, so
     * the two-column API above is a pure alias. All keys share bit
