@@ -320,7 +320,25 @@ FROM r WHERE rnk <= 5"""),
     * estimates carry CMS collision inflation — the classic
     * panes+candidates trade for dropping per-key state; the DuckDB
     * oracle recomputes the identical algorithm, so the gate checks the
-    * estimator bit-for-bit, collisions included. */
+    * estimator bit-for-bit, collisions included.
+    *
+    * Choosing m (measured, PaneSkewPropertySpec): a window's top-k key
+    * is covered iff it cracks top-m in AT LEAST ONE covering pane, so
+    * the minimal sufficient m for a workload is the max over window
+    * winners of their best per-pane rank. Under Zipf skew s in
+    * {1, 1.5, 2} with 3 pane-confined hot-key bursts the boundary
+    * measured m* = 5-6 at k = 5 — heavy hitters are pane-heavy, and
+    * each pane-confined burst displaces at most one candidate slot, so
+    * budget m ~ k + expected bursts per pane; the 3k default carries
+    * ~2k slots of burst headroom. Two caveats the spec pins: (1) NO
+    * fixed m survives a spread-thin adversary (a key persistently
+    * ranked just below m in every pane while per-pane bursts hold the
+    * top slots wins the window unseen — the inherent limit of
+    * panes+candidates; the spec constructs it and locates the failure
+    * at exactly m = its pane rank); (2) near-ties at the window rank-k
+    * boundary are split by estimate order, not true-count order, so
+    * tie groups straddling rank k come back in estimator order —
+    * approximate top-k cannot preserve an exact tiebreak. */
   def slidingTopkCmsPane(ev: DataFrame, k: Int = 5, m: Int = 15,
       p: PaneParams = PaneParams.default): DataFrame = {
     val base = ev.select(expr(p.paneExpr()).as("pane"), col("user_id"))
