@@ -41,6 +41,7 @@ object OperatorIndex {
     "StreamingPipelines.windowJoinOuter" -> "q_outer_join",
     "StreamingPipelines.slidingDdQuantilesPaneStream" -> "w2b_sliding_dd_pane",
     "StreamingPipelines.slidingTopkPaneStream" -> "w2d_sliding_topk_pane",
+    "StreamingPipelines.slidingTopkCmsPaneStream" -> "w2e_sliding_cms_topk",
     "StreamingPipelines.ivfIngestAssign" -> "e_assign_confusion",
     "StreamingPipelines.ivfIngestDrift" -> "e_centroid_drift",
     "StatefulProcessors.doubleEventAlerts" -> "x1_double_event_alert",

@@ -486,6 +486,126 @@ object ScaleSmoke {
       return
     }
 
+    // `zdepthab`: equal-width vs equi-depth z-order on the organic
+    // fixture's SPARSE CLUSTERED key domain (the round-12 finding: the
+    // equal-width rescale collapses it to ~386 z-codes — a hard cap on
+    // file count no budget can raise). Both writers get the same
+    // 1024-file budget: equal-width materializes at most its code
+    // count (~386), equi-depth (rank space) the full 1024, and with
+    // them ~2 extra Morton cut bits. A 2-D mass probe (0.5% of each
+    // key's mass, bounds from quantiles so the probe is geometry-
+    // independent) measures rows MATERIALIZED by the scan and wall
+    // time — the resolution the cap costs, priced at organic x100.
+    if (args.contains("zdepthab")) {
+      val base = Tables.t(spark, dst, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val ewDir = s"$dst/lineitem_zdepth_ew"
+      val edDir = s"$dst/lineitem_zdepth_ed"
+      val fs = new org.apache.hadoop.fs.Path(ewDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(ewDir, "_SUCCESS"))) {
+        System.err.println(s"[zdepthab] writing equal-width z-layout to $ewDir")
+        operators.Layout.writeZOrdered(base, "l_partkey", "l_suppkey", ewDir, numFiles = 1024)
+      }
+      if (!fs.exists(new org.apache.hadoop.fs.Path(edDir, "_SUCCESS"))) {
+        System.err.println(s"[zdepthab] writing equi-depth z-layout to $edDir")
+        operators.Layout.writeZOrderedEquiDepth(
+          base, Seq("l_partkey", "l_suppkey"), edDir, numFiles = 1024)
+      }
+      def nFiles(d: String) = new java.io.File(d).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      // 0.05%-of-mass probe per key, centered at the median — narrow
+      // enough that the layout's minimum addressable unit (rows per
+      // file) dominates over the probe's own matching rows. (A fatter
+      // probe hides the difference: organic partkey/suppkey are
+      // correlated, so a 0.5% 2-D probe already matches ~300k rows and
+      // BOTH layouts read near that floor.)
+      val qs = base.stat.approxQuantile(
+        Array("l_partkey", "l_suppkey"), Array(0.50, 0.5005), 2e-5)
+      val (pLo, pHi) = (qs(0)(0).toLong, qs(0)(1).toLong)
+      val (sLo, sHi) = (qs(1)(0).toLong, qs(1)(1).toLong)
+      val pred = col("l_partkey") >= pLo && col("l_partkey") <= pHi &&
+        col("l_suppkey") >= sLo && col("l_suppkey") <= sHi
+      def agg(d: String) = spark.read.parquet(d).filter(pred)
+        .agg(sum(col("l_quantity").cast("double")).as("q"))
+      // rows the parquet reader materialized (scan numOutputRows after
+      // row-group skipping) — AQE off so the executed plan is plain
+      val aqeOld = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def rowsScanned(d: String): Long = {
+        val df = agg(d)
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+        }.map(_.metrics("numOutputRows").value).sum
+      }
+      def timeWarm(label: String)(d: String): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          agg(d).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println("[%s] %-18s %8s s  (passes: %s)".format("zdepthab", label,
+          "%.2f".formatLocal(java.util.Locale.ROOT, ts.min),
+          ts.map(x => "%.2f".formatLocal(java.util.Locale.ROOT, x)).mkString("/")))
+        ts.min
+      }
+      // the composed stack: equi-depth buys ADDRESSABILITY (9x fewer
+      // rows per probe), the manifest converts it into wall time by
+      // not opening the 1000+ non-intersecting footers — time the
+      // manifest-pruned probe on both layouts too
+      def materializedManifest(d: String) = {
+        val built = operators.Layout.buildManifest(
+          spark, d, Seq("l_partkey", "l_suppkey"))
+        spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(built.collect(): _*)),
+          built.schema)
+      }
+      val bounds = Seq(("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi))
+      val (manEw, manEd) = (materializedManifest(ewDir), materializedManifest(edDir))
+      def pruned(d: String, man: DataFrame) = operators.Layout
+        .scanPruned(spark, d, man, bounds)
+        .agg(sum(col("l_quantity").cast("double")).as("q"))
+      def timePruned(label: String)(d: String, man: DataFrame): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          pruned(d, man).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println("[%s] %-18s %8s s  (passes: %s)".format("zdepthab", label,
+          "%.2f".formatLocal(java.util.Locale.ROOT, ts.min),
+          ts.map(x => "%.2f".formatLocal(java.util.Locale.ROOT, x)).mkString("/")))
+        ts.min
+      }
+      try {
+        val (rEw, rEd) = (rowsScanned(ewDir), rowsScanned(edDir))
+        val (tEw, tEd) = (timeWarm("equal_width")(ewDir), timeWarm("equi_depth")(edDir))
+        val tPEw = timePruned("ew_pruned")(ewDir, manEw)
+        val tPEd = timePruned("ed_pruned")(edDir, manEd)
+        val keptEw = operators.Layout.scanPruned(spark, ewDir, manEw, bounds).inputFiles.length
+        val keptEd = operators.Layout.scanPruned(spark, edDir, manEd, bounds).inputFiles.length
+        def sumOf(df: DataFrame): Double = {
+          val r = df.head()
+          require(!r.isNullAt(0), "zdepthab probe matched no rows"); r.getDouble(0)
+        }
+        val expect = sumOf(agg(ewDir))
+        def close(x: Double): Boolean =
+          math.abs(x - expect) <= 1e-9 * math.max(math.abs(x), math.max(math.abs(expect), 1.0))
+        require(close(sumOf(agg(edDir))) && close(sumOf(pruned(ewDir, manEw))) &&
+          close(sumOf(pruned(edDir, manEd))),
+          "layouts disagree — receipt would be meaningless")
+        def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+        println(s"""{"files_ew":${nFiles(ewDir)},"files_ed":${nFiles(edDir)},""" +
+          s""""rows_scanned_ew":$rEw,"rows_scanned_ed":$rEd,""" +
+          s""""sec_ew":${n(tEw)},"sec_ed":${n(tEd)},""" +
+          s""""sec_ew_pruned":${n(tPEw)},"sec_ed_pruned":${n(tPEd)},""" +
+          s""""files_kept_ew":$keptEw,"files_kept_ed":$keptEd,""" +
+          s""""mult":$mult,"mode":"zdepthab"}""")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeOld)
+      spark.stop()
+      return
+    }
+
     // `paneab`: the pane-sharing A/B — the registered pane plans vs
     // their naive row-replicating duals on the same fixture (run with
     // `organic` for the 100x receipt). Same outputs bit-for-bit

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout writers — the actionable half of the clustering keys the
@@ -64,10 +64,9 @@ object Layout {
     * collapses to few distinct scaled values (386 z-codes on that
     * fixture), which caps the non-empty range partitions (file count)
     * and coarsens per-file boxes. Dense or uniformly-spread domains are
-    * unaffected. The fix at 100 TB is equi-DEPTH scaling (quantile-
-    * boundary bucketing per key before the interleave); until then,
-    * prefer keys without huge intra-domain gaps, or remap sparse ids to
-    * dense ranks upstream.
+    * unaffected. For such domains use [[writeZOrderedEquiDepth]], which
+    * maps each key through its own quantile boundaries (rank space)
+    * before the interleave and is immune to intra-domain gaps.
     * bit i of key j lands at interleave position `i*n + j` — for n = 2
     * this is bit-for-bit the classic (x even, y odd) Morton code, so
     * the two-column API above is a pure alias. All keys share bit
@@ -110,15 +109,89 @@ object Layout {
     val keyed = keyCols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
       d.withColumn(s"__zk$j", expr(scaled(c, b.getLong(2 * j), b.getLong(2 * j + 1))))
     }
+    interleaveAndWrite(keyed, n, bitsPer, numFiles, path)
+  }
+
+  /** Shared tail of the Z-order writers: interleave the scaled `__zkJ`
+    * columns bit-by-bit into the Morton code, ONE range exchange on it,
+    * partition-local sort, write. */
+  private def interleaveAndWrite(keyed: DataFrame, n: Int, bitsPer: Int,
+      numFiles: Int, path: String): Unit = {
     val zExpr = (0 until bitsPer).flatMap { i =>
-      keyCols.indices.map(j =>
+      (0 until n).map(j =>
         s"shiftleft(shiftright(__zk$j, $i) & 1, ${i * n + j})")
     }.mkString(" + ")
     keyed.withColumn("__z", expr(zExpr))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop(keyCols.indices.map(j => s"__zk$j") :+ "__z": _*)
+      .drop((0 until n).map(j => s"__zk$j") :+ "__z": _*)
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Equi-DEPTH Z-order — the fix for the equal-width limit documented
+    * on [[writeZOrderedN]]. Instead of stretching each key's [min, max]
+    * uniformly over the bit domain, each key is mapped through its own
+    * QUANTILE boundaries (`buckets` equal-mass buckets from one bounded
+    * `approxQuantile` pass), so the interleave sees each key in RANK
+    * space: a sparse clustered domain (snowflake-style ids; the organic
+    * fixture's 100 narrow clusters over a ~10^9 range, where equal-width
+    * collapsed to 386 z-codes) still spreads over the full `buckets`
+    * values per key, range cuts can always materialize `numFiles` files,
+    * and per-file boxes subdivide INSIDE dense clusters instead of
+    * treating a cluster as one indivisible code. The bucket map
+    * (count of boundaries <= v) is monotone in the raw key, so per-file
+    * min/max boxes remain contiguous raw-domain intervals and parquet
+    * skipping works unchanged. Where mass genuinely concentrates on one
+    * value, adjacent quantiles coincide and are deduplicated — equi-depth
+    * degrades to the true mass distribution, never below equal-width.
+    *
+    * Scale shape: the quantile probe is ONE pass building n bounded
+    * GK sketches (driver result n x buckets doubles — KBs); then the
+    * same single range exchange + local sort as [[writeZOrderedN]].
+    * The per-row bucket lookup is a TWO-LEVEL (sqrt-decomposed) count
+    * over the sorted boundary array — a coarse pass over every
+    * sqrt(buckets)-th boundary picks the block, a fine pass counts
+    * inside `slice` of it: ~2*sqrt(buckets) comparisons per row
+    * (~128 at the default 4096 buckets) of write-time cost, no UDF,
+    * no extra shuffle, and the boundary arrays ride the plan as single
+    * `typedlit` literals. Bucket resolution matters: each cluster of
+    * the key domain owns ~buckets/clusters rank values, and a probe
+    * can only be subdivided down to one rank — 4096 keeps ~40 ranks
+    * per cluster even on a 100-cluster domain. Nulls land in bucket 0
+    * (lowest range), a defined place rather than a dropped row. */
+  def writeZOrderedEquiDepth(df: DataFrame, keyCols: Seq[String], path: String,
+      numFiles: Int = 32, buckets: Int = 4096): Unit = {
+    val n = keyCols.size
+    require(n >= 2 && n <= 4, s"writeZOrderedEquiDepth: 2..4 key columns, got $n")
+    val maxBits = math.min(16, 63 / n)
+    require(buckets >= 4 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << maxBits),
+      s"buckets must be a power of two in [4, ${1 << maxBits}], got $buckets")
+    val bitsPer = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // one pass over the data for ALL key columns' sketches
+    val boundaries = df.stat.approxQuantile(keyCols.toArray, probs, 0.5 / buckets)
+    val coarseN = 1 << ((bitsPer + 1) / 2)
+    val fineN = buckets / coarseN
+    // #{b in arr : b <= v} — monotone in v, so the bucket map preserves
+    // raw-domain contiguity of per-file boxes; duplicate boundaries
+    // (mass concentrated on one value) just skip bucket ids, never
+    // reorder
+    def countLe(arr: Column, v: Column): Column =
+      aggregate(arr, lit(0L), (acc, b) => acc + when(v >= b, lit(1L)).otherwise(lit(0L)))
+    val keyed = keyCols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+      val arr = boundaries(j) // length buckets-1, sorted
+      // pad to coarseN*fineN so every fine slice is exactly fineN wide;
+      // +Inf never counts, so the padding is inert
+      val padded = arr ++ Array.fill(coarseN * fineN - arr.length)(Double.PositiveInfinity)
+      val coarse = (1 until coarseN).map(k => arr(k * fineN - 1)).toArray
+      val v = col(c).cast("double")
+      d.withColumn(s"__zc$j", countLe(typedlit(coarse), v))
+        .withColumn(s"__zk$j",
+          col(s"__zc$j") * fineN + countLe(
+            slice(typedlit(padded), (col(s"__zc$j") * fineN + 1).cast("int"), lit(fineN)), v))
+    }
+    interleaveAndWrite(
+      keyed.drop(keyCols.indices.map(j => s"__zc$j"): _*), n, bitsPer, numFiles, path)
   }
 
   /** What a [[compactSmallFiles]] run did — the before/after receipt the

@@ -368,4 +368,66 @@ class LayoutSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("equi-depth z-order survives sparse clustered domains where equal-width collapses") {
+    // The round-12 manifestmany finding, synthesized: keys live in 8
+    // correlated narrow clusters (width 5,000) spread over ~10^9 — each
+    // cluster is NARROWER than the equal-width 16-bit bucket (~14,000),
+    // so writeZOrderedN collapses every cluster to 1-2 scaled values and
+    // the whole layout to a handful of z-codes: the requested file count
+    // cannot materialize and no cut can subdivide a cluster. Equi-depth
+    // maps keys through quantile (rank) space, where each cluster owns
+    // ~buckets/8 values — full file count, and probes INSIDE a cluster
+    // skip again.
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    def xBase(c: Int) = c * 130000000L + 1000000L
+    def yBase(c: Int) = c * 120000000L + 3000000L
+    val rows = Seq.fill(40000) {
+      val c = rnd.nextInt(8)
+      (xBase(c) + rnd.nextInt(5000), yBase(c) + rnd.nextInt(5000), rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("x", "y", "v")
+    val ewDir = java.nio.file.Files.createTempDirectory("layout-ew").toString
+    val edDir = java.nio.file.Files.createTempDirectory("layout-ed").toString
+    Layout.writeZOrdered(df, "x", "y", ewDir, numFiles = 256)
+    Layout.writeZOrderedEquiDepth(df, Seq("x", "y"), edDir, numFiles = 256)
+    def nFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val (few, fed) = (nFiles(ewDir), nFiles(edDir))
+    info(s"files: equal-width=$few equi-depth=$fed (256 requested)")
+    assert(few <= 24, s"fixture no longer collapses equal-width ($few files) — rebuild it sparser")
+    assert(fed >= 200, s"equi-depth failed to materialize the file count: $fed")
+    assert(spark.read.parquet(edDir).count() === 40000L, "rows dropped")
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // probe INSIDE one cluster on BOTH clustered dims (12.5% of
+      // each — ~1.5% of the cluster's mass). Equal-width collapsed the whole
+      // cluster to 1-2 z-codes; a range partition cannot split a code
+      // across files, so no matter how many files are REQUESTED it
+      // reads the cluster's whole code-file. Equi-depth holds ~32 rank
+      // values per dim inside the cluster AND can materialize the full
+      // file budget (~32 files/cluster = 5 within-cluster cut bits),
+      // so the Morton cuts subdivide the cluster in both dimensions.
+      // This is the measured content of the collapse: the cap is not
+      // cosmetic — it is lost resolution a bigger file budget cannot
+      // buy back.
+      val pred = s"x >= ${xBase(3)} AND x <= ${xBase(3) + 625} AND " +
+        s"y >= ${yBase(3)} AND y <= ${yBase(3) + 625}"
+      def probe(dir: String): (Long, Double) = {
+        val q = spark.read.parquet(dir).filter(expr(pred))
+          .agg(sum(col("v").cast("double")).as("s"))
+        (rowsScanned(q), q.head().getDouble(0))
+      }
+      val (ewRows, ewSum) = probe(ewDir)
+      val (edRows, edSum) = probe(edDir)
+      assert(math.abs(ewSum - edSum) < 1e-6, "layouts disagree")
+      info(f"in-cluster probe scan rows: equal-width=$ewRows equi-depth=$edRows (${ewRows.toDouble / edRows}%.1fx)")
+      assert(edRows * 2 <= ewRows,
+        s"equi-depth not subdividing the cluster: ed=$edRows ew=$ewRows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
