@@ -380,13 +380,58 @@ object Layout {
   def buildManifest(spark: SparkSession, path: String,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "buildManifest: at least one key column")
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    manifestAgg(spark.read.parquet(path), keyCols)
+  }
+
+  private def manifestAgg(scan: DataFrame, keyCols: Seq[String]): DataFrame =
+    scan.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
         keyCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"${c}_min"),
           max(col(c)).cast("long").as(s"${c}_max"))): _*)
+
+  /** Reconcile `manifest` with the directory's CURRENT file set at
+    * incremental cost: files present in the directory but absent from
+    * the manifest are scanned (and ONLY those — the read is built from
+    * their explicit paths, so the stats pass touches just the new
+    * bytes), files that vanished (compaction, retention deletes) have
+    * their rows dropped, and everything else is carried over untouched.
+    * The result is equal to a fresh [[buildManifest]] of the directory
+    * — LayoutSpec pins the equivalence — but an append of k files to a
+    * 100k-file table costs a k-file scan instead of a 100 TB one. This
+    * is the cheap remedy the [[scanPruned]] staleness guard points at:
+    * guard trips -> updateManifest -> scan again. Driver work is two
+    * bounded name-set collects (manifest rows = file count), matching
+    * the guard's own cost class. */
+  def updateManifest(spark: SparkSession, path: String, manifest: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "updateManifest: at least one key column")
+    val expected = Seq("file", "rows") ++
+      keyCols.flatMap(c => Seq(s"${c}_min", s"${c}_max"))
+    require(manifest.columns.sameElements(expected),
+      s"updateManifest: manifest columns ${manifest.columns.toSeq} do not match " +
+        s"keyCols $keyCols (expected $expected)")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val listed = fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName -> s.getPath.toString).toMap
+    val inManifest = manifest.select("file").collect()
+      .map(r => nameOf(r.getString(0))).toSet
+    val newPaths = (listed.keySet -- inManifest).toSeq.sorted.map(listed)
+    val survivors = manifest.filter(
+      udfFreeNameIn(col("file"), listed.keySet))
+    if (newPaths.isEmpty) survivors
+    else survivors.unionByName(
+      manifestAgg(spark.read.parquet(newPaths: _*), keyCols))
   }
+
+  /** `nameOf(file) IN names` as a codegen-friendly column (substring
+    * after the last '/' against a literal set) — no UDF. */
+  private def udfFreeNameIn(file: Column, names: Set[String]): Column =
+    element_at(split(file, "/"), -1).isInCollection(names)
 
   /** Scan `path` reading ONLY the files whose manifest [min, max] box
     * intersects every given `(column, lo, hi)` bound, then apply the

@@ -369,6 +369,50 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("updateManifest: incremental append + compaction reconcile equals a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-upd").toString
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", dir, numFiles = 8)
+    val keys = Seq("l_partkey", "l_suppkey")
+    // materialize manifests driver-side: a live manifest DataFrame pins
+    // the listing of its creation time, and we mutate the dir below
+    def freeze(df: DataFrame): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)), df.schema)
+    def canon(df: DataFrame): Set[(String, Long, Long, Long, Long, Long)] =
+      df.collect().map { r =>
+        val f = r.getString(0)
+        (f.substring(f.lastIndexOf('/') + 1), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      }.toSet
+    val m0 = freeze(Layout.buildManifest(spark, dir, keys))
+
+    // APPEND: two fresh part files land after the build (the staleness
+    // guard's scenario — updateManifest is its remedy)
+    val extra = java.nio.file.Files.createTempDirectory("layout-upd-extra").toString
+    src.limit(500).repartition(2).write.mode("overwrite").parquet(extra)
+    val newNames = new java.io.File(extra).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.map { case (f, i) =>
+        val n = s"part-zz-append$i.parquet"
+        assert(f.renameTo(new java.io.File(dir, n))); n
+      }
+    assert(newNames.length === 2)
+    assertThrows[IllegalStateException](Layout.scanPruned(spark, dir, m0,
+      Seq(("l_partkey", 0L, Long.MaxValue))))
+    val m1 = freeze(Layout.updateManifest(spark, dir, m0, keys))
+    assert(canon(m1) === canon(Layout.buildManifest(spark, dir, keys)),
+      "incremental append update != full rebuild")
+
+    // COMPACTION: every original vanishes, replacements appear — update
+    // must drop the dead rows and scan only the compacted files
+    Layout.compactSmallFiles(spark, dir, targetBytes = Long.MaxValue / 2)
+    val m2 = freeze(Layout.updateManifest(spark, dir, m1, keys))
+    assert(canon(m2) === canon(Layout.buildManifest(spark, dir, keys)),
+      "post-compaction update != full rebuild")
+    // and the reconciled manifest actually serves a pruned scan
+    val got = Layout.scanPruned(spark, dir, m2, Seq(("l_partkey", 0L, Long.MaxValue)))
+      .count()
+    assert(got === src.count() + 500, "reconciled manifest lost rows")
+  }
+
   test("equi-depth z-order survives sparse clustered domains where equal-width collapses") {
     // The round-12 manifestmany finding, synthesized: keys live in 8
     // correlated narrow clusters (width 5,000) spread over ~10^9 — each
