@@ -29,7 +29,8 @@ object SparkEntry {
       operators.EmbeddingOps.all ++
       operators.MultimodalOps.all ++
       operators.SketchOps.all ++
-      operators.PaneOps.all
+      operators.PaneOps.all ++
+      operators.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5-style 6-way join with broadcast dims — the showcase plan. */

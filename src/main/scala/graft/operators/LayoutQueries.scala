@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GQuery
+
+/** Oracle-checked registry coverage for the [[Layout]] primitives.
+  *
+  * Every other layout receipt lives in sbt specs and ScaleSmoke modes;
+  * this puts the full MAINTENANCE LIFECYCLE under the driver's DuckDB
+  * oracle: Z-order write -> manifest build -> incremental append ->
+  * [[Layout.updateManifest]] reconcile -> [[Layout.compactSmallFiles]]
+  * -> reconcile again -> [[Layout.scanPruned]]. The lifecycle splits
+  * `lineitem` into a base slice (Z-ordered) and an append slice (landed
+  * afterwards, the incremental-writer scenario), so the maintained
+  * directory holds EXACTLY the source table and the pruned, filtered,
+  * aggregated result must equal a plain filtered aggregate of
+  * `lineitem` — which is what the oracle runs. Any bug anywhere in the
+  * chain (a lost bin during compaction, a manifest row not reconciled,
+  * a box made stale by the rewrite, an over-pruned file) shows up as a
+  * hash mismatch against an engine that never saw the layout machinery.
+  *
+  * Scale shape: identical to the primitives it composes — one range
+  * exchange for the Z-write, bounded-driver manifest ops (rows = file
+  * count), no-shuffle compaction, and a final aggregate that reads only
+  * manifest-intersecting files. Sums follow the registry's exact-float
+  * convention: scale to BIGINT first (order-independent), never sum raw
+  * doubles.
+  */
+object LayoutQueries {
+
+  /** Deterministic scratch root per fixture dir — recreated from scratch
+    * on every invocation (the lifecycle IS the query; stale state from a
+    * previous run must not leak in). Lives under java.io.tmpdir, never
+    * inside the read-only fixture tree. */
+  private def workDir(dir: String): String =
+    sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_layout_lc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Materialize a manifest DataFrame driver-side. A manifest built by
+    * [[Layout.buildManifest]]/[[Layout.updateManifest]] is LAZY over the
+    * directory it describes — executing it after the directory mutated
+    * would silently describe the new state and defeat the staleness the
+    * lifecycle exists to exercise. Bounded: rows = file count (~20). */
+  private def freeze(s: SparkSession, m: DataFrame): DataFrame =
+    s.createDataFrame(new java.util.ArrayList(
+      java.util.Arrays.asList(m.collect(): _*)), m.schema)
+
+  private val keys = Seq("l_partkey", "l_suppkey")
+  // fixed literal probe box, in-range at every fixture SF (partkey
+  // 0..2000*SF*100, suppkey 0..100*SF*100) and selective enough that
+  // pruning actually drops files on the Z layout
+  private val (pLo, pHi, sLo, sHi) = (0L, 500L, 0L, 40L)
+
+  private val qLifecycle = GQuery(
+    "q_layout_lifecycle",
+    (s, dir) => {
+      val li = graft.Tables.t(s, dir, "lineitem")
+      val root = new org.apache.hadoop.fs.Path(workDir(dir))
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val data = workDir(dir) + "/t"
+      // base (3/4 of the table) is Z-order-clustered at "write time" ...
+      Layout.writeZOrdered(li.filter(col("l_orderkey") % 4 =!= 0),
+        "l_partkey", "l_suppkey", data, numFiles = 16)
+      val m0 = freeze(s, Layout.buildManifest(s, data, keys))
+      // ... the rest lands later as an unclustered incremental append
+      li.filter(col("l_orderkey") % 4 === 0).repartition(2)
+        .write.mode("append").parquet(data)
+      val m1 = freeze(s, Layout.updateManifest(s, data, m0, keys))
+      // small-file maintenance, then reconcile the manifest once more
+      Layout.compactSmallFiles(s, data, targetBytes = 8L << 20)
+      val m2 = freeze(s, Layout.updateManifest(s, data, m1, keys))
+      Layout.scanPruned(s, data, m2, Seq(
+          ("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(expr("CAST(round(l_extendedprice * 100e0) AS BIGINT)"))
+            .as("price_cents"))
+    },
+    Some(s"""SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_partkey BETWEEN $pLo AND $pHi AND l_suppkey BETWEEN $sLo AND $sHi
+GROUP BY 1"""),
+    "Full layout maintenance lifecycle (z-order -> manifest -> append -> reconcile -> compact -> reconcile -> pruned scan) proven equal to a plain filtered aggregate.")
+
+  val all: Seq[GQuery] = Seq(qLifecycle)
+}
