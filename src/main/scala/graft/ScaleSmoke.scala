@@ -222,6 +222,31 @@ object ScaleSmoke {
     dst
   }
 
+  /** The shared ~8k-file small-file fixture under `dst` (built once,
+    * reused via _SUCCESS) — the production-file-count regime the
+    * manifestmany / manifestupd receipts price. Single-key range
+    * clustering, NOT z-order: the organic fixture's key domain is 100
+    * sparse clusters over ~1B, which the 16-bit equal-width z-rescale
+    * collapses to only 386 distinct codes — range partitioning caps at
+    * non-empty code count, so a z-layout here cannot exceed 386 files
+    * (measured; see the writeZOrderedN scaladoc note on sparse clustered
+    * domains). Raw l_partkey has millions of distinct values, so 8192
+    * range files materialize, each with a tight partkey box. */
+  private def ensureManyFiles(spark: SparkSession, dst: String): String = {
+    val mDir = s"$dst/lineitem_manyfiles"
+    val fsm = new org.apache.hadoop.fs.Path(mDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsm.exists(new org.apache.hadoop.fs.Path(mDir, "_SUCCESS"))) {
+      System.err.println(s"[manyfiles] writing ~8k-file range layout to $mDir")
+      Tables.t(spark, dst, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .repartitionByRange(8192, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(mDir)
+    }
+    mDir
+  }
+
   def main(args: Array[String]): Unit = {
     // tolerant parse: `ScaleSmoke skew` (flag only) falls back to x16
     // instead of throwing NumberFormatException on the mode word
@@ -359,25 +384,7 @@ object ScaleSmoke {
     // time, the artifact pins the STRUCTURAL receipt: files opened and
     // scan partitions, both sides.
     if (args.contains("manifestmany")) {
-      val mDir = s"$dst/lineitem_manyfiles"
-      val fsm = new org.apache.hadoop.fs.Path(mDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fsm.exists(new org.apache.hadoop.fs.Path(mDir, "_SUCCESS"))) {
-        // single-key range clustering, NOT z-order: the organic fixture's
-        // key domain is 100 sparse clusters over ~1B, which the 16-bit
-        // equal-width z-rescale collapses to only 386 distinct codes —
-        // range partitioning caps at non-empty code count, so a z-layout
-        // here cannot exceed 386 files (measured; see the writeZOrderedN
-        // scaladoc note on sparse clustered domains). Raw l_partkey has
-        // millions of distinct values, so 8192 range files materialize,
-        // each with a tight partkey box — the regime the manifest prices.
-        System.err.println(s"[manifestmany] writing ~8k-file range layout to $mDir")
-        Tables.t(spark, dst, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-          .repartitionByRange(8192, col("l_partkey"))
-          .sortWithinPartitions(col("l_partkey"))
-          .write.mode("overwrite").parquet(mDir)
-      }
+      val mDir = ensureManyFiles(spark, dst)
       // materialize the manifest OUT of the scan lineage (collect +
       // rebuild from local rows): production persists it as its own tiny
       // table, and the refreshByPath below would otherwise invalidate a
@@ -442,6 +449,88 @@ object ScaleSmoke {
         s""""files_kept":$filesKept,"files_total":$nFiles,""" +
         s""""tasks_full":$tasksFull,"tasks_pruned":$tasksPruned,""" +
         s""""cold":$cold,"mult":$mult,"mode":"manifestmany"}""")
+      spark.stop()
+      return
+    }
+
+    // `manifestupd`: the INCREMENTAL manifest's economics at the same
+    // production file count (follow-on to manifestmany). Scenario: a
+    // writer appends k files to an ~8k-file table whose manifest was
+    // built at write time; scanPruned's staleness guard trips; the
+    // remedy is what this prices — Layout.updateManifest (scans ONLY the
+    // k new files plus two bounded name-set collects) vs the naive full
+    // buildManifest rebuild (re-scans all ~8k files / ~500 MB). Page
+    // cache and Spark listing caches are dropped before every timed
+    // pass, as in manifestmany; the incremental result is asserted equal
+    // to a fresh rebuild AFTER timing (canonical name-keyed rows), so
+    // the speedup cannot come from computing something weaker.
+    if (args.contains("manifestupd")) {
+      val mDir = ensureManyFiles(spark, dst)
+      val keys = Seq("l_partkey", "l_suppkey")
+      val dirPath = new org.apache.hadoop.fs.Path(mDir)
+      val fsm = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def updFiles() = fsm.listStatus(dirPath)
+        .filter(_.getPath.getName.contains("-upd-"))
+      // re-runnable: drop appends a previous manifestupd run left behind
+      updFiles().foreach(s => fsm.delete(s.getPath, false))
+      def freeze(df: DataFrame): DataFrame = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)), df.schema)
+      val cold = scala.util.Try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+      }.isSuccess
+      def timed(label: String)(mk: => DataFrame): (DataFrame, Double) = {
+        var out: DataFrame = null
+        val ts = (1 to 2).map { _ =>
+          if (cold) java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3")
+          spark.catalog.refreshByPath(mDir)
+          val t0 = System.nanoTime()
+          out = mk
+          (System.nanoTime() - t0) / 1e9
+        }
+        println("[%s] %-14s %8s s  (passes: %s)".format("manifestupd", label,
+          "%.2f".formatLocal(java.util.Locale.ROOT, ts.min),
+          ts.map(d => "%.2f".formatLocal(java.util.Locale.ROOT, d)).mkString("/")))
+        (out, ts.min)
+      }
+      // the manifest the table "shipped with" (also prices full_build)
+      val (m0, tFullBuild) = timed("full_build")(
+        freeze(operators.Layout.buildManifest(spark, mDir, keys)))
+      // append k=16 files: a small slice of the fixture written through
+      // a staging dir, then renamed in under distinctive -upd- names
+      val staging = s"$dst/lineitem_manyfiles_staging"
+      Tables.t(spark, dst, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .limit(120000).repartition(16)
+        .write.mode("overwrite").parquet(staging)
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      val appended = fsm.listStatus(stagingPath)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .zipWithIndex.map { case (s, i) =>
+          val to = new org.apache.hadoop.fs.Path(dirPath, f"part-upd-$i%04d.parquet")
+          require(fsm.rename(s.getPath, to), s"rename ${s.getPath} -> $to failed")
+          to
+        }
+      fsm.delete(stagingPath, true)
+      val (m1, tIncr) = timed("incr_update")(
+        freeze(operators.Layout.updateManifest(spark, mDir, m0, keys)))
+      val (m2, tRebuild) = timed("full_rebuild")(
+        freeze(operators.Layout.buildManifest(spark, mDir, keys)))
+      def canon(df: DataFrame): Set[Seq[Any]] = df.collect().map { r =>
+        val f = r.getString(0)
+        f.substring(f.lastIndexOf('/') + 1) +: (1 until r.length).map(r.get)
+      }.map(_.toSeq).toSet
+      require(canon(m1) == canon(m2),
+        "incremental update != full rebuild — receipt would be meaningless")
+      val total = m2.count()
+      // leave the shared fixture as manifestmany expects it
+      updFiles().foreach(s => fsm.delete(s.getPath, false))
+      def n(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      println(s"""{"full_build":${n(tFullBuild)},"incr_update":${n(tIncr)},""" +
+        s""""full_rebuild":${n(tRebuild)},"speedup":${n(tRebuild / tIncr)},""" +
+        s""""files_total":$total,"files_new":${appended.length},""" +
+        s""""cold":$cold,"mult":$mult,"mode":"manifestupd"}""")
       spark.stop()
       return
     }

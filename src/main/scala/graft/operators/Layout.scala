@@ -400,9 +400,16 @@ object Layout {
     * — LayoutSpec pins the equivalence — but an append of k files to a
     * 100k-file table costs a k-file scan instead of a 100 TB one. This
     * is the cheap remedy the [[scanPruned]] staleness guard points at:
-    * guard trips -> updateManifest -> scan again. Driver work is two
-    * bounded name-set collects (manifest rows = file count), matching
-    * the guard's own cost class. */
+    * guard trips -> updateManifest -> scan again. Driver work is ONE
+    * bounded manifest collect (rows = file count, ~100 bytes each —
+    * MBs at 100k files), matching the guard's own cost class; the
+    * survivor rows are filtered in plain driver code and returned as a
+    * local relation, so no Catalyst plan grows with the file count (an
+    * earlier revision filtered through an `isInCollection` literal set,
+    * and the manifestupd receipt caught analysis cost PROPORTIONAL TO
+    * THE FILE SET making the "incremental" path slower than a full
+    * rebuild at 8k files). Only the new files' stats aggregate stays a
+    * distributed plan. */
   def updateManifest(spark: SparkSession, path: String, manifest: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "updateManifest: at least one key column")
@@ -418,20 +425,17 @@ object Layout {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
       .map(s => s.getPath.getName -> s.getPath.toString).toMap
-    val inManifest = manifest.select("file").collect()
-      .map(r => nameOf(r.getString(0))).toSet
+    val rows = manifest.collect() // bounded: one row per file
+    val inManifest = rows.map(r => nameOf(r.getString(0))).toSet
     val newPaths = (listed.keySet -- inManifest).toSeq.sorted.map(listed)
-    val survivors = manifest.filter(
-      udfFreeNameIn(col("file"), listed.keySet))
+    val survivors = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        rows.filter(r => listed.contains(nameOf(r.getString(0)))): _*)),
+      manifest.schema)
     if (newPaths.isEmpty) survivors
     else survivors.unionByName(
       manifestAgg(spark.read.parquet(newPaths: _*), keyCols))
   }
-
-  /** `nameOf(file) IN names` as a codegen-friendly column (substring
-    * after the last '/' against a literal set) — no UDF. */
-  private def udfFreeNameIn(file: Column, names: Set[String]): Column =
-    element_at(split(file, "/"), -1).isInCollection(names)
 
   /** Scan `path` reading ONLY the files whose manifest [min, max] box
     * intersects every given `(column, lo, hi)` bound, then apply the
