@@ -366,3 +366,118 @@ final class TaggedSideOutput(delayUs: Long, root: String) extends Serializable {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(lateDir)
 }
+
+/** Lakehouse ingest sink: append each micro-batch to a parquet directory
+  * under batch-keyed idempotent names AND keep a per-file min/max
+  * manifest ([[graft.operators.Layout.buildManifest]] schema) fresh in
+  * lockstep — so [[graft.operators.Layout.scanPruned]] over the LIVE,
+  * growing table keeps its file-skipping power without ever tripping the
+  * staleness guard and without a query-time statistics rebuild. This is
+  * the streaming half of the layout-maintenance story: the batch
+  * primitives (z-order, compaction, manifest) fix a table at rest; this
+  * keeps the statistics true while a stream is landing data in it. At
+  * 100 TB the alternative is a reader re-scanning history to rebuild
+  * stats, or pruning against stale boxes — the two failure modes the
+  * manifestupd receipt and the staleness guard price/forbid.
+  *
+  * Delivery: exactly once, by batch-keyed idempotence (the
+  * [[IdempotentKafkaSink]] discipline applied to files). A replayed
+  * batch finds its commit marker (`_graft_batch_N`, invisible to data
+  * listings) and skips; a batch that crashed MID-append left files but
+  * no marker, so the replay purges that batch's partial `part-bN-*` set
+  * and rewrites it whole. The marker is written only after every rename
+  * landed — the commit point.
+  *
+  * Self-healing manifest: the refresh runs [[graft.operators.Layout.updateManifest]],
+  * which reconciles against the directory LISTING, not against this
+  * batch — so a crash in the window between data commit and manifest
+  * write is repaired by the next batch's refresh automatically (the
+  * missed files are simply "new" then). Readers always see a manifest
+  * that either matches the directory or is one loudly-detectable batch
+  * behind. Incremental cost per batch: scan of this batch's files only,
+  * plus one bounded manifest collect (rows = file count).
+  */
+final class ManifestedParquetSink(dataDir: String, manifestDir: String,
+    keyCols: Seq[String]) {
+  import org.apache.hadoop.fs.Path
+  import graft.operators.Layout
+
+  private def dataPath = new Path(dataDir)
+
+  /** foreachBatch body — public for batch-driven replay/crash tests. */
+  def process(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = FsIo.fs(dataPath)
+    fs.mkdirs(dataPath)
+    val marker = new Path(dataPath, f"_graft_batch_$batchId%09d")
+    val prefix = f"part-b$batchId%09d-"
+    if (!fs.exists(marker)) {
+      // replay of an uncommitted attempt: purge its partial file set
+      fs.listStatus(dataPath).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(s => fs.delete(s.getPath, false))
+      val staging = new Path(dataPath, f"_staging_b$batchId%09d")
+      fs.delete(staging, true)
+      batch.write.mode("overwrite").parquet(staging.toString)
+      val parts = fs.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (s, i) =>
+        val to = new Path(dataPath, f"$prefix$i%05d.parquet")
+        require(fs.rename(s.getPath, to),
+          s"ManifestedParquetSink: rename ${s.getPath} -> $to failed")
+      }
+      fs.delete(staging, true)
+      // commit point: marker lands only after the whole batch did
+      FsIo.writeStringAtomic(marker.toString, parts.length.toString)
+    }
+    refreshManifest(spark)
+  }
+
+  /** Reconcile the persisted manifest with the directory's current file
+    * set (incremental — only unmanifested files are scanned) and publish
+    * it. Safe to call at any time; also the crash-recovery path. The old
+    * manifest is fully materialized driver-side inside updateManifest
+    * BEFORE the overwrite starts, so the publish never reads the
+    * directory it is replacing. */
+  def refreshManifest(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val fs = FsIo.fs(dataPath)
+    val hasData = fs.exists(dataPath) && fs.listStatus(dataPath)
+      .exists(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+    val mPath = new Path(manifestDir)
+    val fresh =
+      if (!hasData) {
+        // empty table: an explicitly-empty manifest, not a read failure
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType) +:
+          org.apache.spark.sql.types.StructField("rows",
+            org.apache.spark.sql.types.LongType) +:
+          keyCols.flatMap(c => Seq(
+            org.apache.spark.sql.types.StructField(s"${c}_min",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(s"${c}_max",
+              org.apache.spark.sql.types.LongType))))
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      } else if (FsIo.fs(mPath).exists(mPath))
+        Layout.updateManifest(spark, dataDir, spark.read.parquet(manifestDir), keyCols)
+      else Layout.buildManifest(spark, dataDir, keyCols)
+    fresh.coalesce(1).write.mode("overwrite").parquet(manifestDir)
+  }
+
+  def start(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => process(b, id))
+      .start()
+
+  /** The live statistics table. */
+  def manifest(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(manifestDir)
+
+  /** File-skipping scan of the live table through the maintained
+    * manifest — the reader this sink exists for. */
+  def scan(spark: org.apache.spark.sql.SparkSession,
+      bounds: Seq[(String, Long, Long)]): DataFrame =
+    Layout.scanPruned(spark, dataDir, manifest(spark), bounds)
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Layout
+
+/** The streaming half of the layout-maintenance story: a sink that lands
+  * micro-batches AND keeps the scanPruned manifest true in lockstep.
+  * Pins the delivery contract (batch-keyed exactly-once across replays
+  * and mid-append crashes), the manifest invariant (always equal to a
+  * fresh buildManifest of the directory after a refresh), and the
+  * self-healing property (a manifest left stale by a crash between data
+  * commit and manifest publish is repaired by the next refresh, because
+  * updateManifest reconciles against the LISTING, not the batch).
+  */
+class ManifestedSinkSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def ev(id: Long, sec: Long, user: Long): Ev =
+    Ev(id, new Timestamp(sec * 1000L), user, "click", 1.0)
+
+  private def canon(df: DataFrame): Set[(String, Long, Long, Long, Long, Long)] =
+    df.collect().map { r =>
+      val f = r.getString(0)
+      (f.substring(f.lastIndexOf('/') + 1), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }.toSet
+
+  private val keys = Seq("event_id", "user_id")
+
+  test("streamed batches land exactly once and the live manifest serves pruned scans") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val data = tmp("msink-data"); val man = tmp("msink-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    val in = MemoryStream[Ev]
+    val q = sink.start(in.toDF(), tmp("msink-ckpt"))
+    try {
+      in.addData((1L to 40L).map(i => ev(i, 100 + i, i % 7)): _*)
+      q.processAllAvailable()
+      in.addData((41L to 90L).map(i => ev(i, 100 + i, i % 7)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val live = spark.read.parquet(data)
+    assert(live.count() === 90)
+    // manifest invariant: published == fresh rebuild of the directory
+    assert(canon(sink.manifest(spark)) ===
+      canon(Layout.buildManifest(spark, data, keys)))
+    // the reader the sink exists for: pruned == plain filtered, and the
+    // probe box actually skips files (two batches => >= 2 files, only
+    // those holding event_id <= 40 open)
+    val got = sink.scan(spark, Seq(("event_id", 1L, 40L)))
+    assert(got.count() === 40)
+    assert(got.inputFiles.length < live.inputFiles.length,
+      "probe kept every file — pruning receipt is vacuous")
+  }
+
+  test("a replayed batch is skipped whole; a mid-append crash is purged and rewritten") {
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-replay"); val man = tmp("msink-replay-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    val b0 = (1L to 20L).map(i => ev(i, 100 + i, i)).toDF()
+    sink.process(b0, 0L)
+    val after = spark.read.parquet(data).count()
+    // exact replay (restart redelivery): marker present -> no new files,
+    // no doubled rows
+    sink.process(b0, 0L)
+    assert(spark.read.parquet(data).count() === after)
+    assert(new java.io.File(data).listFiles()
+      .count(_.getName.startsWith("part-b")) ===
+      new java.io.File(data).listFiles().count(_.getName.endsWith(".parquet")))
+
+    // mid-append crash: batch 1 left TWO orphan part files but no
+    // marker — the replay must purge them and write batch 1 exactly once
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = (21L to 30L).map(i => ev(i, 100 + i, i)).toDF()
+    b1.limit(5).write.mode("overwrite").parquet(s"$data/_crashed")
+    new java.io.File(s"$data/_crashed").listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        assert(fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.fs.Path(data, f"part-b${1L}%09d-9999$i.parquet")))
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$data/_crashed"), true)
+    sink.process(b1, 1L)
+    val ids = spark.read.parquet(data).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === (1L to 30L), "orphans survived or batch lost rows")
+    assert(canon(sink.manifest(spark)) ===
+      canon(Layout.buildManifest(spark, data, keys)))
+  }
+
+  test("a manifest left stale by a crash self-heals on the next refresh") {
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-heal"); val man = tmp("msink-heal-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    sink.process((1L to 20L).map(i => ev(i, 100 + i, i)).toDF(), 0L)
+    // crash window: data for batch 1 committed, manifest publish never ran
+    // (simulated by appending files directly, bypassing the sink)
+    (21L to 25L).map(i => ev(i, 100 + i, i)).toDF()
+      .coalesce(1).write.mode("append").parquet(data)
+    // the reader fails LOUDLY, not silently-wrong
+    assertThrows[IllegalStateException](
+      sink.scan(spark, Seq(("event_id", 1L, 100L))).count())
+    // next refresh (what any subsequent batch runs) repairs it
+    sink.refreshManifest(spark)
+    assert(sink.scan(spark, Seq(("event_id", 1L, 100L))).count() === 25)
+    assert(canon(sink.manifest(spark)) ===
+      canon(Layout.buildManifest(spark, data, keys)))
+  }
+}
