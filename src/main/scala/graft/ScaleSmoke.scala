@@ -47,7 +47,12 @@ object ScaleSmoke {
     "x8_cep_skip_past", "w2b_sliding_dd_pane", "w2c_sliding_hll_pane",
     "w2d_sliding_topk_pane", "q_hll_set_algebra", "q_dd_quantiles_w",
     // round-11 additions
-    "x9_cep_skip_to_next", "w2e_sliding_cms_topk", "x10_cep_skip_to_last")
+    "x9_cep_skip_to_next", "w2e_sliding_cms_topk", "x10_cep_skip_to_last",
+    // round-12 addition: the layout-maintenance lifecycle (z-order write
+    // -> manifest -> append -> reconcile -> compact -> pruned scan) —
+    // write-dominated, so its ratio prices the one intentionally linear
+    // stage (the clustering write) plus the fixed maintenance overhead
+    "q_layout_lifecycle")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

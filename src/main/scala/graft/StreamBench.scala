@@ -200,6 +200,24 @@ object StreamBench {
           .option("checkpointLocation", d.ckpt)
           .format("memory").queryName(s"sb_ivf_${d.ckpt.hashCode.abs}").start()
       },
+      // Lakehouse-ingest A/B: the same parsed stream landed once through
+      // the plain exactly-once file sink and once through
+      // ManifestedParquetSink (batch-keyed idempotent renames + an
+      // incremental manifest refresh per batch) — the delta is the
+      // per-batch price of LIVE data-skipping statistics on the table
+      // being written.
+      run("parquet_sink_plain") { d =>
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        Sinks.file(good, d.out, d.ckpt)
+      },
+      run("manifested_parquet_sink") { d =>
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        new graft.streaming.ManifestedParquetSink(
+            d.out, d.out + "_manifest", Seq("event_id", "user_id"))
+          .start(good, d.ckpt)
+      },
       // docs are ~50 tokens each (vs ~5-field CSV events), so the
       // capstone corpus is n/10 docs for a comparable byte volume
       runCapstone(math.max(2048, n / 10)))
