@@ -99,6 +99,29 @@ class ManifestedSinkSpec extends SparkSpec {
       canon(Layout.buildManifest(spark, data, keys)))
   }
 
+  test("offline compaction composes with the live sink: refresh reconciles the rewrite") {
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-compact"); val man = tmp("msink-compact-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    (0 until 4).foreach(b => sink.process(
+      (b * 10L + 1 to b * 10L + 10).map(i => ev(i, 100 + i, i)).toDF(), b.toLong))
+    val before = new java.io.File(data).listFiles().count(_.getName.startsWith("part-"))
+    // the small-file debris a streaming sink leaves is exactly what
+    // compactSmallFiles exists for; the sink's markers are metadata
+    // ("_"-prefixed), not a _spark_metadata exactly-once log, so the
+    // compactor must accept the directory
+    val r = Layout.compactSmallFiles(spark, data, targetBytes = 1L << 30)
+    assert(r.filesAfter < before)
+    // the rewrite invalidated every manifest row; one refresh heals it
+    assertThrows[IllegalStateException](
+      sink.scan(spark, Seq(("event_id", 1L, 100L))).count())
+    sink.refreshManifest(spark)
+    assert(sink.scan(spark, Seq(("event_id", 1L, 100L))).count() === 40)
+    assert(canon(sink.manifest(spark)) ===
+      canon(Layout.buildManifest(spark, data, keys)))
+  }
+
   test("a manifest left stale by a crash self-heals on the next refresh") {
     val s = spark
     import s.implicits._
