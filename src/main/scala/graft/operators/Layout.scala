@@ -380,15 +380,84 @@ object Layout {
   def buildManifest(spark: SparkSession, path: String,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "buildManifest: at least one key column")
-    manifestAgg(spark.read.parquet(path), keyCols)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val listed = listDataFiles(
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+    require(listed.nonEmpty, s"buildManifest: no data files under $path")
+    manifestOf(spark, listed.values.toSeq.sorted, keyCols)
   }
 
-  private def manifestAgg(scan: DataFrame, keyCols: Seq[String]): DataFrame =
+  /** Data files (name -> full path) of `dir`: the file set a manifest
+    * describes and the staleness guard reconciles — shared so the two
+    * can never disagree on what counts as data. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Map[String, String] =
+    fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName -> s.getPath.toString).toMap
+
+  /** Manifest rows for an EXPLICIT file list, eagerly materialized as a
+    * local relation (bounded: one row per file). Eagerness matters
+    * twice: the result snapshots the files as of the call (a lazy scan
+    * would silently re-describe a mutated directory at execution time),
+    * and 0-ROW part files — which a group-by over the data can never
+    * see — get an explicit `rows = 0` sentinel with null bounds. The
+    * sentinel is load-bearing: an empty streaming micro-batch lands an
+    * empty part file, and without its manifest row the scanPruned
+    * staleness guard would trip FOREVER (the listing names a file no
+    * rebuild can put in a row-derived manifest). Null bounds never
+    * intersect a probe box, so sentinel files are never opened. */
+  private def manifestOf(spark: SparkSession, paths: Seq[String],
+      keyCols: Seq[String]): DataFrame = {
+    val statCols = Seq("rows") ++
+      keyCols.flatMap(c => Seq(s"${c}_min", s"${c}_max"))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      statCols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType, nullable = c != "rows")))
+    def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    if (paths.isEmpty) return local(Nil)
+    val agged = manifestAgg(spark.read.parquet(paths: _*), keyCols).collect()
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val seen = agged.map(r => nameOf(r.getString(0))).toSet
+    val sentinels = paths.filterNot(p => seen(nameOf(p))).map(p =>
+      org.apache.spark.sql.Row.fromSeq(
+        p +: 0L +: Seq.fill(2 * keyCols.size)(null)))
+    local(agged.toIndexedSeq.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq))
+      ++ sentinels)
+  }
+
+  private def manifestAgg(scan: DataFrame, keyCols: Seq[String]): DataFrame = {
+    // Loud type guard: the stats columns are `cast("long")`, and for a
+    // non-numeric key (e.g. a string) that cast yields NULL min/max —
+    // which scanPruned's box filter then treats as "never intersects",
+    // silently excluding every row of every file. Integral keys are
+    // exact; timestamps degrade to epoch seconds (bounds are epoch
+    // seconds then — still correct, conservatively tight to 1 s).
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, TimestampType}
+    keyCols.foreach { c =>
+      val f = scan.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest key column '$c' not in schema ${scan.schema.fieldNames.toSeq}"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | TimestampType => ()
+        case dt => throw new IllegalArgumentException(
+          s"manifest key column '$c' has type ${dt.simpleString}: the long " +
+            "cast would make min/max NULL (strings: every file silently " +
+            "excluded) or truncated (fractionals: boxes wrong at fractional " +
+            "probe bounds). Use an integral or timestamp column.")
+      }
+    }
     scan.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
         keyCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"${c}_min"),
           max(col(c)).cast("long").as(s"${c}_max"))): _*)
+  }
 
   /** Reconcile `manifest` with the directory's CURRENT file set at
     * incremental cost: files present in the directory but absent from
@@ -419,12 +488,9 @@ object Layout {
       s"updateManifest: manifest columns ${manifest.columns.toSeq} do not match " +
         s"keyCols $keyCols (expected $expected)")
     val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = listDataFiles(
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
     def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
-    val listed = fs.listStatus(dir)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-      .map(s => s.getPath.getName -> s.getPath.toString).toMap
     val rows = manifest.collect() // bounded: one row per file
     val inManifest = rows.map(r => nameOf(r.getString(0))).toSet
     val newPaths = (listed.keySet -- inManifest).toSeq.sorted.map(listed)
@@ -433,8 +499,7 @@ object Layout {
         rows.filter(r => listed.contains(nameOf(r.getString(0)))): _*)),
       manifest.schema)
     if (newPaths.isEmpty) survivors
-    else survivors.unionByName(
-      manifestAgg(spark.read.parquet(newPaths: _*), keyCols))
+    else survivors.unionByName(manifestOf(spark, newPaths, keyCols))
   }
 
   /** Scan `path` reading ONLY the files whose manifest [min, max] box
@@ -466,10 +531,7 @@ object Layout {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // compare by NAME (unique within the dir): input_file_name() and
       // Hadoop listings spell the same local path as file:/// vs file:/
-      val listed = fs.listStatus(dir)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-          && !s.getPath.getName.startsWith("."))
-        .map(_.getPath.getName).toSet
+      val listed = listDataFiles(fs, dir).keySet
       val inManifest = manifest.select("file").collect()
         .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)).toSet
       if (listed != inManifest)

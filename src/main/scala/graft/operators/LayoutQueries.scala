@@ -57,28 +57,43 @@ object LayoutQueries {
     "q_layout_lifecycle",
     (s, dir) => {
       val li = graft.Tables.t(s, dir, "lineitem")
-      val root = new org.apache.hadoop.fs.Path(workDir(dir))
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(root, true)
-      val data = workDir(dir) + "/t"
-      // base (3/4 of the table) is Z-order-clustered at "write time" ...
-      Layout.writeZOrdered(li.filter(col("l_orderkey") % 4 =!= 0),
-        "l_partkey", "l_suppkey", data, numFiles = 16)
-      val m0 = freeze(s, Layout.buildManifest(s, data, keys))
-      // ... the rest lands later as an unclustered incremental append
-      li.filter(col("l_orderkey") % 4 === 0).repartition(2)
-        .write.mode("append").parquet(data)
-      val m1 = freeze(s, Layout.updateManifest(s, data, m0, keys))
-      // small-file maintenance, then reconcile the manifest once more
-      Layout.compactSmallFiles(s, data, targetBytes = 8L << 20)
-      val m2 = freeze(s, Layout.updateManifest(s, data, m1, keys))
-      Layout.scanPruned(s, data, m2, Seq(
-          ("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi)))
+      def result(src: org.apache.spark.sql.DataFrame) = src
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           sum(expr("CAST(round(l_extendedprice * 100e0) AS BIGINT)"))
             .as("price_cents"))
+      val baseSlice = li.filter(col("l_orderkey") % 4 =!= 0)
+      if (li.head(1).isEmpty)
+        // empty fixture: nothing to lay out — degrade to the empty
+        // aggregate with the query's schema (EmptyInputSpec contract)
+        result(li.filter(lit(false)))
+      else {
+        // pathological tiny input can leave the base slice empty; the
+        // z-writer needs >=1 row, so the whole table becomes the base
+        // and the append slice goes (possibly) empty — the sentinel
+        // manifest rows make even that 0-row append file safe
+        val swapped = baseSlice.head(1).isEmpty
+        val base = if (swapped) li else baseSlice
+        val appendSlice =
+          if (swapped) li.filter(lit(false))
+          else li.filter(col("l_orderkey") % 4 === 0)
+        val root = new org.apache.hadoop.fs.Path(workDir(dir))
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(root, true)
+        val data = workDir(dir) + "/t"
+        // base (3/4 of the table) is Z-order-clustered at "write time"...
+        Layout.writeZOrdered(base, "l_partkey", "l_suppkey", data, numFiles = 16)
+        val m0 = freeze(s, Layout.buildManifest(s, data, keys))
+        // ...the rest lands later as an unclustered incremental append
+        appendSlice.repartition(2).write.mode("append").parquet(data)
+        val m1 = freeze(s, Layout.updateManifest(s, data, m0, keys))
+        // small-file maintenance, then reconcile the manifest once more
+        Layout.compactSmallFiles(s, data, targetBytes = 8L << 20)
+        val m2 = freeze(s, Layout.updateManifest(s, data, m1, keys))
+        result(Layout.scanPruned(s, data, m2, Seq(
+          ("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi))))
+      }
     },
     Some(s"""SELECT l_returnflag, count(*) AS n,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

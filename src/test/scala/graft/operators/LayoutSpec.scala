@@ -413,6 +413,25 @@ class LayoutSpec extends SparkSpec {
     assert(got === src.count() + 500, "reconciled manifest lost rows")
   }
 
+  test("manifest builders refuse non-numeric key columns loudly") {
+    // a string key's min/max cast("long") is NULL (every file silently
+    // dropped by the box filter); a double key TRUNCATES (boxes wrong at
+    // fractional probe bounds). The guard must fire at BUILD time,
+    // naming the column.
+    val dir = java.nio.file.Files.createTempDirectory("layout-typeguard").toString
+    src.limit(100).write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      Layout.buildManifest(spark, dir, Seq("l_partkey", "l_quantity")).collect())
+    assert(e.getMessage.contains("l_quantity") && e.getMessage.contains("double"))
+    // and through the incremental path too (new files are aggregated
+    // with the same stats pass)
+    val good = Layout.buildManifest(spark, dir, Seq("l_partkey")).collect()
+    assert(good.nonEmpty)
+    val e2 = intercept[IllegalArgumentException](
+      Layout.buildManifest(spark, dir, Seq("no_such_col")).collect())
+    assert(e2.getMessage.contains("no_such_col"))
+  }
+
   test("equi-depth z-order survives sparse clustered domains where equal-width collapses") {
     // The round-12 manifestmany finding, synthesized: keys live in 8
     // correlated narrow clusters (width 5,000) spread over ~10^9 — each

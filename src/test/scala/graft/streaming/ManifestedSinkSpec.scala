@@ -99,6 +99,32 @@ class ManifestedSinkSpec extends SparkSpec {
       canon(Layout.buildManifest(spark, data, keys)))
   }
 
+  test("a 0-row part file (empty micro-batch) never bricks the pruned scan") {
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-empty"); val man = tmp("msink-empty-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    sink.process((1L to 20L).map(i => ev(i, 100 + i, i)).toDF(), 0L)
+    // an idle trigger delivers an EMPTY batch; if its write lands a
+    // schema-only part file, no group-by over the data can ever produce
+    // a manifest row for it — pre-sentinel, the staleness guard tripped
+    // FOREVER (listing named a file no rebuild could cover)
+    sink.process(spark.emptyDataset[Ev].toDF(), 1L)
+    val dataFiles = new java.io.File(data).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    val manifestRows = sink.manifest(spark).collect()
+    assert(manifestRows.map { r =>
+      val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1)
+    }.toSet === dataFiles,
+      "manifest must cover EVERY listed data file, 0-row files included")
+    // 0-row files carry the rows=0 sentinel with null bounds: never
+    // opened, never stale
+    manifestRows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3), "sentinel bounds must be null")
+    }
+    assert(sink.scan(spark, Seq(("event_id", 1L, 100L))).count() === 20)
+  }
+
   test("offline compaction composes with the live sink: refresh reconciles the rewrite") {
     val s = spark
     import s.implicits._
