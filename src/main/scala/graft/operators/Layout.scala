@@ -246,7 +246,79 @@ object Layout {
     * appending; compacting a dir where fresh appends interleave with an
     * old generation keeps the data correct but degrades box tightness. */
   def compactSmallFiles(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20, maxConcurrentBins: Int = 8): CompactReceipt = {
+      targetBytes: Long = 128L << 20, maxConcurrentBins: Int = 8): CompactReceipt =
+    compactCore(spark, path, targetBytes, maxConcurrentBins)._1
+
+  /** [[compactSmallFiles]] plus DERIVED statistics: returns the
+    * post-compaction manifest computed from the pre-compaction one with
+    * ZERO data scanned. This is the lakehouse metadata move the plain
+    * primitive leaves on the table — after a compaction every output
+    * file is "new", so [[updateManifest]] degenerates to a full rebuild
+    * (at the 8k-file receipt: the entire 3.1 s full-build cost again) —
+    * but a merged file's stats are arithmetic, not discovery: bins are
+    * CONSECUTIVE name-order runs, so the output's min/max per key is the
+    * min-of-mins / max-of-maxes over its members' boxes (nulls — 0-row
+    * sentinel members — contribute nothing) and its row count is the
+    * members' sum. The input manifest must describe EXACTLY the
+    * pre-compaction data-file set (checked loudly — deriving from a
+    * stale manifest would bake wrongness into metadata; run
+    * [[updateManifest]] first if the guard trips). The derived result
+    * equals a fresh [[buildManifest]] of the compacted directory —
+    * LayoutSpec pins the equivalence — and the lifecycle registry query
+    * routes its post-compaction stats through this derivation, so the
+    * DuckDB oracle hash-checks the arithmetic every round. */
+  def compactSmallFilesWithManifest(spark: SparkSession, path: String,
+      manifest: DataFrame, keyCols: Seq[String],
+      targetBytes: Long = 128L << 20,
+      maxConcurrentBins: Int = 8): (CompactReceipt, DataFrame) = {
+    requireManifestShape(manifest, keyCols, "compactSmallFilesWithManifest")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val rows = manifest.collect() // bounded: one row per file
+    val byName = rows.map(r => nameOf(r.getString(0)) -> r).toMap
+    val listed = listDataFiles(fs, dir).keySet
+    require(byName.keySet == listed,
+      s"compactSmallFilesWithManifest: manifest does not match the directory " +
+        s"(missing: ${(listed -- byName.keySet).take(5)}; stale: " +
+        s"${(byName.keySet -- listed).take(5)}). Reconcile with updateManifest " +
+        "first — deriving from a stale manifest would bake wrong statistics " +
+        "into metadata.")
+    val (receipt, plan) = compactCore(spark, path, targetBytes, maxConcurrentBins)
+    val binned = plan.flatMap(_._2).toSet
+    val derived = plan.map { case (out, members) =>
+      val ms = members.map(byName)
+      val stats = keyCols.indices.flatMap { j =>
+        val mins = ms.flatMap(r => if (r.isNullAt(2 + 2 * j)) None else Some(r.getLong(2 + 2 * j)))
+        val maxs = ms.flatMap(r => if (r.isNullAt(3 + 2 * j)) None else Some(r.getLong(3 + 2 * j)))
+        Seq(if (mins.isEmpty) null else Long.box(mins.min),
+          if (maxs.isEmpty) null else Long.box(maxs.max))
+      }
+      org.apache.spark.sql.Row.fromSeq(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(dir, out)).toString +:
+          Long.box(ms.map(_.getLong(1)).sum) +: stats)
+    }
+    // data files outside the part-* compaction scope carry over untouched
+    val carried = rows.filter(r => !binned(nameOf(r.getString(0))))
+    (receipt, spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        (derived ++ carried): _*)), manifest.schema))
+  }
+
+  /** The `(file, rows, k_min, k_max...)` column contract every manifest
+    * consumer validates before trusting positional access. */
+  private def requireManifestShape(manifest: DataFrame, keyCols: Seq[String],
+      who: String): Unit = {
+    require(keyCols.nonEmpty, s"$who: at least one key column")
+    val expected = Seq("file", "rows") ++
+      keyCols.flatMap(c => Seq(s"${c}_min", s"${c}_max"))
+    require(manifest.columns.sameElements(expected),
+      s"$who: manifest columns ${manifest.columns.toSeq} do not match " +
+        s"keyCols $keyCols (expected $expected)")
+  }
+
+  private def compactCore(spark: SparkSession, path: String,
+      targetBytes: Long, maxConcurrentBins: Int): (CompactReceipt, Seq[(String, Seq[String])]) = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(maxConcurrentBins > 0, "maxConcurrentBins must be positive")
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -363,8 +435,11 @@ object Layout {
     } finally spark.conf.set(mpbKey, mpbOld)
     val after = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-    CompactReceipt(parts.length, after.length, bytesBefore,
-      after.map(_.getLen).sum, rewritten, moved)
+    (CompactReceipt(parts.length, after.length, bytesBefore,
+      after.map(_.getLen).sum, rewritten, moved),
+      bins.zipWithIndex.map { case (bin, i) =>
+        outName(i) -> bin.map(_.getPath.getName)
+      }.toSeq)
   }
 
   /** Build a per-FILE min/max manifest for the integer key columns of a
@@ -481,12 +556,7 @@ object Layout {
     * distributed plan. */
   def updateManifest(spark: SparkSession, path: String, manifest: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "updateManifest: at least one key column")
-    val expected = Seq("file", "rows") ++
-      keyCols.flatMap(c => Seq(s"${c}_min", s"${c}_max"))
-    require(manifest.columns.sameElements(expected),
-      s"updateManifest: manifest columns ${manifest.columns.toSeq} do not match " +
-        s"keyCols $keyCols (expected $expected)")
+    requireManifestShape(manifest, keyCols, "updateManifest")
     val dir = new org.apache.hadoop.fs.Path(path)
     val listed = listDataFiles(
       dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)

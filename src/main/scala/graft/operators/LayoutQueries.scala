@@ -88,9 +88,11 @@ object LayoutQueries {
         // ...the rest lands later as an unclustered incremental append
         appendSlice.repartition(2).write.mode("append").parquet(data)
         val m1 = freeze(s, Layout.updateManifest(s, data, m0, keys))
-        // small-file maintenance, then reconcile the manifest once more
-        Layout.compactSmallFiles(s, data, targetBytes = 8L << 20)
-        val m2 = freeze(s, Layout.updateManifest(s, data, m1, keys))
+        // small-file maintenance with DERIVED stats: the post-compaction
+        // manifest is arithmetic over m1's boxes (zero data scanned), and
+        // the oracle hash-checks the derivation end to end
+        val (_, m2) = Layout.compactSmallFilesWithManifest(
+          s, data, m1, keys, targetBytes = 8L << 20)
         result(Layout.scanPruned(s, data, m2, Seq(
           ("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi))))
       }

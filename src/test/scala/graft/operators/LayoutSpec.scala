@@ -413,6 +413,38 @@ class LayoutSpec extends SparkSpec {
     assert(got === src.count() + 500, "reconciled manifest lost rows")
   }
 
+  test("compactSmallFilesWithManifest derives post-compaction stats without a scan") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-derive").toString
+    val keys = Seq("l_partkey", "l_suppkey")
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", dir, numFiles = 8)
+    // plus an unclustered append AND an empty file (sentinel row): the
+    // derivation must fold real boxes, carry row sums, and ignore nulls
+    src.limit(300).repartition(2).write.mode("append").parquet(dir)
+    src.filter(lit(false)).coalesce(1).write.mode("append").parquet(dir)
+    val m = Layout.buildManifest(spark, dir, keys)
+    val (receipt, derived) =
+      Layout.compactSmallFilesWithManifest(spark, dir, m, keys,
+        targetBytes = Long.MaxValue / 2)
+    assert(receipt.filesAfter < receipt.filesBefore)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      val f = r.getString(0)
+      (f.substring(f.lastIndexOf('/') + 1), r.getLong(1),
+        (2 to 5).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+    }.toSet
+    // THE pin: arithmetic over the old boxes == a fresh scan of the new files
+    assert(canon(derived) === canon(Layout.buildManifest(spark, dir, keys)),
+      "derived manifest != rebuilt manifest")
+    // and it serves a pruned scan with no staleness trip
+    assert(Layout.scanPruned(spark, dir, derived,
+      Seq(("l_partkey", 0L, Long.MaxValue))).count() === src.count() + 300)
+    // stale input is refused loudly, not silently derived from
+    val stale = Layout.buildManifest(spark, dir, keys)
+    src.limit(10).coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      Layout.compactSmallFilesWithManifest(spark, dir, stale, keys))
+    assert(e.getMessage.contains("updateManifest"))
+  }
+
   test("manifest builders refuse non-numeric key columns loudly") {
     // a string key's min/max cast("long") is NULL (every file silently
     // dropped by the box filter); a double key TRUNCATES (boxes wrong at
