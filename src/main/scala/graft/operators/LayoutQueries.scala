@@ -10,8 +10,10 @@ import graft.GQuery
   * Every other layout receipt lives in sbt specs and ScaleSmoke modes;
   * this puts the full MAINTENANCE LIFECYCLE under the driver's DuckDB
   * oracle: Z-order write -> manifest build -> incremental append ->
-  * [[Layout.updateManifest]] reconcile -> [[Layout.compactSmallFiles]]
-  * -> reconcile again -> [[Layout.scanPruned]]. The lifecycle splits
+  * [[Layout.updateManifest]] reconcile ->
+  * [[Layout.compactSmallFilesWithManifest]] (post-compaction stats
+  * DERIVED from the pre-compaction boxes, zero data scanned) ->
+  * [[Layout.scanPruned]]. The lifecycle splits
   * `lineitem` into a base slice (Z-ordered) and an append slice (landed
   * afterwards, the incremental-writer scenario), so the maintained
   * directory holds EXACTLY the source table and the pruned, filtered,
@@ -103,7 +105,7 @@ object LayoutQueries {
 FROM lineitem
 WHERE l_partkey BETWEEN $pLo AND $pHi AND l_suppkey BETWEEN $sLo AND $sHi
 GROUP BY 1"""),
-    "Full layout maintenance lifecycle (z-order -> manifest -> append -> reconcile -> compact -> reconcile -> pruned scan) proven equal to a plain filtered aggregate.")
+    "Full layout maintenance lifecycle (z-order -> manifest -> append -> reconcile -> compact with zero-scan DERIVED stats -> pruned scan) proven equal to a plain filtered aggregate.")
 
   val all: Seq[GQuery] = Seq(qLifecycle)
 }
