@@ -170,6 +170,15 @@ object Layout {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // one pass over the data for ALL key columns' sketches
     val boundaries = df.stat.approxQuantile(keyCols.toArray, probs, 0.5 / buckets)
+    // a key with NO non-null values yields an empty boundary array and the
+    // coarse-array build below would die with an opaque
+    // IndexOutOfBoundsException at arr(k * fineN - 1) — name the column
+    boundaries.zipWithIndex.foreach { case (arr, j) =>
+      require(arr.length == buckets - 1,
+        s"writeZOrderedEquiDepth: key column '${keyCols(j)}' produced " +
+          s"${arr.length} quantile boundaries (expected ${buckets - 1}) — " +
+          "the column has no non-null values to cluster on")
+    }
     val coarseN = 1 << ((bitsPer + 1) / 2)
     val fineN = buckets / coarseN
     // #{b in arr : b <= v} — monotone in v, so the bucket map preserves
@@ -230,11 +239,21 @@ object Layout {
     * renames per BIN: a bin's members are deleted only AFTER its
     * compacted replacement landed in the source dir (every rename checked
     * — Hadoop signals failure by returning false, not throwing), so at
-    * any crash point each bin's bytes exist in full under exactly one
-    * name set. The swap is still not a table-format COMMIT: a reader
-    * racing phase 2 can see a bin doubled (replacement in, originals not
-    * yet deleted); a production lakehouse runs this under a Delta/Iceberg
-    * commit, which is metadata beyond this primitive's scope.
+    * any crash point each bin's bytes exist in full under AT LEAST one
+    * name set — briefly under both, in the window between a bin's
+    * replacement rename-in and its member deletes. That window is why
+    * the swap is driven by a PERSISTED plan (`_graft_compact_plan`,
+    * written atomically before the first rename): the next compaction
+    * (or an explicit [[recoverInterruptedCompaction]]) reads the plan
+    * and rolls the whole swap FORWARD deterministically — members are
+    * deleted exactly when their bin's replacement is present, pending
+    * replacements come out of the temp dir, unexecuted moves complete —
+    * so a retry can never re-bin a generation-marked replacement
+    * together with its surviving originals and merge duplicated rows
+    * (the ADVICE r12 failure). The swap is still not a table-format
+    * COMMIT: a reader racing phase 2 can see a bin doubled; a production
+    * lakehouse runs this under a Delta/Iceberg commit, which is metadata
+    * beyond this primitive's scope.
     *
     * Naming: compacted files carry a monotone GENERATION counter
     * (`part-00007-c0003.parquet` = bin 7, generation 3, one past the
@@ -274,6 +293,11 @@ object Layout {
     requireManifestShape(manifest, keyCols, "compactSmallFilesWithManifest")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // complete any interrupted swap BEFORE reconciling: a half-swapped
+    // name set would fail the staleness check with a misleading message
+    // (and after recovery the manifest may legitimately need an
+    // updateManifest pass — the guard below says so)
+    recoverSwap(fs, dir)
     def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val rows = manifest.collect() // bounded: one row per file
     val byName = rows.map(r => nameOf(r.getString(0)) -> r).toMap
@@ -317,12 +341,97 @@ object Layout {
         s"keyCols $keyCols (expected $expected)")
   }
 
+  /** Write a small control string to `file` atomically (tmp + rename) —
+    * a half-written swap plan must never be readable as a whole one. */
+  private def writeControlFile(fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path, text: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(file.getParent, file.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    fs.delete(file, false)
+    require(fs.rename(tmp, file), s"rename $tmp -> $file failed")
+  }
+
+  private def readControlFile(fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(file)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Roll a compaction swap interrupted mid-phase-2 FORWARD to completion.
+    * Reads the persisted `_graft_compact_plan` and, per bin IN PLAN ORDER
+    * (phase 2 is sequential, so the crash frontier is a prefix):
+    * replacement already in the dir -> delete the bin's surviving members
+    * (closing the doubled-rows window); replacement still in the temp
+    * dir -> rename it in, then delete members; a not-yet-executed
+    * single-file move -> perform it. Rolling forward in plan order keeps
+    * name order == clustering order throughout (every completed bin's
+    * out-index is below every untouched member's original index). A
+    * multi-file bin whose replacement exists NOWHERE (temp dir deleted by
+    * hand) fails loudly with the member list rather than guessing.
+    * Idempotent; a no-op when no plan file exists (including after a
+    * phase-1 crash, where leftover temp bytes are simply dropped).
+    * Called automatically at the start of every compaction. */
+  def recoverInterruptedCompaction(spark: SparkSession, path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    recoverSwap(dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+  }
+
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val planFile = new org.apache.hadoop.fs.Path(dir, "_graft_compact_plan")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_graft_compact_tmp")
+    if (fs.exists(planFile)) {
+      val plan = readControlFile(fs, planFile).split("\n").toSeq
+        .filter(_.nonEmpty).map { line =>
+          val Array(out, members) = line.split("\t", 2)
+          out -> members.split(",").toSeq.filter(_.nonEmpty)
+        }
+      plan.foreach { case (out, members) =>
+        val outP = new org.apache.hadoop.fs.Path(dir, out)
+        val tmpP = new org.apache.hadoop.fs.Path(tmp, out)
+        if (fs.exists(outP))
+          // replacement landed; finish the member deletes (the ADVICE r12
+          // window — these survivors are what a naive retry re-binned
+          // into permanent duplicates)
+          members.filterNot(_ == out)
+            .foreach(m => fs.delete(new org.apache.hadoop.fs.Path(dir, m), false))
+        else if (fs.exists(tmpP)) {
+          require(fs.rename(tmpP, outP),
+            s"compaction recovery: rename $tmpP -> $outP failed")
+          members.foreach(m => fs.delete(new org.apache.hadoop.fs.Path(dir, m), false))
+        } else if (members.size == 1) {
+          // pure move not yet executed — complete it (member may itself
+          // be gone if the move raced the crash exactly; then the out
+          // name check above already matched)
+          val m = new org.apache.hadoop.fs.Path(dir, members.head)
+          if (fs.exists(m))
+            require(fs.rename(m, outP), s"compaction recovery: rename $m -> $outP failed")
+        } else {
+          require(members.forall(m =>
+            fs.exists(new org.apache.hadoop.fs.Path(dir, m))),
+            s"compaction recovery: bin $out has no replacement (dir or " +
+              s"temp) and incomplete members $members — the temp dir was " +
+              "removed by hand; data for this bin may be lost")
+          // all members intact and no replacement anywhere: phase 2 never
+          // reached the bin and its temp bytes are gone — leave the
+          // originals (correct data, just uncompacted; the re-run re-bins)
+        }
+      }
+      fs.delete(planFile, false)
+    }
+    fs.delete(tmp, true)
+  }
+
   private def compactCore(spark: SparkSession, path: String,
       targetBytes: Long, maxConcurrentBins: Int): (CompactReceipt, Seq[(String, Seq[String])]) = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(maxConcurrentBins > 0, "maxConcurrentBins must be positive")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a previous run may have died mid-swap; complete it before listing,
+    // so the bin-pack below never sees a half-swapped (doubled) name set
+    recoverSwap(fs, dir)
     // a streaming file sink's exactly-once contract lives in its
     // _spark_metadata log, which names the original part files —
     // renaming them would corrupt every metadata-log reader. Refuse
@@ -407,7 +516,13 @@ object Layout {
       // ---- phase 2: per-bin swap. Order per bin: replacement IN first,
       // members OUT second — at any crash point a bin's bytes exist under
       // at least one complete name set (worst case: briefly doubled,
-      // never lost).
+      // never lost). The plan lands ATOMICALLY before the first rename so
+      // recoverSwap can always roll an interrupted swap forward instead
+      // of re-binning a doubled bin.
+      writeControlFile(fs, new org.apache.hadoop.fs.Path(dir, "_graft_compact_plan"),
+        bins.zipWithIndex.map { case (bin, i) =>
+          outName(i) + "\t" + bin.map(_.getPath.getName).mkString(",")
+        }.mkString("\n"))
       swapping = true
       bins.zipWithIndex.foreach { case (bin, i) =>
         if (bin.size == 1)
@@ -419,19 +534,23 @@ object Layout {
           bin.foreach(p => fs.delete(p.getPath, false))
         }
       }
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_compact_plan"), false)
       fs.delete(tmp, true) // success: tmp holds no replacements anymore
     } catch {
       case e: Throwable if !swapping =>
         fs.delete(tmp, true) // only new bytes live in tmp — safe to drop
         throw e
       case e: Throwable =>
-        // tmp is KEPT: it may hold not-yet-swapped replacements for bins
-        // whose originals are still intact; nothing is lost either way
+        // tmp AND the plan are KEPT: tmp may hold not-yet-swapped
+        // replacements for bins whose originals are intact, and the plan
+        // is what lets the next run (recoverSwap) complete the swap
+        // deterministically instead of re-binning doubled bins
         throw new IllegalStateException(
           s"compactSmallFiles: swap interrupted mid-run; every bin's bytes " +
-            s"survive under either its original part names or $dir/" +
-            f"part-NNNNN-c$gen%04d.parquet (pending replacements remain in " +
-            s"$tmp — NOT deleted). Re-list the directory before retrying.", e)
+            s"survive under at least one complete name set, and the swap " +
+            s"plan persists at $dir/_graft_compact_plan. Retrying (or " +
+            s"recoverInterruptedCompaction) completes the swap before " +
+            s"anything is re-binned.", e)
     } finally spark.conf.set(mpbKey, mpbOld)
     val after = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -621,5 +740,152 @@ object Layout {
       // preserve schema with an empty frame rather than failing the read
       spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(keep.toIndexedSeq: _*).filter(residual)
+  }
+
+  /** What a [[reclusterWithManifest]] run did. `rows` comes from the new
+    * manifest's row sums — no extra scan. */
+  final case class ReclusterReceipt(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  private def reclusterNewDir(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + "._graft_recluster_new")
+  private def reclusterOldDir(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + "._graft_recluster_old")
+
+  /** RE-CLUSTER maintenance — the fix for the one layout decay
+    * [[compactSmallFiles]] cannot repair. A live incremental writer (the
+    * [[graft.streaming.ManifestedParquetSink]]) names files in BATCH
+    * arrival order, so "name order IS clustering order" does not hold for
+    * its output: compacting such a directory keeps the data correct but
+    * merges unrelated min/max boxes and silently degrades skipping. This
+    * rewrites the WHOLE directory [[writeZOrderedEquiDepth]]-clustered
+    * (quantile rank space — robust on any key-domain shape), renames the
+    * output to generation-marked names (name order == clustering order
+    * again, so future compactions stay box-tight), builds the fresh
+    * manifest BEFORE the swap (the rewrite just wrote those bytes — they
+    * are hot), and swaps via two ATOMIC directory renames:
+    *
+    *   dir -> dir._graft_recluster_old ; new -> dir ; delete old
+    *
+    * At any crash point the data exists in full under exactly one of the
+    * three directory names, and [[recoverInterruptedRecluster]] (run
+    * automatically on entry) rolls the swap forward or back from the
+    * directory states alone — no plan file needed, because the unit of
+    * rename is the whole directory. Readers in the one-rename window see
+    * a missing directory (loud), never a half set.
+    *
+    * Coordination with a live sink: refuses when an in-flight
+    * `_staging_b*` micro-batch exists (pause the stream first — the
+    * single-writer contract every layout maintenance op assumes), and
+    * CARRIES the sink's `_graft_batch_N` commit markers into the new
+    * directory so a restarted stream's replay protection survives the
+    * swap. Returns the receipt plus the new manifest — already
+    * driver-materialized (frozen), paths remapped to the final directory
+    * — ready to publish.
+    *
+    * Scale shape: one full read + quantile probe + one range exchange +
+    * clustered write — the cost of [[writeZOrderedEquiDepth]] itself,
+    * which is the point: this IS the periodic rewrite a 100 TB table
+    * schedules per partition/day-slice, not per table. Driver work is
+    * O(file count) renames and the bounded manifest collect. */
+  def reclusterWithManifest(spark: SparkSession, path: String,
+      keyCols: Seq[String], numFiles: Int = 32,
+      buckets: Int = 4096): (ReclusterReceipt, DataFrame) = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverReclusterSwap(fs, dir)
+    // complete any pending COMPACTION swap too: its plan file must not be
+    // carried into the new directory as a stale control file
+    recoverSwap(fs, dir)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata")),
+      s"reclusterWithManifest: $path is a streaming file-sink output " +
+        "(_spark_metadata names the original files). Copy the data out first.")
+    require(!fs.listStatus(dir).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("_staging_b")),
+      s"reclusterWithManifest: $path has an in-flight streaming micro-batch " +
+        "(_staging_b*). Pause the ManifestedParquetSink stream before " +
+        "re-clustering — the rewrite would race the batch's commit renames.")
+    val before = listDataFiles(fs, dir)
+    require(before.nonEmpty, s"reclusterWithManifest: no data files under $path")
+    val newDir = reclusterNewDir(dir)
+    val oldDir = reclusterOldDir(dir)
+    fs.delete(newDir, true)
+    writeZOrderedEquiDepth(spark.read.parquet(path), keyCols,
+      newDir.toString, numFiles, buckets)
+    // generation-marked names in range order: one past the highest marker
+    // in the CURRENT directory, so the rewrite is detectable and a later
+    // compaction's name-order premise holds
+    val genRe = "-c(\\d{4})\\.parquet$".r
+    val gen = before.keys.flatMap(n => genRe.findFirstMatchIn(n)
+      .map(_.group(1).toInt)).foldLeft(0)(math.max) + 1
+    val newParts = fs.listStatus(newDir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    newParts.zipWithIndex.foreach { case (s, i) =>
+      val to = new org.apache.hadoop.fs.Path(newDir, f"part-$i%05d-c$gen%04d.parquet")
+      require(fs.rename(s.getPath, to), s"recluster rename ${s.getPath} -> $to failed")
+    }
+    // carry the sink's commit markers (and any other control files) so a
+    // restarted stream still skips its committed batches after the swap
+    fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("_graft_compact"))
+      .foreach { m =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, m.getPath, fs,
+          new org.apache.hadoop.fs.Path(newDir, m.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    // fresh manifest of the new layout, built pre-swap (bytes are hot),
+    // remapped to the final directory BY NAME — input_file_name() and
+    // Hadoop listings spell the same local path differently (file:///
+    // vs file:/), so a prefix strip would silently not match
+    val finalPrefix = fs.makeQualified(dir).toString
+    val mRows = buildManifest(spark, newDir.toString, keyCols).collect().map { r =>
+      val f = r.getString(0)
+      org.apache.spark.sql.Row.fromSeq(
+        (finalPrefix + f.substring(f.lastIndexOf('/'))) +: r.toSeq.tail)
+    }
+    val mSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      (Seq("rows") ++ keyCols.flatMap(c => Seq(s"${c}_min", s"${c}_max")))
+        .map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = c != "rows")))
+    val manifest = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(mRows: _*)), mSchema)
+    // THE swap: two atomic directory renames, then drop the old bytes
+    require(fs.rename(dir, oldDir), s"recluster swap: rename $dir -> $oldDir failed")
+    require(fs.rename(newDir, dir), s"recluster swap: rename $newDir -> $dir failed")
+    fs.delete(oldDir, true)
+    // Spark caches file listings per path; the directory just changed
+    // identity underneath that cache
+    spark.catalog.refreshByPath(path)
+    (ReclusterReceipt(before.size, newParts.length,
+      mRows.map(_.getLong(1)).sum), manifest)
+  }
+
+  /** Roll an interrupted [[reclusterWithManifest]] swap forward (or back,
+    * when the rewrite never finished) from the sibling-directory states
+    * alone. Idempotent; run automatically on recluster entry. */
+  def recoverInterruptedRecluster(spark: SparkSession, path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    recoverReclusterSwap(dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+  }
+
+  private def recoverReclusterSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val newDir = reclusterNewDir(dir)
+    val oldDir = reclusterOldDir(dir)
+    if (fs.exists(oldDir)) {
+      if (fs.exists(dir)) fs.delete(oldDir, true) // crash before final delete
+      else if (fs.exists(newDir)) {
+        // crash between the two renames: roll forward
+        require(fs.rename(newDir, dir), s"recluster recovery: $newDir -> $dir failed")
+        fs.delete(oldDir, true)
+      } else
+        // new bytes vanished (manual cleanup): roll back to the original
+        require(fs.rename(oldDir, dir), s"recluster recovery: $oldDir -> $dir failed")
+    } else if (fs.exists(newDir))
+      // crash before the swap began: the original dir is untouched and
+      // complete — drop the unreferenced rewrite bytes
+      fs.delete(newDir, true)
   }
 }

@@ -396,6 +396,14 @@ final class TaggedSideOutput(delayUs: Long, root: String) extends Serializable {
   * that either matches the directory or is one loudly-detectable batch
   * behind. Incremental cost per batch: scan of this batch's files only,
   * plus one bounded manifest collect (rows = file count).
+  *
+  * Publish protocol: versioned immutable `vN` parquet directories under
+  * `manifestDir`, each committed by a create-once `_graft_ok` marker;
+  * readers resolve the highest committed version (see [[publish]]) — a
+  * reader calling [[scan]] concurrently with any number of refreshes
+  * never observes a partially-written manifest, and a crash mid-publish
+  * leaves the previous version live instead of a schema-less directory
+  * that bricks the next restart.
   */
 final class ManifestedParquetSink(dataDir: String, manifestDir: String,
     keyCols: Seq[String]) {
@@ -433,18 +441,92 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
     refreshManifest(spark)
   }
 
+  /** Delete `part-bN-*` data files of batches that have NO
+    * `_graft_batch_N` commit marker — a crashed attempt's partials. The
+    * replay rewrites that batch whole anyway; manifesting its partials
+    * first would be silently WRONG later, because the rewrite reuses the
+    * same deterministic names with (potentially) different contents and
+    * [[graft.operators.Layout.updateManifest]] carries rows by NAME — the
+    * stale boxes would persist forever and the name-set staleness guard
+    * could never see them (ADVICE r12). Single-writer contract: must not
+    * run concurrently with an in-flight append (Structured Streaming's
+    * one-active-query-per-checkpoint guarantee covers the streaming
+    * path; external callers pause the stream first). */
+  private def purgeUncommitted(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    if (fs.exists(dataPath)) {
+      val batchRe = "^part-b(\\d{9})-".r
+      fs.listStatus(dataPath).filter(_.isFile).foreach { s =>
+        batchRe.findFirstMatchIn(s.getPath.getName).foreach { m =>
+          if (!fs.exists(new Path(dataPath, s"_graft_batch_${m.group(1)}")))
+            fs.delete(s.getPath, false)
+        }
+      }
+    }
+
+  private def manifestPath = new Path(manifestDir)
+  private val versionRe = "^v(\\d+)$".r
+
+  private def listVersions(mfs: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+    if (!mfs.exists(manifestPath)) Nil
+    else mfs.listStatus(manifestPath).toSeq.flatMap(s =>
+      s.getPath.getName match {
+        case versionRe(n) => Some(n.toLong)
+        case _ => None
+      })
+
+  private def isCommitted(mfs: org.apache.hadoop.fs.FileSystem, v: Long): Boolean =
+    mfs.exists(new Path(manifestPath, s"v$v/_graft_ok"))
+
+  /** The highest COMMITTED manifest version, if any. Resolution is by
+    * per-version commit marker, not a mutable latest-pointer file: a
+    * pointer has to be REPLACED on every refresh, and Hadoop's local
+    * overwrite-rename is delete-then-rename — a racing reader could
+    * observe the pointer missing. A marker is created exactly once
+    * (atomic on every FileSystem) and never touched again, so a version
+    * is either invisible or complete, with no in-between. */
+  def currentVersion(): Option[Long] = {
+    val mfs = FsIo.fs(manifestPath)
+    listVersions(mfs).filter(isCommitted(mfs, _)).sorted.lastOption
+  }
+
+  /** Reader-ATOMIC versioned publish. The manifest is written as a brand
+    * new immutable `vN` directory (N = one past the highest present —
+    * committed or not, so a crash-orphaned version can never be
+    * half-overwritten), then COMMITTED by creating `vN/_graft_ok` —
+    * readers resolve the highest committed version, so a reader racing
+    * a refresh sees either the old complete version or the new complete
+    * one, never the schema-less window the previous in-place
+    * `overwrite.parquet(manifestDir)` publish opened on every batch. GC
+    * keeps the newest three committed versions (a reader that resolved
+    * just before a burst of refreshes is still opening one of those;
+    * retention is sized to several full publish durations) and drops
+    * everything older, including uncommitted debris a crashed publish
+    * left behind. */
+  private def publish(spark: org.apache.spark.sql.SparkSession,
+      fresh: DataFrame): Unit = {
+    val mfs = FsIo.fs(manifestPath)
+    mfs.mkdirs(manifestPath)
+    val next = (listVersions(mfs) :+ 0L).max + 1
+    fresh.coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$next")
+    FsIo.writeStringAtomic(s"$manifestDir/v$next/_graft_ok", next.toString)
+    val all = listVersions(mfs)
+    val keep = all.filter(isCommitted(mfs, _)).sorted.takeRight(3).toSet
+    all.filterNot(keep).foreach(v =>
+      mfs.delete(new Path(manifestPath, s"v$v"), true))
+  }
+
   /** Reconcile the persisted manifest with the directory's current file
     * set (incremental — only unmanifested files are scanned) and publish
-    * it. Safe to call at any time; also the crash-recovery path. The old
-    * manifest is fully materialized driver-side inside updateManifest
-    * BEFORE the overwrite starts, so the publish never reads the
-    * directory it is replacing. */
+    * it as a new version. Safe to call at any time the single-writer
+    * contract holds; also the crash-recovery path. Uncommitted partials
+    * are purged FIRST, so no marker-less file ever earns a manifest row
+    * (see [[purgeUncommitted]]). */
   def refreshManifest(spark: org.apache.spark.sql.SparkSession): Unit = {
     val fs = FsIo.fs(dataPath)
+    purgeUncommitted(fs)
     val hasData = fs.exists(dataPath) && fs.listStatus(dataPath)
       .exists(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
-    val mPath = new Path(manifestDir)
     val fresh =
       if (!hasData) {
         // empty table: an explicitly-empty manifest, not a read failure
@@ -459,10 +541,27 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
             org.apache.spark.sql.types.StructField(s"${c}_max",
               org.apache.spark.sql.types.LongType))))
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      } else if (FsIo.fs(mPath).exists(mPath))
-        Layout.updateManifest(spark, dataDir, spark.read.parquet(manifestDir), keyCols)
-      else Layout.buildManifest(spark, dataDir, keyCols)
-    fresh.coalesce(1).write.mode("overwrite").parquet(manifestDir)
+      } else currentVersion() match {
+        case Some(v) => Layout.updateManifest(spark, dataDir,
+          spark.read.parquet(s"$manifestDir/v$v"), keyCols)
+        case None => Layout.buildManifest(spark, dataDir, keyCols)
+      }
+    publish(spark, fresh)
+  }
+
+  /** Re-cluster the live table (STREAM PAUSED — refused if an in-flight
+    * micro-batch's staging dir exists): rewrites the batch-arrival-
+    * ordered debris with [[graft.operators.Layout.reclusterWithManifest]]
+    * and publishes the fresh manifest as a new version, so skipping
+    * power is restored with no staleness trip and no reader outage
+    * beyond the swap's own atomic-rename window. Commit markers are
+    * carried, so a restarted stream still skips its committed batches. */
+  def recluster(spark: org.apache.spark.sql.SparkSession,
+      numFiles: Int = 32, buckets: Int = 4096): Layout.ReclusterReceipt = {
+    val (r, m) = Layout.reclusterWithManifest(spark, dataDir, keyCols,
+      numFiles, buckets)
+    publish(spark, m)
+    r
   }
 
   def start(df: DataFrame, checkpointDir: String): StreamingQuery =
@@ -471,9 +570,14 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
       .foreachBatch((b: DataFrame, id: Long) => process(b, id))
       .start()
 
-  /** The live statistics table. */
-  def manifest(spark: org.apache.spark.sql.SparkSession): DataFrame =
-    spark.read.parquet(manifestDir)
+  /** The live statistics table: the immutable version the `_latest`
+    * pointer names. */
+  def manifest(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val v = currentVersion().getOrElse(throw new IllegalStateException(
+      s"ManifestedParquetSink: no manifest published under $manifestDir " +
+        "yet — run refreshManifest (or process a batch) first"))
+    spark.read.parquet(s"$manifestDir/v$v")
+  }
 
   /** File-skipping scan of the live table through the maintained
     * manifest — the reader this sink exists for. */

@@ -464,6 +464,175 @@ class LayoutSpec extends SparkSpec {
     assert(e2.getMessage.contains("no_such_col"))
   }
 
+  test("an interrupted swap (doubled bin) is rolled forward, never re-binned into duplicates") {
+    // ADVICE r13-medium: a crash between a bin's replacement rename-in
+    // and its member deletes leaves that bin's rows under BOTH name
+    // sets; a naive retry re-binned replacement + survivors together and
+    // permanently merged the duplicates. The persisted swap plan must
+    // let the retry complete the ORIGINAL swap instead.
+    val dir = java.nio.file.Files.createTempDirectory("layout-recover").toString
+    val s2 = spark
+    import s2.implicits._
+    def slice(lo: Long, hi: Long) = (lo until hi).map(i => (i, i * 7)).toDF("id", "v")
+    def writePart(name: String, lo: Long, hi: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("layout-recover-st").toString
+      slice(lo, hi).coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet")).head
+      assert(f.renameTo(new java.io.File(dir, name)))
+    }
+    // four originals in two planned bins
+    writePart("part-00000-a.parquet", 0, 100)
+    writePart("part-00001-b.parquet", 100, 200)
+    writePart("part-00002-c.parquet", 200, 300)
+    writePart("part-00003-d.parquet", 300, 400)
+    // crash state: bin 0's replacement landed but members SURVIVE
+    // (the doubled window); bin 1's replacement still sits in tmp
+    val stage0 = java.nio.file.Files.createTempDirectory("layout-recover-b0").toString
+    slice(0, 200).coalesce(1).write.mode("overwrite").parquet(stage0)
+    assert(new java.io.File(stage0).listFiles().filter(_.getName.endsWith(".parquet")).head
+      .renameTo(new java.io.File(dir, "part-00000-c0001.parquet")))
+    val tmp = new java.io.File(dir, "_graft_compact_tmp"); tmp.mkdirs()
+    val stage1 = java.nio.file.Files.createTempDirectory("layout-recover-b1").toString
+    slice(200, 400).coalesce(1).write.mode("overwrite").parquet(stage1)
+    assert(new java.io.File(stage1).listFiles().filter(_.getName.endsWith(".parquet")).head
+      .renameTo(new java.io.File(tmp, "part-00001-c0001.parquet")))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_graft_compact_plan"),
+      "part-00000-c0001.parquet\tpart-00000-a.parquet,part-00001-b.parquet\n" +
+        "part-00001-c0001.parquet\tpart-00002-c.parquet,part-00003-d.parquet")
+    // sanity: a plain read of the crash state IS doubled (bin 0 twice)
+    assert(spark.read.parquet(dir).count() === 600)
+
+    // the retry: recovery completes the old swap, THEN the new compaction
+    // bins the two gen-1 replacements
+    val receipt = Layout.compactSmallFiles(spark, dir, targetBytes = Long.MaxValue / 4)
+    spark.catalog.refreshByPath(dir)
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 400, s"recovery duplicated or lost rows: $receipt")
+    assert(got.select("id").as[Long].collect().sorted.toSeq === (0L until 400L),
+      "row content diverged through recovery + compaction")
+    assert(!new java.io.File(dir, "_graft_compact_plan").exists() &&
+      !tmp.exists(), "control files must be cleaned up")
+    // the re-compaction minted generation 2 over the recovered gen-1 files
+    val names = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSeq
+    assert(names === Seq("part-00000-c0002.parquet"), s"unexpected names $names")
+  }
+
+  test("recovery completes a swap whose crash frontier includes pending moves") {
+    // plan with a single-file bin whose move never executed: recovery
+    // must perform the move itself so the whole swap lands
+    val dir = java.nio.file.Files.createTempDirectory("layout-recover2").toString
+    val s2 = spark
+    import s2.implicits._
+    def writePart(name: String, lo: Long, hi: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("layout-recover2-st").toString
+      (lo until hi).map(i => (i, i * 7)).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      assert(new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet")).head
+        .renameTo(new java.io.File(dir, name)))
+    }
+    writePart("part-00000-a.parquet", 0, 50)
+    writePart("part-00001-b.parquet", 50, 100)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_graft_compact_plan"),
+      "part-00000-c0001.parquet\tpart-00000-a.parquet\n" +
+        "part-00001-c0001.parquet\tpart-00001-b.parquet")
+    Layout.recoverInterruptedCompaction(spark, dir)
+    val names = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).sorted.toSeq
+    assert(names === Seq("part-00000-c0001.parquet", "part-00001-c0001.parquet"))
+    assert(spark.read.parquet(dir).count() === 100)
+    // idempotent: a second recovery call is a no-op
+    Layout.recoverInterruptedCompaction(spark, dir)
+    assert(spark.read.parquet(dir).count() === 100)
+  }
+
+  test("reclusterWithManifest restores skipping that batch-ordered compaction degraded") {
+    // Verdict r12 task 2: a ManifestedParquetSink names files in BATCH
+    // arrival order; every batch spans the whole key range, so compaction
+    // merges unrelated boxes and file-level pruning decays to nothing.
+    // The recluster rewrite must bring the files-kept ratio back down and
+    // leave a ready-to-publish manifest.
+    val dir = java.nio.file.Files.createTempDirectory("layout-recluster").toString
+    val keys = Seq("l_partkey", "l_suppkey")
+    // six arrival-ordered "batches", each spanning the full key range
+    (0 until 6).foreach { b =>
+      src.filter(col("l_orderkey") % 6 === b).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val mBefore = Layout.buildManifest(spark, dir, keys)
+    val bounds = Seq(("l_partkey", 0L, 25L))
+    val filesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    val keptBefore = Layout.scanPruned(spark, dir, mBefore, bounds).inputFiles.length
+    // batch-ordered layout: the probe keeps (nearly) every file
+    assert(keptBefore >= filesBefore - 1,
+      s"fixture unexpectedly clustered: $keptBefore/$filesBefore")
+
+    val (receipt, mAfter) = Layout.reclusterWithManifest(spark, dir, keys,
+      numFiles = 16, buckets = 256)
+    assert(receipt.filesBefore === filesBefore && receipt.rows === src.count())
+    // manifest is frozen + path-remapped: serves scans with no rebuild
+    val pruned = Layout.scanPruned(spark, dir, mAfter, bounds)
+    val expect = spark.read.parquet(dir)
+      .filter(col("l_partkey") >= 0 && col("l_partkey") <= 25)
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+      "recluster changed the data")
+    val keptAfter = pruned.inputFiles.length
+    info(s"files kept for $bounds: before $keptBefore/$filesBefore, " +
+      s"after $keptAfter/${receipt.filesAfter}")
+    // THE box-tightness receipt: the kept ratio must at least halve
+    assert(keptAfter.toDouble / receipt.filesAfter * 2 <=
+      keptBefore.toDouble / filesBefore,
+      s"recluster did not restore skipping: $keptAfter/${receipt.filesAfter} " +
+        s"vs $keptBefore/$filesBefore")
+    // name order is clustering order again: a follow-up compaction keeps it
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).forall(_.matches("part-\\d{5}-c0001\\.parquet")))
+  }
+
+  test("recluster refuses an in-flight streaming batch and recovers its own crash states") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-rc-guard").toString
+    src.limit(200).coalesce(1).write.mode("overwrite").parquet(dir)
+    // in-flight micro-batch staging dir -> loud refusal
+    new java.io.File(dir, "_staging_b000000007").mkdirs()
+    val e = intercept[IllegalArgumentException](
+      Layout.reclusterWithManifest(spark, dir, Seq("l_partkey", "l_suppkey")))
+    assert(e.getMessage.contains("_staging_b"))
+    assert(new java.io.File(dir, "_staging_b000000007").delete())
+
+    val parent = new java.io.File(dir).getParent
+    val name = new java.io.File(dir).getName
+    val oldDir = new java.io.File(parent, name + "._graft_recluster_old")
+    val newDir = new java.io.File(parent, name + "._graft_recluster_new")
+    val n0 = spark.read.parquet(dir).count()
+
+    // crash between the two renames: dir gone, old + new present -> roll
+    // forward (new content wins)
+    assert(new java.io.File(dir).renameTo(oldDir))
+    src.limit(200).coalesce(1).write.mode("overwrite").parquet(newDir.getPath)
+    Layout.recoverInterruptedRecluster(spark, dir)
+    assert(new java.io.File(dir).exists() && !oldDir.exists() && !newDir.exists())
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir).count() === n0)
+
+    // crash before the swap: only the new sibling exists -> rolled back
+    src.limit(50).coalesce(1).write.mode("overwrite").parquet(newDir.getPath)
+    Layout.recoverInterruptedRecluster(spark, dir)
+    assert(!newDir.exists())
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir).count() === n0, "rollback touched the original")
+  }
+
+  test("equi-depth z-order refuses an all-null key column loudly") {
+    val s2 = spark
+    import s2.implicits._
+    val df = (1 to 100).map(i => (i.toLong, Option.empty[Long])).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("layout-ednull").toString
+    val e = intercept[IllegalArgumentException](
+      Layout.writeZOrderedEquiDepth(df, Seq("x", "y"), dir, numFiles = 4, buckets = 4))
+    assert(e.getMessage.contains("'y'") && e.getMessage.contains("non-null"))
+  }
+
   test("equi-depth z-order survives sparse clustered domains where equal-width collapses") {
     // The round-12 manifestmany finding, synthesized: keys live in 8
     // correlated narrow clusters (width 5,000) spread over ~10^9 — each

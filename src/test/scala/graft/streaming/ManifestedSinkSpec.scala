@@ -148,6 +148,157 @@ class ManifestedSinkSpec extends SparkSpec {
       canon(Layout.buildManifest(spark, data, keys)))
   }
 
+  test("readers never fail while 50 manifest refreshes race them (versioned publish)") {
+    // Verdict r12 task 1: the old publish overwrote manifestDir in place,
+    // so a reader in the delete-to-write window hit a read failure every
+    // batch. The versioned publish (immutable vN dirs behind an
+    // atomically-renamed _latest pointer) must make scan() safe at any
+    // moment — zero failures, always the right rows.
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-race"); val man = tmp("msink-race-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    sink.process((1L to 30L).map(i => ev(i, 100 + i, i)).toDF(), 0L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val n = sink.scan(spark, Seq(("event_id", 1L, 30L))).count()
+          if (n != 30L) failures.compareAndSet(null,
+            new AssertionError(s"reader saw $n rows"))
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failures.compareAndSet(null, t) }
+      }
+    })
+    reader.start()
+    try (1 to 50).foreach(_ => sink.refreshManifest(spark))
+    finally { stop.set(true); reader.join(30000) }
+    assert(failures.get() === null,
+      s"reader failed mid-refresh: ${Option(failures.get()).map(_.toString)}")
+    assert(reads.get() > 0, "reader thread never completed a scan — vacuous")
+    info(s"${reads.get()} concurrent scans across 50 refreshes, zero failures")
+    // GC bounded: the pointer pair plus a short reader-safety tail, not
+    // 50 accumulated versions
+    val versions = new java.io.File(man).listFiles()
+      .filter(_.getName.matches("v\\d+")).map(_.getName).sorted.toSeq
+    assert(versions.size <= 4, s"version GC leaked: $versions")
+    // and genuine drift STILL fails loudly (the guard survived the rework)
+    (31L to 35L).map(i => ev(i, 100 + i, i)).toDF()
+      .coalesce(1).write.mode("append").parquet(data)
+    assertThrows[IllegalStateException](
+      sink.scan(spark, Seq(("event_id", 1L, 40L))).count())
+  }
+
+  test("refreshManifest never manifests a marker-less partial (crashed attempt)") {
+    // ADVICE r13-medium: a refresh racing an uncommitted batch gave its
+    // partial part-bN files manifest rows; the replay then purged and
+    // rewrote the SAME names with different contents, and updateManifest
+    // carried the stale rows (name-keyed) forever — silently wrong boxes
+    // the staleness guard cannot see. The refresh must purge marker-less
+    // partials first.
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-partial"); val man = tmp("msink-partial-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    sink.process((1L to 20L).map(i => ev(i, 100 + i, i)).toDF(), 0L)
+    // crash state: batch 1 landed TWO partial files, no commit marker —
+    // and crucially DIFFERENT content than the eventual replay will write
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (900L to 905L).map(i => ev(i, 100 + i, i)).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(s"$data/_crashed")
+    new java.io.File(s"$data/_crashed").listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        assert(fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.fs.Path(data, f"part-b${1L}%09d-0000$i.parquet")))
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$data/_crashed"), true)
+    // an external refresh (the advice's "safe to call at any time" path)
+    sink.refreshManifest(spark)
+    // the partials are GONE — not manifested, not left to poison a later
+    // name-keyed carry
+    val manifested = sink.manifest(spark).collect().map { r =>
+      val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1) }.toSet
+    assert(!manifested.exists(_.startsWith("part-b000000001-")),
+      s"marker-less partial earned a manifest row: $manifested")
+    assert(!new java.io.File(data).listFiles()
+      .exists(_.getName.startsWith("part-b000000001-")), "partials survived purge")
+    // the replay writes batch 1 whole, with its real content
+    sink.process((21L to 30L).map(i => ev(i, 100 + i, i)).toDF(), 1L)
+    val ids = spark.read.parquet(data).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === (1L to 30L), "replay after purge lost or doubled rows")
+    assert(canon(sink.manifest(spark)) ===
+      canon(Layout.buildManifest(spark, data, keys)))
+    // and the manifest boxes are TRUE: a probe for the phantom content
+    // returns nothing instead of stale-box confusion
+    assert(sink.scan(spark, Seq(("event_id", 900L, 905L))).count() === 0)
+  }
+
+  test("a crash mid-publish (orphan version, schema-less dir) cannot brick the sink") {
+    // ADVICE r13-low: the old in-place publish could die leaving
+    // manifestDir existing but schema-less, so the next refresh's read
+    // threw and the stream could not restart. With versioning, an orphan
+    // partial version is invisible (pointer never flipped) and later GC'd.
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-orphan"); val man = tmp("msink-orphan-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    sink.process((1L to 10L).map(i => ev(i, 100 + i, i)).toDF(), 0L)
+    val v0 = sink.currentVersion().get
+    // simulate a publish that died mid-write: a higher version exists but
+    // holds only junk, and the pointer still names v0
+    val orphan = new java.io.File(man, s"v${v0 + 5}"); orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(orphan.getPath, "_temporary"), "junk")
+    assert(sink.scan(spark, Seq(("event_id", 1L, 10L))).count() === 10,
+      "orphan version must be invisible to readers")
+    // next refresh publishes PAST the orphan; the retention tail then
+    // ages it out
+    sink.refreshManifest(spark)
+    assert(sink.currentVersion().get > v0 + 5, "publish must never reuse a version")
+    assert(sink.scan(spark, Seq(("event_id", 1L, 10L))).count() === 10)
+    (1 to 3).foreach(_ => sink.refreshManifest(spark))
+    assert(!orphan.exists(), "orphan version survived GC")
+  }
+
+  test("sink.recluster restores skipping on batch-ordered debris; replay protection survives") {
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-recluster"); val man = tmp("msink-recluster-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    // 8 batches, each spanning the full event_id range — the arrival-
+    // ordered worst case whose compaction degrades boxes
+    (0 until 8).foreach { b =>
+      // coalesce(1): ONE file per batch, spanning the full id range —
+      // the arrival-ordered shape whose boxes are useless
+      sink.process((0L until 10L).map(i => ev(b + 1 + i * 8, 100 + i, i))
+        .toDF().coalesce(1), b.toLong)
+    }
+    val bounds = Seq(("event_id", 1L, 16L))
+    val totalBefore = new java.io.File(data).listFiles()
+      .count(_.getName.startsWith("part-"))
+    val keptBefore = sink.scan(spark, bounds).inputFiles.length
+    assert(keptBefore >= totalBefore - 1,
+      s"fixture unexpectedly clustered: $keptBefore/$totalBefore")
+    val receipt = sink.recluster(spark, numFiles = 8, buckets = 64)
+    assert(receipt.rows === 80L)
+    // manifest was published in the same call: scan works immediately
+    val got = sink.scan(spark, bounds)
+    assert(got.count() === 16)
+    val keptAfter = got.inputFiles.length
+    info(s"files kept for $bounds: $keptBefore/$totalBefore -> " +
+      s"$keptAfter/${receipt.filesAfter}")
+    assert(keptAfter.toDouble / receipt.filesAfter * 2 <=
+      keptBefore.toDouble / totalBefore,
+      "recluster did not restore the sink table's skipping")
+    // commit markers carried: a restart's replay of an old batch must
+    // still be skipped whole (no duplicates through the rewrite)
+    sink.process((0L until 10L).map(i => ev(3 + i * 8, 103, i)).toDF(), 2L)
+    assert(spark.read.parquet(data).count() === 80, "replay after recluster duplicated rows")
+  }
+
   test("a manifest left stale by a crash self-heals on the next refresh") {
     val s = spark
     import s.implicits._
