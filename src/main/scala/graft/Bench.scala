@@ -62,11 +62,36 @@ object Bench {
     * memory-bus effect a compute-bound probe cannot see. Sampled beside
     * the spin samples, its spread makes that band attributable from the
     * artifacts alone. */
-  private[graft] def bwGbps(threads: Int = 8): Double = {
-    val longs = (64 << 20) / 8
+  private val bwThreads = 8
+  private val bwLongs = (64 << 20) / 8
+  // ADVICE r13: the probe buffers are allocated ONCE and reused across
+  // every sample (before/mid/after, plus ConcurrentBench's per-N pairs) —
+  // re-allocating 1 GiB of long arrays per sample was itself an OOM risk
+  // on smaller heaps and injected allocation+GC churn into the very
+  // gc_ms delta the bench uses for stall attribution
+  private lazy val bwPairs = {
+    val pairs = Array.fill(bwThreads)(
+      (new Array[Long](bwLongs), new Array[Long](bwLongs)))
+    pairs.foreach { case (s, d) => s(0) = 1L; d(0) = 1L; s(bwLongs - 1) = 1L }
+    pairs
+  }
+
+  /** GC wall-time this JVM accumulated inside [[bwGbps]] calls — exposed
+    * so the bench can subtract the probe's own collection churn from the
+    * reported gc_ms delta (the probe must measure the host, not itself). */
+  private[graft] val bwProbeGcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def allGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private[graft] def bwGbps(threads: Int = bwThreads): Double = {
+    val longs = bwLongs
     val reps = 4
-    val pairs = Array.fill(threads)((new Array[Long](longs), new Array[Long](longs)))
-    pairs.foreach { case (s, d) => s(0) = 1L; d(0) = 1L; s(longs - 1) = 1L }
+    val gc0 = allGcMs()
+    val pairs = bwPairs.take(threads)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val t0 = System.nanoTime()
     try pairs.map { case (s, d) =>
@@ -79,6 +104,7 @@ object Bench {
     }.foreach(_.get())
     finally pool.shutdown()
     val sec = (System.nanoTime() - t0) / 1e9
+    bwProbeGcMs.addAndGet(math.max(0L, allGcMs() - gc0))
     // bytes touched = copies * (read + write)
     threads.toLong * reps * longs * 8L * 2L / sec / 1e9
   }
@@ -149,6 +175,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
     val gc0 = gcMs()
+    val bwGc0 = bwProbeGcMs.get()
     val steal0 = stealTicks()
     val spinSamples = scala.collection.mutable.ArrayBuffer(spinMs())
     val bwSamples = scala.collection.mutable.ArrayBuffer(bwGbps())
@@ -192,7 +219,10 @@ object Bench {
     }
     spinSamples += spinMs()
     bwSamples += bwGbps()
-    val gcDelta = gcMs() - gc0
+    // the probe's own collection churn must not masquerade as workload
+    // GC in the stall-attribution delta (ADVICE r13) — report it apart
+    val probeGc = bwProbeGcMs.get() - bwGc0
+    val gcDelta = math.max(0L, gcMs() - gc0 - probeGc)
     val stealPct: Option[Double] = for {
       (s0, t0) <- steal0; (s1, t1) <- stealTicks() if t1 > t0
     } yield 100.0 * (s1 - s0) / (t1 - t0)
@@ -217,8 +247,21 @@ object Bench {
     val p2Total = ordered.flatMap { case (n, _) => pass2(n) }.sum
     val passes =
       s"""{"p1":${num(p1Total)},"p2":${num(p2Total)},"p3_n":${pass3.size}}"""
+    // --- Band auto-annotation (round 13): the roving host band's
+    // fingerprint — established by the round-11/12 forensics — is a
+    // memory-bandwidth dip with a FLAT spin probe (a compute-bound probe
+    // cannot see a shared-bus effect). BW_REF_GBPS is the clean-host
+    // calibration floor of the 8-thread stream-copy probe on this
+    // hardware family (~58-68 GB/s clean; see BASELINE.md "Memory-
+    // bandwidth probe"). When the dip exceeds 15% below that floor while
+    // spin stays flat, consumers should read diffuse per-query inflation
+    // as host band, not plan regression — mechanically, not via prose.
+    val SpinRefMs = 100.0
+    val BwRefGbps = 58.0
+    val bandSuspected = spinSamples.min / SpinRefMs <= 1.15 &&
+      bwSamples.min < 0.85 * BwRefGbps
     val probe =
-      s"""{"gc_ms":$gcDelta,"steal_pct":${stealPct.map(num).getOrElse("null")},"spin_ms":[${spinSamples.map(num).mkString(",")}],"bw_gbps":[${bwSamples.map(num).mkString(",")}]}"""
+      s"""{"gc_ms":$gcDelta,"probe_gc_ms":$probeGc,"steal_pct":${stealPct.map(num).getOrElse("null")},"spin_ms":[${spinSamples.map(num).mkString(",")}],"bw_gbps":[${bwSamples.map(num).mkString(",")}],"bw_ref_gbps":$BwRefGbps,"band_suspected":$bandSuspected}"""
     // --- Normalized gate (round-8): the raw s/query gate drifts with the
     // host, so the verdict is computed against a spin-normalized value.
     // SPIN_REF_MS is the calibrated clean-host nominal of the fixed spin
@@ -230,7 +273,6 @@ object Bench {
     // norm_spq = (total / n) / clamp(spin_ratio, 1, 3): never normalize
     // FASTER hosts down (a fast host passing raw is a real pass) and cap
     // at 3x so a broken probe can't excuse an arbitrarily slow run.
-    val SpinRefMs = 100.0
     val GateSpq = 0.55
     val rawSpq = if (results.nonEmpty) total / results.size else 0.0
     val spinRatio = (spinSamples.min / SpinRefMs).max(1.0).min(3.0)

@@ -289,6 +289,113 @@ object ScaleSmoke {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-scale-smoke")
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("gate")) { runGate(spark, args); return }
+
+    // `manifest50k`: scanPruned's DRIVER-SIDE economics at production
+    // manifest sizes (verdict r12 task 3). At 1M files the worry is the
+    // O(kept) collect of kept paths plus the path-list relation
+    // resolution (exists-checks, InMemoryFileIndex listing, plan size) —
+    // all driver/analysis work that layoutab/manifestmany, which stop at
+    // 8k files, cannot expose. The directory is SYNTHESIZED: one tiny
+    // parquet seed copied K times (the measured quantities — staleness
+    // listing, manifest filter+collect, multi-path resolution, task
+    // packing — depend only on file COUNT, not bytes), and manifest rows
+    // are synthesized arithmetically with disjoint per-file boxes so a
+    // bounds probe keeps an exact fraction. Reports, per K in
+    // {5k, 15k, 50k}: construction time (staleness guard + prune +
+    // relation resolution) and execution time for a ~1%-kept selective
+    // probe and a 100%-kept worst case. The growth curve 5k -> 50k is
+    // the receipt: ~10x at 10x files = linear (document the ceiling);
+    // materially superlinear = a hierarchical manifest is required.
+    if (args.contains("manifest50k")) {
+      val root = "/tmp/graft_manifest50k"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val Ks = Seq(5000, 15000, 50000)
+      val seedDir = s"$root/seed"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SEEDED_v1"))) {
+        System.err.println(s"[manifest50k] seeding ${Ks.sum} file copies under $root")
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        spark.range(100).selectExpr("id AS k1", "id AS k2").coalesce(1)
+          .write.mode("overwrite").parquet(seedDir)
+        val seed = new java.io.File(fs.listStatus(new org.apache.hadoop.fs.Path(seedDir))
+          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath.toUri)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+        try Ks.foreach { k =>
+          val dir = java.nio.file.Paths.get(s"$root/files_$k")
+          java.nio.file.Files.createDirectories(dir)
+          (0 until k).map { i =>
+            pool.submit(new Runnable {
+              def run(): Unit = java.nio.file.Files.copy(seed.toPath,
+                dir.resolve(f"part-$i%06d.parquet"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(root, "_SEEDED_v1"), "ok")
+      }
+      def nmb(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+      val cells = Ks.map { k =>
+        val dir = s"$root/files_$k"
+        // synthetic manifest: file i owns box [100i, 100i+99] on both keys
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("rows",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("k1_min",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k1_max",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k2_min",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k2_max",
+            org.apache.spark.sql.types.LongType)))
+        val rows = (0 until k).map { i =>
+          org.apache.spark.sql.Row(f"$dir/part-$i%06d.parquet", 100L,
+            i * 100L, i * 100L + 99L, i * 100L, i * 100L + 99L)
+        }
+        val manifest = spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+        val keptTarget = k / 100 // ~1% of files
+        val selBounds = Seq(("k1", 0L, keptTarget * 100L - 1L))
+        val allBounds = Seq(("k1", 0L, k * 100L))
+        def measure(bounds: Seq[(String, Long, Long)], doCount: Boolean,
+            expectRows: Long): (Double, Double, Int) = {
+          // min of two passes, with Spark's path caches dropped so the
+          // resolution cost being measured is actually paid
+          val ts = (1 to 2).map { _ =>
+            spark.catalog.refreshByPath(dir)
+            val t0 = System.nanoTime()
+            val df = operators.Layout.scanPruned(spark, dir, manifest, bounds)
+            val tC = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            if (doCount) require(df.count() == expectRows,
+              s"manifest50k: wrong row count at k=$k $bounds")
+            val tX = (System.nanoTime() - t1) / 1e9
+            (tC, tX, df.inputFiles.length)
+          }
+          (ts.map(_._1).min, ts.map(_._2).min, ts.head._3)
+        }
+        // selective probe keeps exactly keptTarget files, every row of
+        // each passes the residual (content k1 in [0,99] (= within
+        // bounds)
+        val (tcSel, txSel, keptSel) = measure(selBounds, doCount = true,
+          keptTarget * 100L)
+        require(keptSel == keptTarget, s"kept $keptSel != $keptTarget")
+        val (tcAll, txAll, keptAll) = measure(allBounds, doCount = true,
+          k * 100L)
+        require(keptAll == k)
+        println(f"[manifest50k] k=$k%6d selective: construct ${nmb(tcSel)}s " +
+          f"count ${nmb(txSel)}s kept=$keptSel; all: construct ${nmb(tcAll)}s " +
+          f"count ${nmb(txAll)}s")
+        s"""{"files":$k,"t_construct_sel":${nmb(tcSel)},"t_count_sel":${nmb(txSel)},""" +
+          s""""kept_sel":$keptSel,"t_construct_all":${nmb(tcAll)},"t_count_all":${nmb(txAll)}}"""
+      }
+      println(s"""{"mode":"manifest50k","cells":[${cells.mkString(",")}]}""")
+      spark.stop()
+      return
+    }
     val dst = ensureFixture(spark, mult, skewed, constEval, saltAb, organic)
 
     // `layoutab`: the layout-stack receipt at organic scale — lineitem

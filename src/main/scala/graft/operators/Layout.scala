@@ -586,10 +586,14 @@ object Layout {
     * can never disagree on what counts as data. */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Map[String, String] =
+    dataFileStatuses(fs, dir).map { case (n, s) => n -> s.getPath.toString }
+
+  private def dataFileStatuses(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Map[String, org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(dir)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
-      .map(s => s.getPath.getName -> s.getPath.toString).toMap
+      .map(s => s.getPath.getName -> s).toMap
 
   /** Manifest rows for an EXPLICIT file list, eagerly materialized as a
     * local relation (bounded: one row per file). Eagerness matters
@@ -691,6 +695,33 @@ object Layout {
     else survivors.unionByName(manifestOf(spark, newPaths, keyCols))
   }
 
+  /** FileIndex over an explicit, ALREADY-LISTED file set — the scan-side
+    * fix for the driver file-list round-trip (verdict r12 task 3).
+    * `spark.read.parquet(paths: _*)` resolves every explicit path at the
+    * driver (exists-check + glob + re-listing, measured ~2 ms/path:
+    * ~20 s to open a 50k-file table), ALL of it redundant with the one
+    * directory listing [[scanPruned]]'s staleness guard already did.
+    * This index hands those FileStatuses straight to the relation: zero
+    * further FS calls, one footer read for the schema, task packing and
+    * filter pushdown identical to the standard parquet read path. */
+  private final class ExplicitFileIndex(
+      files: Seq[org.apache.hadoop.fs.FileStatus])
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+      files.map(_.getPath)
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+      Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty, files.toArray))
+    override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = files.map(_.getLen).sum
+    override def partitionSchema: org.apache.spark.sql.types.StructType =
+      new org.apache.spark.sql.types.StructType()
+  }
+
   /** Scan `path` reading ONLY the files whose manifest [min, max] box
     * intersects every given `(column, lo, hi)` bound, then apply the
     * same bounds as a residual row filter (kept files may still hold
@@ -699,7 +730,11 @@ object Layout {
     * Z-ordered layout the kept set shrinks in every clustered dimension.
     * The driver-side collect is bounded by the MANIFEST row count (one
     * row per file — the quantity compactSmallFiles keeps small), never
-    * by data volume.
+    * by data volume. The kept files become a relation through
+    * [[ExplicitFileIndex]] (statuses reused from the guard's listing, no
+    * per-path resolution), so driver cost stays O(file count) with a
+    * LISTING-sized constant — the manifest50k receipt prices the
+    * difference (~20 s -> sub-second to open 50k kept files).
     *
     * Staleness guard: a manifest describes the directory AS OF its
     * build, and a file added afterwards would be INVISIBLY excluded from
@@ -715,12 +750,14 @@ object Layout {
   def scanPruned(spark: SparkSession, path: String, manifest: DataFrame,
       bounds: Seq[(String, Long, Long)], allowStale: Boolean = false): DataFrame = {
     require(bounds.nonEmpty, "scanPruned: at least one (column, lo, hi) bound")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE listing serves both the staleness guard and the relation build
+    val statuses = dataFileStatuses(fs, dir)
     if (!allowStale) {
-      val dir = new org.apache.hadoop.fs.Path(path)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // compare by NAME (unique within the dir): input_file_name() and
       // Hadoop listings spell the same local path as file:/// vs file:/
-      val listed = listDataFiles(fs, dir).keySet
+      val listed = statuses.keySet
       val inManifest = manifest.select("file").collect()
         .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)).toSet
       if (listed != inManifest)
@@ -736,10 +773,29 @@ object Layout {
     }.select("file").collect().map(_.getString(0))
     val residual = bounds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    val kept = keep.flatMap(p =>
+      statuses.get(p.substring(p.lastIndexOf('/') + 1)))
     if (keep.isEmpty)
       // preserve schema with an empty frame rather than failing the read
       spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(keep.toIndexedSeq: _*).filter(residual)
+    else if (kept.length != keep.length)
+      // only reachable under allowStale with files that vanished since
+      // the manifest snapshot: keep the explicit-path read's loud
+      // PATH_NOT_FOUND semantics instead of silently narrowing
+      spark.read.parquet(keep.toIndexedSeq: _*).filter(residual)
+    else {
+      // one footer for the schema, zero per-path resolution for the rest
+      val dataSchema = spark.read.parquet(kept.head.getPath.toString).schema
+      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new ExplicitFileIndex(kept.toIndexedSeq),
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat =
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        options = Map.empty)(spark)
+      spark.baseRelationToDataFrame(rel).filter(residual)
+    }
   }
 
   /** What a [[reclusterWithManifest]] run did. `rows` comes from the new

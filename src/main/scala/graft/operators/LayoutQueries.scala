@@ -13,7 +13,9 @@ import graft.GQuery
   * [[Layout.updateManifest]] reconcile ->
   * [[Layout.compactSmallFilesWithManifest]] (post-compaction stats
   * DERIVED from the pre-compaction boxes, zero data scanned) ->
-  * [[Layout.scanPruned]]. The lifecycle splits
+  * [[Layout.scanPruned]] -> [[Layout.reclusterWithManifest]] (equi-depth
+  * rewrite + atomic dir swap) -> pruned scan again, with the two scan
+  * paths cross-checked cell-for-cell. The lifecycle splits
   * `lineitem` into a base slice (Z-ordered) and an append slice (landed
   * afterwards, the incremental-writer scenario), so the maintained
   * directory holds EXACTLY the source table and the pruned, filtered,
@@ -95,8 +97,26 @@ object LayoutQueries {
         // the oracle hash-checks the derivation end to end
         val (_, m2) = Layout.compactSmallFilesWithManifest(
           s, data, m1, keys, targetBytes = 8L << 20)
-        result(Layout.scanPruned(s, data, m2, Seq(
-          ("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi))))
+        val bounds = Seq(("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi))
+        // freeze: this aggregate's lineage points at the pre-recluster
+        // files, which the swap below DELETES — materialize its 3 rows
+        // now or the cross-check would read ghosts
+        val viaDerived = freeze(s, result(Layout.scanPruned(s, data, m2, bounds)))
+        // RE-CLUSTER (round 13): the equi-depth rewrite + atomic dir swap
+        // that repairs the box decay appends cause — the last maintenance
+        // step a live table runs. Its manifest is built pre-swap and
+        // path-remapped; the final pruned aggregate reads through it, so
+        // the oracle hash-checks the rewrite + swap + remap at value
+        // level. The derived-stats path must agree cell-for-cell with
+        // the post-recluster path before either is trusted.
+        val (_, m3) = Layout.reclusterWithManifest(s, data, keys,
+          numFiles = 8, buckets = 256)
+        val viaReclustered = result(Layout.scanPruned(s, data, m3, bounds))
+        require(viaDerived.exceptAll(viaReclustered).isEmpty &&
+          viaReclustered.exceptAll(viaDerived).isEmpty,
+          "q_layout_lifecycle: derived-manifest scan and post-recluster " +
+            "scan disagree — a maintenance stage corrupted the table")
+        viaReclustered
       }
     },
     Some(s"""SELECT l_returnflag, count(*) AS n,
@@ -105,7 +125,7 @@ object LayoutQueries {
 FROM lineitem
 WHERE l_partkey BETWEEN $pLo AND $pHi AND l_suppkey BETWEEN $sLo AND $sHi
 GROUP BY 1"""),
-    "Full layout maintenance lifecycle (z-order -> manifest -> append -> reconcile -> compact with zero-scan DERIVED stats -> pruned scan) proven equal to a plain filtered aggregate.")
+    "Full layout maintenance lifecycle (z-order -> manifest -> append -> reconcile -> compact with zero-scan DERIVED stats -> pruned scan -> equi-depth RECLUSTER with atomic dir swap -> pruned scan again, both paths cross-checked) proven equal to a plain filtered aggregate.")
 
   val all: Seq[GQuery] = Seq(qLifecycle)
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property panel for the equi-depth Z-order's degradation claim
+  * (Layout.writeZOrderedEquiDepth scaladoc): "where mass genuinely
+  * concentrates on one value, adjacent quantiles coincide and are
+  * deduplicated — equi-depth degrades to the true mass distribution,
+  * never below equal-width." Round-12 proved the UPSIDE (sparse
+  * clustered domains where equal-width collapses, LayoutSpec +
+  * SCALE zdepthab); this pins the DOWNSIDE bound: across generated mass
+  * concentrations — uniform, clustered-sparse, point-mass-heavy,
+  * zipf-skewed, few-distinct-values — a panel of quantile-derived range
+  * probes must never scan materially more rows on the equi-depth layout
+  * than on the equal-width one. Boundary duplicates are the mechanism
+  * under test: a value owning k quantile boundaries absorbs k bucket
+  * ids, which SKEWS the rank space but never reorders it, so per-file
+  * boxes stay contiguous and skipping can only degrade toward (not
+  * below) what equal-width already achieves.
+  */
+class ZOrderDepthPropertySpec extends SparkSpec {
+
+  private val N = 20000
+
+  /** (name, rows) — each scenario a different mass concentration, all
+    * from one seeded RNG so the panel is deterministic. */
+  private def scenarios: Seq[(String, Seq[(Long, Long, Long)])] = {
+    val rnd = new scala.util.Random(1013)
+    def uniform = Seq.fill(N)(
+      (rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong, rnd.nextInt(100).toLong))
+    def clusteredSparse = Seq.fill(N) {
+      val c = rnd.nextInt(8)
+      (c * 130000000L + rnd.nextInt(5000),
+        c * 120000000L + rnd.nextInt(5000), rnd.nextInt(100).toLong)
+    }
+    def pointMass = Seq.fill(N) {
+      if (rnd.nextDouble() < 0.7) (42000L, 77000L, rnd.nextInt(100).toLong)
+      else (rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong, rnd.nextInt(100).toLong)
+    }
+    def zipfSkew = Seq.fill(N) {
+      // rank^(-1.2)-style head: a handful of x values own most rows
+      val r = 1 + rnd.nextInt(1000)
+      val x = (1000000.0 / math.pow(r, 1.2)).toLong
+      (x, rnd.nextInt(100000).toLong, rnd.nextInt(100).toLong)
+    }
+    def fewDistinct = Seq.fill(N) {
+      val u = rnd.nextDouble()
+      val x = if (u < 0.8) 10L else if (u < 0.95) 500000L else 999999999L
+      (x, rnd.nextInt(100000).toLong, rnd.nextInt(100).toLong)
+    }
+    Seq("uniform" -> uniform, "clustered_sparse" -> clusteredSparse,
+      "point_mass" -> pointMass, "zipf_skew" -> zipfSkew,
+      "few_distinct" -> fewDistinct)
+  }
+
+  /** Rows the parquet reader materialized (scan numOutputRows after
+    * row-group skipping) — same receipt as LayoutSpec. */
+  private def rowsScanned(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    val n = scans.map(_.metrics("numOutputRows").value).sum
+    assert(n > 0, "scan metric read zero — vacuous")
+    n
+  }
+
+  test("equi-depth scan cost never degrades materially below equal-width (5 mass shapes)") {
+    val s2 = spark
+    import s2.implicits._
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try scenarios.foreach { case (name, rows) =>
+      val df = rows.toDF("x", "y", "v")
+      val ewDir = java.nio.file.Files.createTempDirectory(s"zdp-ew-$name").toString
+      val edDir = java.nio.file.Files.createTempDirectory(s"zdp-ed-$name").toString
+      Layout.writeZOrdered(df, "x", "y", ewDir, numFiles = 16)
+      Layout.writeZOrderedEquiDepth(df, Seq("x", "y"), edDir,
+        numFiles = 16, buckets = 256)
+      assert(spark.read.parquet(edDir).count() === N.toLong, s"$name: rows dropped")
+
+      // probes at the scenario's OWN quantiles: a head slice, a mid
+      // slice, a tail slice on x, and one 2-d box — mass-aware, so the
+      // point-mass/zipf scenarios probe both inside and outside the
+      // concentration
+      val xs = rows.map(_._1).sorted
+      val ys = rows.map(_._2).sorted
+      def q(sorted: Seq[Long], p: Double) = sorted(((sorted.size - 1) * p).toInt)
+      val probes = Seq(
+        s"x >= ${q(xs, 0.0)} AND x <= ${q(xs, 0.2)}",
+        s"x >= ${q(xs, 0.45)} AND x <= ${q(xs, 0.55)}",
+        s"x >= ${q(xs, 0.85)} AND x <= ${q(xs, 1.0)}",
+        s"x >= ${q(xs, 0.3)} AND x <= ${q(xs, 0.6)} AND " +
+          s"y >= ${q(ys, 0.3)} AND y <= ${q(ys, 0.6)}")
+      probes.foreach { pred =>
+        def probe(dir: String): (Long, Long) = {
+          val qdf = spark.read.parquet(dir).filter(expr(pred))
+            .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+          val r = qdf.head(); val scanned = rowsScanned(qdf)
+          assert(!r.isNullAt(1), s"$name probe matched no rows: $pred")
+          (scanned, r.getLong(0))
+        }
+        val (ewRows, ewN) = probe(ewDir)
+        val (edRows, edN) = probe(edDir)
+        assert(ewN === edN, s"$name: layouts disagree on $pred")
+        info(f"$name%-16s ${pred.take(44)}%-46s scan ed=$edRows ew=$ewRows")
+        // THE property: equi-depth may tie or win, never lose by more
+        // than file-boundary rounding (25% + 2% absolute slack)
+        assert(edRows <= ewRows * 1.25 + N / 50,
+          s"$name: equi-depth degraded below equal-width on $pred: " +
+            s"ed=$edRows ew=$ewRows")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
