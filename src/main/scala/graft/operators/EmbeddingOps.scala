@@ -366,6 +366,90 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 3"""),
     "Multi-probe IVF ANN: nprobe=2 cells per query, the recall/cost knob beside e_knn_ivf.")
 
+  // IVF+PQ ANN top-3 (round 13) — the composition the two index halves
+  // exist for, and the architecture production ANN systems actually
+  // deploy at 100 TB (FAISS IVFPQ): the IVF coarse quantizer restricts
+  // each query to its nprobe=2 nearest cells (candidate volume = 1/8th
+  // of the corpus), and WITHIN those cells ranking runs entirely on
+  // 32-bit PQ codes via integer-exact ADC — so the scan is
+  // simultaneously compute-bound-cheap (few candidates) and
+  // memory-bound-cheap (4 bytes per candidate instead of 512). Both
+  // model sides are the exact artifacts of the standalone queries:
+  // e_knn_ivf's cosine centroids (vec 10..25) and e_knn_pq's 8x16
+  // subspace codebook (same rows), so this query also pins that the two
+  // indexes compose without re-deriving anything. Plan shape: centroid
+  // + codebook broadcast, ONE corpus scan assigns and encodes, the
+  // candidate join is cell-equi (never all-pairs), ranking sorts
+  // integer ADC with vec_id tiebreak — no stage grows faster than the
+  // probed cells' row count.
+  private val eKnnIvfPq = GQuery(
+    "e_knn_ivfpq",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val cbRows = base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
+        .select(col("ed")).collect().map(_.getSeq[Double](0).toArray)
+      if (cbRows.length < 16) {
+        base.limit(0).selectExpr("vec_id AS qid", "vec_id",
+          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
+      } else {
+        val cb: Seq[Seq[Seq[Double]]] =
+          Seq.tabulate(8)(j => Seq.tabulate(16)(c => cbRows(c).slice(8 * j, 8 * j + 8).toSeq))
+        val cents = base.filter(col("vec_id").between(10, 25))
+          .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+        val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+        val ranked = base.join(broadcast(cents))
+          .withColumn("c_cos",
+            round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
+          .withColumn("arn", row_number().over(assignW))
+        val assigned = ranked.filter(col("arn") === 1)
+          .select(col("vec_id"), col("cid").as("cell"),
+            GraftFunctions.pqCodes(col("ed"), cb).as("codes"))
+        val q = ranked.filter(col("vec_id") < 10 && col("arn") <= 2)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cid").as("cell"))
+        assigned.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("ad", GraftFunctions.pqAdcScaled(col("qe"), col("codes"), cb))
+          .withColumn("approx_d2", expr("round(cast(ad AS double) / 1000000.0, 6)"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ad"), col("vec_id"))))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id"), col("approx_d2"), col("rnk"))
+      }
+    },
+    Some(s"""$duckPrep,
+c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 10 AND 25),
+r AS (
+  SELECT n.vec_id, n.ed, n.nrm, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           round(list_aggregate(list_transform(range(64), i -> c.ce[i + 1] * n.ed[i + 1]), 'sum') / (c.cn * n.nrm), 6) DESC, c.cid) AS arn
+  FROM n, c),
+asg AS (SELECT vec_id, cid AS cell FROM r WHERE arn = 1),
+qp AS (SELECT vec_id AS qid, ed AS qe, cid AS cell FROM r WHERE vec_id < 10 AND arn <= 2),
+cb AS (SELECT cc.vec_id - 10 AS c, j, cc.ed[8*j+1:8*j+8] AS cv
+       FROM n cc, range(8) t(j) WHERE cc.vec_id BETWEEN 10 AND 25),
+sub AS (SELECT vec_id, j, ed[8*j+1:8*j+8] AS sv FROM n, range(8) t(j)),
+dist AS (SELECT s.vec_id, s.j, cb.c,
+           list_aggregate(list_transform(range(8),
+             i -> (s.sv[i+1] - cb.cv[i+1]) * (s.sv[i+1] - cb.cv[i+1])), 'sum') AS d
+         FROM sub s JOIN cb ON s.j = cb.j),
+code AS (SELECT vec_id, j, c FROM (
+           SELECT vec_id, j, c,
+                  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+           FROM dist) WHERE rn = 1),
+qd AS (SELECT q.qid, a.vec_id,
+         CAST(round(list_aggregate(list_transform(range(8),
+             i -> (q.qe[8*co.j+i+1] - cb.cv[i+1]) * (q.qe[8*co.j+i+1] - cb.cv[i+1])), 'sum')
+           * 1000000.0 + 1e-9) AS BIGINT) AS ds
+       FROM qp q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid
+       JOIN code co ON co.vec_id = a.vec_id
+       JOIN cb ON cb.j = co.j AND cb.c = co.c),
+adc AS (SELECT qid, vec_id, CAST(sum(ds) AS BIGINT) AS ad FROM qd GROUP BY 1, 2)
+SELECT qid, vec_id, round(ad / 1000000.0, 6) AS approx_d2, rnk
+FROM (SELECT qid, vec_id, ad,
+             row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
+      FROM adc) WHERE rnk <= 3"""),
+    "IVF+PQ ANN top-3: nprobe=2 cell probe, integer-exact ADC on 32-bit codes within cells.")
+
   // Int8-quantized ANN top-3: per-vector symmetric scalar quantization
   // (scale = max|x|/127, q = round(x/scale)) then integer dot products.
   // The quantization stage is ONE implementation (quantized() + duckQuant)
@@ -951,7 +1035,7 @@ GROUP BY 1"""),
     "Pair-count ladder over candidate dedup thresholds (0.400..0.875, permille rungs).")
 
   val all: Seq[GQuery] =
-    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnQuant, eKnnRerank,
+    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnIvfPq, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)

@@ -24,15 +24,35 @@ object StatefulProcessors {
   private[streaming] def evUs(e: Ev): Long =
     e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
 
+  /** TTL plumbing (round-13 audit). Spark's state TTL is PROCESSING-time
+    * based and only legal in `TimeMode.ProcessingTime`, so TTL here is
+    * strictly opt-in: `ttl = None` (every registered pipeline) keeps
+    * `TimeMode.None` and bit-identical semantics; `ttl = Some(d)` flips
+    * the wiring to ProcessingTime and attaches `TTLConfig(d)` to the
+    * state handles. TTL is offered ONLY on processors where evicting a
+    * silent key loses no owed emission — detector/CEP state whose pending
+    * value can never fire again once real time has moved `d` past the
+    * pattern horizon (pick `d` >> gap/threshold + max event-time skew).
+    * Processors whose expiry must EMIT (x6/x7/x8/x10 finalize-on-evidence
+    * runs, the timer sessionizer, the nearest join) or whose state IS the
+    * product (top-k, drift sums, quotas, packer fills, space-saving
+    * counters — all hard-bounded) do not take the knob; the full
+    * per-processor table lives in PLANS.md ("State-lifetime audit"). */
+  private def ttlOr(ttl: Option[java.time.Duration]): TTLConfig =
+    ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+  private[streaming] def ttlMode(ttl: Option[java.time.Duration]): TimeMode =
+    if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+
   /** X1: remember last watched-event timestamp per user; alert when two
     * arrive within the threshold. */
-  final class DoubleEventProcessor(watch: String, thresholdUs: Long)
+  final class DoubleEventProcessor(watch: String, thresholdUs: Long,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, Ev, Alert] {
 
     @transient private var lastTs: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      lastTs = getHandle.getValueState[Long]("lastTs", Encoders.scalaLong, TTLConfig.NONE)
+      lastTs = getHandle.getValueState[Long]("lastTs", Encoders.scalaLong, ttlOr(ttl))
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[Alert] = {
@@ -54,14 +74,15 @@ object StatefulProcessors {
   }
 
   /** X2: two-slot sessionizer; `clearOn` wipes the slot (Logout rule). */
-  final class SessionizeProcessor(clearOn: String)
+  final class SessionizeProcessor(clearOn: String,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, Ev, ActionDuration] {
 
     @transient private var slot: ValueState[(String, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       slot = getHandle.getValueState[(String, Long)](
-        "slot", Encoders.tuple(Encoders.STRING, Encoders.scalaLong), TTLConfig.NONE)
+        "slot", Encoders.tuple(Encoders.STRING, Encoders.scalaLong), ttlOr(ttl))
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[ActionDuration] = {
@@ -177,7 +198,8 @@ object StatefulProcessors {
     * flags the conversion in-flight). One (Int, Long) slot per user —
     * state is O(1) per key regardless of event volume.
     */
-  final class FunnelProcessor(steps: IndexedSeq[String])
+  final class FunnelProcessor(steps: IndexedSeq[String],
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, Ev, FunnelAdvance] {
 
     // (steps completed, micros of the latest advance)
@@ -185,7 +207,7 @@ object StatefulProcessors {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       stage = getHandle.getValueState[(Int, Long)]("stage",
-        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong), TTLConfig.NONE)
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong), ttlOr(ttl))
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[FunnelAdvance] = {
@@ -208,27 +230,42 @@ object StatefulProcessors {
   private implicit val longEnc = Encoders.scalaLong
   private implicit val ssEnc = Encoders.product[SessionSummary]
 
+  /** `ttl`: optional processing-time state TTL (see the object-level TTL
+    * note). For X1 a TTL >> threshold + max event-time skew is
+    * emission-preserving for on-time data — an alert needs two events
+    * within `thresholdUs`, so a slot silent in real time for much longer
+    * can only have fired for an extreme late replay. */
   def doubleEventAlerts(events: Dataset[Ev], watch: String = "error",
-      thresholdUs: Long = 10000000L): Dataset[Alert] =
+      thresholdUs: Long = 10000000L,
+      ttl: Option[java.time.Duration] = None): Dataset[Alert] =
     events.groupByKey(_.user_id)
-      .transformWithState(new DoubleEventProcessor(watch, thresholdUs),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new DoubleEventProcessor(watch, thresholdUs, ttl),
+        ttlMode(ttl), OutputMode.Append())
 
-  def sessionizeActions(events: Dataset[Ev], clearOn: String = "error"): Dataset[ActionDuration] =
+  /** `ttl` here is a SESSION-ABANDONMENT timeout and deliberately
+    * visible: a user returning after `ttl` of real-time silence starts a
+    * fresh slot (emits the "None" row) instead of closing the abandoned
+    * one — the eviction analog of the `clearOn` Logout rule. */
+  def sessionizeActions(events: Dataset[Ev], clearOn: String = "error",
+      ttl: Option[java.time.Duration] = None): Dataset[ActionDuration] =
     events.groupByKey(_.user_id)
-      .transformWithState(new SessionizeProcessor(clearOn),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new SessionizeProcessor(clearOn, ttl),
+        ttlMode(ttl), OutputMode.Append())
 
   /** Timer-closed sessions; the watermark on `ts` (TimeMode.EventTime)
     * drives timer expiry, so a session closes once event time provably
     * moved past its gap — no further input needed for that key. */
   private implicit val faEnc = Encoders.product[FunnelAdvance]
 
+  /** `ttl`: a funnel-expiry window — a user silent for `ttl` restarts
+    * from step 1 (deliberately visible, the standard "conversion window"
+    * semantics of product funnels). */
   def funnelAdvances(events: Dataset[Ev],
-      steps: IndexedSeq[String] = IndexedSeq("signup", "view", "click", "purchase")): Dataset[FunnelAdvance] =
+      steps: IndexedSeq[String] = IndexedSeq("signup", "view", "click", "purchase"),
+      ttl: Option[java.time.Duration] = None): Dataset[FunnelAdvance] =
     events.groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor(steps),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FunnelProcessor(steps, ttl),
+        ttlMode(ttl), OutputMode.Append())
 
   def sessionSummaries(events: Dataset[Ev], gapMs: Long = 5000L,
       delay: String = "10 seconds"): Dataset[SessionSummary] =
@@ -792,7 +829,8 @@ object StatefulProcessors {
     * contract (a late `second` can no longer join an already-pruned
     * partial — matching what the ts-ordered batch analog computes for
     * on-time data). */
-  final class CepProcessor(first: String, second: String, third: String, gapUs: Long)
+  final class CepProcessor(first: String, second: String, third: String, gapUs: Long,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, Ev, CepMatch] {
 
     @transient private var partials: org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
@@ -800,7 +838,7 @@ object StatefulProcessors {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       partials = getHandle.getListState[(Long, Long, Long)]("partials",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
+        ttlOr(ttl))
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[CepMatch] = {
@@ -841,12 +879,17 @@ object StatefulProcessors {
   private implicit val cepEnc = Encoders.product[CepMatch]
 
   /** X3 wiring: CEP sequence matching over the typed event stream. */
+  /** `ttl`: evicts partials of keys silent for `ttl` of real time.
+    * Emission-preserving for on-time data when `ttl` >> 2×gap + skew:
+    * a partial that old can only complete off an extreme late replay
+    * (x3 partials never emit on expiry — they just die). */
   def cepSequence(events: Dataset[Ev], first: String = "signup",
       second: String = "click", third: String = "purchase",
-      gapUs: Long = 21600000000L): Dataset[CepMatch] =
+      gapUs: Long = 21600000000L,
+      ttl: Option[java.time.Duration] = None): Dataset[CepMatch] =
     events.groupByKey(_.user_id)
-      .transformWithState(new CepProcessor(first, second, third, gapUs),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CepProcessor(first, second, third, gapUs, ttl),
+        ttlMode(ttl), OutputMode.Append())
 
   /** X4 output: a `first` event matched to its earliest `last` with no
     * intervening `neg` event (event-time microseconds). */
@@ -864,7 +907,8 @@ object StatefulProcessors {
     * (every later `last` is blocked by the same `neg` a fortiori), and
     * anchors past their gap horizon prune on every event, so state per
     * key is in-flight anchors within one gap, never event history. */
-  final class CepNegationProcessor(first: String, neg: String, last: String, gapUs: Long)
+  final class CepNegationProcessor(first: String, neg: String, last: String, gapUs: Long,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, Ev, CepNegMatch] {
 
     @transient private var partials: org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
@@ -872,7 +916,7 @@ object StatefulProcessors {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       partials = getHandle.getListState[(Long, Long, Long)]("neg_partials",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
+        ttlOr(ttl))
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[CepNegMatch] = {
@@ -912,10 +956,11 @@ object StatefulProcessors {
   /** X4 wiring: negated CEP over the typed event stream. */
   def cepNegation(events: Dataset[Ev], first: String = "signup",
       neg: String = "error", last: String = "purchase",
-      gapUs: Long = 21600000000L): Dataset[CepNegMatch] =
+      gapUs: Long = 21600000000L,
+      ttl: Option[java.time.Duration] = None): Dataset[CepNegMatch] =
     events.groupByKey(_.user_id)
-      .transformWithState(new CepNegationProcessor(first, neg, last, gapUs),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CepNegationProcessor(first, neg, last, gapUs, ttl),
+        ttlMode(ttl), OutputMode.Append())
 
   /** X5 output: a completed times(3) run of `typ` events per key. */
   final case class CepTimesMatch(
@@ -929,7 +974,8 @@ object StatefulProcessors {
     * triple (each anchor emits at most once, with its IMMEDIATE two
     * successors), so the whole state is the last two `typ` events per
     * key: O(1) state, no horizon bookkeeping needed. */
-  final class CepTimesProcessor(typ: String, gapUs: Long)
+  final class CepTimesProcessor(typ: String, gapUs: Long,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, Ev, CepTimesMatch] {
 
     @transient private var lastTwo: ValueState[(Long, Long, Long, Long)] = _
@@ -938,7 +984,7 @@ object StatefulProcessors {
       lastTwo = getHandle.getValueState[(Long, Long, Long, Long)]("last_two",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
           Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
+        ttlOr(ttl))
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[CepTimesMatch] = {
@@ -962,10 +1008,11 @@ object StatefulProcessors {
 
   /** X5 wiring: times(3) quantifier over the typed event stream. */
   def cepTimes(events: Dataset[Ev], typ: String = "click",
-      gapUs: Long = 21600000000L): Dataset[CepTimesMatch] =
+      gapUs: Long = 21600000000L,
+      ttl: Option[java.time.Duration] = None): Dataset[CepTimesMatch] =
     events.groupByKey(_.user_id)
-      .transformWithState(new CepTimesProcessor(typ, gapUs),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CepTimesProcessor(typ, gapUs, ttl),
+        ttlMode(ttl), OutputMode.Append())
 
   /** X6/X7 output: a finalized quantifier match — anchor, match size,
     * and last member. */
@@ -1140,7 +1187,8 @@ object StatefulProcessors {
     * share clicks and the same end event) but each anchor emits at most
     * once — the skipToNext contract, vs x7's noSkip (no end condition)
     * and x8's skipPast (disjoint segments). */
-  final class CepSkipToNextProcessor(typ: String, end: String, gapUs: Long)
+  final class CepSkipToNextProcessor(typ: String, end: String, gapUs: Long,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, Ev, CepNextMatch] {
 
     @transient private var pending: org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
@@ -1149,10 +1197,14 @@ object StatefulProcessors {
     private val anchorEnc = Encoders.tuple(Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaLong)
 
+    // TTL evicts the whole key's state (anchors AND the crn counter)
+    // together, so post-eviction n_times stays consistent: counts are
+    // crn DIFFERENCES and both sides reset at once. An expired anchor's
+    // loss is silent by x9 semantics (horizon-passed anchors never emit).
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState[(Long, Long, Long)]("next_pending",
-        anchorEnc, TTLConfig.NONE)
-      clicks = getHandle.getValueState[Long]("next_crn", longEnc, TTLConfig.NONE)
+        anchorEnc, ttlOr(ttl))
+      clicks = getHandle.getValueState[Long]("next_crn", longEnc, ttlOr(ttl))
     }
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
@@ -1187,10 +1239,11 @@ object StatefulProcessors {
 
   /** X9 wiring: skipToNext first-match-per-anchor over the typed stream. */
   def cepSkipToNext(events: Dataset[Ev], typ: String = "click",
-      end: String = "purchase", gapUs: Long = 21600000000L): Dataset[CepNextMatch] =
+      end: String = "purchase", gapUs: Long = 21600000000L,
+      ttl: Option[java.time.Duration] = None): Dataset[CepNextMatch] =
     events.groupByKey(_.user_id)
-      .transformWithState(new CepSkipToNextProcessor(typ, end, gapUs),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CepSkipToNextProcessor(typ, end, gapUs, ttl),
+        ttlMode(ttl), OutputMode.Append())
 
   /** X10 streaming dual (Flink-CEP AfterMatchSkipStrategy `skipToLast`
     * over oneOrMore, completing the enum beside x7/x8/x9): greedy runs
