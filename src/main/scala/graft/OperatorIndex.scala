@@ -65,6 +65,8 @@ object OperatorIndex {
     "StatefulProcessors.cepSkipPast" -> "x8_cep_skip_past",
     "StatefulProcessors.cepSkipToNext" -> "x9_cep_skip_to_next",
     "StatefulProcessors.cepSkipToLast" -> "x10_cep_skip_to_last",
+    "StatefulProcessors.cdcSnapshot" -> "q_cdc_apply",
+    "StatefulProcessors.lastTouchCredits" -> "a21_last_touch",
     "StatefulOps.doubleEventAlerts" -> "x1_double_event_alert",
     "StatefulOps.sessionizeActions" -> "x2_sessionize")
 

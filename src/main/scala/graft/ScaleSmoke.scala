@@ -52,7 +52,12 @@ object ScaleSmoke {
     // -> manifest -> append -> reconcile -> compact -> pruned scan) —
     // write-dominated, so its ratio prices the one intentionally linear
     // stage (the clustering write) plus the fixed maintenance overhead
-    "q_layout_lifecycle")
+    "q_layout_lifecycle",
+    // round-13 additions: the IVF+PQ composition (cell-equi candidate
+    // join + integer ADC — the production ANN scan shape), the CDC
+    // snapshot fold (single keyed agg, no window sort), and last-touch
+    // attribution (per-user sequence window, the per-key-sort family)
+    "e_knn_ivfpq", "q_cdc_apply", "a21_last_touch")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

@@ -51,7 +51,9 @@ object SinkSoak {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(root), true)
 
-    val sink = new ManifestedParquetSink(dataDir, manifestDir, Seq("k"))
+    // two manifest key columns: recluster's equi-depth Z-order needs a
+    // 2..4-column interleave
+    val sink = new ManifestedParquetSink(dataDir, manifestDir, Seq("k", "v"))
 
     def num(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     def fileCount(): Int =

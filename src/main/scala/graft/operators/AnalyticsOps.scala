@@ -572,8 +572,101 @@ FROM s
 WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0"""),
     "Lag-1..7 autocorrelation of daily event counts from shared integer Pearson sums.")
 
+  // CUSUM changepoint estimation per event type (round 13) — the classic
+  // offline CUSUM chart beside a15's two-frame level shift: center each
+  // daily count on the series mean, cumulate, and the day of maximum
+  // |cumulative deviation| is the changepoint estimate (where the series'
+  // level most decisively switched). Entirely INTEGER math: the centered
+  // cumsum S_r = cum_r − r·mean is rescaled by the day count D to
+  // S_r·D = cum_r·D − r·T (T = total events) — an exact bigint both
+  // engines compute bit-identically, so there is no float anywhere, no
+  // rounding discipline needed, and the argmax (tie → earliest day)
+  // cannot flip. Scale shape: the (type, day) partial agg shrinks the
+  // stream to ~types×days rows before any window; both windows run
+  // per-type over that tiny frame.
+  private val a20Cusum = GQuery(
+    "a20_cusum_changepoint",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val tot = Window.partitionBy("event_type")
+      daily
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cum",
+          sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t", sum(col("cnt")).over(tot))
+        .withColumn("dcnt", count(lit(1)).over(tot))
+        .withColumn("s_scaled", col("cum") * col("dcnt") - col("rn") * col("t"))
+        .select(col("event_type"), col("d").as("day"), col("cnt"), col("s_scaled"),
+          (row_number().over(Window.partitionBy("event_type")
+            .orderBy(abs(col("s_scaled")).desc, col("d"))) === 1).as("is_changepoint"))
+    },
+    Some("""WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, d, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+         count(*) OVER (PARTITION BY event_type) AS dcnt
+  FROM daily
+),
+s AS (SELECT event_type, d, cnt, cum * dcnt - rn * t AS s_scaled FROM w)
+SELECT event_type, d AS day, cnt, s_scaled,
+       (row_number() OVER (PARTITION BY event_type ORDER BY abs(s_scaled) DESC, d) = 1) AS is_changepoint
+FROM s"""),
+    "Integer-exact CUSUM changepoint per event type: argmax of the rescaled centered cumsum.")
+
+  // Last-touch attribution (round 13) — the marketing-analytics standard:
+  // each purchase credits the user's latest STRICTLY-EARLIER non-purchase
+  // event (the touchpoint that "closed" it); purchases with no prior
+  // touchpoint credit 'none'. The per-user sequence scan is one
+  // last(ignoreNulls) window over (ts, event_id)-ordered events with a
+  // 1-PRECEDING frame cap — consecutive purchases therefore credit the
+  // same touchpoint, and a purchase never credits itself or a later
+  // event. Output is the credit report: purchases + attributed revenue
+  // per touchpoint type. Determinism: the (ts, event_id) tiebreak pins
+  // same-timestamp order; attributed value is a double sum whose
+  // association order differs between engines (error ~1e-8 at this
+  // magnitude), rounded at 4 decimals with the standing +1e-9 nudge.
+  // Scale shape: one user-keyed window sort (the standard per-user
+  // sequence shuffle), then a tiny partial agg to #types rows.
+  private val a21LastTouch = GQuery(
+    "a21_last_touch",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          expr("unix_micros(ts)").as("tsu"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touchpoint"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")) + lit(1e-9), 4).as("attributed_value"))
+    },
+    Some("""WITH o AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events)
+SELECT coalesce(touch, 'none') AS touchpoint,
+       count(*) AS n_purchases,
+       round(sum(value) + 1e-9, 4) AS attributed_value
+FROM o WHERE event_type = 'purchase' GROUP BY 1"""),
+    "Last-touch attribution: purchases credit the latest prior non-purchase event type.")
+
   val all: Seq[GQuery] =
     Seq(a8Retention, a9Funnel, a10Zscore, qMode, a11Peak, a12Ewma,
       a13Transition, a14RollingDau, a15LevelShift, a16InterEventGap,
-      a17MadOutliers, a18Seasonal, a19Autocorr)
+      a17MadOutliers, a18Seasonal, a19Autocorr, a20Cusum, a21LastTouch)
 }

@@ -1054,10 +1054,98 @@ SELECT z >> 18 AS z_bucket, count(*) AS n,
 FROM z GROUP BY 1"""),
     "Morton/Z-order clustering key (16+16 bit interleave) with per-bucket occupancy boxes.")
 
+  // CDC changelog application (round 13) — the lakehouse MERGE shape
+  // beside q_upsert_latest (which keeps latest per key) and
+  // q_scd2_intervals (which keeps history): the event stream read as a
+  // change log per user — every non-error event an UPSERT carrying
+  // `value`, every `error` a DELETE tombstone — applied in strict
+  // (ts, event_id) order to produce the final snapshot. A key whose LAST
+  // op is a delete is ABSENT from the snapshot (the semantics neither
+  // upsert query has); survivors carry their last value plus the op
+  // ledger (total ops, deletes absorbed). Plan: one scan, one partial+
+  // final hash agg — the last op per key is a max over (ts, event_id,
+  // ...) structs, so there is no window sort and no shuffle beyond the
+  // one keyed agg; at 100 TB this is the single-pass snapshot
+  // materializer (the window-rank formulation the oracle uses would
+  // sort every key group).
+  private val qCdcApply = GQuery(
+    "q_cdc_apply",
+    (s, dir) => {
+      val e = t("events")(s, dir)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      e.groupBy(col("user_id"))
+        .agg(
+          max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("last"),
+          count(lit(1)).as("n_ops"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+        .filter(col("last.op") =!= "D")
+        .select(col("user_id"), col("last.ts").as("last_ts"),
+          col("last.value").as("last_value"), col("n_ops"), col("n_deletes"))
+    },
+    Some("""WITH c AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events),
+l AS (
+  SELECT user_id, ts, value, op,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+  FROM c)
+SELECT user_id, ts AS last_ts, value AS last_value, n_ops, n_deletes
+FROM l WHERE rn = 1 AND op <> 'D'"""),
+    "CDC apply: changelog with DELETE tombstones folded to the final snapshot in one keyed agg.")
+
+  // Incremental materialized-view maintenance (round 13): the algebra
+  // every warehouse MV refresher rests on — sum/count partials computed
+  // on the BASE slice (orders older than 30 days before max date) and on
+  // the DELTA slice separately, then MERGED (sum of sums, sum of counts,
+  // avg derived from the merged pair), must equal the oracle's direct
+  // full-table aggregate. The Spark plan IS the incremental path: two
+  // filtered partial aggregations unioned and re-aggregated — at 100 TB
+  // the base partial is the stored MV (never recomputed) and only the
+  // delta slice is scanned per refresh; this query pins that the merge
+  // step is value-exact, which is the whole correctness obligation of
+  // that architecture. Float discipline: the merged double sum
+  // re-associates vs the oracle's single fold (error ~1e-6 at this
+  // magnitude), but the TRUE total is a sum of 2-decimal prices — an
+  // exact 0.01-grid point — so rounding to 2 decimals puts both engines
+  // a half-grid (5e-3) away from any boundary: association noise cannot
+  // flip it. The derived avg rounds at 4 decimals with the standing
+  // +1e-9 nudge (error on the mean is error/count, ~1e-9 — far inside
+  // the 1e-4 grid).
+  private val qMvMerge = GQuery(
+    "q_mv_merge",
+    (s, dir) => {
+      val o = t("orders")(s, dir)
+      val cut = o.agg(expr("timestampadd(DAY, -30, max(o_orderdate))").as("cut"))
+      val w = o.crossJoin(broadcast(cut))
+      def part(slice: DataFrame): DataFrame =
+        slice.groupBy(col("o_orderpriority"))
+          .agg(sum(col("o_totalprice")).as("s"), count(lit(1)).as("c"))
+      val base = part(w.filter(col("o_orderdate") < col("cut")))
+      val delta = part(w.filter(col("o_orderdate") >= col("cut")))
+      base.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("s")).as("ms"), sum(col("c")).as("n_orders"))
+        .select(col("o_orderpriority"),
+          round(col("ms") + lit(1e-9), 2).as("total_price"),
+          col("n_orders"),
+          round(col("ms") / col("n_orders") + lit(1e-9), 4).as("avg_price"))
+    },
+    Some("""SELECT o_orderpriority,
+       round(sum(o_totalprice) + 1e-9, 2) AS total_price,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) / count(*) + 1e-9, 4) AS avg_price
+FROM orders GROUP BY 1"""),
+    "Incremental MV merge: base+delta partial aggregates merged, value-exact vs direct recompute.")
+
   val all: Seq[GQuery] =
     Seq(q1, q3, q5, q6, q8, q10, q14, qBroadcast, qTopk, qRollup, qSemi, qAnti,
       qCube, qGroupingSets, qCountDistinct, qHll, qHllSketch, qCorrelated,
       qStatsAgg, qPercentiles, qQuantileHist, qOuter, qPivot, qWindowSuite,
       qWindowFrames, qUnpivot, qSaltedJoin, qFullOuter, qParetoFrontier,
-      qPagerank, qScd2, qUpsert, qZorder)
+      qPagerank, qScd2, qUpsert, qZorder, qCdcApply, qMvMerge)
 }

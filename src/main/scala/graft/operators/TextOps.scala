@@ -2021,7 +2021,63 @@ FROM d${(1 to bpeRounds).map(k => s", b$k").mkString}"""
     },
     "BPE token accounting: apply the induced merges to every document as a zero-shuffle map; count surviving symbols.")
 
+  // Code-likeness routing (round 13) — the pretraining-mix filter that
+  // decides prose-pipeline vs code-pipeline per document (code wants
+  // different dedup shingles, different quality rules, different
+  // tokenizer). Signals are the standard cheap ones — brace/semicolon/
+  // assignment density and indented-line ratio — all computed as EXACT
+  // integer counts (length-difference trick for character counts,
+  // regexp-free line classification), combined into one integer-scaled
+  // score so both engines agree bit-for-bit; the verdict threshold is a
+  // plain integer compare. On the synthetic prose fixture every doc
+  // scores low (is_code = false everywhere) — the hash still pins all
+  // counts and the score arithmetic, and CodeDetectSpec feeds crafted
+  // code/prose documents to pin both sides of the threshold. Scale
+  // shape: pure per-row map over the corpus scan, no shuffle at all.
+  private val tCodeDetect = GQuery(
+    "t_code_detect",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("braces",
+          expr("length(text) - length(replace(replace(text, '{', ''), '}', ''))"))
+        .withColumn("semis", expr("length(text) - length(replace(text, ';', ''))"))
+        .withColumn("eqs", expr("length(text) - length(replace(text, '=', ''))"))
+        .withColumn("lines", expr("split(text, '\n')"))
+        .withColumn("n_lines", expr("size(lines)"))
+        .withColumn("indented",
+          expr("size(filter(lines, l -> startswith(l, '    ') OR startswith(l, '\t')))"))
+        // integer-scaled density: signal chars per 1000 chars + indented
+        // lines per 10 lines, all exact bigint arithmetic
+        .withColumn("code_score",
+          expr("cast((braces + semis + eqs) * 1000 div greatest(n_chars, 1) " +
+            "+ indented * 10 div greatest(n_lines, 1) AS bigint)"))
+        .selectExpr("doc_id", "cast(braces AS bigint) AS braces",
+          "cast(semis AS bigint) AS semis", "cast(eqs AS bigint) AS eqs",
+          "cast(indented AS bigint) AS indented_lines", "code_score",
+          "code_score >= 15 AS is_code"),
+    Some("""WITH t AS (
+  SELECT doc_id, n_chars, text,
+         length(text) - length(replace(replace(text, '{', ''), '}', '')) AS braces,
+         length(text) - length(replace(text, ';', '')) AS semis,
+         length(text) - length(replace(text, '=', '')) AS eqs,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+c AS (
+  SELECT doc_id, braces, semis, eqs,
+         len(list_filter(lines, l -> starts_with(l, '    ') OR starts_with(l, chr(9)))) AS indented,
+         len(lines) AS n_lines, n_chars
+  FROM t)
+SELECT doc_id, CAST(braces AS BIGINT) AS braces, CAST(semis AS BIGINT) AS semis,
+       CAST(eqs AS BIGINT) AS eqs, CAST(indented AS BIGINT) AS indented_lines,
+       CAST((braces + semis + eqs) * 1000 // greatest(n_chars, 1)
+            + indented * 10 // greatest(n_lines, 1) AS BIGINT) AS code_score,
+       ((braces + semis + eqs) * 1000 // greatest(n_chars, 1)
+            + indented * 10 // greatest(n_lines, 1)) >= 15 AS is_code
+FROM c"""),
+    "Code-likeness routing: integer-exact brace/semicolon/assignment/indent densities + threshold.")
+
   val all: Seq[GQuery] = Seq(
+    tCodeDetect,
     tBpeMerges, tBpeTokenize,
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     dNgramNovelty,

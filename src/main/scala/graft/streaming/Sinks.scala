@@ -406,7 +406,10 @@ final class TaggedSideOutput(delayUs: Long, root: String) extends Serializable {
   * that bricks the next restart.
   */
 final class ManifestedParquetSink(dataDir: String, manifestDir: String,
-    keyCols: Seq[String]) {
+    keyCols: Seq[String],
+    autoReclusterAt: Option[Int] = None,
+    reclusterFiles: Int = 32,
+    reclusterBuckets: Int = 4096) {
   import org.apache.hadoop.fs.Path
   import graft.operators.Layout
 
@@ -439,6 +442,27 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
       FsIo.writeStringAtomic(marker.toString, parts.length.toString)
     }
     refreshManifest(spark)
+    // SELF-MAINTAINING layout (opt-in): once the table accumulates
+    // `autoReclusterAt` files of batch-arrival debris, re-cluster it
+    // inline — between micro-batches is exactly where the single-writer
+    // contract makes the swap safe (the stream is THIS thread; no append
+    // can be in flight). The SinkSoak receipt prices why: the per-batch
+    // refresh cost is linear in file count, so an unmaintained live
+    // table's ingest latency climbs without bound, while the threshold
+    // policy resets the curve for one batch's worth of rewrite cost. A
+    // production deployment would hand the rewrite to a maintenance
+    // executor pool; the POLICY (threshold + swap point) is what this
+    // encodes, and inline is the correct degenerate form of it.
+    autoReclusterAt.foreach { threshold =>
+      val fileCount = fs.listStatus(dataPath)
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+      if (fileCount >= threshold) {
+        val r = recluster(spark, reclusterFiles, reclusterBuckets)
+        System.err.println(s"[ManifestedParquetSink] auto-recluster at " +
+          s"$fileCount files (threshold $threshold): -> ${r.filesAfter} files")
+      }
+    }
   }
 
   /** Delete `part-bN-*` data files of batches that have NO
@@ -584,4 +608,38 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
   def scan(spark: org.apache.spark.sql.SparkSession,
       bounds: Seq[(String, Long, Long)]): DataFrame =
     Layout.scanPruned(spark, dataDir, manifest(spark), bounds)
+
+  /** All COMMITTED manifest versions currently retained, ascending —
+    * the time-travel horizon ([[publish]]'s GC keeps the newest three,
+    * so this is a short sliding window, not unbounded history). */
+  def versions(): Seq[Long] = {
+    val mfs = FsIo.fs(manifestPath)
+    listVersions(mfs).filter(isCommitted(mfs, _)).sorted
+  }
+
+  /** The immutable manifest of a specific committed version. */
+  def manifestAt(spark: org.apache.spark.sql.SparkSession, v: Long): DataFrame = {
+    val mfs = FsIo.fs(manifestPath)
+    require(isCommitted(mfs, v),
+      s"ManifestedParquetSink: manifest version v$v is not committed under " +
+        s"$manifestDir (retained: ${versions().mkString(",")})")
+    spark.read.parquet(s"$manifestDir/v$v")
+  }
+
+  /** TIME-TRAVEL scan: read the table AS OF committed manifest version
+    * `v` — exactly the file set that version manifests, with the same
+    * box pruning as [[scan]]. Sound because committed data files are
+    * IMMUTABLE by the sink's idempotence discipline (a replay only ever
+    * rewrites marker-less partials, which never earn a manifest row),
+    * so a retained version's snapshot stays readable until maintenance
+    * rewrites the layout: batches appended after `v` are invisible (the
+    * point), and a [[recluster]] that replaced v's files makes this read
+    * fail LOUDLY (explicit-path PATH_NOT_FOUND via scanPruned's
+    * allowStale branch), never return partial data. Retention is the
+    * publish GC's newest-3 window — callers needing longer horizons pin
+    * versions externally before GC drops them. */
+  def scanAsOf(spark: org.apache.spark.sql.SparkSession, v: Long,
+      bounds: Seq[(String, Long, Long)]): DataFrame =
+    Layout.scanPruned(spark, dataDir, manifestAt(spark, v), bounds,
+      allowStale = true)
 }

@@ -1305,6 +1305,134 @@ object StatefulProcessors {
       .transformWithState(new CepSkipToLastProcessor(typ, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** One key's live snapshot row from the CDC maintainer: the last
+    * applied op's payload plus the op ledger; `deleted = true` means the
+    * key is currently absent from the snapshot (tombstone emitted so a
+    * downstream materializer can REMOVE the key — silently dropping the
+    * row would leave a stale snapshot entry, the late-data-router
+    * auditability rule again). */
+  final case class CdcRow(user_id: Long, last_us: Long,
+      last_value: Double, n_ops: Long, n_deletes: Long, deleted: Boolean)
+
+  private final case class CdcState(lastUs: Long, lastId: Long,
+      lastOp: String, lastValue: Double, nOps: Long, nDeletes: Long)
+
+  /** Streaming dual of the batch `q_cdc_apply`: maintain the final
+    * snapshot of a changelog (every non-`deleteOn` event an UPSERT
+    * carrying `value`, every `deleteOn` a DELETE tombstone) as events
+    * arrive — per key, fold ops in (event-time µs, event_id) order onto
+    * one O(1) state record (last applied op + the op ledger) and emit
+    * the key's current snapshot row after every batch that touched it
+    * (Update-mode semantics: consumers replace the key's row, or remove
+    * it when `deleted`). Cross-batch disorder follows the suite
+    * contract: the last-op comparison is on (µs, event_id), so a late
+    * event older than the applied head updates the LEDGER but never
+    * regresses the head — matching what the ts-ordered batch fold
+    * computes. `ttl` (opt-in, processing-time) bounds the key domain for
+    * retention-windowed snapshots; eviction forgets the ledger, which is
+    * the documented retention semantics, not an accident. */
+  final class CdcSnapshotProcessor(deleteOn: String,
+      ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, Ev, CdcRow] {
+
+    @transient private var st: ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CdcState]("cdc_state",
+        Encoders.product[CdcState], ttlOr(ttl))
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CdcRow] = {
+      var cur = if (st.exists()) st.get()
+        else CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L, 0L)
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id)).foreach { e =>
+        val us = evUs(e)
+        val op = if (e.event_type == deleteOn) "D" else "U"
+        val newer = us > cur.lastUs || (us == cur.lastUs && e.event_id > cur.lastId)
+        cur = CdcState(
+          if (newer) us else cur.lastUs,
+          if (newer) e.event_id else cur.lastId,
+          if (newer) op else cur.lastOp,
+          if (newer) e.value else cur.lastValue,
+          cur.nOps + 1L,
+          cur.nDeletes + (if (op == "D") 1L else 0L))
+      }
+      st.update(cur)
+      // last_us stays epoch-µs (a Timestamp(ms) would drop the micros
+      // the (µs, id) head comparison is keyed on)
+      Iterator.single(CdcRow(user, cur.lastUs,
+        cur.lastValue, cur.nOps, cur.nDeletes, cur.lastOp == "D"))
+    }
+  }
+
+  private implicit val cdcRowEnc = Encoders.product[CdcRow]
+
+  /** CDC snapshot wiring — the streaming twin of `q_cdc_apply`. */
+  def cdcSnapshot(events: Dataset[Ev], deleteOn: String = "error",
+      ttl: Option[java.time.Duration] = None): Dataset[CdcRow] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new CdcSnapshotProcessor(deleteOn, ttl),
+        ttlMode(ttl), OutputMode.Update())
+
+  /** One purchase's attribution credit from the online last-touch
+    * assigner. */
+  final case class TouchCredit(user_id: Long, purchase_id: Long,
+      purchase_us: Long, touchpoint: String, value: Double)
+
+  /** Streaming dual of the batch `a21_last_touch`: per user, remember the
+    * latest non-`convertOn` event (the open touchpoint, one (type, µs,
+    * id) slot — O(1) state forever) and emit a credit row the moment a
+    * `convertOn` event arrives — attribution AT conversion time, which a
+    * batch report can only produce after the fact. In-order arrivals
+    * reproduce the batch window exactly: the slot holds the (µs, id)-max
+    * non-purchase seen so far, which IS the batch's
+    * last(... ROWS 1 PRECEDING) value at that purchase; a purchase with
+    * no prior touchpoint credits 'none'. Cross-batch late touchpoints
+    * follow the suite contract: the slot max-updates on (µs, id), so a
+    * late event older than the stored touch never regresses it. `ttl`
+    * (opt-in) expires abandoned touchpoints — the standard attribution
+    * window. */
+  final class LastTouchProcessor(convertOn: String,
+      ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, Ev, TouchCredit] {
+
+    // (event_type, µs, event_id) of the latest non-convert event
+    @transient private var touch: ValueState[(String, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[(String, Long, Long)]("touch",
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong),
+        ttlOr(ttl))
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[TouchCredit] = {
+      val out = Seq.newBuilder[TouchCredit]
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id)).foreach { e =>
+        val us = evUs(e)
+        if (e.event_type == convertOn) {
+          val tp = if (touch.exists()) touch.get()._1 else "none"
+          out += TouchCredit(user, e.event_id, us, tp, e.value)
+        } else {
+          val newer = !touch.exists() || {
+            val (_, pUs, pId) = touch.get()
+            us > pUs || (us == pUs && e.event_id > pId)
+          }
+          if (newer) touch.update((e.event_type, us, e.event_id))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  private implicit val touchCreditEnc = Encoders.product[TouchCredit]
+
+  /** a21 wiring: online last-touch attribution over the typed stream. */
+  def lastTouchCredits(events: Dataset[Ev], convertOn: String = "purchase",
+      ttl: Option[java.time.Duration] = None): Dataset[TouchCredit] =
+    events.groupByKey(_.user_id)
+      .transformWithState(new LastTouchProcessor(convertOn, ttl),
+        ttlMode(ttl), OutputMode.Append())
+
   /** An ingested embedding routed to its IVF cell (the drift monitor's
     * input row). */
   final case class AssignedVec(cell: Int, ed: Seq[Double])

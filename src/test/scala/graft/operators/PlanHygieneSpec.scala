@@ -66,7 +66,14 @@ class PlanHygieneSpec extends SparkSpec {
       "q_upsert_latest",
       // four 1-row broadcast merge winners against one documents scan —
       // the zero-shuffle BPE application plan
-      "t_bpe_tokenize")
+      "t_bpe_tokenize",
+      // IVF+PQ composition: the identical 16-row coarse-codebook cross
+      // join as e_knn_ivf/e_knn_ivf_mp (assignment stage); the candidate
+      // join itself is an equi BroadcastHashJoin on cell
+      "e_knn_ivfpq",
+      // cross-joins the 1-row (max date − 30d) cutoff scalar — the
+      // q_upsert_latest scalar-broadcast pattern
+      "q_mv_merge")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {

@@ -299,6 +299,62 @@ class ManifestedSinkSpec extends SparkSpec {
     assert(spark.read.parquet(data).count() === 80, "replay after recluster duplicated rows")
   }
 
+  test("autoReclusterAt keeps the live table's file count bounded across many batches") {
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-auto"); val man = tmp("msink-auto-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys,
+      autoReclusterAt = Some(8), reclusterFiles = 4, reclusterBuckets = 64)
+    def files(): Int = new java.io.File(data).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    (0 until 20).foreach { b =>
+      sink.process((0L until 5L).map(i => ev(b * 5 + i + 1, 100 + i, i)).toDF()
+        .coalesce(1), b.toLong)
+      assert(files() <= 8 + 1, s"file count unbounded at batch $b: ${files()}")
+    }
+    // data exact through every rewrite, scans + manifest still true
+    assert(spark.read.parquet(data).count() === 100)
+    assert(sink.scan(spark, Seq(("event_id", 1L, 1000L))).count() === 100)
+    assert(canon(sink.manifest(spark)) ===
+      canon(Layout.buildManifest(spark, data, keys)))
+    // replay protection survives the rewrites: markers are carried
+    sink.process((0L until 5L).map(i => ev(16 + i, 103, i)).toDF(), 3L)
+    assert(spark.read.parquet(data).count() === 100,
+      "replay after auto-recluster duplicated rows")
+  }
+
+  test("scanAsOf reads a committed version's exact snapshot; maintenance makes it fail loudly") {
+    val s = spark
+    import s.implicits._
+    val data = tmp("msink-asof"); val man = tmp("msink-asof-man") + "/m"
+    val sink = new ManifestedParquetSink(data, man, keys)
+    val bounds = Seq(("event_id", 1L, 1000L))
+    sink.process((1L to 20L).map(i => ev(i, 100 + i, i)).toDF().coalesce(1), 0L)
+    sink.process((21L to 40L).map(i => ev(i, 100 + i, i)).toDF().coalesce(1), 1L)
+    val v1 = sink.currentVersion().get
+    sink.process((41L to 70L).map(i => ev(i, 100 + i, i)).toDF().coalesce(1), 2L)
+
+    // live scan sees everything; the as-of read sees exactly the first
+    // two batches — later appends are invisible to the pinned version
+    assert(sink.scan(spark, bounds).count() === 70)
+    val snap = sink.scanAsOf(spark, v1, bounds)
+    assert(snap.count() === 40)
+    assert(snap.agg(max(col("event_id"))).head().getLong(0) === 40L)
+    // version inventory: ascending, committed-only, and v1 retained
+    assert(sink.versions().contains(v1))
+    assert(sink.versions() === sink.versions().sorted)
+    // an uncommitted version number fails loudly
+    assertThrows[IllegalArgumentException](
+      sink.manifestAt(spark, sink.versions().max + 100))
+
+    // maintenance rewrites the files: the snapshot must fail LOUDLY
+    // (explicit-path read of vanished files), never return partial data
+    sink.recluster(spark, numFiles = 4, buckets = 64)
+    assert(sink.scan(spark, bounds).count() === 70, "recluster lost rows")
+    val stale = intercept[Exception](sink.scanAsOf(spark, v1, bounds).count())
+    assert(stale.getMessage != null)
+  }
+
   test("a manifest left stale by a crash self-heals on the next refresh") {
     val s = spark
     import s.implicits._
