@@ -217,6 +217,13 @@ object GraftFunctions {
       planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.lshBucket(v, planes)
 
+  /** Equi-depth bucket id: count of sorted boundaries <= v (binary
+    * upper-bound, codegen; null input -> null — callers that want the
+    * null-to-bucket-0 convention coalesce). */
+  def bucketOf(v: org.apache.spark.sql.Column,
+      boundaries: Seq[Double]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.bucketOf(v, boundaries)
+
   def pqCodes(v: org.apache.spark.sql.Column,
       cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.pqCodes(v, cb)

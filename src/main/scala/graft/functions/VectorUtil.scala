@@ -99,6 +99,22 @@ object VectorUtil {
     total
   }
 
+  /** #{b in sorted `bounds` : b <= v} — binary upper-bound, the codegen
+    * replacement for the equi-depth writer's two-level interpreted HOF
+    * count (~31 boxed lambda calls per row per key column became ~log2
+    * compares in generated code). Duplicate boundaries (mass concentrated
+    * on one value) count fully, exactly like the HOF formulation, so
+    * bucket ids skip but never reorder. */
+  def upperBound(bounds: Array[Double], v: Double): Long = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
   /** Sign-bit LSH bucket: bit j set iff dot(v, planes(j)) > 0 — the fused
     * form of 8 separate dot-product sign tests. */
   def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Int = {

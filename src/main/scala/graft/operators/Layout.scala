@@ -148,13 +148,15 @@ object Layout {
     * Scale shape: the quantile probe is ONE pass building n bounded
     * GK sketches (driver result n x buckets doubles — KBs); then the
     * same single range exchange + local sort as [[writeZOrderedN]].
-    * The per-row bucket lookup is a TWO-LEVEL (sqrt-decomposed) count
-    * over the sorted boundary array — a coarse pass over every
-    * sqrt(buckets)-th boundary picks the block, a fine pass counts
-    * inside `slice` of it: ~2*sqrt(buckets) comparisons per row
-    * (~128 at the default 4096 buckets) of write-time cost, no UDF,
-    * no extra shuffle, and the boundary arrays ride the plan as single
-    * `typedlit` literals. Bucket resolution matters: each cluster of
+    * The per-row bucket lookup is the native `graft_bucket_of` binary
+    * upper-bound over the sorted boundary array — ~log2(buckets)
+    * compares (12 at the default 4096) of codegen'd write-time cost,
+    * no UDF, no extra shuffle; the boundary array is a plan-time
+    * constant referenced once from generated code. (Its predecessor, a
+    * sqrt-decomposed count via aggregate/slice HOFs, ran ~2*sqrt(buckets)
+    * INTERPRETED boxed lambda steps per row per key column — measured as
+    * the dominant cost of the recluster stage at sf0.1.)
+    * Bucket resolution matters: each cluster of
     * the key domain owns ~buckets/clusters rank values, and a probe
     * can only be subdivided down to one rank — 4096 keeps ~40 ranks
     * per cluster even on a 100-cluster domain. Nulls land in bucket 0
@@ -179,28 +181,21 @@ object Layout {
           s"${arr.length} quantile boundaries (expected ${buckets - 1}) — " +
           "the column has no non-null values to cluster on")
     }
-    val coarseN = 1 << ((bitsPer + 1) / 2)
-    val fineN = buckets / coarseN
     // #{b in arr : b <= v} — monotone in v, so the bucket map preserves
     // raw-domain contiguity of per-file boxes; duplicate boundaries
     // (mass concentrated on one value) just skip bucket ids, never
-    // reorder
-    def countLe(arr: Column, v: Column): Column =
-      aggregate(arr, lit(0L), (acc, b) => acc + when(v >= b, lit(1L)).otherwise(lit(0L)))
+    // reorder. Round 13: the count is the native graft_bucket_of binary
+    // upper-bound (codegen) — the previous two-level sqrt-decomposed HOF
+    // formulation evaluated ~2*sqrt(buckets) interpreted boxed lambda
+    // steps per row per key column in the write hot path; nulls keep
+    // their bucket-0 home via the coalesce.
     val keyed = keyCols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
-      val arr = boundaries(j) // length buckets-1, sorted
-      // pad to coarseN*fineN so every fine slice is exactly fineN wide;
-      // +Inf never counts, so the padding is inert
-      val padded = arr ++ Array.fill(coarseN * fineN - arr.length)(Double.PositiveInfinity)
-      val coarse = (1 until coarseN).map(k => arr(k * fineN - 1)).toArray
-      val v = col(c).cast("double")
-      d.withColumn(s"__zc$j", countLe(typedlit(coarse), v))
-        .withColumn(s"__zk$j",
-          col(s"__zc$j") * fineN + countLe(
-            slice(typedlit(padded), (col(s"__zc$j") * fineN + 1).cast("int"), lit(fineN)), v))
+      val arr = boundaries(j).toSeq // length buckets-1, sorted
+      d.withColumn(s"__zk$j",
+        coalesce(graft.functions.GraftFunctions.bucketOf(
+          col(c).cast("double"), arr), lit(0L)))
     }
-    interleaveAndWrite(
-      keyed.drop(keyCols.indices.map(j => s"__zc$j"): _*), n, bitsPer, numFiles, path)
+    interleaveAndWrite(keyed, n, bitsPer, numFiles, path)
   }
 
   /** What a [[compactSmallFiles]] run did — the before/after receipt the

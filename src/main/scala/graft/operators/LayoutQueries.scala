@@ -111,11 +111,17 @@ object LayoutQueries {
         // the post-recluster path before either is trusted.
         val (_, m3) = Layout.reclusterWithManifest(s, data, keys,
           numFiles = 8, buckets = 256)
-        val viaReclustered = result(Layout.scanPruned(s, data, m3, bounds))
-        require(viaDerived.exceptAll(viaReclustered).isEmpty &&
-          viaReclustered.exceptAll(viaDerived).isEmpty,
+        // freeze ONCE and cross-check the 3-row results driver-side: the
+        // exceptAll formulation evaluated the post-recluster scan three
+        // times (both except directions + the returned frame) — two full
+        // scan+agg passes of pure overhead on a query that is already
+        // the registry's most expensive by design
+        val viaReclustered = freeze(s, result(Layout.scanPruned(s, data, m3, bounds)))
+        val (lhs, rhs) = (viaDerived.collect().toSet, viaReclustered.collect().toSet)
+        require(lhs == rhs,
           "q_layout_lifecycle: derived-manifest scan and post-recluster " +
-            "scan disagree — a maintenance stage corrupted the table")
+            s"scan disagree — a maintenance stage corrupted the table " +
+            s"(derived-only=${(lhs -- rhs).take(2)}, reclustered-only=${(rhs -- lhs).take(2)})")
         viaReclustered
       }
     },

@@ -180,6 +180,9 @@ object columns {
       TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id),
         org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
 
+  def bucketOf(v: Column, boundaries: Seq[Double]): Column =
+    ExpressionUtils.column(BucketOf(ExpressionUtils.expression(v), boundaries))
+
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(LshBucket(ExpressionUtils.expression(v), planes))
 
@@ -286,6 +289,34 @@ case class PqAdcScaled(left: Expression, right: Expression, cb: Seq[Seq[Seq[Doub
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqAdcScaled =
     copy(left = newLeft, right = newRight)
+}
+
+/** Equi-depth bucket id: #{b in sorted quantile boundaries : b <= v} via
+  * binary upper-bound. The boundary array is a plan-time constant (one
+  * bounded approxQuantile pass), referenced once from generated code —
+  * replaces the interpreted aggregate-over-literal-array HOF count in
+  * the equi-depth Z-order writer's per-row hot path. */
+case class BucketOf(child: Expression, boundaries: Seq[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val boundArr: Array[Double] = boundaries.toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bucket_of"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.VectorUtil.upperBound(boundArr, input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bucketBounds", boundArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorUtil.upperBound($bRef, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketOf =
+    copy(child = newChild)
 }
 
 case class LshBucket(child: Expression, planes: Seq[Seq[Double]])
