@@ -27,6 +27,7 @@ object OperatorIndex {
     "StreamingPipelines.dedupWithinWatermark" -> "d_exact_dedup",
     "StreamingPipelines.curateDocs" -> "d_curate_corpus",
     "StreamingPipelines.gopherRules" -> "t_gopher_rules",
+    "StreamingPipelines.codeDetect" -> "t_code_detect",
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
     "StreamingPipelines.streamingKnn" -> "e_knn_brute",
     "StreamingPipelines.decontaminate" -> "d_decontaminate",

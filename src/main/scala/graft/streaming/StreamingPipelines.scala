@@ -423,6 +423,36 @@ object StreamingPipelines {
       .withColumn("keep",
         col("r_len") * col("r_wordlen") * col("r_stop") * col("r_ttr"))
 
+  /** Streaming dual of the batch `t_code_detect`: code-likeness routing
+    * as a STATELESS map over the document stream — the mix-splitting
+    * decision (prose pipeline vs code pipeline) made inline during
+    * ingest, before any state or shuffle. Identical integer densities
+    * and threshold to the batch query, so batch and stream route every
+    * document the same way. */
+  def codeDetect(docsStream: DataFrame): DataFrame = {
+    // the fixture's n_chars IS length(text); a stream without the column
+    // derives it, so the dual runs on any (doc_id, ts, text) shape
+    val withChars =
+      if (docsStream.columns.contains("n_chars")) docsStream
+      else docsStream.withColumn("n_chars", expr("cast(length(text) AS bigint)"))
+    withChars
+      .withColumn("braces",
+        expr("length(text) - length(replace(replace(text, '{', ''), '}', ''))"))
+      .withColumn("semis", expr("length(text) - length(replace(text, ';', ''))"))
+      .withColumn("eqs", expr("length(text) - length(replace(text, '=', ''))"))
+      .withColumn("lines", expr("split(text, '\n')"))
+      .withColumn("n_lines", expr("size(lines)"))
+      .withColumn("indented",
+        expr("size(filter(lines, l -> startswith(l, '    ') OR startswith(l, '\t')))"))
+      .withColumn("code_score",
+        expr("cast((braces + semis + eqs) * 1000 div greatest(n_chars, 1) " +
+          "+ indented * 10 div greatest(n_lines, 1) AS bigint)"))
+      .selectExpr("doc_id", "ts", "cast(braces AS bigint) AS braces",
+        "cast(semis AS bigint) AS semis", "cast(eqs AS bigint) AS eqs",
+        "cast(indented AS bigint) AS indented_lines", "code_score",
+        "code_score >= 15 AS is_code")
+  }
+
   /** Rolling distinct actives — the streaming dual of the batch
     * `a14_rolling_dau`: each event explodes into the `nSlides` trailing
     * window labels it belongs to (label = its bucket + i*slide, the

@@ -61,6 +61,27 @@ class SourceQuotaSpec extends SparkSpec {
     }
   }
 
+  test("streaming code detection routes code and prose like the batch thresholds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val code = "x = 1;\ny = 2;\nif (x) {\n    z = 3;\n}"
+    val prose = "a calm tide rolled in over the stones and nobody minded"
+    val in = MemoryStream[QuotaDoc]
+    val q = StreamingPipelines.codeDetect(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("code_out").start()
+    try {
+      in.addData(doc(1, "s1", code), doc(2, "s1", prose))
+      q.processAllAvailable()
+      val m = s.table("code_out")
+        .selectExpr("doc_id", "code_score", "is_code")
+        .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+      assert(m(1L)._3, s"code doc not routed as code: ${m(1L)}")
+      assert(!m(2L)._3, s"prose doc routed as code: ${m(2L)}")
+    } finally q.stop()
+  }
+
   test("streaming gopher rules match the batch rule bounds") {
     val s = spark
     import s.implicits._
