@@ -1314,7 +1314,12 @@ object StatefulProcessors {
   final case class CdcRow(user_id: Long, last_us: Long,
       last_value: Double, n_ops: Long, n_deletes: Long, deleted: Boolean)
 
-  private final case class CdcState(lastUs: Long, lastId: Long,
+  /** CDC maintainer's per-key state record. Public like the other state
+    * case classes (CellSums, TopKState): a `private` nested case class
+    * makes the encoder's GENERATED deserializer unable to touch the
+    * constructor — Janino compile error + silent per-row fallback to
+    * interpreted state decode on every batch. */
+  final case class CdcState(lastUs: Long, lastId: Long,
       lastOp: String, lastValue: Double, nOps: Long, nDeletes: Long)
 
   /** Streaming dual of the batch `q_cdc_apply`: maintain the final
