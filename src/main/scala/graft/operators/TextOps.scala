@@ -122,6 +122,44 @@ SELECT doc_id, lang AS declared_lang, en_c, es_c, de_c, $langCase AS pred_lang
 FROM c"""),
     "Marker-token language ID with deterministic tie-break.")
 
+  // Language-ID confusion matrix (round 13) — the EVAL for t_langid: the
+  // detector's prediction against the fixture's declared label, as the
+  // (declared, predicted, n) matrix plus per-cell share of the declared
+  // language's row. The quality loop every pretraining lang-filter needs
+  // (which languages leak into which buckets, and how much) — all
+  // integer counts; the share is the single division, rounded once with
+  // the nudge. Scale shape: the same single corpus scan as t_langid,
+  // then a #langs² partial agg; the window computing row totals runs
+  // over the tiny matrix, never the corpus.
+  private val tLangidConfusion = GQuery(
+    "t_langid_confusion",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("en_c", expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and')))"))
+        .withColumn("es_c", expr("size(filter(toks, t -> t IN ('el', 'la', 'los', 'de')))"))
+        .withColumn("de_c", expr("size(filter(toks, t -> t IN ('der', 'die', 'das', 'und')))"))
+        .selectExpr("lang AS declared_lang", s"$langCase AS pred_lang")
+        .groupBy(col("declared_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy("declared_lang")))
+        .select(col("declared_lang"), col("pred_lang"), col("n"),
+          round(col("n") / col("row_total").cast("double") + lit(1e-9), 4)
+            .as("share")),
+    Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, lang,
+        len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) AS en_c,
+        len(list_filter(toks, t -> t IN ('el', 'la', 'los', 'de'))) AS es_c,
+        len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und'))) AS de_c
+      FROM t),
+p AS (SELECT lang AS declared_lang, $langCase AS pred_lang FROM c),
+m AS (SELECT declared_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+SELECT declared_lang, pred_lang, n,
+       round(n / (CAST(sum(n) OVER (PARTITION BY declared_lang) AS BIGINT))::DOUBLE + 1e-9, 4) AS share
+FROM m"""),
+    "Language-ID confusion matrix: detector vs declared label, with per-declared-language shares.")
+
   // Document fingerprinting: md5 content fingerprint + order-sensitive
   // rolling polynomial hash over token hashes (mod 2^31-1).
   private val tFingerprint = GQuery(
@@ -2081,7 +2119,7 @@ FROM c"""),
     tBpeMerges, tBpeTokenize,
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     dNgramNovelty,
-    tTextStats, tQuality, tLangid, tFingerprint, tTokenFreq,
+    tTextStats, tQuality, tLangid, tLangidConfusion, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
     dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
