@@ -2059,6 +2059,61 @@ FROM d${(1 to bpeRounds).map(k => s", b$k").mkString}"""
     },
     "BPE token accounting: apply the induced merges to every document as a zero-shuffle map; count surviving symbols.")
 
+  // Tokenizer fertility by language (round 13) — the standard tokenizer
+  // eval: BPE tokens emitted per whitespace word, per language. High
+  // fertility on a language means the vocab under-serves it (every word
+  // shatters into many symbols), which inflates training cost and
+  // starves that language of effective context — THE number a
+  // multilingual vocab is judged by. Composes the induced merge table
+  // and the zero-shuffle apply verbatim (bpeTokenizeFrom), joins back
+  // the (lang, word count) per doc, and aggregates to #langs rows:
+  // integer sums carried in the output so the hash pins the exact
+  // domain, fertility the single rounded division. Word counts exclude
+  // empty tokens on both engines, matching the symbolization's own
+  // filter.
+  private val tTokenizerFertility = GQuery(
+    "t_tokenizer_fertility",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val toks = bpeTokenizeFrom(d, bpeMergesFrom(d))
+      toks.join(d.selectExpr("doc_id", "lang",
+          "cast(size(filter(split(text, ' '), w -> length(w) > 0)) AS long) AS n_words"),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("bpe_tokens"),
+          sum(col("n_words")).as("ws_words"))
+        .select(col("lang"), col("bpe_tokens"), col("ws_words"),
+          round(col("bpe_tokens") / col("ws_words").cast("double") + lit(1e-9), 4)
+            .as("fertility"))
+    },
+    Some {
+      val apply4 = (1 to bpeRounds).foldLeft("doc_seg") { (acc, k) =>
+        bpeApply(acc, s"b$k.l", s"b$k.r")
+      }
+      s"""WITH w0 AS (
+  SELECT array_to_string(string_split(w, ''), ' ') AS seg, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE length(w) > 0 GROUP BY 1),
+${(1 to bpeRounds).map(bpeRoundSql).mkString(",\n")},
+d AS (SELECT doc_id,
+        array_to_string(list_transform(string_split(text, ' '),
+          w -> array_to_string(string_split(w, ''), ' ')),
+          ' ' || chr(1) || ' ') AS doc_seg
+      FROM documents),
+tok AS (SELECT doc_id,
+       CAST(len(list_filter(string_split($apply4, ' '),
+         t -> t != chr(1) AND t != '')) AS BIGINT) AS n_tokens
+FROM d${(1 to bpeRounds).map(k => s", b$k").mkString}),
+j AS (SELECT doc.lang, tok.n_tokens,
+        CAST(len(list_filter(string_split(doc.text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_words
+      FROM tok JOIN documents doc USING (doc_id))
+SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_words) AS BIGINT) AS ws_words,
+       round(CAST(sum(n_tokens) AS BIGINT) / CAST(sum(n_words) AS BIGINT)::DOUBLE + 1e-9, 4) AS fertility
+FROM j GROUP BY 1"""
+    },
+    "Tokenizer fertility per language: BPE tokens per whitespace word under the induced vocab.")
+
   // Code-likeness routing (round 13) — the pretraining-mix filter that
   // decides prose-pipeline vs code-pipeline per document (code wants
   // different dedup shingles, different quality rules, different
@@ -2115,7 +2170,7 @@ FROM c"""),
     "Code-likeness routing: integer-exact brace/semicolon/assignment/indent densities + threshold.")
 
   val all: Seq[GQuery] = Seq(
-    tCodeDetect,
+    tCodeDetect, tTokenizerFertility,
     tBpeMerges, tBpeTokenize,
     dDupStatsBySource, dSplitAssign, dFilterFunnel, dSplitLeakage, tEntropy,
     dNgramNovelty,

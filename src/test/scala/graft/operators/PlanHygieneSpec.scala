@@ -73,7 +73,10 @@ class PlanHygieneSpec extends SparkSpec {
       "e_knn_ivfpq",
       // cross-joins the 1-row (max date − 30d) cutoff scalar — the
       // q_upsert_latest scalar-broadcast pattern
-      "q_mv_merge")
+      "q_mv_merge",
+      // composes bpeTokenizeFrom verbatim, inheriting t_bpe_tokenize's
+      // four 1-row broadcast merge-winner joins
+      "t_tokenizer_fertility")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
