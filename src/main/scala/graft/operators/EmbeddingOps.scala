@@ -210,6 +210,131 @@ FROM (SELECT qid, vec_id, ad,
       FROM adc) WHERE rnk <= 5"""),
     "PQ ANN top-5: packed 32-bit codes, integer-exact ADC ranking.")
 
+  // Trained-PQ ANN top-5 (round 13) — the fix for what the recall
+  // characterization measured: the training-free codebook (subvectors of
+  // 16 arbitrary rows) is near-chance on this geometry, because ADC
+  // distances only mean something when each subspace codebook actually
+  // tiles its subspace's mass. This trains it: TWO unrolled Lloyd
+  // iterations per subspace (assign every subvector to its nearest
+  // centroid, re-center on the members' mean, empty cells keep their
+  // previous centroid), then the identical codes + integer-exact ADC +
+  // ranking as e_knn_pq — so the two queries differ in EXACTLY the
+  // codebook, and their recall gap is the value of training. Cross-
+  // engine determinism: every centroid mean rounds at 6dp with the
+  // nudge BEFORE the next assignment (the e_centroids pin), every
+  // assignment distance rounds at 6dp with a centroid-index tiebreak
+  // (the e_assign pin), so both engines walk bit-identical trajectories.
+  // Scale shape: each Lloyd step is one subspace-exploded corpus scan
+  // against a broadcast 128-row codebook + one tiny (j, c, i) partial
+  // agg — the standard k-means iteration plan (e_kmeans_step) applied
+  // per subspace; the trained codebook is a bounded collect feeding the
+  // same codegen kernels.
+  private val eKnnPqTrained = GQuery(
+    "e_knn_pq_trained",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val seed = base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
+        .select(col("ed")).collect()
+      if (seed.length < 16) {
+        base.limit(0).selectExpr("vec_id AS qid", "vec_id",
+          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
+      } else {
+        val sub = base.select(col("vec_id"), explode(expr(
+            "transform(sequence(0, 7), j -> struct(cast(j AS int) AS j, slice(ed, cast(j*8+1 AS int), 8) AS sv))")).as("s"))
+          .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+          .transform(graft.Checkpoints.pin(_))
+        var cents = base.filter(col("vec_id").between(10, 25))
+          .select((col("vec_id") - 10).cast("int").as("c"), explode(expr(
+            "transform(sequence(0, 7), j -> struct(cast(j AS int) AS j, slice(ed, cast(j*8+1 AS int), 8) AS cv))")).as("s"))
+          .select(col("c"), col("s.j").as("j"), col("s.cv").as("cv"))
+        val assignW = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("c"))
+        (1 to 2).foreach { _ =>
+          val assigned = sub.join(broadcast(cents), Seq("j"))
+            .withColumn("d2", round(GraftFunctions.vecL2Sq(col("sv"), col("cv")), 6))
+            .withColumn("rn", row_number().over(assignW))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("j"), col("c"))
+          val means = assigned.join(sub, Seq("vec_id", "j"))
+            .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("i", "x")))
+            .groupBy(col("j"), col("c"), col("i"))
+            .agg(round(avg(col("x")) + lit(1e-9), 6).as("v"))
+            .groupBy(col("j"), col("c"))
+            .agg(expr("transform(sort_array(collect_list(struct(i, v))), s -> s.v)").as("mcv"))
+          cents = cents.join(means, Seq("j", "c"), "left")
+            .select(col("j"), col("c"), coalesce(col("mcv"), col("cv")).as("cv"))
+            .transform(graft.Checkpoints.pin(_))
+        }
+        val cRows = cents.collect()
+        val cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(8) { j =>
+          Seq.tabulate(16) { c =>
+            cRows.find(r => r.getInt(0) == j && r.getInt(1) == c).get
+              .getSeq[Double](2).toSeq
+          }
+        }
+        val coded = base.withColumn("codes", GraftFunctions.pqCodes(col("ed"), cb))
+        val q = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("ed").as("qe"))
+        coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("ad", GraftFunctions.pqAdcScaled(col("qe"), col("codes"), cb))
+          .withColumn("approx_d2", expr("round(cast(ad AS double) / 1000000.0, 6)"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ad"), col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"), col("approx_d2"), col("rnk"))
+      }
+    },
+    Some(s"""$duckPrep,
+c0 AS (SELECT CAST(cc.vec_id - 10 AS INT) AS c, j, cc.ed[8*j+1:8*j+8] AS cv
+       FROM n cc, range(8) t(j) WHERE cc.vec_id BETWEEN 10 AND 25),
+sub AS (SELECT vec_id, j, ed[8*j+1:8*j+8] AS sv FROM n, range(8) t(j)),
+d1 AS (SELECT s.vec_id, s.j, c0.c,
+         round(list_aggregate(list_transform(range(8),
+           i -> (s.sv[i+1] - c0.cv[i+1]) * (s.sv[i+1] - c0.cv[i+1])), 'sum'), 6) AS d
+       FROM sub s JOIN c0 ON s.j = c0.j),
+a1 AS (SELECT vec_id, j, c FROM (
+         SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT a.j, a.c, i, round(avg(s.sv[i+1]) + 1e-9, 6) AS v
+       FROM a1 a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j, range(8) t(i)
+       GROUP BY 1, 2, 3),
+c1 AS (SELECT c0.j, c0.c, coalesce(mv.cv, c0.cv) AS cv
+       FROM c0 LEFT JOIN (SELECT j, c, list(v ORDER BY i) AS cv FROM m1 GROUP BY 1, 2) mv
+         ON c0.j = mv.j AND c0.c = mv.c),
+d2 AS (SELECT s.vec_id, s.j, c1.c,
+         round(list_aggregate(list_transform(range(8),
+           i -> (s.sv[i+1] - c1.cv[i+1]) * (s.sv[i+1] - c1.cv[i+1])), 'sum'), 6) AS d
+       FROM sub s JOIN c1 ON s.j = c1.j),
+a2 AS (SELECT vec_id, j, c FROM (
+         SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+         FROM d2) WHERE rn = 1),
+m2 AS (SELECT a.j, a.c, i, round(avg(s.sv[i+1]) + 1e-9, 6) AS v
+       FROM a2 a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j, range(8) t(i)
+       GROUP BY 1, 2, 3),
+c2 AS (SELECT c1.j, c1.c, coalesce(mv.cv, c1.cv) AS cv
+       FROM c1 LEFT JOIN (SELECT j, c, list(v ORDER BY i) AS cv FROM m2 GROUP BY 1, 2) mv
+         ON c1.j = mv.j AND c1.c = mv.c),
+dist AS (SELECT s.vec_id, s.j, c2.c,
+           round(list_aggregate(list_transform(range(8),
+             i -> (s.sv[i+1] - c2.cv[i+1]) * (s.sv[i+1] - c2.cv[i+1])), 'sum'), 6) AS d
+         FROM sub s JOIN c2 ON s.j = c2.j),
+code AS (SELECT vec_id, j, c FROM (
+           SELECT vec_id, j, c,
+                  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+           FROM dist) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, ed AS qe FROM n WHERE vec_id < 10),
+qd AS (SELECT q.qid, co.vec_id,
+         CAST(round(list_aggregate(list_transform(range(8),
+             i -> (q.qe[8*co.j+i+1] - c2.cv[i+1]) * (q.qe[8*co.j+i+1] - c2.cv[i+1])), 'sum')
+           * 1000000.0 + 1e-9) AS BIGINT) AS ds
+       FROM code co JOIN c2 ON c2.j = co.j AND c2.c = co.c, q
+       WHERE co.vec_id <> q.qid),
+adc AS (SELECT qid, vec_id, CAST(sum(ds) AS BIGINT) AS ad FROM qd GROUP BY 1, 2)
+SELECT qid, vec_id, round(ad / 1000000.0, 6) AS approx_d2, rnk
+FROM (SELECT qid, vec_id, ad,
+             row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
+      FROM adc) WHERE rnk <= 5"""),
+    "Trained-PQ ANN top-5: two Lloyd iterations per subspace, then the e_knn_pq codes/ADC — the training-vs-sampling recall gap, measurable.")
+
   /** Cosine near-dup pairs (cos >= 0.4) within LSH buckets — the pair
     * stage shared by `e_neardup_cosine` (listing) and
     * `e_semantic_dedup` (cluster representatives). */
@@ -1036,7 +1161,7 @@ GROUP BY 1"""),
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnIvfPq, eKnnQuant, eKnnRerank,
-      eKnnMatryoshka, eKnnPq, eNeardup, eSemanticDedup, eCentroids, eAssign,
+      eKnnMatryoshka, eKnnPq, eKnnPqTrained, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)
 }

@@ -76,7 +76,10 @@ class PlanHygieneSpec extends SparkSpec {
       "q_mv_merge",
       // composes bpeTokenizeFrom verbatim, inheriting t_bpe_tokenize's
       // four 1-row broadcast merge-winner joins
-      "t_tokenizer_fertility")
+      "t_tokenizer_fertility",
+      // same <=10-row broadcast query-set join as e_knn_pq; the Lloyd
+      // training joins are equi (on j) and hash-broadcast
+      "e_knn_pq_trained")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
