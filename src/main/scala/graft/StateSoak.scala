@@ -180,6 +180,18 @@ object StateSoak {
       // the one open match — overlap is bounded at one event)
       "cep_skip_to_last" -> { (in, out, ck) =>
         Sinks.file(StatefulProcessors.cepSkipToLast(events(in)).toDF(), out, ck)
+      },
+      // round 13 — CDC snapshot maintainer: ONE fixed-width record per
+      // key (last applied op + the op ledger), Update mode; state rows
+      // must equal active keys exactly, never event volume
+      "cdc_snapshot" -> { (in, out, ck) =>
+        Sinks.file(StatefulProcessors.cdcSnapshot(events(in)).toDF(), out, ck)
+      },
+      // round 13 — online last-touch attribution: one (type, µs, id)
+      // slot per key, credits emitted at conversion — the same
+      // keys-not-events bound as x8, with payload emission
+      "last_touch" -> { (in, out, ck) =>
+        Sinks.file(StatefulProcessors.lastTouchCredits(events(in)).toDF(), out, ck)
       })
 
     val only = args.drop(2).headOption.map(_.split(",").toSet)
