@@ -63,6 +63,7 @@ object OperatorIndex {
     "StatefulProcessors.cepTimes" -> "x5_cep_times",
     "StatefulProcessors.cepTimesRange" -> "x6_cep_times_range",
     "StatefulProcessors.cepOneOrMore" -> "x7_cep_one_or_more",
+    "StatefulProcessors.cepOneOrMoreTimers" -> "x7_cep_one_or_more",
     "StatefulProcessors.cepSkipPast" -> "x8_cep_skip_past",
     "StatefulProcessors.cepSkipToNext" -> "x9_cep_skip_to_next",
     "StatefulProcessors.cepSkipToLast" -> "x10_cep_skip_to_last",

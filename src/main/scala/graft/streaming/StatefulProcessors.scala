@@ -1121,6 +1121,96 @@ object StatefulProcessors {
       .transformWithState(new CepOneOrMoreProcessor(typ, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** X7 with EVENT-TIME-TIMER finalization — the variant the round-13
+    * state-lifetime audit names as the fix for x7's one honest ceiling:
+    * the arrival-driven processor can only emit an anchor's run when a
+    * LATER `typ` event for the same key proves the horizon passed, so a
+    * key that goes silent parks its pending list forever (and TTL can't
+    * evict it — expiry owes an emission). Here every batch re-arms one
+    * timer per key at the EARLIEST pending deadline (delete-before-
+    * rearm, the [[SessionTimerProcessor]] discipline); when the
+    * watermark passes it, the expired anchors emit and drop with no
+    * further input for that key — the w3/j4 pattern applied to the CEP
+    * quantifier. Arrival-driven finalization is kept (prompt emissions
+    * while the key is active); the timer catches the silent tail, so
+    * state is ALWAYS bounded by the live horizon. One global watermark
+    * advance (any key's traffic) flushes every quiet key — where the
+    * arrival-driven variant needs a per-key flush event. Same
+    * [[CepRangeMatch]] rows as x7; equivalence on complete input pinned
+    * in CepTimerSpec. */
+  final class CepOneOrMoreTimerProcessor(typ: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepRangeMatch] {
+
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[(Long, Long, Long, Long)] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[(Long, Long, Long, Long)]("oomt_pending",
+        pendingEnc, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("oomt_armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Re-arm the per-key timer at the earliest pending deadline (ms,
+      * one past the horizon so wm must strictly pass it). */
+    private def rearm(ps: Vector[(Long, Long, Long, Long)]): Unit = {
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (ps.isEmpty) {
+        if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
+      } else {
+        val want = (ps.map(_._2).min + gapUs) / 1000L + 1L
+        if (prev != want) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(want)
+          armed.update(want)
+        }
+      }
+    }
+
+    private def persist(ps: Vector[(Long, Long, Long, Long)]): Unit = {
+      pending.clear()
+      if (ps.nonEmpty) pending.put(ps.toArray)
+      rearm(ps)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepRangeMatch] = {
+      val out = Seq.newBuilder[CepRangeMatch]
+      var ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
+        .filter(_.event_type == typ).foreach { e =>
+          val us = evUs(e)
+          val (dead, live) = ps.partition { case (_, aUs, _, _) => us - aUs > gapUs }
+          dead.foreach { case (id, aUs, c, lUs) =>
+            out += CepRangeMatch(user, id, aUs, c, lUs)
+          }
+          ps = live.map { case (id, aUs, c, _) => (id, aUs, c + 1L, us) } :+
+            ((e.event_id, us, 1L, us))
+        }
+      persist(ps)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[CepRangeMatch] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      var ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
+      val (done, rest) = ps.partition { case (_, aUs, _, _) => wmUs > aUs + gapUs }
+      val out = done.sortBy { case (id, aUs, _, _) => (aUs, id) }
+        .map { case (id, aUs, c, lUs) => CepRangeMatch(user, id, aUs, c, lUs) }
+      armed.clear() // the fired timer is gone; persist() re-arms for the rest
+      persist(rest)
+      out.iterator
+    }
+  }
+
+  /** X7 timer wiring: watermark on `ts` drives silent-key finalization. */
+  def cepOneOrMoreTimers(events: Dataset[Ev], typ: String = "click",
+      gapUs: Long = 21600000000L, delay: String = "10 seconds"): Dataset[CepRangeMatch] =
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new CepOneOrMoreTimerProcessor(typ, gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+
   /** X8 streaming dual (Flink-CEP AfterMatchSkipStrategy
     * `skipPastLastEvent` over oneOrMore): greedy NON-OVERLAPPING runs —
     * exactly one match is open per key at any moment; a `typ` event
