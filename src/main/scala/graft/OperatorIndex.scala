@@ -65,6 +65,7 @@ object OperatorIndex {
     "StatefulProcessors.cepOneOrMore" -> "x7_cep_one_or_more",
     "StatefulProcessors.cepOneOrMoreTimers" -> "x7_cep_one_or_more",
     "StatefulProcessors.cepSkipPast" -> "x8_cep_skip_past",
+    "StatefulProcessors.cepSkipPastTimers" -> "x8_cep_skip_past",
     "StatefulProcessors.cepSkipToNext" -> "x9_cep_skip_to_next",
     "StatefulProcessors.cepSkipToLast" -> "x10_cep_skip_to_last",
     "StatefulProcessors.cdcSnapshot" -> "q_cdc_apply",

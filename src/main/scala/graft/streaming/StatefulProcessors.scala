@@ -1258,6 +1258,82 @@ object StatefulProcessors {
       .transformWithState(new CepSkipPastProcessor(typ, gapUs),
         TimeMode.None(), OutputMode.Append())
 
+  /** X8 with event-time-timer finalization — the second instance of the
+    * [[CepOneOrMoreTimerProcessor]] recipe, proving the transfer claim:
+    * the one open match per key arms a timer at `anchor + gap`
+    * (delete-before-rearm on every re-anchor); the watermark passing it
+    * emits and clears with no further input for that key. Where the
+    * arrival-driven x8's equivalence spec must inject one flush event
+    * PER KEY and then exclude the flush anchors from the batch side,
+    * the timer variant matches the batch query on the raw fixture off
+    * ONE global watermark advance — no augmentation, no exclusion
+    * (CepTimerSpec). */
+  final class CepSkipPastTimerProcessor(typ: String, gapUs: Long)
+      extends StatefulProcessor[Long, Ev, CepRangeMatch] {
+
+    @transient private var cur: ValueState[(Long, Long, Long, Long)] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cur = getHandle.getValueState[(Long, Long, Long, Long)]("skipt_cur",
+        pendingEnc, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("skipt_armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def rearm(anchorUs: Long): Unit = {
+      val want = (anchorUs + gapUs) / 1000L + 1L
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (prev != want) {
+        if (prev >= 0L) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(want)
+        armed.update(want)
+      }
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepRangeMatch] = {
+      val out = Seq.newBuilder[CepRangeMatch]
+      var st = if (cur.exists()) cur.get() else (-1L, -1L, -1L, -1L)
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
+        .filter(_.event_type == typ).foreach { e =>
+          val us = evUs(e)
+          val (id, aUs, c, lUs) = st
+          if (id < 0L) st = (e.event_id, us, 1L, us)
+          else if (us - aUs <= gapUs) st = (id, aUs, c + 1L, us)
+          else {
+            out += CepRangeMatch(user, id, aUs, c, lUs)
+            st = (e.event_id, us, 1L, us)
+          }
+        }
+      cur.update(st)
+      if (st._1 >= 0L) rearm(st._2)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[CepRangeMatch] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      armed.clear()
+      val st = if (cur.exists()) cur.get() else (-1L, -1L, -1L, -1L)
+      if (st._1 >= 0L && wmUs > st._2 + gapUs) {
+        cur.clear()
+        Iterator.single(CepRangeMatch(user, st._1, st._2, st._3, st._4))
+      } else {
+        // growable still (a re-anchor raced the fired timer): re-arm
+        if (st._1 >= 0L) rearm(st._2)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** X8 timer wiring: watermark-driven finalization of the open segment. */
+  def cepSkipPastTimers(events: Dataset[Ev], typ: String = "click",
+      gapUs: Long = 21600000000L, delay: String = "10 seconds"): Dataset[CepRangeMatch] =
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new CepSkipPastTimerProcessor(typ, gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+
   /** X9 output: one completed click+ -> purchase match (anchor click,
     * click count through the matched end event, end event id/us). */
   final case class CepNextMatch(user_id: Long, first_id: Long,
