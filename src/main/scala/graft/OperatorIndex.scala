@@ -62,6 +62,7 @@ object OperatorIndex {
     "StatefulProcessors.cepNegation" -> "x4_cep_negation",
     "StatefulProcessors.cepTimes" -> "x5_cep_times",
     "StatefulProcessors.cepTimesRange" -> "x6_cep_times_range",
+    "StatefulProcessors.cepTimesRangeTimers" -> "x6_cep_times_range",
     "StatefulProcessors.cepOneOrMore" -> "x7_cep_one_or_more",
     "StatefulProcessors.cepOneOrMoreTimers" -> "x7_cep_one_or_more",
     "StatefulProcessors.cepSkipPast" -> "x8_cep_skip_past",

@@ -1077,6 +1077,91 @@ object StatefulProcessors {
       .transformWithState(new CepTimesRangeProcessor(typ, gapUs, minTimes, maxTimes),
         TimeMode.None(), OutputMode.Append())
 
+  /** X6 with EVENT-TIME-TIMER finalization — third instance of the timer
+    * recipe: pending range-quantifier anchors arm one per-key timer at
+    * the earliest deadline; the watermark passing an anchor's horizon
+    * finalizes it exactly as a beyond-horizon arrival would (emit when
+    * the run reached `minTimes`, drop silently otherwise). Same
+    * mechanical two steps as x7/x8; x10 is the one quantifier the recipe
+    * does NOT transfer to unchanged (its skip-to-last overlap re-anchors
+    * at the finalized match's last member, which only a subsequent
+    * ARRIVAL can extend — a timer would have to decide the singleton's
+    * fate without evidence). */
+  final class CepTimesRangeTimerProcessor(typ: String, gapUs: Long,
+      minTimes: Int, maxTimes: Int)
+      extends StatefulProcessor[Long, Ev, CepRangeMatch] {
+
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[(Long, Long, Long, Long)] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[(Long, Long, Long, Long)]("ranget_pending",
+        pendingEnc, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("ranget_armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def persist(ps: Vector[(Long, Long, Long, Long)]): Unit = {
+      pending.clear()
+      if (ps.nonEmpty) pending.put(ps.toArray)
+      val prev = if (armed.exists()) armed.get() else -1L
+      if (ps.isEmpty) {
+        if (prev >= 0L) { getHandle.deleteTimer(prev); armed.clear() }
+      } else {
+        val want = (ps.map(_._2).min + gapUs) / 1000L + 1L
+        if (prev != want) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(want)
+          armed.update(want)
+        }
+      }
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[CepRangeMatch] = {
+      val out = Seq.newBuilder[CepRangeMatch]
+      var ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
+      rows.toSeq.sortBy(e => (evUs(e), e.event_id))
+        .filter(_.event_type == typ).foreach { e =>
+          val us = evUs(e)
+          val (dead, live) = ps.partition { case (_, aUs, _, _) => us - aUs > gapUs }
+          dead.foreach { case (id, aUs, c, lUs) =>
+            if (c >= minTimes) out += CepRangeMatch(user, id, aUs, c, lUs)
+          }
+          ps = live.flatMap { case (id, aUs, c, _) =>
+            val c2 = c + 1
+            if (c2 >= maxTimes) { out += CepRangeMatch(user, id, aUs, c2, us); None }
+            else Some((id, aUs, c2, us))
+          }
+          ps = ps :+ ((e.event_id, us, 1L, us))
+        }
+      persist(ps)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[CepRangeMatch] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      val ps = (if (pending.exists()) pending.get().toVector else Vector.empty)
+      val (done, rest) = ps.partition { case (_, aUs, _, _) => wmUs > aUs + gapUs }
+      val out = done.sortBy { case (id, aUs, _, _) => (aUs, id) }.collect {
+        case (id, aUs, c, lUs) if c >= minTimes => CepRangeMatch(user, id, aUs, c, lUs)
+      }
+      armed.clear()
+      persist(rest)
+      out.iterator
+    }
+  }
+
+  /** X6 timer wiring: watermark-driven finalization of pending range
+    * anchors. */
+  def cepTimesRangeTimers(events: Dataset[Ev], typ: String = "click",
+      gapUs: Long = 21600000000L, minTimes: Int = 2, maxTimes: Int = 4,
+      delay: String = "10 seconds"): Dataset[CepRangeMatch] =
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new CepTimesRangeTimerProcessor(typ, gapUs, minTimes, maxTimes),
+        TimeMode.EventTime(), OutputMode.Append())
+
   /** X7 streaming dual (Flink-CEP `oneOrMore`, greedy, noSkip): like the
     * range quantifier with no cap — every anchor emits exactly once,
     * when a `typ` event beyond its horizon proves the match can no

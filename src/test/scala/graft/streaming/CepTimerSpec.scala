@@ -101,6 +101,44 @@ class CepTimerSpec extends SparkSpec {
     }
   }
 
+  test("x6 timers: pending range anchors finalize via watermark, matching batch x6 on the raw fixture") {
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val sfDir = "/root/testdata/sf0.001"
+      val gapUs = 21600000000L
+      val fixture = graft.Tables.t(s, sfDir, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "cast(value AS double) AS value")
+        .orderBy("ts", "event_id").as[Ev].collect().toSeq
+      val maxMs = fixture.map(_.ts.getTime).max
+      val in = MemoryStream[Ev]
+      val q = StatefulProcessors.cepTimesRangeTimers(in.toDS(), gapUs = gapUs,
+          minTimes = 2, maxTimes = 4, delay = "1 second")
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ceprt-ck").toString)
+        .format("memory").queryName("ceprange_timer").start()
+      try {
+        in.addData(fixture)
+        q.processAllAvailable()
+        in.addData(ev(9999999L, maxMs + 2 * gapUs / 1000L, -1L, "view"))
+        q.processAllAvailable()
+        val stream = s.table("ceprange_timer")
+          .selectExpr("user_id", "first_id", "n_times", "first_us", "last_us")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        val batch = graft.operators.EventOps.cepTimesRangeBatch(
+            s.createDataset(fixture).toDF(), gapUs, 2, 4)
+          .selectExpr("user_id", "event_id", "n_times",
+            "unix_micros(first_ts)", "unix_micros(last_ts)")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(stream === batch,
+          s"x6 only-stream=${(stream -- batch).take(3)} only-batch=${(batch -- stream).take(3)}")
+        assert(batch.nonEmpty, "x6 timer equivalence is vacuous — no matches")
+      } finally q.stop()
+    }
+  }
+
   test("complete input + one global watermark advance matches the batch x7 exactly") {
     withRocksDb {
       val s = spark
