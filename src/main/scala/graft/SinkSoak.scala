@@ -62,7 +62,12 @@ object SinkSoak {
           !s.getPath.getName.startsWith("."))
 
     val batchSec = new Array[Double](nBatches)
-    val refreshPts = Seq.newBuilder[(Int, Double)] // (file count, standalone refresh sec)
+    // (batch index, file count, standalone refresh sec): the batch index
+    // is recorded so the regime fit below can split the series AT the
+    // recluster event — filtering on file count alone re-admitted
+    // post-recluster points once compaction reset the count below
+    // reclusterAt, contaminating the "pre-recluster" slope (ADVICE r13)
+    val refreshPts = Seq.newBuilder[(Int, Int, Double)]
     var reclusterJson = "null"
 
     (0 until nBatches).foreach { b =>
@@ -77,7 +82,7 @@ object SinkSoak {
         val r0 = System.nanoTime()
         sink.refreshManifest(spark)
         val rSec = (System.nanoTime() - r0) / 1e9
-        refreshPts += ((files, rSec))
+        refreshPts += ((b, files, rSec))
         System.err.println(f"[sinksoak] batch ${b + 1}%5d  files $files%5d  " +
           f"process ${batchSec(b)}%6.3f s  pure refresh $rSec%6.3f s")
       }
@@ -99,8 +104,11 @@ object SinkSoak {
 
     // slope of the PURE refresh cost in the pre-recluster regime (linear
     // in file count by construction: reconcile lists the dir + collects
-    // one row per file; publish rewrites the file-count-row manifest)
-    val pre = refreshPts.result().filter(_._1 <= reclusterAt)
+    // one row per file; publish rewrites the file-count-row manifest).
+    // The regime split is on BATCH index, not file count: post-recluster
+    // points start back at ~16 files and would otherwise re-enter a
+    // file-count window and bias the fit (ADVICE r13).
+    val pre = refreshPts.result().collect { case (b, f, s) if b < reclusterAt => (f, s) }
     val slopePer1k =
       if (pre.size >= 2) {
         val n = pre.size.toDouble
@@ -116,11 +124,17 @@ object SinkSoak {
     // file count where a standalone refresh would cost 1 s at this slope
     val filesAt1s = if (slopePer1k > 0) ((1.0 - intercept) / (slopePer1k / 1000.0)).toLong else -1L
 
-    val ptsJson = refreshPts.result().map { case (f, s) => s"""[$f,${num(s)}]""" }.mkString(",")
+    val ptsJson = refreshPts.result()
+      .map { case (b, f, s) => s"""[$b,$f,${num(s)}]""" }.mkString(",")
     println(s"""{"mode":"sink_soak","n_batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
       s""""windows":[${windows.mkString(",")}],"refresh_points":[$ptsJson],""" +
       s""""recluster":$reclusterJson,"refresh_slope_sec_per_1k_files":${num(slopePer1k)},""" +
-      s""""projected_files_at_1s_refresh":$filesAt1s,"final_files":${fileCount()}}""")
+      s""""projected_files_at_1s_refresh":$filesAt1s,"final_files":${fileCount()},""" +
+      // GC receipt: after nBatches appends (each publishing a version) +
+      // nBatches/50 standalone refreshes, the manifest dir must hold
+      // exactly the retention window (default 3), not thousands of vN dirs
+      s""""retained_manifest_versions":${sink.versions().size},""" +
+      s""""manifest_dir_entries":${fs.listStatus(new Path(manifestDir)).length}}""")
     spark.stop()
   }
 }

@@ -2140,10 +2140,14 @@ FROM j GROUP BY 1"""
         .withColumn("indented",
           expr("size(filter(lines, l -> startswith(l, '    ') OR startswith(l, '\t')))"))
         // integer-scaled density: signal chars per 1000 chars + indented
-        // lines per 10 lines, all exact bigint arithmetic
+        // lines per 10 lines. The counts come from Spark's INT-typed
+        // length(), so they are widened to BIGINT BEFORE the *1000 —
+        // otherwise a document with >~2.1M signal characters wraps in
+        // 32-bit while the DuckDB oracle (BIGINT length()) does not
+        // (ADVICE r13).
         .withColumn("code_score",
-          expr("cast((braces + semis + eqs) * 1000 div greatest(n_chars, 1) " +
-            "+ indented * 10 div greatest(n_lines, 1) AS bigint)"))
+          expr("(cast(braces AS bigint) + semis + eqs) * 1000 div greatest(cast(n_chars AS bigint), 1) " +
+            "+ cast(indented AS bigint) * 10 div greatest(cast(n_lines AS bigint), 1)"))
         .selectExpr("doc_id", "cast(braces AS bigint) AS braces",
           "cast(semis AS bigint) AS semis", "cast(eqs AS bigint) AS eqs",
           "cast(indented AS bigint) AS indented_lines", "code_score",
@@ -2162,10 +2166,10 @@ c AS (
   FROM t)
 SELECT doc_id, CAST(braces AS BIGINT) AS braces, CAST(semis AS BIGINT) AS semis,
        CAST(eqs AS BIGINT) AS eqs, CAST(indented AS BIGINT) AS indented_lines,
-       CAST((braces + semis + eqs) * 1000 // greatest(n_chars, 1)
-            + indented * 10 // greatest(n_lines, 1) AS BIGINT) AS code_score,
-       ((braces + semis + eqs) * 1000 // greatest(n_chars, 1)
-            + indented * 10 // greatest(n_lines, 1)) >= 15 AS is_code
+       CAST(CAST(braces + semis + eqs AS BIGINT) * 1000 // greatest(CAST(n_chars AS BIGINT), 1)
+            + CAST(indented AS BIGINT) * 10 // greatest(CAST(n_lines AS BIGINT), 1) AS BIGINT) AS code_score,
+       (CAST(braces + semis + eqs AS BIGINT) * 1000 // greatest(CAST(n_chars AS BIGINT), 1)
+            + CAST(indented AS BIGINT) * 10 // greatest(CAST(n_lines AS BIGINT), 1)) >= 15 AS is_code
 FROM c"""),
     "Code-likeness routing: integer-exact brace/semicolon/assignment/indent densities + threshold.")
 

@@ -409,9 +409,15 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
     keyCols: Seq[String],
     autoReclusterAt: Option[Int] = None,
     reclusterFiles: Int = 32,
-    reclusterBuckets: Int = 4096) {
+    reclusterBuckets: Int = 4096,
+    manifestRetention: Int = 3) {
   import org.apache.hadoop.fs.Path
   import graft.operators.Layout
+
+  // retention 1 = current version only (no time travel); the floor is a
+  // hard error because retention 0 would GC the version just published
+  require(manifestRetention >= 1,
+    s"ManifestedParquetSink: manifestRetention must be >= 1 (got $manifestRetention)")
 
   private def dataPath = new Path(dataDir)
 
@@ -521,11 +527,13 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
     * a refresh sees either the old complete version or the new complete
     * one, never the schema-less window the previous in-place
     * `overwrite.parquet(manifestDir)` publish opened on every batch. GC
-    * keeps the newest three committed versions (a reader that resolved
-    * just before a burst of refreshes is still opening one of those;
-    * retention is sized to several full publish durations) and drops
-    * everything older, including uncommitted debris a crashed publish
-    * left behind. */
+    * keeps the newest `manifestRetention` committed versions (default 3:
+    * a reader that resolved just before a burst of refreshes is still
+    * opening one of those; size the knob to several full publish
+    * durations — or to the [[scanAsOf]] horizon the table's consumers
+    * actually need, which this SAME knob bounds) and drops everything
+    * older, including uncommitted debris a crashed publish left
+    * behind. */
   private def publish(spark: org.apache.spark.sql.SparkSession,
       fresh: DataFrame): Unit = {
     val mfs = FsIo.fs(manifestPath)
@@ -534,7 +542,8 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
     fresh.coalesce(1).write.mode("overwrite").parquet(s"$manifestDir/v$next")
     FsIo.writeStringAtomic(s"$manifestDir/v$next/_graft_ok", next.toString)
     val all = listVersions(mfs)
-    val keep = all.filter(isCommitted(mfs, _)).sorted.takeRight(3).toSet
+    val keep = all.filter(isCommitted(mfs, _)).sorted
+      .takeRight(manifestRetention).toSet
     all.filterNot(keep).foreach(v =>
       mfs.delete(new Path(manifestPath, s"v$v"), true))
   }
@@ -610,8 +619,9 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
     Layout.scanPruned(spark, dataDir, manifest(spark), bounds)
 
   /** All COMMITTED manifest versions currently retained, ascending —
-    * the time-travel horizon ([[publish]]'s GC keeps the newest three,
-    * so this is a short sliding window, not unbounded history). */
+    * the time-travel horizon ([[publish]]'s GC keeps the newest
+    * `manifestRetention` (default 3), so this is a sliding window whose
+    * width is the constructor knob, not unbounded history). */
   def versions(): Seq[Long] = {
     val mfs = FsIo.fs(manifestPath)
     listVersions(mfs).filter(isCommitted(mfs, _)).sorted
@@ -636,8 +646,10 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
     * point), and a [[recluster]] that replaced v's files makes this read
     * fail LOUDLY (explicit-path PATH_NOT_FOUND via scanPruned's
     * allowStale branch), never return partial data. Retention is the
-    * publish GC's newest-3 window — callers needing longer horizons pin
-    * versions externally before GC drops them. */
+    * publish GC's newest-`manifestRetention` window (constructor knob,
+    * default 3) — a version older than that fails [[manifestAt]]'s
+    * committed check loudly; callers needing horizons longer than they
+    * want to retain pin versions externally before GC drops them. */
   def scanAsOf(spark: org.apache.spark.sql.SparkSession, v: Long,
       bounds: Seq[(String, Long, Long)]): DataFrame =
     Layout.scanPruned(spark, dataDir, manifestAt(spark, v), bounds,

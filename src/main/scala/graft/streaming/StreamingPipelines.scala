@@ -444,9 +444,12 @@ object StreamingPipelines {
       .withColumn("n_lines", expr("size(lines)"))
       .withColumn("indented",
         expr("size(filter(lines, l -> startswith(l, '    ') OR startswith(l, '\t')))"))
+      // widen the INT-typed length() counts to BIGINT BEFORE the *1000 so
+      // a >2.1M-signal-char document can't wrap in 32-bit (ADVICE r13) —
+      // same fix as the batch t_code_detect it must stay bit-identical to
       .withColumn("code_score",
-        expr("cast((braces + semis + eqs) * 1000 div greatest(n_chars, 1) " +
-          "+ indented * 10 div greatest(n_lines, 1) AS bigint)"))
+        expr("(cast(braces AS bigint) + semis + eqs) * 1000 div greatest(cast(n_chars AS bigint), 1) " +
+          "+ cast(indented AS bigint) * 10 div greatest(cast(n_lines AS bigint), 1)"))
       .selectExpr("doc_id", "ts", "cast(braces AS bigint) AS braces",
         "cast(semis AS bigint) AS semis", "cast(eqs AS bigint) AS eqs",
         "cast(indented AS bigint) AS indented_lines", "code_score",

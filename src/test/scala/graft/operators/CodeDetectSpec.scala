@@ -47,4 +47,23 @@ class CodeDetectSpec extends SparkSpec {
     assert(out(3L)._5 === 3L)
     assert(!out(3L)._7, s"indent-only doc misrouted: ${out(3L)}")
   }
+
+  test("a >2.1M-signal-char document does not wrap in 32-bit (ADVICE r13)") {
+    val s = spark
+    import s.implicits._
+    // 3M semicolons: (braces+semis+eqs) * 1000 = 3e9 > Int.MaxValue —
+    // the pre-fix INT-typed arithmetic wrapped this negative while the
+    // BIGINT oracle did not, a silent cross-engine divergence
+    val big = ";" * 3000000
+    val docs = Seq((1L, big, big.length.toLong)).toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("codedet-big").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("t_code_detect")(s, dir)
+      .selectExpr("semis", "code_score", "is_code")
+      .as[(Long, Long, Boolean)].head()
+    assert(r._1 === 3000000L)
+    // 3e6 signal chars / 3e6 chars * 1000 = exactly 1000, positive
+    assert(r._2 === 1000L, s"code_score wrapped or misscaled: ${r._2}")
+    assert(r._3)
+  }
 }

@@ -355,6 +355,51 @@ class ManifestedSinkSpec extends SparkSpec {
     assert(stale.getMessage != null)
   }
 
+  test("manifestRetention bounds the GC window: min(N, retention) versions, older asOf fails") {
+    val s = spark
+    import s.implicits._
+    // retention 0 would GC the version just published — hard error
+    assertThrows[IllegalArgumentException](
+      new ManifestedParquetSink(tmp("msink-r0"), tmp("msink-r0m") + "/m",
+        keys, manifestRetention = 0))
+
+    val data = tmp("msink-ret"); val man = tmp("msink-ret-man") + "/m"
+    val retention = 5
+    val sink = new ManifestedParquetSink(data, man, keys,
+      manifestRetention = retention)
+    sink.process((1L to 10L).map(i => ev(i, 100 + i, i)).toDF().coalesce(1), 0L)
+
+    // fewer refreshes than the window: every version is retained
+    (1 to 3).foreach(_ => sink.refreshManifest(spark))
+    assert(sink.versions().size === 4) // 1 publish from process + 3 refreshes
+    val early = sink.versions().min
+
+    // push past the window: exactly `retention` committed versions remain,
+    // the newest ones, and the early version is gone (GC, not history)
+    (1 to 6).foreach(_ => sink.refreshManifest(spark))
+    val vs = sink.versions()
+    assert(vs.size === retention,
+      s"retention=$retention must bound the window, got ${vs.size}")
+    assert(vs === vs.sorted && vs.max === sink.currentVersion().get)
+    assert(!vs.contains(early))
+    // the dropped version fails manifestAt/scanAsOf LOUDLY
+    assertThrows[IllegalArgumentException](
+      sink.scanAsOf(spark, early, Seq(("event_id", 1L, 100L))).count())
+    // every retained version still serves its snapshot (same data here —
+    // refreshes without appends publish identical manifests)
+    vs.foreach { v =>
+      assert(sink.scanAsOf(spark, v, Seq(("event_id", 1L, 100L))).count() === 10)
+    }
+
+    // retention 1 = current-only: after any refresh exactly one version
+    val d1 = tmp("msink-ret1"); val m1 = tmp("msink-ret1-man") + "/m"
+    val one = new ManifestedParquetSink(d1, m1, keys, manifestRetention = 1)
+    one.process((1L to 5L).map(i => ev(i, 100 + i, i)).toDF().coalesce(1), 0L)
+    (1 to 3).foreach(_ => one.refreshManifest(spark))
+    assert(one.versions().size === 1)
+    assert(one.scan(spark, Seq(("event_id", 1L, 100L))).count() === 5)
+  }
+
   test("a manifest left stale by a crash self-heals on the next refresh") {
     val s = spark
     import s.implicits._
