@@ -163,6 +163,118 @@ class CheckpointRecoverySpec extends SparkSpec {
     }
   }
 
+  /** Restart cell shared by the three timer-finalized CEP processors
+    * (verdict r13 task 3). The crash point is the dangerous one: timers
+    * ARMED (horizon in the future) at the stop, so on recovery the
+    * processor's armed-horizon ValueState must agree with Spark's
+    * recovered timer registry — the stale-armed/re-arm divergence is
+    * exactly the class of bug SessionTimerProcessor's restart pin
+    * caught. Phase 2 exercises BOTH recovered-timer paths: user 1 gets
+    * a post-restart event INSIDE its horizon (the recovered timer must
+    * be deleted and re-armed at the extended horizon), user 2 stays
+    * silent (the recovered timer must fire as armed). Then one global
+    * watermark advance (sentinel key, non-matching type) finalizes
+    * everything; the output must equal an uninterrupted run AND the
+    * batch oracle, each match emitted exactly once. */
+  private def cepTimerRestartCell(tag: String,
+      transform: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.DataFrame,
+      batchOracle: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      // user 1: run at 1s/2s/3s; user 2: singleton at 1s — with gap 5 s
+      // and delay 1 s, every horizon is ahead of phase 1's watermark, so
+      // the stop happens with all timers armed and nothing emitted
+      val p1 = Seq(
+        line(1, 1000000L, 1, "click"), line(2, 2000000L, 1, "click"),
+        line(3, 3000000L, 1, "click"), line(4, 1000000L, 2, "click"))
+      // user 1 extends its run INSIDE the recovered horizon (4s < 3s+5s);
+      // the sentinel (non-click, sentinel key) advances the watermark to
+      // ~99s, past every horizon — the only finalization signal
+      val p2 = Seq(
+        line(5, 4000000L, 1, "click"),
+        line(9999, 100000000L, -1, "view"))
+
+      def runStream(in: String, out: String, ck: String): Unit = {
+        val q = Sinks.file(
+          transform(StreamingPipelines.textFileSource(spark, in).as[Ev]),
+          out, ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      def dirs(sub: String) = (
+        Files.createTempDirectory(s"ceptrec-$tag-in-$sub").toString,
+        Files.createTempDirectory(s"ceptrec-$tag-out-$sub").toString,
+        Files.createTempDirectory(s"ceptrec-$tag-ck-$sub").toString)
+
+      // restarted run: phase 1, stop with timers armed, phase 2 on the
+      // same checkpoint
+      val (inR, outR, ckR) = dirs("r")
+      Files.writeString(java.nio.file.Paths.get(inR, "p1.csv"),
+        p1.mkString("", "\n", "\n"))
+      runStream(inR, outR, ckR)
+      assert(spark.read.parquet(outR).isEmpty,
+        s"$tag emitted before any horizon was proven — the stop must land with timers armed")
+      Files.writeString(java.nio.file.Paths.get(inR, "p2.csv"),
+        p2.mkString("", "\n", "\n"))
+      runStream(inR, outR, ckR)
+      // uninterrupted run: all files up front
+      val (inS, outS, ckS) = dirs("s")
+      Files.writeString(java.nio.file.Paths.get(inS, "p1.csv"),
+        p1.mkString("", "\n", "\n"))
+      Files.writeString(java.nio.file.Paths.get(inS, "p2.csv"),
+        p2.mkString("", "\n", "\n"))
+      runStream(inS, outS, ckS)
+
+      def rows(out: String) = spark.read.parquet(out)
+        .selectExpr("user_id", "first_id", "n_times", "first_us", "last_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val restarted = rows(outR)
+      val single = rows(outS)
+      // exactly once: a stale recovered timer re-firing (or a re-arm
+      // emitting twice) would duplicate a match tuple
+      assert(restarted.size === restarted.distinct.size,
+        s"$tag emitted a match twice after restart: $restarted")
+      assert(restarted.toSet === single.toSet,
+        s"$tag restart diverged: only-restart=${(restarted.toSet -- single.toSet).take(3)} " +
+          s"only-single=${(single.toSet -- restarted.toSet).take(3)}")
+      val batch = batchOracle(
+          StreamingPipelines.parseCsvLines((p1 ++ p2).toDF("value")))
+        .selectExpr("user_id", "event_id", "n_times",
+          "unix_micros(first_ts)", "unix_micros(last_ts)")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(restarted.toSet === batch,
+        s"$tag only-stream=${(restarted.toSet -- batch).take(3)} only-batch=${(batch -- restarted.toSet).take(3)}")
+      // the restart must be load-bearing: user 1's run spans it (the
+      // post-restart click extended a recovered match) and user 2's
+      // emission (if the semantics emit singletons) came purely from a
+      // recovered timer firing
+      assert(restarted.exists { case (u, _, _, _, lus) =>
+        u == 1L && lus == 4000000L },
+        s"$tag: no user-1 match absorbed the post-restart click: $restarted")
+      assert(batch.nonEmpty, s"$tag restart equivalence is vacuous")
+    }
+
+  test("x7 one-or-more timers recover armed horizons across a restart") {
+    cepTimerRestartCell("x7",
+      ds => StatefulProcessors.cepOneOrMoreTimers(ds, gapUs = 5000000L,
+        delay = "1 second").toDF(),
+      ev => graft.operators.EventOps.cepOneOrMoreBatch(ev, 5000000L))
+  }
+
+  test("x8 skip-past timers recover the open match across a restart") {
+    cepTimerRestartCell("x8",
+      ds => StatefulProcessors.cepSkipPastTimers(ds, gapUs = 5000000L,
+        delay = "1 second").toDF(),
+      ev => graft.operators.EventOps.cepSkipPastBatch(ev, 5000000L))
+  }
+
+  test("x6 times-range timers recover pending anchors across a restart") {
+    cepTimerRestartCell("x6",
+      ds => StatefulProcessors.cepTimesRangeTimers(ds, gapUs = 5000000L,
+        minTimes = 2, maxTimes = 4, delay = "1 second").toDF(),
+      ev => graft.operators.EventOps.cepTimesRangeBatch(ev, 5000000L, 2, 4))
+  }
+
   test("w2e CMS top-k dual recovers pane and window cells across a restart") {
     // verdict r11 task 8 (post-task-2): the four chained stateful
     // operators' state — open pane counts, pane candidates, window CMS
