@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN recall/cost frontier receipt (verdict-r13 task 7): recall@3 of the
+  * IVF-PQ family vs the exact brute-force top-3, swept over
+  * nprobe 1/2/4 x {untrained raw-vector PQ, trained residual PQ} — six
+  * cells, ONE table, driven through the exact registered implementations
+  * ([[graft.operators.EmbeddingOps.ivfPqUntrained]] /
+  * [[graft.operators.EmbeddingOps.ivfPqTrainedResidual]], the same
+  * functions behind e_knn_ivfpq / e_knn_ivfpq_trained) so the published
+  * frontier can never drift from the operators it grades.
+  *
+  * `runMain graft.RecallSweep [sfDir]` (default /root/testdata/sf0.1).
+  * Prints one JSON line; recorded in BASELINE.md. Cost column: candidate
+  * volume is nprobe/16 of the corpus by construction, so the frontier
+  * reads as recall-per-candidate-fraction without a timing column.
+  */
+object RecallSweep {
+
+  /** Deterministic CLUSTERED fixture (seeded, 500 vectors, 16 true
+    * clusters): the synthetic sf* embeddings are near-isotropic — the
+    * adversarial case where every space-partitioning index is
+    * chance-level by information theory (BASELINE.md's round-13
+    * argument), so an isotropic-only sweep says nothing about whether
+    * residual training WORKS. This fixture has the geometry production
+    * embeddings have (mass concentrated around cluster centers) with
+    * the operator's model-row convention baked in: rows 10..25 ARE the
+    * 16 cluster centers (so the coarse quantizer is exact), rows 0..9
+    * are queries near distinct centers, everything else is
+    * center + uniform(-0.1, 0.1) noise per dim — residuals ARE the
+    * noise, which is exactly what residual PQ exists to code. */
+  private[graft] def writeClusteredFixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val rnd = new scala.util.Random(20240815L)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    def noisy(k: Int): Array[Float] =
+      centers(k).map(x => (x + (rnd.nextDouble() * 0.2 - 0.1)).toFloat)
+    val rows = (0L until 500L).map { id =>
+      val k = (id % 16).toInt
+      val emb =
+        if (id >= 10 && id <= 25) centers((id - 10).toInt).map(_.toFloat)
+        else noisy(k)
+      (id, emb.toSeq, k)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = Sessions.local(cpus.toInt, "graft-recall-sweep")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val clusteredDir = "/tmp/graft_recall_clustered"
+    writeClusteredFixture(spark, clusteredDir)
+
+    def num(d: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, d)
+
+    val fixtures = Seq("isotropic" -> sfDir, "clustered" -> clusteredDir)
+    val blocks = fixtures.map { case (fixName, dir) =>
+      // exact truth: brute-force EUCLIDEAN top-3 (e_knn_l2 is top-5) —
+      // ADC approximates squared L2, so that is the metric it is graded
+      // against (the round-13 characterization table's "L2 (ADC)" row)
+      val exact3 = SparkEntry.queries("e_knn_l2")(spark, dir)
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nQ = exact3.map(_._1).size
+      require(nQ > 0, s"RecallSweep: no query vectors in $dir")
+
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val approx = df.select(col("qid"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (approx & exact3).size.toDouble / exact3.size
+      }
+
+      val cells = for {
+        trained <- Seq(false, true)
+        nprobe <- Seq(1, 2, 4)
+      } yield {
+        val df =
+          if (trained)
+            operators.EmbeddingOps.ivfPqTrainedResidual(spark, dir, nprobe, 3)
+          else operators.EmbeddingOps.ivfPqUntrained(spark, dir, nprobe, 3)
+        val r = recallOf(df)
+        val name = if (trained) "ivfpq_trained_residual" else "ivfpq_untrained"
+        System.err.println(f"[recall] $fixName%-10s $name%-24s nprobe=$nprobe  recall@3 ${r}%.4f")
+        s"""{"index":"$name","nprobe":$nprobe,"cand_frac":${num(nprobe / 16.0)},"recall_at_3":${num(r)}}"""
+      }
+      s""""$fixName":{"n_queries":$nQ,"cells":[${cells.mkString(",")}]}"""
+    }
+    println(s"""{"mode":"recall_sweep","sf":"$sfDir",${blocks.mkString(",")}}""")
+    spark.stop()
+  }
+}

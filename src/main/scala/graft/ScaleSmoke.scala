@@ -57,7 +57,12 @@ object ScaleSmoke {
     // join + integer ADC — the production ANN scan shape), the CDC
     // snapshot fold (single keyed agg, no window sort), and last-touch
     // attribution (per-user sequence window, the per-key-sort family)
-    "e_knn_ivfpq", "q_cdc_apply", "a21_last_touch")
+    "e_knn_ivfpq", "q_cdc_apply", "a21_last_touch",
+    // round-14 addition: trained residual IVF-PQ — e_knn_ivfpq's scan
+    // shape plus two Lloyd training scans (subspace-exploded corpus vs
+    // broadcast 128-row codebook); the ratio prices that training stays
+    // scan-bounded, never pairwise
+    "e_knn_ivfpq_trained")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

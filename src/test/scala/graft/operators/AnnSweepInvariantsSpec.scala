@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the IVF-PQ sweep surface (round 14) — the
+  * properties behind the RecallSweep receipt that hold by CONSTRUCTION,
+  * pinned so a refactor can't silently break them:
+  *
+  *  - candidates live in exactly ONE cell and a candidate's residual ADC
+  *    is computed against its own cell, so growing nprobe only ADDS
+  *    candidates with unchanged distances — the sorted ADC list at a
+  *    larger nprobe must dominate (element-wise <=) the smaller one at
+  *    every rank position, for every query;
+  *  - on clustered geometry (the [[graft.RecallSweep]] deterministic
+  *    fixture: rows 10..25 are the true centers), residual training must
+  *    beat the untrained raw-vector codebook — the measured claim the
+  *    operator exists for. Both sweeps are deterministic (seeded fixture,
+  *    6dp-pinned training trajectory), so the assertions are exact.
+  */
+class AnnSweepInvariantsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("trained residual IVF-PQ: growing nprobe weakly improves every rank position") {
+    val s = spark
+    import s.implicits._
+    def ranked(nprobe: Int) =
+      EmbeddingOps.ivfPqTrainedResidual(s, sfDir, nprobe, 3)
+        .select(col("qid"), col("rnk"), col("approx_d2"))
+        .as[(Long, Int, Double)].collect()
+        .map { case (q, r, d) => (q, r) -> d }.toMap
+    val np = Map(1 -> ranked(1), 2 -> ranked(2), 4 -> ranked(4))
+    assert(np(1).nonEmpty, "vacuous — no trained IVF-PQ results at nprobe=1")
+    for ((lo, hi) <- Seq((1, 2), (2, 4)); ((q, r), dLo) <- np(lo)) {
+      val dHi = np(hi).getOrElse((q, r),
+        fail(s"nprobe=$hi lost rank position ($q, $r) that nprobe=$lo had"))
+      assert(dHi <= dLo,
+        s"qid=$q rnk=$r: ADC worsened $dLo -> $dHi when nprobe grew $lo -> $hi")
+    }
+  }
+
+  test("residual training lifts recall over the untrained codebook on clustered geometry") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ann-clustered").toString
+    graft.RecallSweep.writeClusteredFixture(s, dir)
+    val truth = graft.SparkEntry.queries("e_knn_l2")(s, dir)
+      .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & truth).size.toDouble / truth.size
+    }
+    val untrained = recall(EmbeddingOps.ivfPqUntrained(s, dir, 2, 3))
+    val trained = recall(EmbeddingOps.ivfPqTrainedResidual(s, dir, 2, 3))
+    assert(trained > untrained,
+      s"residual training did not lift clustered recall: trained=$trained untrained=$untrained")
+    // the untrained raw-vector codebook collapses every same-cell member
+    // to (nearly) one code on this geometry, so it cannot exceed the
+    // tie-break floor by much; the trained index must clear real ground
+    assert(trained >= 0.4, s"trained clustered recall regressed to $trained")
+  }
+}

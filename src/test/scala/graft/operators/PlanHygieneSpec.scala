@@ -79,7 +79,11 @@ class PlanHygieneSpec extends SparkSpec {
       "t_tokenizer_fertility",
       // same <=10-row broadcast query-set join as e_knn_pq; the Lloyd
       // training joins are equi (on j) and hash-broadcast
-      "e_knn_pq_trained")
+      "e_knn_pq_trained",
+      // inherits e_knn_ivfpq's 16-row coarse-codebook cross join
+      // (assignment stage); residual Lloyd training joins are equi on j,
+      // the candidate join is an equi BroadcastHashJoin on cell
+      "e_knn_ivfpq_trained")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
