@@ -49,6 +49,34 @@ object StreamBench {
       (name, sec, n)
     }
 
+    /** Like `run`, but the corpus lands in TWO phases with a full query
+      * restart between them — RocksDB state recovery and checkpoint
+      * catch-up are inside the measured path (the capstone's
+      * convention, applied to single-operator cells). Own input dir so
+      * the phase-2 files don't retrigger the shared-corpus cells. */
+    def runRestart(name: String, users: Int = 100000)(
+        start: Jobs.Dirs => org.apache.spark.sql.streaming.StreamingQuery): (String, Double, Int) = {
+      val half = n / 32 // 16 files per phase at the shared per-file size
+      val d = Jobs.Dirs(
+        Files.createTempDirectory(s"sbench-in-$name").toString,
+        Files.createTempDirectory(s"sbench-out-$name").toString,
+        Files.createTempDirectory(s"sbench-ck-$name").toString)
+      Generators.writeCsvFilesWide(d.in, seed = 42, files = 16,
+        perFile = half, users = users)
+      def drain(): Unit = {
+        val q = start(d)
+        try q.processAllAvailable() finally q.stop()
+      }
+      val sec = timed {
+        drain() // phase 1
+        Generators.writeCsvFilesWide(d.in, seed = 43, files = 16,
+          perFile = half, users = users, fileOffset = 16,
+          idOffset = 16L * half)
+        drain() // phase 2: restart on the same checkpoint + catch-up
+      }
+      (name, sec, 32 * half)
+    }
+
     /** Job-9 capstone end-to-end: quota admission -> quality gate +
       * dedup-within-watermark -> decontamination -> online packing, ALL
       * THREE sinks (packed/contaminated/spill) drained — then the corpus
@@ -217,6 +245,24 @@ object StreamBench {
         new graft.streaming.ManifestedParquetSink(
             d.out, d.out + "_manifest", Seq("event_id", "user_id"))
           .start(good, d.ckpt)
+      },
+      // round-14 (verdict-r13 task 6): throughput cells for the round-13
+      // processors, restart included. File sink (the StateSoak wiring) —
+      // the memory sink cannot recover from a checkpoint, and the
+      // restart IS the point of these cells.
+      runRestart("cdc_snapshot") { d =>
+        import spark.implicits._
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        Sinks.file(StatefulProcessors.cdcSnapshot(
+          good.as[graft.streaming.Ev]).toDF(), d.out, d.ckpt)
+      },
+      runRestart("last_touch") { d =>
+        import spark.implicits._
+        val (good, _) = StreamingPipelines.parseCsvQuarantine(
+          spark.readStream.text(d.in))
+        Sinks.file(StatefulProcessors.lastTouchCredits(
+          good.as[graft.streaming.Ev]).toDF(), d.out, d.ckpt)
       },
       // docs are ~50 tokens each (vs ~5-field CSV events), so the
       // capstone corpus is n/10 docs for a comparable byte volume

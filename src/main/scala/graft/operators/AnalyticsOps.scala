@@ -282,19 +282,24 @@ FROM c JOIN t USING (from_type)"""),
         .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
         .distinct()
       val daily = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
-      // the trailing cap is a single bounded scalar (the corpus' last
-      // active day) — collected like the CMS sketch rather than joined:
-      // a scalar join survives only as a nested-loop plan, and a 1-row
-      // aggregate collect is input-size-independent
-      // null-safe: max(d) over zero events is NULL — degrade to an empty
-      // frame (same schema) instead of getLong throwing on null
-      val maxd = Option(du.agg(max(col("d"))).head().getAs[java.lang.Long](0))
       val rolled = du
         .select(explode(expr("sequence(d, d + 6)")).as("day"), col("user_id"))
         .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau7"))
-      maxd.map(m => rolled.filter(col("day") <= lit(m.longValue)))
-        .getOrElse(rolled.filter(lit(false)))
+      // the trailing cap (the corpus' last active day) is derived INSIDE
+      // the one job: after the per-day join, `d` is non-null exactly on
+      // anchor days, so a global-window max over the final ~#days-row
+      // frame IS max(d) — one tiny single-partition exchange over rows
+      // already shrunk to day granularity. Round-14 change: the previous
+      // formulation collected the scalar at PLAN time (du.agg(max).head),
+      // which ran a second full dedup+agg job per invocation — the whole
+      // query cost ~2x, and the r13 bench elevation (task 5) was this
+      // double-job shape amplifying host overhead, not the rolled plan.
+      // Empty input degrades for free: no rows, no window, no filter.
+      val capW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rolled
         .join(daily, col("day") === col("d"), "left")
+        .withColumn("maxd", max(col("d")).over(capW))
+        .filter(col("day") <= col("maxd"))
         .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau7"))
     },
     Some("""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
