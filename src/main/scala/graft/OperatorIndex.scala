@@ -28,6 +28,7 @@ object OperatorIndex {
     "StreamingPipelines.curateDocs" -> "d_curate_corpus",
     "StreamingPipelines.gopherRules" -> "t_gopher_rules",
     "StreamingPipelines.codeDetect" -> "t_code_detect",
+    "StreamingPipelines.dsirScore" -> "t_dsir_score",
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
     "StreamingPipelines.streamingKnn" -> "e_knn_brute",
     "StreamingPipelines.decontaminate" -> "d_decontaminate",

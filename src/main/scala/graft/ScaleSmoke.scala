@@ -58,11 +58,13 @@ object ScaleSmoke {
     // snapshot fold (single keyed agg, no window sort), and last-touch
     // attribution (per-user sequence window, the per-key-sort family)
     "e_knn_ivfpq", "q_cdc_apply", "a21_last_touch",
-    // round-14 addition: trained residual IVF-PQ — e_knn_ivfpq's scan
+    // round-14 additions: trained residual IVF-PQ — e_knn_ivfpq's scan
     // shape plus two Lloyd training scans (subspace-exploded corpus vs
     // broadcast 128-row codebook); the ratio prices that training stays
-    // scan-bounded, never pairwise
-    "e_knn_ivfpq_trained")
+    // scan-bounded, never pairwise. DSIR scoring — one exploded-gram
+    // model agg + a broadcast 1024-row scoring join; the ratio prices
+    // that the model side never grows past the bucket domain.
+    "e_knn_ivfpq_trained", "t_dsir_score")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

@@ -142,6 +142,60 @@ object TextHashUtil {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** DSIR feature buckets of a token array: 1024-bucket [[hash32]] of
+    * every unigram then every SPACE-joined bigram, in token order — the
+    * exact value set of the oracle's
+    * `('0x'||substr(md5(gram),1,8))::BIGINT % 1024` over
+    * `toks || list_transform(range(1, len), i -> toks[i] || ' ' || toks[i+1])`,
+    * computed from the tokens' UTF-8 bytes without building gram
+    * strings (the HOF formulation ran interpreted at ~6 us/gram). */
+  def dsirBuckets(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Int](if (n >= 2) 2 * n - 1 else n)
+    var i = 0
+    while (i < n) {
+      out(i) = (hash32(toks.getUTF8String(i).getBytes) % 1024L).toInt
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = (hash32(bigramBytes(toks, i)) % 1024L).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sum of `lam(bucket)` over the SAME buckets [[dsirBuckets]] emits —
+    * the DSIR apply fold as one static call (exact micro-nat integers,
+    * order-independent sum). */
+  def dsirFoldMicro(toks: ArrayData, lam: Array[Long]): Long = {
+    val n = toks.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += lam((hash32(toks.getUTF8String(i).getBytes) % 1024L).toInt)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      sum += lam((hash32(bigramBytes(toks, i)) % 1024L).toInt)
+      i += 1
+    }
+    sum
+  }
+
+  /** UTF-8 bytes of `toks(i) ++ ' ' ++ toks(i+1)` — the space-joined
+    * bigram string, byte-exact with the oracle's `||' '||` concat. */
+  private def bigramBytes(toks: ArrayData, i: Int): Array[Byte] = {
+    val a = toks.getUTF8String(i).getBytes
+    val b = toks.getUTF8String(i + 1).getBytes
+    val buf = new Array[Byte](a.length + 1 + b.length)
+    System.arraycopy(a, 0, buf, 0, a.length)
+    buf(a.length) = ' '
+    System.arraycopy(b, 0, buf, a.length + 1, b.length)
+    buf
+  }
+
   /** Intersection size of two sorted distinct long arrays (linear merge). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
@@ -204,6 +258,13 @@ object GraftFunctions {
 
   def md5Hash48(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.md5Hash48(s)
+
+  def dsirBuckets(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.dsirBuckets(tokens)
+
+  def dsirFoldMicro(tokens: org.apache.spark.sql.Column,
+      lam: Seq[Long]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.dsirFoldMicro(tokens, lam)
 
   def vecDot(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

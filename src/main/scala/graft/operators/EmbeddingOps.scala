@@ -756,6 +756,55 @@ FROM (SELECT qid, vec_id, ad,
       FROM adc) WHERE rnk <= 3"""),
     "Trained residual IVF-PQ top-3: PQ Lloyd-trained on (vector - cell centroid) residuals, per-cell query residual ADC — the FAISS IVFPQ composition.")
 
+  // Binary-Hamming ANN top-3 (round 14) — the 1-BIT quantization point
+  // on the family's compression axis: each 64-dim vector collapses to
+  // its sign pattern (bit j set iff component j > 0), packed into two
+  // 32-bit halves, and candidates rank by Hamming distance
+  // bit_count(xor) — for mean-centered embeddings, Hamming on sign
+  // bits is a monotone proxy for angular distance (each agreeing sign
+  // bit is one random hyperplane... exactly the e_knn_lsh geometry with
+  // the 64 coordinate axes as planes). 256x smaller than the raw
+  // doubles (8 bytes/vector) and the distance is two XOR+POPCNT ops —
+  // the cheapest possible rerank prefilter at 100 TB, one compression
+  // notch past e_knn_quant's int8. Two bigint halves, NOT one 64-bit
+  // word: bit 63 as a sign bit would make the packed sum overflow
+  // DuckDB's checked BIGINT arithmetic (Spark wraps, DuckDB throws —
+  // a cross-engine trap, not a tie risk). Everything is exact integer
+  // arithmetic end to end; ties break on vec_id.
+  private val eKnnHamming = GQuery(
+    "e_knn_hamming",
+    (s, dir) => {
+      def half(off: Int) =
+        s"aggregate(sequence(0, 31), cast(0 AS bigint), (acc, j) -> acc + " +
+          s"IF(element_at(ed, j + $off) > 0D, shiftleft(cast(1 AS bigint), j), cast(0 AS bigint)))"
+      val packed = prepped(s, dir)
+        .withColumn("lo", expr(half(1)))
+        .withColumn("hi", expr(half(33)))
+        .select(col("vec_id"), col("lo"), col("hi"))
+      val q = packed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+      packed.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("hd", expr(
+          "cast(bit_count(qlo ^ lo) + bit_count(qhi ^ hi) AS bigint)"))
+        .select(col("qid"), col("vec_id"), col("hd"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("hd"), col("vec_id"))))
+        .filter(col("rnk") <= 3)
+    },
+    Some(s"""$duckPrep,
+b AS (SELECT vec_id,
+        list_aggregate(list_transform(range(32), j -> CASE WHEN ed[j + 1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') AS lo,
+        list_aggregate(list_transform(range(32), j -> CASE WHEN ed[j + 33] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') AS hi
+      FROM n),
+q AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM b WHERE vec_id < 10),
+p AS (SELECT q.qid, b.vec_id,
+        CAST(bit_count(xor(q.qlo, b.lo)) + bit_count(xor(q.qhi, b.hi)) AS BIGINT) AS hd
+      FROM q, b WHERE b.vec_id <> q.qid)
+SELECT qid, vec_id, hd, rnk
+FROM (SELECT qid, vec_id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, vec_id) AS rnk FROM p)
+WHERE rnk <= 3"""),
+    "Binary-Hamming ANN top-3: sign-bit packing (two 32-bit halves), XOR+popcount ranking — the 1-bit point on the quantization axis.")
+
   // Int8-quantized ANN top-3: per-vector symmetric scalar quantization
   // (scale = max|x|/127, q = round(x/scale)) then integer dot products.
   // The quantization stage is ONE implementation (quantized() + duckQuant)
@@ -1342,7 +1391,7 @@ GROUP BY 1"""),
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnIvfPq,
-      eKnnIvfPqTrained, eKnnQuant, eKnnRerank,
+      eKnnIvfPqTrained, eKnnHamming, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eKnnPqTrained, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)

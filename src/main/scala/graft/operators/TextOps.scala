@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GQuery, Tables}
+import graft.functions.GraftFunctions
 
 /** LLM-training-data text operators over the `documents` table
   * (`doc_id, text, lang, source, n_chars`): token/quality statistics,
@@ -847,6 +848,149 @@ lm AS (SELECT doc_id, round(avg(c2.c2 / c1.c1::DOUBLE) + 1e-9, 4) AS lm_score,
     Some(s"""WITH $lmScoreDuck
 SELECT doc_id, lm_score, n_bigrams FROM lm"""),
     "Corpus-trained bigram-LM quality score (avg conditional probability per doc).")
+
+  // DSIR-style importance scoring (round 14; Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling") — the
+  // modern pretraining-mix selector: score every document by how much
+  // its hashed n-gram distribution looks like a TARGET corpus vs the
+  // SOURCE at large, then resample by the importance weights. This is
+  // the scoring stage, end to end in-engine:
+  //   features  = word unigrams + bigrams hashed into B=1024 buckets
+  //               (the md5 recipe every hash op here shares);
+  //   target    = the d_hash_sample 10% split (hash(doc_id) % 10 = 0) —
+  //               a stand-in for "quality/eval-like" docs, chosen by
+  //               the same deterministic predicate both engines share;
+  //   weight    = per-bucket log ratio of add-1-smoothed unigram-bucket
+  //               probabilities, lam_b = ln(t_b+1) - ln(T+B)
+  //               - ln(s_b+1) + ln(S+B);
+  //   score     = sum of lam over the doc's gram OCCURRENCES (the log
+  //               of the DSIR product weight).
+  // Determinism: ln() is pinned into the 1e-6 integer domain the moment
+  // it is computed (the t_zipf_fit pattern) — lam_b is a BIGINT of
+  // micro-nats, per-doc sums are exact integer arithmetic, and the only
+  // emitted float is one IEEE division rounded at 6dp. Scale shape: the
+  // model is ONE groupBy over the exploded gram stream (map-side
+  // partial agg absorbs the explosion) with its two totals as window
+  // sums over the <=1024-row model frame — no driver collect (the a14
+  // lesson); scoring joins the corpus stream against the BROADCAST
+  // <=1024-row model. Nothing pairwise, nothing corpus-proportional on
+  // the build side.
+  /** The exploded (doc_id, is_target, bucket) gram-occurrence stream.
+    * Feature space = word unigrams + SPACE-joined bigrams hashed into
+    * 1024 buckets; the buckets come from the codegen'd
+    * [[GraftFunctions.dsirBuckets]] kernel (hash32 of the gram bytes —
+    * identical to the oracle's `('0x'||substr(md5(g),1,8))::BIGINT %
+    * 1024` without building gram strings; the SQL-HOF formulation ran
+    * interpreted at ~6 us/gram). */
+  private def dsirOcc(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), w -> length(w) > 0)"))
+      .withColumn("is_target", expr(s"${hS("cast(doc_id AS string)")} % 10 = 0"))
+      .select(col("doc_id"), col("is_target"),
+        explode(GraftFunctions.dsirBuckets(col("toks"))).as("b"))
+
+  /** The (bucket, lam, tt, ss) model frame over observed buckets —
+    * micro-nat log-ratios plus the two corpus totals (needed by the
+    * streaming calibrate to fill UNSEEN buckets with the tb=sb=0
+    * default; the batch query prunes them). */
+  private def dsirModelFrom(occ: DataFrame): DataFrame = {
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    occ.groupBy(col("b")).agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tb"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("sb"))
+      .withColumn("tt", sum(col("tb")).over(allW))
+      .withColumn("ss", sum(col("sb")).over(allW))
+      .withColumn("lam", expr(
+        "CAST(round((ln(tb + 1) - ln(tt + 1024) - ln(sb + 1) + ln(ss + 1024)) * 1000000e0, 0) AS BIGINT)"))
+  }
+
+  /** Complete 1024-entry DSIR model as an array, None on an empty
+    * corpus: observed buckets carry their trained lam, unseen buckets
+    * the tb=sb=0 default ln((S+B)/(T+B)) — so a NEW document hitting a
+    * bucket the calibration corpus never produced still scores, exactly
+    * as the batch formula would score it. Bounded collect (<=1024
+    * rows), the ivfCellsCalibrate discipline. */
+  private[graft] def dsirModelArray(s: SparkSession, dir: String): Option[Array[Long]] = {
+    val rows = dsirModelFrom(dsirOcc(s, dir))
+      .select(col("b"), col("lam"), col("tt"), col("ss")).collect()
+    if (rows.isEmpty) None
+    else {
+      val tt = rows.head.getLong(2); val ss = rows.head.getLong(3)
+      val default = math.round(
+        (math.log(ss + 1024d) - math.log(tt + 1024d)) * 1e6)
+      val arr = Array.fill(1024)(default)
+      // b is the kernel's IntegerType bucket
+      rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      Some(arr)
+    }
+  }
+
+  /** Complete model for the streaming calibrate — loud on empty. */
+  private[graft] def dsirModelComplete(s: SparkSession, dir: String): Array[Long] =
+    dsirModelArray(s, dir).getOrElse(
+      throw new IllegalArgumentException("dsir calibrate: empty corpus"))
+
+  /** The APPLY stage, shared verbatim by the batch query and the
+    * streaming dual ([[graft.streaming.StreamingPipelines.dsirScore]]):
+    * the complete 1024-entry model rides into codegen as a referenced
+    * long[] and each doc's score is ONE static-call fold over its
+    * tokens ([[GraftFunctions.dsirFoldMicro]]) — no explode, no
+    * shuffle, no join on the scoring pass (the model side already paid
+    * its one exploded-bucket aggregation). Every column the input
+    * carries besides the computed four is dropped; callers select. */
+  private[graft] def dsirApply(docsFrame: DataFrame, lam: Array[Long]): DataFrame = {
+    require(lam.length == 1024,
+      s"dsir apply: model must cover all 1024 buckets, got ${lam.length}")
+    docsFrame
+      .withColumn("toks", expr("filter(split(text, ' '), w -> length(w) > 0)"))
+      .filter(expr("size(toks) > 0"))
+      // gram count = unigrams + bigrams, straight off the token count
+      .withColumn("n_grams", expr(
+        "CAST(IF(size(toks) >= 2, 2 * size(toks) - 1, size(toks)) AS BIGINT)"))
+      .withColumn("dsir_micro", GraftFunctions.dsirFoldMicro(col("toks"), lam.toSeq))
+      .withColumn("dsir_avg",
+        expr("round(dsir_micro / n_grams / 1000000e0 + 1e-9, 6)"))
+      .select(col("doc_id"), col("n_grams"), col("dsir_micro"), col("dsir_avg"))
+  }
+
+  private val tDsirScore = GQuery(
+    "t_dsir_score",
+    (s, dir) =>
+      // calibrate (one exploded-gram aggregation, bounded 1024-row model
+      // collect) + apply (one fold pass over the corpus). Round-14 note:
+      // the first formulation scored via a second explode + broadcast
+      // join + per-doc shuffle agg, re-deriving the gram stream — 10 s
+      // at sf0.1; the fold apply reads the corpus once more and shuffles
+      // nothing. In batch every scored gram's bucket is observed (every
+      // doc is target or source), so the complete model's defaults never
+      // fire and the join formulation's values are reproduced exactly —
+      // which is what the unchanged join-formulated oracle hash-checks.
+      dsirModelArray(s, dir) match {
+        case Some(lam) => dsirApply(docs(s, dir), lam)
+        case None => docs(s, dir).limit(0).selectExpr("doc_id",
+          "CAST(0 AS bigint) AS n_grams", "CAST(0 AS bigint) AS dsir_micro",
+          "CAST(0.0 AS double) AS dsir_avg")
+      },
+    Some(s"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks,
+         ${hD("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_target
+  FROM documents),
+g AS (SELECT doc_id, is_target,
+        unnest(list_concat(toks,
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS g
+      FROM t),
+o AS (SELECT doc_id, is_target, ${hD("g")} % 1024 AS b FROM g),
+m AS (SELECT b, CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+             CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS sb
+      FROM o GROUP BY 1),
+m2 AS (SELECT b, CAST(round((ln(tb + 1) - ln((SELECT CAST(sum(tb) AS BIGINT) FROM m) + 1024)
+                            - ln(sb + 1) + ln((SELECT CAST(sum(sb) AS BIGINT) FROM m) + 1024)) * 1000000e0, 0) AS BIGINT) AS lam
+       FROM m)
+SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(m2.lam) AS BIGINT) AS dsir_micro,
+       round(CAST(sum(m2.lam) AS BIGINT) / CAST(count(*) AS BIGINT) / 1000000e0 + 1e-9, 6) AS dsir_avg
+FROM o JOIN m2 USING (b) GROUP BY 1"""),
+    "DSIR importance score per document: hashed unigram+bigram buckets, add-1-smoothed target/source log-ratio in exact micro-nats.")
 
   // CCNet-style perplexity BAND filter: keep the middle half of the
   // LM-score distribution — dropping both the degenerate tail (too
@@ -2181,7 +2325,7 @@ FROM c"""),
     tTextStats, tQuality, tLangid, tLangidConfusion, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
-    dStratified, tRegexTokens, tRepetition, tLmScore, tTfidf, tRedact,
+    dStratified, tRegexTokens, tRepetition, tLmScore, tDsirScore, tTfidf, tRedact,
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
     dContaminationReport, tBm25, dReservoir, dTemperatureMix,
     dChunkOverlap, dBoilerplate, dQualityPrune,

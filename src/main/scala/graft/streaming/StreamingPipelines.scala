@@ -423,6 +423,23 @@ object StreamingPipelines {
       .withColumn("keep",
         col("r_len") * col("r_wordlen") * col("r_stop") * col("r_ttr"))
 
+  /** DSIR calibrate (bounded: the complete 1024-bucket micro-nat model,
+    * [[graft.operators.TextOps.dsirModelComplete]]) — run offline on the
+    * reference corpus, then hand the array to [[dsirScore]]. */
+  def dsirCalibrate(s: SparkSession, dir: String): Array[Long] =
+    graft.operators.TextOps.dsirModelComplete(s, dir)
+
+  /** Streaming dual of the batch `t_dsir_score` — the calibrate/apply
+    * split DSIR deploys as (the model is trained once on a reference
+    * corpus; INGEST is where every new document gets its importance
+    * score): scoring is a pure stateless map — grams, bucket hash, and
+    * one HOF fold over a 1024-long literal lam array — zero shuffle,
+    * zero state, no join, so it rides the parse stage's codegen at
+    * wire rate. Gram expression and bucket hash are the shared TextOps
+    * constants, so calibrate and apply cannot drift. */
+  def dsirScore(docsStream: DataFrame, lam: Array[Long]): DataFrame =
+    graft.operators.TextOps.dsirApply(docsStream, lam)
+
   /** Streaming dual of the batch `t_code_detect`: code-likeness routing
     * as a STATELESS map over the document stream — the mix-splitting
     * decision (prose pipeline vs code pipeline) made inline during

@@ -131,6 +131,51 @@ case class Md5Hash48(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** DSIR feature buckets (unigram + space-joined-bigram hash32 % 1024)
+  * of a token array — see TextHashUtil.dsirBuckets. */
+case class DsirBuckets(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_dsir_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.dsirBuckets(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.dsirBuckets($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+}
+
+/** The DSIR apply fold: sum of the plan-time lam model over the token
+  * array's feature buckets, as one codegen'd static call — the HOF
+  * lambda formulation ran interpreted per gram. */
+case class DsirFoldMicro(child: Expression, lam: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val lamArr: Array[Long] = lam.toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dsir_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.dsirFoldMicro(input.asInstanceOf[ArrayData], lamArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lamRef = ctx.addReferenceObj("dsirLam", lamArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.dsirFoldMicro($c, $lamRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirFoldMicro =
+    copy(child = newChild)
+}
+
 object columns {
   def minhashSig(tokens: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(tokens), a, b, prime))
@@ -150,6 +195,12 @@ object columns {
 
   def md5Hash48(s: Column): Column =
     ExpressionUtils.column(Md5Hash48(ExpressionUtils.expression(s)))
+
+  def dsirBuckets(tokens: Column): Column =
+    ExpressionUtils.column(DsirBuckets(ExpressionUtils.expression(tokens)))
+
+  def dsirFoldMicro(tokens: Column, lam: Seq[Long]): Column =
+    ExpressionUtils.column(DsirFoldMicro(ExpressionUtils.expression(tokens), lam))
 
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDot(

@@ -83,7 +83,10 @@ class PlanHygieneSpec extends SparkSpec {
       // inherits e_knn_ivfpq's 16-row coarse-codebook cross join
       // (assignment stage); residual Lloyd training joins are equi on j,
       // the candidate join is an equi BroadcastHashJoin on cell
-      "e_knn_ivfpq_trained")
+      "e_knn_ivfpq_trained",
+      // the same <=10-row broadcast query-set join as e_knn_brute, on
+      // packed sign bits
+      "e_knn_hamming")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
