@@ -64,7 +64,9 @@ object ScaleSmoke {
     // scan-bounded, never pairwise. DSIR scoring — one exploded-gram
     // model agg + a broadcast 1024-row scoring join; the ratio prices
     // that the model side never grows past the bucket domain.
-    "e_knn_ivfpq_trained", "t_dsir_score")
+    "e_knn_ivfpq_trained", "t_dsir_score",
+    // ABTT: two power-iteration scans + bounded 64-row collects
+    "e_abtt_project")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

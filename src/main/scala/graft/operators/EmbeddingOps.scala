@@ -961,6 +961,89 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 3"""),
     "Matryoshka ANN: 16-dim truncated coarse top-10, exact 64-dim re-rank to top-3.")
 
+  // ABTT projection (round 14; Mu & Viswanath 2018, "All-but-the-Top") —
+  // the standard embedding post-processing: find the corpus' DOMINANT
+  // principal component with power iteration and report, per vector,
+  // its projection onto it plus the residual norm after removal (the
+  // downstream pipeline subtracts proj*v; these two numbers fully
+  // characterize that rewrite). Trajectory pins, the Lloyd discipline:
+  // the per-dimension mean and each iteration's normalized component
+  // round at 6dp (+1e-9) IN-ENGINE before the next scan, so both
+  // engines walk bit-identical v_1, v_2; v_0 is the exact rational
+  // all-ones/8 unit vector (64 dims). Two fixed iterations — the same
+  // unrolled-fixpoint form as e_knn_pq_trained, chosen over
+  // convergence-test loops because the iteration COUNT is part of the
+  // cross-engine contract. Scale shape: each iteration is ONE corpus
+  // scan (dot against the broadcast 64-double component, posexplode,
+  // (i)-keyed partial agg to 64 rows) + a bounded 64-row collect; the
+  // projection pass is a pure map against the broadcast final
+  // component. residual² = ||xc||² − proj² clamps at 0 before sqrt —
+  // 6dp rounding can push the difference epsilon-negative on vectors
+  // parallel to v.
+  private val eAbttProject = GQuery(
+    "e_abtt_project",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val meanRows = base.select(posexplode(col("ed")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(round(avg(col("x")) + lit(1e-9), 6).as("m"))
+        .orderBy(col("i")).collect()
+      if (meanRows.isEmpty) {
+        base.limit(0).selectExpr("vec_id",
+          "cast(0.0 AS double) AS proj", "cast(0.0 AS double) AS resid_norm")
+      } else {
+        val m: Seq[Double] = meanRows.map(_.getDouble(1)).toSeq
+        val centered = base
+          .withColumn("xc", zip_with(col("ed"), typedlit(m), (x, mm) => x - mm))
+          .select(col("vec_id"), col("xc"))
+          .transform(graft.Checkpoints.pin(_))
+        var v: Seq[Double] = Seq.fill(64)(0.125)
+        (1 to 2).foreach { _ =>
+          val w = centered
+            .withColumn("d", GraftFunctions.vecDot(col("xc"), typedlit(v)))
+            .select(col("d"), posexplode(col("xc")).as(Seq("i", "xi")))
+            .groupBy(col("i")).agg(sum(col("d") * col("xi")).as("w"))
+          val nrmW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          v = w.withColumn("nrm", sqrt(sum(col("w") * col("w")).over(nrmW)))
+            .select(col("i"), round(col("w") / col("nrm") + lit(1e-9), 6).as("vi"))
+            .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
+        }
+        // + 0.0 normalizes IEEE negative zero: a projection in
+        // (-5e-7, 0) rounds to -0.0 in DuckDB but 0.0 in Spark (the
+        // t_dsir_score sf0.1 lesson)
+        centered
+          .withColumn("proj",
+            round(GraftFunctions.vecDot(col("xc"), typedlit(v)) + lit(1e-9), 6) + lit(0d))
+          .withColumn("resid_norm", round(sqrt(greatest(lit(0d),
+            GraftFunctions.vecDot(col("xc"), col("xc")) - col("proj") * col("proj"))) + lit(1e-9), 6))
+          .select(col("vec_id"), col("proj"), col("resid_norm"))
+      }
+    },
+    Some(s"""$duckPrep,
+mm AS (SELECT i, round(avg(ed[i + 1]) + 1e-9, 6) AS m FROM n, range(64) t(i) GROUP BY 1),
+ml AS (SELECT list(m ORDER BY i) AS mv FROM mm),
+c AS (SELECT vec_id, list_transform(range(64), i -> ed[i + 1] - mv[i + 1]) AS xc FROM n, ml),
+v0 AS (SELECT list_transform(range(64), i -> 0.125) AS v),
+d1 AS (SELECT vec_id, xc,
+         list_aggregate(list_transform(range(64), i -> xc[i + 1] * v[i + 1]), 'sum') AS d
+       FROM c, v0),
+w1 AS (SELECT i, sum(d * xc[i + 1]) AS w FROM d1, range(64) t(i) GROUP BY 1),
+v1 AS (SELECT list(round(w / nrm + 1e-9, 6) ORDER BY i) AS v
+       FROM w1, (SELECT sqrt(sum(w * w)) AS nrm FROM w1)),
+d2 AS (SELECT vec_id, xc,
+         list_aggregate(list_transform(range(64), i -> xc[i + 1] * v[i + 1]), 'sum') AS d
+       FROM c, v1),
+w2 AS (SELECT i, sum(d * xc[i + 1]) AS w FROM d2, range(64) t(i) GROUP BY 1),
+v2 AS (SELECT list(round(w / nrm + 1e-9, 6) ORDER BY i) AS v
+       FROM w2, (SELECT sqrt(sum(w * w)) AS nrm FROM w2)),
+p AS (SELECT vec_id,
+        round(list_aggregate(list_transform(range(64), i -> xc[i + 1] * v[i + 1]), 'sum') + 1e-9, 6) + 0e0 AS proj,
+        list_aggregate(list_transform(range(64), i -> xc[i + 1] * xc[i + 1]), 'sum') AS xsq
+      FROM c, v2)
+SELECT vec_id, proj,
+       round(sqrt(greatest(0e0, xsq - proj * proj)) + 1e-9, 6) AS resid_norm
+FROM p"""),
+    "ABTT post-processing: dominant principal component by 2-step pinned power iteration, per-vector projection + residual norm.")
+
   // Per-label centroids: posexplode + partial/final hash agg, one shuffle.
   // avg re-associates across partials vs the oracle's sequential sum, so
   // the same +1e-9 pre-round nudge as a2b guards the rounding boundary.
@@ -1393,6 +1476,7 @@ GROUP BY 1"""),
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnIvfPq,
       eKnnIvfPqTrained, eKnnHamming, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eKnnPqTrained, eNeardup, eSemanticDedup, eCentroids, eAssign,
+      eAbttProject,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)
 }

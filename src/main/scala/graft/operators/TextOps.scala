@@ -948,8 +948,12 @@ SELECT doc_id, lm_score, n_bigrams FROM lm"""),
       .withColumn("n_grams", expr(
         "CAST(IF(size(toks) >= 2, 2 * size(toks) - 1, size(toks)) AS BIGINT)"))
       .withColumn("dsir_micro", GraftFunctions.dsirFoldMicro(col("toks"), lam.toSeq))
+      // + 0e0 normalizes IEEE negative zero: a score in (-5e-7, 0)
+      // rounds to -0.0 in DuckDB but 0.0 in Spark (sf0.1 doc 1156
+      // caught it) — adding positive zero maps -0.0 -> 0.0 identically
+      // on both engines and is a no-op on every other value
       .withColumn("dsir_avg",
-        expr("round(dsir_micro / n_grams / 1000000e0 + 1e-9, 6)"))
+        expr("round(dsir_micro / n_grams / 1000000e0 + 1e-9, 6) + 0e0"))
       .select(col("doc_id"), col("n_grams"), col("dsir_micro"), col("dsir_avg"))
   }
 
@@ -988,7 +992,7 @@ m2 AS (SELECT b, CAST(round((ln(tb + 1) - ln((SELECT CAST(sum(tb) AS BIGINT) FRO
        FROM m)
 SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(m2.lam) AS BIGINT) AS dsir_micro,
-       round(CAST(sum(m2.lam) AS BIGINT) / CAST(count(*) AS BIGINT) / 1000000e0 + 1e-9, 6) AS dsir_avg
+       round(CAST(sum(m2.lam) AS BIGINT) / CAST(count(*) AS BIGINT) / 1000000e0 + 1e-9, 6) + 0e0 AS dsir_avg
 FROM o JOIN m2 USING (b) GROUP BY 1"""),
     "DSIR importance score per document: hashed unigram+bigram buckets, add-1-smoothed target/source log-ratio in exact micro-nats.")
 
