@@ -92,7 +92,29 @@ object RecallSweep {
         System.err.println(f"[recall] $fixName%-10s $name%-24s nprobe=$nprobe  recall@3 ${r}%.4f")
         s"""{"index":"$name","nprobe":$nprobe,"cand_frac":${num(nprobe / 16.0)},"recall_at_3":${num(r)}}"""
       }
-      s""""$fixName":{"n_queries":$nQ,"cells":[${cells.mkString(",")}]}"""
+      // Quantization-axis lane (round 14): the scalar-quantization family
+      // ranked against the COSINE truth it approximates — int8
+      // (e_knn_quant, 8 bits/dim), sign bits (e_knn_hamming, 1 bit/dim),
+      // and 8-hyperplane LSH (1/8 bit/dim) — one row each, so the
+      // bits-per-dim vs recall tradeoff is a single table.
+      val cosTruth = SparkEntry.queries("e_knn_brute")(spark, dir)
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def cosRecallOf(name: String): Double = {
+        val approx = SparkEntry.queries(name)(spark, dir)
+          .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (approx & cosTruth).size.toDouble / cosTruth.size
+      }
+      val quantCells = Seq(
+        ("e_knn_quant", 8.0), ("e_knn_hamming", 1.0), ("e_knn_lsh", 0.125))
+        .map { case (name, bitsPerDim) =>
+          val r = cosRecallOf(name)
+          System.err.println(f"[recall] $fixName%-10s $name%-24s bits/dim=$bitsPerDim%5.3f  recall@3(cos) ${r}%.4f")
+          s"""{"index":"$name","bits_per_dim":$bitsPerDim,"recall_at_3":${num(r)}}"""
+        }
+      s""""$fixName":{"n_queries":$nQ,"cells":[${cells.mkString(",")}],""" +
+        s""""quant_axis":[${quantCells.mkString(",")}]}"""
     }
     println(s"""{"mode":"recall_sweep","sf":"$sfDir",${blocks.mkString(",")}}""")
     spark.stop()
