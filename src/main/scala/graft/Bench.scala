@@ -304,7 +304,12 @@ object Bench {
     val rawSpq = if (computeN > 0) (total - maintSec) / computeN else 0.0
     val spinRatio = (spinSamples.min / SpinRefMs).max(1.0).min(3.0)
     val bwSorted = bwSamples.sorted
-    val bwMedian = bwSorted(bwSorted.size / 2)
+    // true median for either parity (ADVICE r14: the upper-middle element
+    // alone silently biases toward the lower-bandwidth sample whenever an
+    // even number of bw samples is ever collected)
+    val bwMedian =
+      if (bwSorted.size % 2 == 1) bwSorted(bwSorted.size / 2)
+      else (bwSorted(bwSorted.size / 2 - 1) + bwSorted(bwSorted.size / 2)) / 2.0
     val bwRatio = (BwRefGbps / bwMedian).max(1.0).min(2.0)
     val hostRatio = (spinRatio * bwRatio).max(1.0).min(3.0)
     val normSpq = rawSpq / hostRatio

@@ -56,7 +56,10 @@ object RecallSweep {
     val spark = Sessions.local(cpus.toInt, "graft-recall-sweep")
     spark.sparkContext.setLogLevel("WARN")
 
-    val clusteredDir = "/tmp/graft_recall_clustered"
+    // fresh temp dir per run (ADVICE r14: a fixed /tmp path let two
+    // concurrent sweeps overwrite each other's fixture mid-read)
+    val clusteredDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_clustered").toString
     writeClusteredFixture(spark, clusteredDir)
 
     def num(d: Double): String =

@@ -66,7 +66,12 @@ object ScaleSmoke {
     // that the model side never grows past the bucket domain.
     "e_knn_ivfpq_trained", "t_dsir_score",
     // ABTT: two power-iteration scans + bounded 64-row collects
-    "e_abtt_project")
+    "e_abtt_project",
+    // round-15 additions: binary-Hamming ANN — the pack pass is the
+    // family's "cheapest prefilter at 100 TB" claim, now codegen'd
+    // (graft_sign_pack); the ratio prices one full-corpus pack + the
+    // broadcast XOR/POPCNT candidate scan
+    "e_knn_hamming")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

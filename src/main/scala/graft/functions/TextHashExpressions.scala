@@ -278,6 +278,11 @@ object GraftFunctions {
       planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.lshBucket(v, planes)
 
+  /** Sign-bit half-word pack: bit j set iff v(off + j) > 0, 32 bits per
+    * call — e_knn_hamming's corpus pack pass, codegen'd. */
+  def signPack(v: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.signPack(v, off)
+
   /** Equi-depth bucket id: count of sorted boundaries <= v (binary
     * upper-bound, codegen; null input -> null — callers that want the
     * null-to-bucket-0 convention coalesce). */

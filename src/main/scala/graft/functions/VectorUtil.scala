@@ -115,6 +115,25 @@ object VectorUtil {
     lo.toLong
   }
 
+  /** Sign-bit half-word pack: bit j (0..31) set iff v(off + j) > 0 — the
+    * codegen form of e_knn_hamming's 32-step `aggregate(sequence(...))`
+    * SQL-HOF fold (which ran interpreted per element, the graft_dsir
+    * lesson). Bits are disjoint powers of two, so OR here equals the
+    * fold's sum bit-for-bit and the oracle hash is unchanged. Two 32-bit
+    * halves, never one 64-bit word: bit 63 as a sign bit would overflow
+    * DuckDB's checked BIGINT packing sum. */
+  def signPack(v: ArrayData, off: Int): Long = {
+    if (v.numElements() < off + 32) throw new IllegalArgumentException(
+      s"signPack on ${v.numElements()} dims needs >= ${off + 32} — corrupt embedding input")
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (v.getDouble(off + j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** Sign-bit LSH bucket: bit j set iff dot(v, planes(j)) > 0 — the fused
     * form of 8 separate dot-product sign tests. */
   def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Int = {

@@ -620,10 +620,13 @@ FROM (SELECT qid, vec_id, ad,
   private[graft] def ivfPqTrainedResidual(s: SparkSession, dir: String,
       nprobe: Int, k: Int): DataFrame = {
     val base = prepped(s, dir)
-    val nCents = base.filter(col("vec_id").between(10, 25))
-      .select(col("vec_id")).collect().length
-    val nSeed = base.filter(col("vec_id").between(26, 41))
-      .select(col("vec_id")).collect().length
+    // one guard aggregation for both model-row counts (ADVICE r14: two
+    // collect().length calls ran two full scans per invocation)
+    val guard = base.agg(
+      sum(when(col("vec_id").between(10, 25), 1L).otherwise(0L)).as("nc"),
+      sum(when(col("vec_id").between(26, 41), 1L).otherwise(0L)).as("ns")).head()
+    val nCents = if (guard.isNullAt(0)) 0L else guard.getLong(0)
+    val nSeed = if (guard.isNullAt(1)) 0L else guard.getLong(1)
     if (nCents < 16 || nSeed < 16) {
       base.limit(0).selectExpr("vec_id AS qid", "vec_id",
         "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
@@ -774,12 +777,15 @@ FROM (SELECT qid, vec_id, ad,
   private val eKnnHamming = GQuery(
     "e_knn_hamming",
     (s, dir) => {
-      def half(off: Int) =
-        s"aggregate(sequence(0, 31), cast(0 AS bigint), (acc, j) -> acc + " +
-          s"IF(element_at(ed, j + $off) > 0D, shiftleft(cast(1 AS bigint), j), cast(0 AS bigint)))"
+      // pack via the graft_sign_pack kernel (round 15): the first
+      // formulation was a 32-step `aggregate(sequence(...))` SQL-HOF
+      // lambda per half — the interpreted-per-element class the
+      // graft_dsir kernels documented — and the pack IS this operator's
+      // one full-corpus pass. Identical bit placement (disjoint powers
+      // of two; OR == the fold's sum), so the oracle hash is unchanged.
       val packed = prepped(s, dir)
-        .withColumn("lo", expr(half(1)))
-        .withColumn("hi", expr(half(33)))
+        .withColumn("lo", GraftFunctions.signPack(col("ed"), 0))
+        .withColumn("hi", GraftFunctions.signPack(col("ed"), 32))
         .select(col("vec_id"), col("lo"), col("hi"))
       val q = packed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))

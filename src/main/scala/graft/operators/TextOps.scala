@@ -916,8 +916,14 @@ SELECT doc_id, lm_score, n_bigrams FROM lm"""),
     if (rows.isEmpty) None
     else {
       val tt = rows.head.getLong(2); val ss = rows.head.getLong(3)
-      val default = math.round(
-        (math.log(ss + 1024d) - math.log(tt + 1024d)) * 1e6)
+      // Same rounding rule as the trained lams' SQL round() — HALF_UP in
+      // java.math terms is "ties away from zero", which is what both
+      // engines' round(x, 0) implements; Scala math.round is half-up
+      // toward +inf and would differ by 1 on a negative exact-half
+      // micro-nat default (ADVICE r14).
+      val default = BigDecimal(
+          (math.log(ss + 1024d) - math.log(tt + 1024d)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       val arr = Array.fill(1024)(default)
       // b is the kernel's IntegerType bucket
       rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))

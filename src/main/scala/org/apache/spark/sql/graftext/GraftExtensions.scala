@@ -88,6 +88,13 @@ object GraftExtensions {
       arity("graft_vec_dot", 2)(args => VecDot(args(0), args(1)))),
     (FunctionIdentifier("graft_vec_l2sq"), info("graft_vec_l2sq"),
       arity("graft_vec_l2sq", 2)(args => VecL2Sq(args(0), args(1)))),
+    (FunctionIdentifier("graft_sign_pack"), info("graft_sign_pack"),
+      arity("graft_sign_pack", 2)(args => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(off: Int, _) =>
+          SignPack(args(0), off)
+        case other => throw new IllegalArgumentException(
+          s"graft_sign_pack: off must be an integer literal, got $other")
+      })),
     // aggregate function: the analyzer wraps a bare AggregateFunction
     // into an AggregateExpression during resolution, so registering the
     // function itself is enough for SQL `SELECT graft_dd_sketch(x) ...`

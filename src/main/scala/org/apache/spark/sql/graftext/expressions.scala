@@ -237,6 +237,9 @@ object columns {
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(LshBucket(ExpressionUtils.expression(v), planes))
 
+  def signPack(v: Column, off: Int): Column =
+    ExpressionUtils.column(SignPack(ExpressionUtils.expression(v), off))
+
   def pqCodes(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
     ExpressionUtils.column(PqCodes(ExpressionUtils.expression(v), cb))
 
@@ -367,6 +370,32 @@ case class BucketOf(child: Expression, boundaries: Seq[Double])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BucketOf =
+    copy(child = newChild)
+}
+
+/** Sign-bit half-word pack (see VectorUtil.signPack): bit j of the
+  * result is set iff element off+j of the double array is > 0; `off` is
+  * a plan-time constant (0 or 32 for the 64-dim fixtures), so codegen
+  * inlines it. Replaces the 32-step interpreted `aggregate(sequence())`
+  * HOF lambda in e_knn_hamming's corpus pack pass — the operator's
+  * whole pitch is "cheapest prefilter at 100 TB", so its one full-corpus
+  * stage must ride whole-stage codegen like the rest of VectorUtil. */
+case class SignPack(child: Expression, off: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sign_pack"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.VectorUtil.signPack(input.asInstanceOf[ArrayData], off)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorUtil.signPack($c, $off);")
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
     copy(child = newChild)
 }
 

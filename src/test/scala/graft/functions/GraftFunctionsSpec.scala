@@ -107,6 +107,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(df.filter("via_conv <> via_native").isEmpty)
   }
 
+  test("signPack matches the HOF fold it replaced, on both halves") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // signed doubles with exact zeros sprinkled in (zero is NOT > 0, so
+    // the bit must stay clear — the boundary the pack must not flip)
+    val df = s.sql(
+      """SELECT transform(sequence(0, 63),
+                  i -> CASE WHEN (i * 37 + id * 11) % 5 = 0 THEN 0.0d
+                            ELSE sin(cast(i * 131 + id * 17 AS double)) END) AS ed
+         FROM range(300)""")
+    def half(off: Int) =
+      s"aggregate(sequence(0, 31), cast(0 AS bigint), (acc, j) -> acc + " +
+        s"IF(element_at(ed, j + $off) > 0D, shiftleft(cast(1 AS bigint), j), cast(0 AS bigint)))"
+    val both = df
+      .withColumn("lo_hof", expr(half(1)))
+      .withColumn("hi_hof", expr(half(33)))
+      .withColumn("lo_k", graft.functions.GraftFunctions.signPack(col("ed"), 0))
+      .withColumn("hi_k", graft.functions.GraftFunctions.signPack(col("ed"), 32))
+    assert(both.filter("lo_hof <> lo_k OR hi_hof <> hi_k").isEmpty)
+    // SQL registration with a literal off; non-literal off is a loud error
+    val r = s.sql(
+      "SELECT graft_sign_pack(array_repeat(1.0d, 64), 0) AS lo, " +
+        "graft_sign_pack(array_repeat(-1.0d, 64), 32) AS hi").head()
+    assert(r.getAs[Long]("lo") === 0xFFFFFFFFL && r.getAs[Long]("hi") === 0L)
+  }
+
   test("ngramHashes matches the md5 15-hex SQL domain and generalizes trigramHashes") {
     val s = spark
     import org.apache.spark.sql.functions._
