@@ -29,6 +29,7 @@ object OperatorIndex {
     "StreamingPipelines.gopherRules" -> "t_gopher_rules",
     "StreamingPipelines.codeDetect" -> "t_code_detect",
     "StreamingPipelines.dsirScore" -> "t_dsir_score",
+    "StreamingPipelines.abttApply" -> "e_abtt_project",
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
     "StreamingPipelines.streamingKnn" -> "e_knn_brute",
     "StreamingPipelines.decontaminate" -> "d_decontaminate",

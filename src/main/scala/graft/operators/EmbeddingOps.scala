@@ -986,44 +986,71 @@ WHERE rnk <= 3"""),
   // component. residual² = ||xc||² − proj² clamps at 0 before sqrt —
   // 6dp rounding can push the difference epsilon-negative on vectors
   // parallel to v.
+  /** ABTT calibration model: per-dimension corpus mean + dominant
+    * principal component — the two literals the apply stage broadcasts.
+    * A case class (not a Tuple2) so the offline calibrate doesn't read
+    * as a streaming transform to DualTwinInvariantSpec's reflection. */
+  final case class AbttModel(mean: Seq[Double], component: Seq[Double])
+
+  /** ABTT CALIBRATE — the offline half of the calibrate/apply split
+    * (dsirScore / perplexityBand convention): per-dimension 6dp-pinned
+    * mean, then the two pinned power iterations for the dominant
+    * component. None on an empty corpus. Bounded collects only (64 rows
+    * per step); each iteration is ONE corpus scan. */
+  private[graft] def abttCalibrate(s: SparkSession, dir: String): Option[AbttModel] = {
+    val base = prepped(s, dir)
+    val meanRows = base.select(posexplode(col("ed")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(round(avg(col("x")) + lit(1e-9), 6).as("m"))
+      .orderBy(col("i")).collect()
+    if (meanRows.isEmpty) None
+    else {
+      val m: Seq[Double] = meanRows.map(_.getDouble(1)).toSeq
+      val centered = base
+        .withColumn("xc", zip_with(col("ed"), typedlit(m), (x, mm) => x - mm))
+        .select(col("vec_id"), col("xc"))
+        .transform(graft.Checkpoints.pin(_))
+      var v: Seq[Double] = Seq.fill(64)(0.125)
+      (1 to 2).foreach { _ =>
+        val w = centered
+          .withColumn("d", GraftFunctions.vecDot(col("xc"), typedlit(v)))
+          .select(col("d"), posexplode(col("xc")).as(Seq("i", "xi")))
+          .groupBy(col("i")).agg(sum(col("d") * col("xi")).as("w"))
+        val nrmW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        v = w.withColumn("nrm", sqrt(sum(col("w") * col("w")).over(nrmW)))
+          .select(col("i"), round(col("w") / col("nrm") + lit(1e-9), 6).as("vi"))
+          .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
+      }
+      Some(AbttModel(m, v))
+    }
+  }
+
+  /** ABTT APPLY — shared verbatim by the batch query and the streaming
+    * dual ([[graft.streaming.StreamingPipelines.abttApply]]): center
+    * against the broadcast mean, project onto the broadcast component,
+    * residual norm after removal. Pure stateless map — no shuffle, no
+    * state, no join; the model rides into codegen as literals. Input
+    * needs an `ed` double-array column; every other column is dropped.
+    * + 0.0 normalizes IEEE negative zero: a projection in (-5e-7, 0)
+    * rounds to -0.0 in DuckDB but 0.0 in Spark (the t_dsir_score sf0.1
+    * lesson). */
+  private[graft] def abttApplyFrame(df: DataFrame, model: AbttModel): DataFrame =
+    df
+      .withColumn("xc", zip_with(col("ed"), typedlit(model.mean), (x, mm) => x - mm))
+      .withColumn("proj",
+        round(GraftFunctions.vecDot(col("xc"), typedlit(model.component)) + lit(1e-9), 6) + lit(0d))
+      .withColumn("resid_norm", round(sqrt(greatest(lit(0d),
+        GraftFunctions.vecDot(col("xc"), col("xc")) - col("proj") * col("proj"))) + lit(1e-9), 6))
+      .select(col("vec_id"), col("proj"), col("resid_norm"))
+
   private val eAbttProject = GQuery(
     "e_abtt_project",
-    (s, dir) => {
-      val base = prepped(s, dir)
-      val meanRows = base.select(posexplode(col("ed")).as(Seq("i", "x")))
-        .groupBy(col("i")).agg(round(avg(col("x")) + lit(1e-9), 6).as("m"))
-        .orderBy(col("i")).collect()
-      if (meanRows.isEmpty) {
-        base.limit(0).selectExpr("vec_id",
-          "cast(0.0 AS double) AS proj", "cast(0.0 AS double) AS resid_norm")
-      } else {
-        val m: Seq[Double] = meanRows.map(_.getDouble(1)).toSeq
-        val centered = base
-          .withColumn("xc", zip_with(col("ed"), typedlit(m), (x, mm) => x - mm))
-          .select(col("vec_id"), col("xc"))
-          .transform(graft.Checkpoints.pin(_))
-        var v: Seq[Double] = Seq.fill(64)(0.125)
-        (1 to 2).foreach { _ =>
-          val w = centered
-            .withColumn("d", GraftFunctions.vecDot(col("xc"), typedlit(v)))
-            .select(col("d"), posexplode(col("xc")).as(Seq("i", "xi")))
-            .groupBy(col("i")).agg(sum(col("d") * col("xi")).as("w"))
-          val nrmW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          v = w.withColumn("nrm", sqrt(sum(col("w") * col("w")).over(nrmW)))
-            .select(col("i"), round(col("w") / col("nrm") + lit(1e-9), 6).as("vi"))
-            .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
-        }
-        // + 0.0 normalizes IEEE negative zero: a projection in
-        // (-5e-7, 0) rounds to -0.0 in DuckDB but 0.0 in Spark (the
-        // t_dsir_score sf0.1 lesson)
-        centered
-          .withColumn("proj",
-            round(GraftFunctions.vecDot(col("xc"), typedlit(v)) + lit(1e-9), 6) + lit(0d))
-          .withColumn("resid_norm", round(sqrt(greatest(lit(0d),
-            GraftFunctions.vecDot(col("xc"), col("xc")) - col("proj") * col("proj"))) + lit(1e-9), 6))
-          .select(col("vec_id"), col("proj"), col("resid_norm"))
-      }
-    },
+    (s, dir) =>
+      abttCalibrate(s, dir) match {
+        case Some(model) => abttApplyFrame(prepped(s, dir), model)
+        case None =>
+          prepped(s, dir).limit(0).selectExpr("vec_id",
+            "cast(0.0 AS double) AS proj", "cast(0.0 AS double) AS resid_norm")
+      },
     Some(s"""$duckPrep,
 mm AS (SELECT i, round(avg(ed[i + 1]) + 1e-9, 6) AS m FROM n, range(64) t(i) GROUP BY 1),
 ml AS (SELECT list(m ORDER BY i) AS mv FROM mm),

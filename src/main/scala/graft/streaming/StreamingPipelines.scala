@@ -440,6 +440,32 @@ object StreamingPipelines {
   def dsirScore(docsStream: DataFrame, lam: Array[Long]): DataFrame =
     graft.operators.TextOps.dsirApply(docsStream, lam)
 
+  /** ABTT calibrate (bounded: 64-double mean + 64-double dominant
+    * component via the two pinned power iterations,
+    * [[graft.operators.EmbeddingOps.abttCalibrate]]) — run offline on
+    * the reference corpus, then hand the model to [[abttApply]]. Loud
+    * on an empty corpus. */
+  def abttCalibrate(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.EmbeddingOps.AbttModel =
+    graft.operators.EmbeddingOps.abttCalibrate(s, dir).getOrElse(
+      throw new IllegalArgumentException("abtt calibrate: empty corpus"))
+
+  /** Streaming dual of the batch `e_abtt_project` — the calibrate/apply
+    * split ABTT deploys as (the mean + dominant component are found once
+    * on a reference corpus; INGEST is where every arriving vector gets
+    * centered, projected, and residual-scored): a pure stateless map —
+    * the 128 model doubles ride into codegen as literals — zero shuffle,
+    * zero state, no join, so it runs inline at ingest wire rate. The
+    * apply expression is [[graft.operators.EmbeddingOps.abttApplyFrame]]
+    * verbatim, so calibrate and apply cannot drift from the oracle-
+    * checked batch twin. */
+  def abttApply(vecsStream: DataFrame,
+      model: graft.operators.EmbeddingOps.AbttModel): DataFrame =
+    graft.operators.EmbeddingOps.abttApplyFrame(
+      vecsStream.withColumn("ed",
+        expr("transform(embedding, x -> cast(x as double))")),
+      model)
+
   /** Streaming dual of the batch `t_code_detect`: code-likeness routing
     * as a STATELESS map over the document stream — the mix-splitting
     * decision (prose pipeline vs code pipeline) made inline during

@@ -62,4 +62,43 @@ class AnnSweepInvariantsSpec extends SparkSpec {
     // tie-break floor by much; the trained index must clear real ground
     assert(trained >= 0.4, s"trained clustered recall regressed to $trained")
   }
+
+  test("ABTT component dominates: explained variance >= best coordinate axis, residuals shrink") {
+    // The DuckDB oracle proves CROSS-ENGINE EQUALITY of e_abtt_project,
+    // not that the found direction is the right one — a silently
+    // degenerate power iteration (wrong sign handling, a dropped scan)
+    // could converge to an arbitrary unit vector and still hash-match.
+    // Pin the semantics: the variance explained by the component
+    // (= mean proj², since proj = x_c · v with x_c centered) must be at
+    // least the variance of the single best COORDINATE axis — the
+    // dominant eigenvalue of the covariance can never be smaller than
+    // its largest diagonal entry, and two power iterations from the
+    // all-ones start must already clear that floor — and removing the
+    // component must strictly shrink vectors on average.
+    val s = spark
+    import s.implicits._
+    val model = EmbeddingOps.abttCalibrate(s, sfDir)
+      .getOrElse(fail("vacuous — empty calibration corpus"))
+    val vNorm = math.sqrt(model.component.map(c => c * c).sum)
+    assert(math.abs(vNorm - 1.0) < 1e-4,
+      s"component is not unit-norm after the 6dp pins: $vNorm")
+    val rows = graft.SparkEntry.queries("e_abtt_project")(s, sfDir)
+      .select(col("proj"), col("resid_norm")).as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val explained = rows.map { case (p, _) => p * p }.sum / rows.length
+    // per-coordinate variance of the centered data, straight off the table
+    val coordVar = graft.Tables.t(s, sfDir, "embeddings")
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      .select(posexplode(col("ed")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
+      .agg(max(col("v"))).head().getDouble(0)
+    assert(explained >= coordVar * (1.0 - 1e-6),
+      s"component explains $explained < best coordinate axis $coordVar — " +
+        "power iteration found a non-dominant direction")
+    // mean ||residual|| < mean ||x_c||: the removal actually removes mass
+    val meanResid = rows.map(_._2).sum / rows.length
+    val meanNorm = rows.map { case (p, r) => math.sqrt(p * p + r * r) }.sum / rows.length
+    assert(meanResid < meanNorm,
+      s"mean resid $meanResid did not shrink below mean centered norm $meanNorm")
+  }
 }
