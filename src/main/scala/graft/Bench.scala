@@ -51,7 +51,10 @@ object Bench {
     // round-7 additions
     "q_pareto_frontier", "e_centroid_drift",
     // round-8 additions
-    "x4_cep_negation")
+    "x4_cep_negation",
+    // round-15 addition: the persisted-index ANN query (build-once/
+    // query-many; min-of-two-passes reports the query-only cost)
+    "e_knn_ivfpq_indexed")
 
   /** Multi-thread stream-copy probe: `threads` workers each copy a
     * 64 MiB long array (well past any L3) `reps` times; the aggregate

@@ -70,8 +70,11 @@ object ScaleSmoke {
     // round-15 additions: binary-Hamming ANN — the pack pass is the
     // family's "cheapest prefilter at 100 TB" claim, now codegen'd
     // (graft_sign_pack); the ratio prices one full-corpus pack + the
-    // broadcast XOR/POPCNT candidate scan
-    "e_knn_hamming")
+    // broadcast XOR/POPCNT candidate scan. Persisted-index ANN — the
+    // first pass per fixture pays build (training scans + manifested
+    // publish), the second reuses; min-of-two prices the query-many
+    // path: one manifest-pruned coded scan + broadcast probe.
+    "e_knn_hamming", "e_knn_ivfpq_indexed")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

@@ -49,7 +49,7 @@ object EmbeddingOps {
   }.mkString(" + ")
 
   /** Cast to double + L2 norm, shared by every query. */
-  private def prepped(s: SparkSession, dir: String): DataFrame =
+  private[graft] def prepped(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
       .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", sqrt(GraftFunctions.vecDot(col("ed"), col("ed"))))
@@ -617,8 +617,40 @@ FROM (SELECT qid, vec_id, ad,
     * sides are bounded collects (16 cells / 128 codebook rows) feeding
     * broadcast joins; the candidate join stays cell-equi, never
     * all-pairs. */
-  private[graft] def ivfPqTrainedResidual(s: SparkSession, dir: String,
-      nprobe: Int, k: Int): DataFrame = {
+  /** The trained IVF-PQ model + coded corpus — everything a persisted
+    * index stores (FAISS's train + add output): the 16 coarse centroids,
+    * the residual-trained codebook, and every corpus vector's (cell,
+    * packed codes) row. One definition shared by the in-query sibling
+    * (e_knn_ivfpq_trained) and the index BUILDER
+    * ([[IvfPqIndex.build]]), so the persisted artifact can never drift
+    * from the oracle-checked training trajectory. */
+  private[graft] final case class IvfPqParts(
+      cents: DataFrame, // cid, ce array<double>, cn
+      coded: DataFrame, // vec_id, cell, codes (4-bit-packed int)
+      cb: Seq[Seq[Seq[Double]]]) // codebook: cb(j)(c) = 8-double centroid
+
+  /** Assign each vector of `vecs` (needs ed/nrm) to its nearest coarse
+    * cell — 6dp-rounded cosine, centroid-index tiebreak — and emit the
+    * residual: (vec_id, cell, rv). The ONE assignment definition, used
+    * by training, by the index builder's incremental add, and (with
+    * `maxRank` = nprobe) by the query-side probe. */
+  private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame,
+      maxRank: Int): DataFrame = {
+    val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+    vecs.join(broadcast(cents))
+      .withColumn("c_cos",
+        round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") <= maxRank)
+      .select(col("vec_id"), col("cid").as("cell"),
+        expr("zip_with(ed, ce, (x, y) -> x - y)").as("rv"))
+  }
+
+  /** Train the residual IVF-PQ model on the corpus at `dir` and code
+    * every vector — None when the corpus lacks the 16 centroid rows
+    * (10..25) or 16 PQ seed rows (26..41). Two Lloyd steps with the 6dp
+    * trajectory pins; bounded collects only (the 128-row codebook). */
+  private[graft] def ivfPqTrainParts(s: SparkSession, dir: String): Option[IvfPqParts] = {
     val base = prepped(s, dir)
     // one guard aggregation for both model-row counts (ADVICE r14: two
     // collect().length calls ran two full scans per invocation)
@@ -627,20 +659,11 @@ FROM (SELECT qid, vec_id, ad,
       sum(when(col("vec_id").between(26, 41), 1L).otherwise(0L)).as("ns")).head()
     val nCents = if (guard.isNullAt(0)) 0L else guard.getLong(0)
     val nSeed = if (guard.isNullAt(1)) 0L else guard.getLong(1)
-    if (nCents < 16 || nSeed < 16) {
-      base.limit(0).selectExpr("vec_id AS qid", "vec_id",
-        "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
-    } else {
+    if (nCents < 16 || nSeed < 16) None
+    else {
       val cents = base.filter(col("vec_id").between(10, 25))
         .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
-      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      val ranked = base.join(broadcast(cents))
-        .withColumn("c_cos",
-          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
-        .withColumn("arn", row_number().over(assignW))
-      val assigned = ranked.filter(col("arn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"),
-          expr("zip_with(ed, ce, (x, y) -> x - y)").as("rv"))
+      val assigned = ivfAssign(base, cents, maxRank = 1)
         .transform(graft.Checkpoints.pin(_))
       // --- train PQ on residual subvectors (two Lloyd steps, 6dp pins)
       val sub = assigned.select(col("vec_id"), explode(expr(
@@ -675,27 +698,58 @@ FROM (SELECT qid, vec_id, ad,
             .getSeq[Double](2).toSeq
         }
       }
-      // --- encode residuals; probe nprobe cells; residual ADC
       val coded = assigned.select(col("vec_id"), col("cell"),
         GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
-      val q = ranked.filter(col("vec_id") < 10 && col("arn") <= nprobe)
-        .select(col("vec_id").as("qid"), col("cid").as("cell"),
-          expr("zip_with(ed, ce, (x, y) -> x - y)").as("qr"))
-      coded.join(broadcast(q), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("ad", GraftFunctions.pqAdcScaled(col("qr"), col("codes"), cb))
-        .withColumn("approx_d2", expr("round(cast(ad AS double) / 1000000.0, 6)"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("ad"), col("vec_id"))))
-        .filter(col("rnk") <= k)
-        .select(col("qid"), col("vec_id"), col("approx_d2"), col("rnk"))
+      Some(IvfPqParts(cents, coded, cb))
     }
   }
 
-  private val eKnnIvfPqTrained = GQuery(
-    "e_knn_ivfpq_trained",
-    (s, dir) => ivfPqTrainedResidual(s, dir, nprobe = 2, k = 3),
-    Some(s"""$duckPrep,
+  /** The SEARCH half: rank the corpus' query vectors (vec_id < 10)
+    * against the coarse centroids, probe each query's `nprobe` nearest
+    * cells, and ADC-rank that cell-equi candidate set — identical
+    * whether cents/coded just came out of training (the in-query
+    * sibling) or off a persisted index's parquet (doubles and ints
+    * round-trip parquet losslessly, so the two paths are bit-equal by
+    * construction). */
+  private[graft] def ivfPqProbe(s: SparkSession, dir: String, cents: DataFrame,
+      coded: DataFrame, cb: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int): DataFrame = {
+    val q = ivfAssign(prepped(s, dir).filter(col("vec_id") < 10), cents, maxRank = nprobe)
+      .select(col("vec_id").as("qid"), col("cell"), col("rv").as("qr"))
+    coded.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ad", GraftFunctions.pqAdcScaled(col("qr"), col("codes"), cb))
+      .withColumn("approx_d2", expr("round(cast(ad AS double) / 1000000.0, 6)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ad"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("approx_d2"), col("rnk"))
+  }
+
+  /** Empty result with e_knn_ivfpq*'s schema — the degenerate-corpus
+    * contract (EmptyInputSpec). */
+  private[graft] def ivfPqEmpty(s: SparkSession, dir: String): DataFrame =
+    prepped(s, dir).limit(0).selectExpr("vec_id AS qid", "vec_id",
+      "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
+
+  private[graft] def ivfPqTrainedResidual(s: SparkSession, dir: String,
+      nprobe: Int, k: Int): DataFrame =
+    ivfPqTrainParts(s, dir) match {
+      case None => ivfPqEmpty(s, dir)
+      case Some(p) => ivfPqProbe(s, dir, p.cents, p.coded, p.cb, nprobe, k)
+    }
+
+  /** The trained-residual-IVF-PQ oracle — shared verbatim by
+    * e_knn_ivfpq_trained and e_knn_ivfpq_indexed: the persisted index's
+    * tables are a deterministic function of the corpus (pinned training
+    * trajectory + lossless parquet round-trip of doubles/ints), so the
+    * correct cross-engine statement for BOTH is "recompute the whole
+    * train/encode/probe from `embeddings`". The oracle cannot read the
+    * index's host-local parquet anyway: oracleSql is a STATIC map and
+    * the driver's DuckDB sees only the fixture tables — and recomputing
+    * is the stronger check (it re-derives the artifact the index claims
+    * to have persisted; IvfPqIndexSpec separately pins persisted ==
+    * retrained). */
+  private val ivfPqTrainedOracle: String = s"""$duckPrep,
 c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 10 AND 25),
 r AS (
   SELECT n.vec_id, n.ed, n.nrm, c.cid, c.ce,
@@ -756,8 +810,37 @@ adc AS (SELECT qid, vec_id, CAST(sum(ds) AS BIGINT) AS ad FROM qd GROUP BY 1, 2)
 SELECT qid, vec_id, round(ad / 1000000.0, 6) AS approx_d2, rnk
 FROM (SELECT qid, vec_id, ad,
              row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
-      FROM adc) WHERE rnk <= 3"""),
+      FROM adc) WHERE rnk <= 3"""
+
+  private val eKnnIvfPqTrained = GQuery(
+    "e_knn_ivfpq_trained",
+    (s, dir) => ivfPqTrainedResidual(s, dir, nprobe = 2, k = 3),
+    Some(ivfPqTrainedOracle),
     "Trained residual IVF-PQ top-3: PQ Lloyd-trained on (vector - cell centroid) residuals, per-cell query residual ADC — the FAISS IVFPQ composition.")
+
+  // Persisted-index variant (round 15) — the SAME search semantics as
+  // e_knn_ivfpq_trained, but FAISS's real deployment lifecycle: the
+  // first invocation per corpus trains once and materializes
+  // (centroids, codebook, coded corpus) as committed lakehouse tables
+  // ([[IvfPqIndex]]); every later invocation fingerprint-validates and
+  // runs probe + ADC against the persisted artifact only — no training
+  // scans in the query path. Results are bit-equal to the sibling by
+  // construction (shared trajectory, lossless parquet round-trip), which
+  // the shared oracle re-proves cross-engine every round and
+  // IvfPqIndexSpec pins Spark-side. The bench's min-of-two-passes
+  // protocol makes the receipt mechanical: pass 1 pays build+query,
+  // pass 2 reuses -> the reported number IS the query-many cost.
+  private val eKnnIvfPqIndexed = GQuery(
+    "e_knn_ivfpq_indexed",
+    (s, dir) => {
+      val root = IvfPqIndex.defaultRoot(dir)
+      IvfPqIndex.ensure(s, dir, root) match {
+        case None => ivfPqEmpty(s, dir) // corpus lacks model rows
+        case Some(_) => IvfPqIndex.query(s, dir, root, nprobe = 2, k = 3)
+      }
+    },
+    Some(ivfPqTrainedOracle),
+    "Trained IVF-PQ against a PERSISTED index (build-once/query-many): probe + residual ADC on materialized centroids/codebook/coded tables, manifest-pruned by probed cell.")
 
   // Binary-Hamming ANN top-3 (round 14) — the 1-BIT quantization point
   // on the family's compression axis: each 64-dim vector collapses to
@@ -1507,7 +1590,7 @@ GROUP BY 1"""),
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnIvfPq,
-      eKnnIvfPqTrained, eKnnHamming, eKnnQuant, eKnnRerank,
+      eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eKnnPqTrained, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eAbttProject,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,

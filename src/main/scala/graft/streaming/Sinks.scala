@@ -92,7 +92,7 @@ object Sinks {
   * HDFS recipe Spark's own HDFSMetadataLog uses (object stores degrade
   * to copy+delete; the batch-keyed idempotence of every caller keeps
   * that window safe). */
-private[streaming] object FsIo {
+private[graft] object FsIo {
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 

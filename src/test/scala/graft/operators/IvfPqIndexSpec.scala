@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted IVF-PQ index's lifecycle contract (round-15 task 1):
+  * search equality with the in-query-training sibling, persisted ==
+  * retrained artifact equality, fingerprint-gated build-once reuse and
+  * rebuild-on-change (versioned generation swap), frozen-model add with
+  * scanAsOf time travel to the pre-add snapshot, and cell-pruned probing
+  * after recluster maintenance. The DuckDB oracle re-proves the search
+  * RESULT cross-engine every round; these pin the artifact and the
+  * lifecycle, which the oracle cannot see. */
+class IvfPqIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"ivfpq_index_$tag").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+    df.select(col("qid"), col("vec_id"), col("approx_d2"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  test("indexed search equals the in-query-training sibling, row for row") {
+    val s = spark
+    val root = tmpRoot("eq")
+    assert(IvfPqIndex.ensure(s, sfDir, root).contains(1L))
+    val indexed = rows(IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3))
+    val sibling = rows(EmbeddingOps.ivfPqTrainedResidual(s, sfDir, 2, 3))
+    assert(sibling.nonEmpty, "vacuous — sibling returned nothing")
+    assert(indexed === sibling,
+      s"only-indexed=${(indexed -- sibling).take(3)} only-sibling=${(sibling -- indexed).take(3)}")
+    // and at a different operating point (deeper probe) off the SAME
+    // persisted artifact — the build-once/query-many point
+    val indexed4 = rows(IvfPqIndex.query(s, sfDir, root, nprobe = 4, k = 3))
+    val sibling4 = rows(EmbeddingOps.ivfPqTrainedResidual(s, sfDir, 4, 3))
+    assert(indexed4 === sibling4)
+  }
+
+  test("persisted artifact equals a fresh retrain: centroids, codebook, coded corpus") {
+    val s = spark
+    val root = tmpRoot("artifact")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    val parts = EmbeddingOps.ivfPqTrainParts(s, sfDir)
+      .getOrElse(fail("vacuous — corpus lacks model rows"))
+    val gDir = s"$root/g1"
+    val pCents = s.read.parquet(s"$gDir/centroids")
+      .select("cid", "ce", "cn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2))).toSet
+    val tCents = parts.cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2))).toSet
+    assert(pCents === tCents, "persisted centroids drifted from training output")
+    val pCb = s.read.parquet(s"$gDir/codebook").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq)).toMap
+    assert(pCb.size === 128)
+    for (j <- 0 until 8; c <- 0 until 16)
+      assert(pCb((j, c)) === parts.cb(j)(c), s"codebook row ($j,$c) drifted")
+    val pCoded = IvfPqIndex.codedSink(root, 1L)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val tCoded = parts.coded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pCoded === tCoded, "persisted coded corpus drifted from training output")
+  }
+
+  test("ensure reuses on an unchanged corpus and rebuilds a new generation on change") {
+    val s = spark
+    import s.implicits._
+    val fixture = java.nio.file.Files.createTempDirectory("ivfpq_fixture").toString
+    val root = tmpRoot("rebuild")
+    // a corpus this spec OWNS (the sf fixtures are read-only): 64 vecs
+    // with the operator's model-row convention
+    def writeCorpus(scale: Double): Unit =
+      (0L until 64L).map { id =>
+        (id, (0 until 64).map(i =>
+          (math.sin(id * 7.3 + i * 1.9) * scale).toFloat), (id % 16).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    writeCorpus(1.0)
+    assert(IvfPqIndex.ensure(s, fixture, root).contains(1L))
+    // unchanged corpus -> same generation, nothing rebuilt
+    assert(IvfPqIndex.ensure(s, fixture, root).contains(1L))
+    assert(IvfPqIndex.currentGeneration(root).contains(1L))
+    // changed corpus -> fingerprint misses -> new committed generation
+    writeCorpus(0.5)
+    assert(IvfPqIndex.ensure(s, fixture, root).contains(2L))
+    assert(IvfPqIndex.currentGeneration(root).contains(2L))
+    // the new generation answers for the new corpus, exactly
+    val indexed = rows(IvfPqIndex.query(s, fixture, root, 2, 3))
+    val sibling = rows(EmbeddingOps.ivfPqTrainedResidual(s, fixture, 2, 3))
+    assert(indexed === sibling && sibling.nonEmpty)
+    // retention 2: generation 1 is still on disk for in-flight readers
+    assert(new java.io.File(s"$root/g1/_graft_ok").exists())
+    // a third rebuild GCs generation 1
+    writeCorpus(0.25)
+    assert(IvfPqIndex.ensure(s, fixture, root).contains(3L))
+    assert(!new java.io.File(s"$root/g1").exists(), "generation 1 survived retention")
+  }
+
+  test("addVectors codes with the frozen model; scanAsOf time-travels to the pre-add snapshot") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("add")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    val sink = IvfPqIndex.codedSink(root, 1L)
+    val v1 = sink.versions().max
+    val bounds = Seq(("cell", Long.MinValue, Long.MaxValue))
+    val before = sink.scan(s, bounds).count()
+    // novel vectors (ids far past the corpus), deterministic content
+    val novel = (9000L until 9008L).map { id =>
+      (id, (0 until 64).map(i => (math.cos(id * 3.7 + i) * 0.9).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    IvfPqIndex.addVectors(s, root, novel, batchId = 1L)
+    val after = sink.scan(s, bounds)
+    assert(after.count() === before + 8)
+    // frozen-model contract: the added rows' codes equal what a direct
+    // encode against the persisted model computes (no retrain happened)
+    val added = after.filter(col("vec_id") >= 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(added.size === 8)
+    assert(added.forall { case (_, cell, _) => cell >= 10L && cell <= 25L })
+    // time travel: the retained pre-add manifest version still reads the
+    // exact pre-add file set
+    val snap = sink.scanAsOf(s, v1, bounds)
+    assert(snap.count() === before)
+    assert(snap.filter(col("vec_id") >= 9000L).isEmpty)
+    // and the live query sees added vectors as candidates
+    val hits = IvfPqIndex.query(s, sfDir, root, nprobe = 4, k = 500)
+      .filter(col("vec_id") >= 9000L).count()
+    assert(hits > 0, "added vectors never surfaced as search candidates")
+  }
+
+  test("recluster by cell restores probe-time file skipping") {
+    val s = spark
+    import s.implicits._
+    // exact range cuts regardless of suite order (the r14 sampler lesson)
+    val prev = s.conf.getOption("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+    s.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "5000")
+    try {
+      val root = tmpRoot("recluster")
+      assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+      // simulate ingest debris: several add batches, each spraying all cells
+      (1L to 4L).foreach { b =>
+        val vecs = (9000L + b * 100 until 9032L + b * 100).map { id =>
+          (id, (0 until 64).map(i => (math.sin(id * 1.3 + i * 2.1)).toFloat), 0)
+        }.toDF("vec_id", "embedding", "label")
+        IvfPqIndex.addVectors(s, root, vecs, batchId = b)
+      }
+      val sink = IvfPqIndex.codedSink(root, 1L)
+      sink.recluster(s, numFiles = 8, buckets = 64)
+      val bounds = Seq(("cell", Long.MinValue, Long.MaxValue))
+      def filesOf(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(input_file_name()).distinct().count()
+      val allFiles = filesOf(sink.scan(s, bounds))
+      val oneCell = sink.scan(s, Seq(("cell", 12L, 12L)))
+      val oneCellFiles = filesOf(oneCell)
+      assert(allFiles >= 6, s"recluster produced only $allFiles files — probe can't show skipping")
+      assert(oneCellFiles < allFiles,
+        s"single-cell probe opened all $allFiles files — manifest pruning dead")
+      // pruning is sound: the pruned scan returns exactly the cell's rows
+      val direct = sink.scan(s, bounds).filter(col("cell") === 12L)
+      assert(oneCell.count() === direct.count() && oneCell.count() > 0)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", v)
+      case None => s.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+    }
+  }
+}

@@ -86,7 +86,12 @@ class PlanHygieneSpec extends SparkSpec {
       "e_knn_ivfpq_trained",
       // the same <=10-row broadcast query-set join as e_knn_brute, on
       // packed sign bits
-      "e_knn_hamming")
+      "e_knn_hamming",
+      // persisted-index probe: the query side ranks <=10 query vectors
+      // against the 16-row PERSISTED coarse-centroid table (the
+      // e_knn_ivf cross-join shape, constant build side); the coded-
+      // corpus candidate join is an equi BroadcastHashJoin on cell
+      "e_knn_ivfpq_indexed")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
