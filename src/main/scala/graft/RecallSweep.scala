@@ -49,6 +49,32 @@ object RecallSweep {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Deterministic MISALIGNED clustered fixture (round-15 task 7): the
+    * same 16-cluster geometry as [[writeClusteredFixture]], but NO row
+    * is an exact center — rows 10..25 (the operator's coarse seed) are
+    * ordinary noisy members of their clusters, so the seed codebook is
+    * misaligned with the true geometry the way a production sample-seeded
+    * coarse quantizer is. On the aligned clustered fixture coarse
+    * training is exact-by-construction (the seeds ARE the centers, a
+    * Lloyd step can only hold or perturb them); THIS fixture is where a
+    * coarse Lloyd step has real ground to gain, and the sweep's
+    * trained-coarse column prices exactly that. */
+  private[graft] def writeMisalignedFixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val rnd = new scala.util.Random(20250815L)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    def noisy(k: Int): Array[Float] =
+      centers(k).map(x => (x + (rnd.nextDouble() * 0.2 - 0.1)).toFloat)
+    val rows = (0L until 500L).map { id =>
+      val k = (id % 16).toInt
+      (id, noisy(k).toSeq, k)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -61,11 +87,15 @@ object RecallSweep {
     val clusteredDir = java.nio.file.Files
       .createTempDirectory("graft_recall_clustered").toString
     writeClusteredFixture(spark, clusteredDir)
+    val misalignedDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_misaligned").toString
+    writeMisalignedFixture(spark, misalignedDir)
 
     def num(d: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, d)
 
-    val fixtures = Seq("isotropic" -> sfDir, "clustered" -> clusteredDir)
+    val fixtures = Seq("isotropic" -> sfDir, "clustered" -> clusteredDir,
+      "misaligned" -> misalignedDir)
     val blocks = fixtures.map { case (fixName, dir) =>
       // exact truth: brute-force EUCLIDEAN top-3 (e_knn_l2 is top-5) —
       // ADC approximates squared L2, so that is the metric it is graded
@@ -82,18 +112,26 @@ object RecallSweep {
         (approx & exact3).size.toDouble / exact3.size
       }
 
+      // three training depths: untrained (raw-vector PQ, fixed seed
+      // coarse), trained residual (fixed seed coarse), trained residual
+      // + one coarse Lloyd step (full FAISS-style training — round 15)
       val cells = for {
-        trained <- Seq(false, true)
+        depth <- Seq("ivfpq_untrained", "ivfpq_trained_residual",
+          "ivfpq_trained_coarse1")
         nprobe <- Seq(1, 2, 4)
       } yield {
-        val df =
-          if (trained)
+        val df = depth match {
+          case "ivfpq_untrained" =>
+            operators.EmbeddingOps.ivfPqUntrained(spark, dir, nprobe, 3)
+          case "ivfpq_trained_residual" =>
             operators.EmbeddingOps.ivfPqTrainedResidual(spark, dir, nprobe, 3)
-          else operators.EmbeddingOps.ivfPqUntrained(spark, dir, nprobe, 3)
+          case _ =>
+            operators.EmbeddingOps.ivfPqTrainedResidual(spark, dir, nprobe, 3,
+              coarseSteps = 1)
+        }
         val r = recallOf(df)
-        val name = if (trained) "ivfpq_trained_residual" else "ivfpq_untrained"
-        System.err.println(f"[recall] $fixName%-10s $name%-24s nprobe=$nprobe  recall@3 ${r}%.4f")
-        s"""{"index":"$name","nprobe":$nprobe,"cand_frac":${num(nprobe / 16.0)},"recall_at_3":${num(r)}}"""
+        System.err.println(f"[recall] $fixName%-10s $depth%-24s nprobe=$nprobe  recall@3 ${r}%.4f")
+        s"""{"index":"$depth","nprobe":$nprobe,"cand_frac":${num(nprobe / 16.0)},"recall_at_3":${num(r)}}"""
       }
       // Quantization-axis lane (round 14): the scalar-quantization family
       // ranked against the COSINE truth it approximates — int8

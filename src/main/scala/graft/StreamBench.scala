@@ -77,6 +77,41 @@ object StreamBench {
       (name, sec, 32 * half)
     }
 
+    /** Document-stream cell: its own JSON corpus (the capstone's doc
+      * shape), one query drained to completion. For the STATELESS
+      * scoring duals no restart phase is needed — dsirScore/codeDetect
+      * carry zero state, so a restart would replay nothing and recover
+      * nothing; the cell measures the pure map throughput that holds
+      * across any checkpoint boundary by construction. */
+    def runDocs(name: String, nDocs: Int)(
+        start: Jobs.Dirs => org.apache.spark.sql.streaming.StreamingQuery): (String, Double, Int) = {
+      val files = 16
+      val perFile = math.max(1, nDocs / files)
+      val d = Jobs.Dirs(
+        Files.createTempDirectory(s"sbench-docs-$name").toString,
+        Files.createTempDirectory(s"sbench-out-$name").toString,
+        Files.createTempDirectory(s"sbench-ck-$name").toString)
+      Generators.writeJsonDocs(d.in, seed = 42, files, perFile)
+      val sec = timed {
+        val q = start(d)
+        try q.processAllAvailable() finally q.stop()
+      }
+      (name, sec, files * perFile)
+    }
+
+    /** The capstone's doc wire shape (doc_id, ts, lang, source, text). */
+    def docsStream(in: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("ts_s", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("source", StringType)))
+      spark.readStream.schema(schema).json(in)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_seconds(
+            org.apache.spark.sql.functions.col("ts_s"))).drop("ts_s")
+    }
+
     /** Job-9 capstone end-to-end: quota admission -> quality gate +
       * dedup-within-watermark -> decontamination -> online packing, ALL
       * THREE sinks (packed/contaminated/spill) drained — then the corpus
@@ -263,6 +298,19 @@ object StreamBench {
           spark.readStream.text(d.in))
         Sinks.file(StatefulProcessors.lastTouchCredits(
           good.as[graft.streaming.Ev]).toDF(), d.out, d.ckpt)
+      },
+      // round-15 (verdict-r14 task 6): the stateless scoring duals'
+      // "wire-rate inline at ingest" claims, measured — each is a pure
+      // map (codegen'd graft_dsir_fold / integer densities), zero
+      // shuffle, zero state. Doc corpora sized like the capstone's.
+      runDocs("dsir_score_stateless", math.max(2048, n / 10)) { d =>
+        val lam = StreamingPipelines.dsirCalibrate(spark, "/root/testdata/sf0.001")
+        Sinks.file(StreamingPipelines.dsirScore(docsStream(d.in), lam),
+          d.out, d.ckpt)
+      },
+      runDocs("code_detect_stateless", math.max(2048, n / 10)) { d =>
+        Sinks.file(StreamingPipelines.codeDetect(docsStream(d.in)),
+          d.out, d.ckpt)
       },
       // docs are ~50 tokens each (vs ~5-field CSV events), so the
       // capstone corpus is n/10 docs for a comparable byte volume

@@ -646,11 +646,44 @@ FROM (SELECT qid, vec_id, ad,
         expr("zip_with(ed, ce, (x, y) -> x - y)").as("rv"))
   }
 
+  /** One spherical-Lloyd refinement of the COARSE centroids (round-15
+    * verdict task 7; sweep/receipt-only — every registered query keeps
+    * the fixed seed rows, `coarseSteps = 0`): cosine-assign every vector
+    * to its nearest cell ([[ivfAssign]]'s exact trajectory), recompute
+    * each cell's per-dimension mean with the family's 6dp + 1e-9 pins,
+    * keep the previous centroid for cells that attracted nothing. One
+    * corpus scan + a 16-row-bounded agg per step — full FAISS-style
+    * coarse training, priced on the RecallSweep misaligned fixture. */
+  private[graft] def coarseLloydStep(base: DataFrame, cents: DataFrame): DataFrame = {
+    val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+    val asg = base.join(broadcast(cents))
+      .withColumn("c_cos",
+        round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("cid"), col("ed"))
+    val means = asg.select(col("cid"), posexplode(col("ed")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(round(avg(col("x")) + lit(1e-9), 6).as("v"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, v))), s -> s.v)").as("mce"))
+    cents.select(col("cid"), col("ce")).join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("mce"), col("ce")).as("ce"))
+      .withColumn("cn", sqrt(GraftFunctions.vecDot(col("ce"), col("ce"))))
+      .transform(graft.Checkpoints.pin(_))
+  }
+
   /** Train the residual IVF-PQ model on the corpus at `dir` and code
     * every vector — None when the corpus lacks the 16 centroid rows
     * (10..25) or 16 PQ seed rows (26..41). Two Lloyd steps with the 6dp
-    * trajectory pins; bounded collects only (the 128-row codebook). */
-  private[graft] def ivfPqTrainParts(s: SparkSession, dir: String): Option[IvfPqParts] = {
+    * trajectory pins; bounded collects only (the 128-row codebook).
+    * `coarseSteps` > 0 additionally Lloyd-refines the coarse centroids
+    * before residual training (sweep-only; see [[coarseLloydStep]]) —
+    * with the refined centroids the seed rows' residuals are no longer
+    * identically zero, but the PQ seed stays at 26..41 so the trained
+    * and untrained-coarse trajectories differ ONLY in the centroids. */
+  private[graft] def ivfPqTrainParts(s: SparkSession, dir: String,
+      coarseSteps: Int = 0): Option[IvfPqParts] = {
     val base = prepped(s, dir)
     // one guard aggregation for both model-row counts (ADVICE r14: two
     // collect().length calls ran two full scans per invocation)
@@ -661,8 +694,9 @@ FROM (SELECT qid, vec_id, ad,
     val nSeed = if (guard.isNullAt(1)) 0L else guard.getLong(1)
     if (nCents < 16 || nSeed < 16) None
     else {
-      val cents = base.filter(col("vec_id").between(10, 25))
+      var cents = base.filter(col("vec_id").between(10, 25))
         .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+      (1 to coarseSteps).foreach(_ => cents = coarseLloydStep(base, cents))
       val assigned = ivfAssign(base, cents, maxRank = 1)
         .transform(graft.Checkpoints.pin(_))
       // --- train PQ on residual subvectors (two Lloyd steps, 6dp pins)
@@ -732,8 +766,8 @@ FROM (SELECT qid, vec_id, ad,
       "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
 
   private[graft] def ivfPqTrainedResidual(s: SparkSession, dir: String,
-      nprobe: Int, k: Int): DataFrame =
-    ivfPqTrainParts(s, dir) match {
+      nprobe: Int, k: Int, coarseSteps: Int = 0): DataFrame =
+    ivfPqTrainParts(s, dir, coarseSteps) match {
       case None => ivfPqEmpty(s, dir)
       case Some(p) => ivfPqProbe(s, dir, p.cents, p.coded, p.cb, nprobe, k)
     }

@@ -63,6 +63,47 @@ class AnnSweepInvariantsSpec extends SparkSpec {
     assert(trained >= 0.4, s"trained clustered recall regressed to $trained")
   }
 
+  test("misaligned fixture: residual training carries a noisy-seed coarse codebook; one coarse Lloyd step keeps a working index") {
+    // Round-15 task 7 receipt, pinned (all deterministic: seeded fixture,
+    // 6dp trajectory). On the MISALIGNED fixture (rows 10..25 are noisy
+    // cluster members, not centers — a production sample-seeded coarse
+    // quantizer), residual training is what rescues recall: the raw-
+    // vector codebook collapses (0.0667) while residual PQ against the
+    // SAME noisy seeds reaches 0.4333. The full-FAISS coarse Lloyd step
+    // is deliberately ALSO pinned at its measured value: it does NOT
+    // lift recall@3 here (0.3667) — recall is nprobe-flat on this
+    // geometry, i.e. cell coverage was never the bottleneck; 4-bit ADC
+    // resolution is, and re-centering residuals shrinks the codebook's
+    // dynamic range along with the signal. The sweep exists to price
+    // exactly this: training the coarse quantizer is not automatically
+    // a win at fixed PQ resolution (BASELINE.md round-15 lane).
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ann-misaligned").toString
+    graft.RecallSweep.writeMisalignedFixture(s, dir)
+    val truth = graft.SparkEntry.queries("e_knn_l2")(s, dir)
+      .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & truth).size.toDouble / truth.size
+    }
+    val untrained = recall(EmbeddingOps.ivfPqUntrained(s, dir, 2, 3))
+    val residual = recall(EmbeddingOps.ivfPqTrainedResidual(s, dir, 2, 3))
+    val coarse1 = recall(EmbeddingOps.ivfPqTrainedResidual(s, dir, 2, 3, coarseSteps = 1))
+    assert(residual > untrained + 0.3,
+      s"residual training stopped carrying the misaligned seeds: $untrained -> $residual")
+    assert(coarse1 >= 0.3,
+      s"coarse Lloyd step broke the index outright: recall $coarse1")
+    // the documented ADC-resolution ceiling: if a future change makes
+    // coarse training suddenly dominate here, the analysis above is
+    // stale — revisit the BASELINE.md lane, don't just bump the number
+    assert(coarse1 <= residual,
+      s"coarse training now BEATS fixed seeds ($coarse1 > $residual) — " +
+        "update the round-15 recall-lane analysis in BASELINE.md")
+  }
+
   test("ABTT component dominates: explained variance >= best coordinate axis, residuals shrink") {
     // The DuckDB oracle proves CROSS-ENGINE EQUALITY of e_abtt_project,
     // not that the found direction is the right one — a silently
