@@ -209,6 +209,33 @@ object IvfPqIndex {
     codedSink(root, g).process(coded, batchId)
   }
 
+  /** Streaming-ingest batch ids live above this base so they can never
+    * collide with [[build]]'s corpus batch (id 0) or low-numbered manual
+    * [[addVectors]] calls — the sink's idempotence marker is keyed by
+    * batch id, and a collision would silently SKIP a distinct batch. */
+  private[graft] val IngestBatchBase = 1L << 20
+
+  /** Streaming ADD — the index's ingest path: land a vector stream
+    * (vec_id, embedding) into the current generation's coded table,
+    * one [[addVectors]] call per micro-batch. Exactly-once by the
+    * sink's batch-keyed idempotence (a replayed micro-batch finds its
+    * commit marker and skips; a crashed-mid-append batch is purged and
+    * rewritten whole). The model is FROZEN per generation — ingest
+    * never retrains; a scheduled [[ensure]] after the reference corpus
+    * changes starts the next generation, exactly FAISS's add-vs-retrain
+    * split. Composes with the sink's maintenance: versioned manifests
+    * per batch, scanAsOf to pre-ingest snapshots, recluster-by-cell
+    * when add-batch debris accumulates. Single writer per root
+    * (Structured Streaming's one-active-query-per-checkpoint). */
+  def startIngest(vecsStream: DataFrame,
+      root: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecsStream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        addVectors(b.sparkSession, root, b, IngestBatchBase + id))
+      .start()
+
   /** SEARCH: probe the persisted index with the source corpus' query
     * vectors (vec_id < 10) — nprobe cell ranking against the persisted
     * centroids, residual ADC against the persisted codes. The coded

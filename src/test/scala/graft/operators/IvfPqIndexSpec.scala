@@ -132,6 +132,42 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(hits > 0, "added vectors never surfaced as search candidates")
   }
 
+  test("streaming ingest lands vectors exactly-once across a restart; query sees them") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmpRoot("ingest")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    val sink = IvfPqIndex.codedSink(root, 1L)
+    val bounds = Seq(("cell", Long.MinValue, Long.MaxValue))
+    val base = sink.scan(s, bounds).count()
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_ingest_ck").toString
+    def vec(id: Long) =
+      (id, (0 until 64).map(i => (math.sin(id * 2.9 + i * 0.7)).toFloat))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    def drain(): Unit = {
+      val q = IvfPqIndex.startIngest(
+        in.toDF().toDF("vec_id", "embedding"), root, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData((7000L until 7010L).map(vec))
+    drain()
+    assert(sink.scan(s, bounds).count() === base + 10)
+    // restart on the same checkpoint: nothing replays as a duplicate,
+    // and the next micro-batch continues the id sequence
+    in.addData((7010L until 7016L).map(vec))
+    drain()
+    val after = sink.scan(s, bounds)
+    assert(after.count() === base + 16)
+    assert(after.filter(col("vec_id") >= 7000L)
+      .groupBy(col("vec_id")).count().filter(col("count") > 1).isEmpty,
+      "a replayed ingest batch landed twice")
+    // ingested vectors are real candidates with frozen-model codes
+    val hits = IvfPqIndex.query(s, sfDir, root, nprobe = 4, k = 1000)
+      .filter(col("vec_id") >= 7000L)
+    assert(hits.count() > 0, "ingested vectors never surfaced in search")
+  }
+
   test("recluster by cell restores probe-time file skipping") {
     val s = spark
     import s.implicits._
