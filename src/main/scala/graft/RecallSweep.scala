@@ -31,15 +31,25 @@ object RecallSweep {
     * center + uniform(-0.1, 0.1) noise per dim — residuals ARE the
     * noise, which is exactly what residual PQ exists to code. */
   private[graft] def writeClusteredFixture(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val rnd = new scala.util.Random(20240815L)
+      dir: String): Unit =
+    writeClusterFixture(spark, dir, seed = 20240815L, exactSeeds = true)
+
+  /** Shared writer for both clustered fixtures — one generator, two
+    * alignments, so the lanes cannot silently diverge in shape. With
+    * `exactSeeds` the seed rows 10..25 ARE the 16 centers (and draw no
+    * noise, which the aligned lane's pinned recalls depend on: the RNG
+    * sequence is part of the fixture's identity); without it every row
+    * is a noisy member. */
+  private def writeClusterFixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String, seed: Long, exactSeeds: Boolean): Unit = {
+    val rnd = new scala.util.Random(seed)
     val centers = Array.fill(16)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
     def noisy(k: Int): Array[Float] =
       centers(k).map(x => (x + (rnd.nextDouble() * 0.2 - 0.1)).toFloat)
     val rows = (0L until 500L).map { id =>
       val k = (id % 16).toInt
       val emb =
-        if (id >= 10 && id <= 25) centers((id - 10).toInt).map(_.toFloat)
+        if (exactSeeds && id >= 10 && id <= 25) centers((id - 10).toInt).map(_.toFloat)
         else noisy(k)
       (id, emb.toSeq, k)
     }
@@ -60,20 +70,8 @@ object RecallSweep {
     * coarse Lloyd step has real ground to gain, and the sweep's
     * trained-coarse column prices exactly that. */
   private[graft] def writeMisalignedFixture(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val rnd = new scala.util.Random(20250815L)
-    val centers = Array.fill(16)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
-    def noisy(k: Int): Array[Float] =
-      centers(k).map(x => (x + (rnd.nextDouble() * 0.2 - 0.1)).toFloat)
-    val rows = (0L until 500L).map { id =>
-      val k = (id % 16).toInt
-      (id, noisy(k).toSeq, k)
-    }
-    val s = spark
-    import s.implicits._
-    rows.toDF("vec_id", "embedding", "label")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-  }
+      dir: String): Unit =
+    writeClusterFixture(spark, dir, seed = 20250815L, exactSeeds = false)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -159,5 +157,15 @@ object RecallSweep {
     }
     println(s"""{"mode":"recall_sweep","sf":"$sfDir",${blocks.mkString(",")}}""")
     spark.stop()
+    // per-run temp fixtures: delete on the way out (the per-run-dir
+    // concurrency fix must not turn into an unbounded /tmp leak on a
+    // long-lived bench host)
+    Seq(clusteredDir, misalignedDir).foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
   }
 }

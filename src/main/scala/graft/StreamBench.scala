@@ -303,10 +303,16 @@ object StreamBench {
       // "wire-rate inline at ingest" claims, measured — each is a pure
       // map (codegen'd graft_dsir_fold / integer densities), zero
       // shuffle, zero state. Doc corpora sized like the capstone's.
-      runDocs("dsir_score_stateless", math.max(2048, n / 10)) { d =>
+      {
+        // calibrate OUTSIDE the timed window: the one-off model-training
+        // aggregation is the offline half of the split; charging it to
+        // the cell would misprice the stateless map the cell exists to
+        // measure
         val lam = StreamingPipelines.dsirCalibrate(spark, "/root/testdata/sf0.001")
-        Sinks.file(StreamingPipelines.dsirScore(docsStream(d.in), lam),
-          d.out, d.ckpt)
+        runDocs("dsir_score_stateless", math.max(2048, n / 10)) { d =>
+          Sinks.file(StreamingPipelines.dsirScore(docsStream(d.in), lam),
+            d.out, d.ckpt)
+        }
       },
       runDocs("code_detect_stateless", math.max(2048, n / 10)) { d =>
         Sinks.file(StreamingPipelines.codeDetect(docsStream(d.in)),

@@ -635,15 +635,17 @@ FROM (SELECT qid, vec_id, ad,
     * by training, by the index builder's incremental add, and (with
     * `maxRank` = nprobe) by the query-side probe. */
   private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame,
-      maxRank: Int): DataFrame = {
+      maxRank: Int, keepEd: Boolean = false): DataFrame = {
     val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-    vecs.join(broadcast(cents))
+    val ranked = vecs.join(broadcast(cents))
       .withColumn("c_cos",
         round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
       .withColumn("arn", row_number().over(assignW))
       .filter(col("arn") <= maxRank)
-      .select(col("vec_id"), col("cid").as("cell"),
-        expr("zip_with(ed, ce, (x, y) -> x - y)").as("rv"))
+    val cols = Seq(col("vec_id"), col("cid").as("cell"),
+      expr("zip_with(ed, ce, (x, y) -> x - y)").as("rv")) ++
+      (if (keepEd) Seq(col("ed")) else Nil)
+    ranked.select(cols: _*)
   }
 
   /** One spherical-Lloyd refinement of the COARSE centroids (round-15
@@ -655,13 +657,10 @@ FROM (SELECT qid, vec_id, ad,
     * corpus scan + a 16-row-bounded agg per step — full FAISS-style
     * coarse training, priced on the RecallSweep misaligned fixture. */
   private[graft] def coarseLloydStep(base: DataFrame, cents: DataFrame): DataFrame = {
-    val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-    val asg = base.join(broadcast(cents))
-      .withColumn("c_cos",
-        round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
-      .withColumn("arn", row_number().over(assignW))
-      .filter(col("arn") === 1)
-      .select(col("cid"), col("ed"))
+    // assignment IS ivfAssign (the one definition — training, add,
+    // probe, and this refinement must walk the same trajectory)
+    val asg = ivfAssign(base, cents, maxRank = 1, keepEd = true)
+      .select(col("cell").as("cid"), col("ed"))
     val means = asg.select(col("cid"), posexplode(col("ed")).as(Seq("i", "x")))
       .groupBy(col("cid"), col("i"))
       .agg(round(avg(col("x")) + lit(1e-9), 6).as("v"))
@@ -746,9 +745,23 @@ FROM (SELECT qid, vec_id, ad,
     * round-trip parquet losslessly, so the two paths are bit-equal by
     * construction). */
   private[graft] def ivfPqProbe(s: SparkSession, dir: String, cents: DataFrame,
-      coded: DataFrame, cb: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int): DataFrame = {
-    val q = ivfAssign(prepped(s, dir).filter(col("vec_id") < 10), cents, maxRank = nprobe)
+      coded: DataFrame, cb: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int): DataFrame =
+    ivfPqProbeWith(ivfPqQueryFrame(s, dir, cents, nprobe), coded, cb, k)
+
+  /** The probe's query side: the corpus' query vectors (vec_id < 10)
+    * ranked against `cents`, one row per probed cell, with the query's
+    * residual against THAT cell. Callers that also need the probed cell
+    * list (manifest pruning) pin this frame and derive both from it —
+    * one assignment job, not two. */
+  private[graft] def ivfPqQueryFrame(s: SparkSession, dir: String,
+      cents: DataFrame, nprobe: Int): DataFrame =
+    ivfAssign(prepped(s, dir).filter(col("vec_id") < 10), cents, maxRank = nprobe)
       .select(col("vec_id").as("qid"), col("cell"), col("rv").as("qr"))
+
+  /** ADC ranking of a prepared query frame against the coded corpus —
+    * see [[ivfPqProbe]]. */
+  private[graft] def ivfPqProbeWith(q: DataFrame, coded: DataFrame,
+      cb: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
     coded.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("ad", GraftFunctions.pqAdcScaled(col("qr"), col("codes"), cb))
@@ -864,6 +877,12 @@ FROM (SELECT qid, vec_id, ad,
   // IvfPqIndexSpec pins Spark-side. The bench's min-of-two-passes
   // protocol makes the receipt mechanical: pass 1 pays build+query,
   // pass 2 reuses -> the reported number IS the query-many cost.
+  // Per-invocation cost note: the ensure() fingerprint is one narrow
+  // (vec_id, embedding) aggregation — the price of the driver
+  // contract's self-containedness (any sf dir, any prior state, still
+  // correct). A production deployment validates freshness on its OWN
+  // schedule and calls IvfPqIndex.query directly, paying only the
+  // 144-row model read + the pruned coded scan per search.
   private val eKnnIvfPqIndexed = GQuery(
     "e_knn_ivfpq_indexed",
     (s, dir) => {
@@ -1114,7 +1133,8 @@ WHERE rnk <= 3"""),
     * mean, then the two pinned power iterations for the dominant
     * component. None on an empty corpus. Bounded collects only (64 rows
     * per step); each iteration is ONE corpus scan. */
-  private[graft] def abttCalibrate(s: SparkSession, dir: String): Option[AbttModel] = {
+  private def abttCalibrateFull(s: SparkSession,
+      dir: String): Option[(AbttModel, DataFrame)] = {
     val base = prepped(s, dir)
     val meanRows = base.select(posexplode(col("ed")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(round(avg(col("x")) + lit(1e-9), 6).as("m"))
@@ -1137,33 +1157,50 @@ WHERE rnk <= 3"""),
           .select(col("i"), round(col("w") / col("nrm") + lit(1e-9), 6).as("vi"))
           .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
       }
-      Some(AbttModel(m, v))
+      Some((AbttModel(m, v), centered))
     }
   }
 
-  /** ABTT APPLY — shared verbatim by the batch query and the streaming
-    * dual ([[graft.streaming.StreamingPipelines.abttApply]]): center
-    * against the broadcast mean, project onto the broadcast component,
-    * residual norm after removal. Pure stateless map — no shuffle, no
-    * state, no join; the model rides into codegen as literals. Input
-    * needs an `ed` double-array column; every other column is dropped.
-    * + 0.0 normalizes IEEE negative zero: a projection in (-5e-7, 0)
-    * rounds to -0.0 in DuckDB but 0.0 in Spark (the t_dsir_score sf0.1
-    * lesson). */
-  private[graft] def abttApplyFrame(df: DataFrame, model: AbttModel): DataFrame =
-    df
-      .withColumn("xc", zip_with(col("ed"), typedlit(model.mean), (x, mm) => x - mm))
+  private[graft] def abttCalibrate(s: SparkSession, dir: String): Option[AbttModel] =
+    abttCalibrateFull(s, dir).map(_._1)
+
+  /** The ONE projection expression, over a pre-centered frame
+    * (vec_id, xc): proj onto the broadcast component + residual norm
+    * after removal. + 0.0 normalizes IEEE negative zero: a projection
+    * in (-5e-7, 0) rounds to -0.0 in DuckDB but 0.0 in Spark (the
+    * t_dsir_score sf0.1 lesson). */
+  private def abttProjectCentered(centered: DataFrame,
+      component: Seq[Double]): DataFrame =
+    centered
       .withColumn("proj",
-        round(GraftFunctions.vecDot(col("xc"), typedlit(model.component)) + lit(1e-9), 6) + lit(0d))
+        round(GraftFunctions.vecDot(col("xc"), typedlit(component)) + lit(1e-9), 6) + lit(0d))
       .withColumn("resid_norm", round(sqrt(greatest(lit(0d),
         GraftFunctions.vecDot(col("xc"), col("xc")) - col("proj") * col("proj"))) + lit(1e-9), 6))
       .select(col("vec_id"), col("proj"), col("resid_norm"))
 
+  /** ABTT APPLY — shared by the batch query and the streaming dual
+    * ([[graft.streaming.StreamingPipelines.abttApply]]): center against
+    * the broadcast mean, then [[abttProjectCentered]] (the one
+    * projection expression, so the two paths cannot drift). Pure
+    * stateless map — no shuffle, no state, no join; the model rides
+    * into codegen as literals. Input needs an `ed` double-array column;
+    * every other column is dropped. */
+  private[graft] def abttApplyFrame(df: DataFrame, model: AbttModel): DataFrame =
+    abttProjectCentered(
+      df.withColumn("xc",
+        zip_with(col("ed"), typedlit(model.mean), (x, mm) => x - mm)),
+      model.component)
+
   private val eAbttProject = GQuery(
     "e_abtt_project",
     (s, dir) =>
-      abttCalibrate(s, dir) match {
-        case Some(model) => abttApplyFrame(prepped(s, dir), model)
+      // projects the calibration's PINNED centered frame — the corpus
+      // is scanned by the mean agg + two power iterations only, never a
+      // fourth time for the projection pass (the streaming dual's
+      // abttApplyFrame re-centers because its vectors are novel)
+      abttCalibrateFull(s, dir) match {
+        case Some((model, centered)) =>
+          abttProjectCentered(centered, model.component)
         case None =>
           prepped(s, dir).limit(0).selectExpr("vec_id",
             "cast(0.0 AS double) AS proj", "cast(0.0 AS double) AS resid_norm")

@@ -71,6 +71,35 @@ object IvfPqIndex {
   private def lockFor(root: String): Object =
     buildLocks.computeIfAbsent(root, _ => new Object)
 
+  /** Serialize index builds on `root` across THREADS (the JVM map —
+    * ConcurrentBench runs queries concurrently) AND across PROCESSES
+    * (an OS file lock on `root/.build_lock` — the registered query
+    * derives a machine-global /tmp root from the fixture dir, so two
+    * JVMs, e.g. a bench and a verify replica, can race the same root;
+    * without the lock both would compute generation 1 and interleave
+    * renames into one corrupt-but-committed artifact). The JVM monitor
+    * wraps the file lock because FileChannel locks are held per-JVM
+    * and re-acquiring one from a second thread throws. Non-local roots
+    * (no NIO filesystem path) fall back to the JVM lock alone — the
+    * documented single-writer-per-root contract covers them. */
+  private def withBuildLock[A](root: String)(f: => A): A =
+    lockFor(root).synchronized {
+      val lockCh =
+        try {
+          val p = java.nio.file.Paths.get(root)
+          java.nio.file.Files.createDirectories(p)
+          Some(java.nio.channels.FileChannel.open(p.resolve(".build_lock"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE))
+        } catch { case _: Exception => None }
+      lockCh match {
+        case Some(ch) =>
+          try { val l = ch.lock(); try f finally l.release() }
+          finally ch.close()
+        case None => f
+      }
+    }
+
   /** Deterministic default root per source dir (the LayoutQueries
     * workDir convention) — under java.io.tmpdir, never in the read-only
     * fixture tree. */
@@ -83,13 +112,18 @@ object IvfPqIndex {
     * a build, and content-sensitive enough that a regenerated fixture
     * with equal row count still misses. */
   private def fingerprint(s: SparkSession, dir: String): String = {
-    // bit_xor, not sum: order-independent like sum but cannot overflow
-    // under ANSI arithmetic (sum of ~2^63-magnitude hashes throws)
+    // DECIMAL(38,0) sum of the row hashes: order-independent AND
+    // multiplicity-sensitive. bit_xor would self-cancel any row with
+    // even multiplicity (swap duplicate pair {A,A} for {B,B} and the
+    // xor is unchanged — a silent stale-index reuse); a BIGINT sum of
+    // ~2^63-magnitude hashes throws under ANSI arithmetic. 38 digits
+    // hold ~10^19 rows of headroom above the hash magnitude.
     val r = graft.Tables.t(s, dir, "embeddings")
       .agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h"))
+        coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h"))
       .head()
-    s"v$FormatVersion:n=${r.getLong(0)}:h=${r.getLong(1)}"
+    s"v$FormatVersion:n=${r.getLong(0)}:h=${r.getDecimal(1)}"
   }
 
   private def genPath(root: String, g: Long) = s"$root/g$g"
@@ -133,7 +167,10 @@ object IvfPqIndex {
     * coded batch 0, fingerprint, THEN the commit marker — a crash
     * anywhere before the marker leaves the previous generation live. */
   def build(s: SparkSession, dir: String, root: String): Option[Long] =
-    lockFor(root).synchronized {
+    withBuildLock(root) { buildLocked(s, dir, root) }
+
+  private def buildLocked(s: SparkSession, dir: String, root: String): Option[Long] =
+    {
       EmbeddingOps.ivfPqTrainParts(s, dir).map { parts =>
         val next = (listGens(root) :+ 0L).max + 1
         val g = genPath(root, next)
@@ -161,17 +198,18 @@ object IvfPqIndex {
 
   /** Build-once gate: reuse the current committed generation when its
     * fingerprint still matches the source corpus, else (re)build.
-    * None = the corpus cannot carry an index (too few model rows). */
-  def ensure(s: SparkSession, dir: String, root: String): Option[Long] =
-    lockFor(root).synchronized {
-      val fp = fingerprint(s, dir)
-      currentGeneration(root) match {
-        case Some(g)
-          if FsIo.readString(s"${genPath(root, g)}/fingerprint").contains(fp) =>
-          Some(g)
-        case _ => build(s, dir, root)
-      }
-    }
+    * None = the corpus cannot carry an index (too few model rows).
+    * The fingerprint check runs INSIDE the build lock (double-checked):
+    * a second process that blocked on a concurrent build re-reads the
+    * now-committed generation and reuses it instead of building again. */
+  def ensure(s: SparkSession, dir: String, root: String): Option[Long] = {
+    val fp = fingerprint(s, dir)
+    def fresh(): Option[Long] = currentGeneration(root).filter(g =>
+      FsIo.readString(s"${genPath(root, g)}/fingerprint").contains(fp))
+    fresh().orElse(withBuildLock(root) {
+      fresh().orElse(buildLocked(s, dir, root))
+    })
+  }
 
   private def readCodebook(s: SparkSession, root: String, g: Long): Seq[Seq[Seq[Double]]] = {
     val rows = s.read.parquet(s"${genPath(root, g)}/codebook").collect()
@@ -209,32 +247,79 @@ object IvfPqIndex {
     codedSink(root, g).process(coded, batchId)
   }
 
-  /** Streaming-ingest batch ids live above this base so they can never
-    * collide with [[build]]'s corpus batch (id 0) or low-numbered manual
+  /** Streaming-ingest batch ids live in per-stream SLOTS of this size,
+    * above [[build]]'s corpus batch (id 0) and low-numbered manual
     * [[addVectors]] calls — the sink's idempotence marker is keyed by
-    * batch id, and a collision would silently SKIP a distinct batch. */
-  private[graft] val IngestBatchBase = 1L << 20
+    * batch id, so any collision would silently SKIP a distinct batch.
+    * A slot per stream (not one shared base): a SECOND ingest stream
+    * with a fresh checkpoint restarts micro-batch ids at 0, and on a
+    * shared base its first batches would find the first stream's
+    * markers and vanish. */
+  private[graft] val IngestSlotSize = 1L << 20
+
+  /** The stable batch-id offset of one ingest stream, keyed by its
+    * checkpoint location: slot assignment is a create-once marker file
+    * under the generation (so a RESTART of the same checkpoint maps
+    * replayed micro-batches to the SAME sink ids — the idempotence
+    * contract — while a new checkpoint allocates the next slot). Slot
+    * count is capped so ids stay within the sink's 9-digit marker
+    * format. Allocation runs under the build lock; concurrent ingest
+    * WRITERS on one root are out of contract anyway (single writer),
+    * but two successive streams may allocate from different JVMs. */
+  private def ingestOffset(root: String, g: Long, checkpointDir: String): Long = {
+    val dir = s"${genPath(root, g)}/ingest_streams"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val marker = s"$dir/$h"
+    FsIo.readString(marker) match {
+      case Some(off) => off.trim.toLong
+      case None => withBuildLock(root) {
+        FsIo.readString(marker) match {
+          case Some(off) => off.trim.toLong
+          case None =>
+            val fs = FsIo.fs(new org.apache.hadoop.fs.Path(dir))
+            fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+            val used = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).length
+            val slot = used + 1
+            require(slot <= 900,
+              s"IvfPqIndex: ingest-stream slots exhausted under $dir ($slot) — " +
+                "batch ids would overflow the sink's 9-digit marker format")
+            val off = IngestSlotSize * slot
+            FsIo.writeStringAtomic(marker, off.toString)
+            off
+        }
+      }
+    }
+  }
 
   /** Streaming ADD — the index's ingest path: land a vector stream
     * (vec_id, embedding) into the current generation's coded table,
     * one [[addVectors]] call per micro-batch. Exactly-once by the
     * sink's batch-keyed idempotence (a replayed micro-batch finds its
     * commit marker and skips; a crashed-mid-append batch is purged and
-    * rewritten whole). The model is FROZEN per generation — ingest
-    * never retrains; a scheduled [[ensure]] after the reference corpus
-    * changes starts the next generation, exactly FAISS's add-vs-retrain
-    * split. Composes with the sink's maintenance: versioned manifests
-    * per batch, scanAsOf to pre-ingest snapshots, recluster-by-cell
-    * when add-batch debris accumulates. Single writer per root
-    * (Structured Streaming's one-active-query-per-checkpoint). */
+    * rewritten whole); batch ids are offset into this stream's
+    * [[ingestOffset]] slot so neither the build's corpus batch nor a
+    * previous stream's batches can shadow them. The model is FROZEN
+    * per generation — ingest never retrains; a scheduled [[ensure]]
+    * after the reference corpus changes starts the next generation,
+    * exactly FAISS's add-vs-retrain split. Composes with the sink's
+    * maintenance: versioned manifests per batch, scanAsOf to
+    * pre-ingest snapshots, recluster-by-cell when add-batch debris
+    * accumulates. Single ACTIVE writer per root (Structured
+    * Streaming's one-active-query-per-checkpoint). */
   def startIngest(vecsStream: DataFrame,
-      root: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      root: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
+      s"IvfPqIndex: no committed generation under $root — build first"))
+    val off = ingestOffset(root, g, checkpointDir)
     vecsStream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
-        addVectors(b.sparkSession, root, b, IngestBatchBase + id))
+        addVectors(b.sparkSession, root, b, off + id))
       .start()
+  }
 
   /** SEARCH: probe the persisted index with the source corpus' query
     * vectors (vec_id < 10) — nprobe cell ranking against the persisted
@@ -248,17 +333,21 @@ object IvfPqIndex {
       s"IvfPqIndex: no committed generation under $root — build first"))
     val cents = centroids(s, root, g)
     val cb = readCodebook(s, root, g)
-    // bounded probe-plan collect: #queries x nprobe rows (<= 20 here) —
-    // this is what turns the manifest's cell boxes into skipped files
-    val probed = EmbeddingOps
-      .ivfAssign(EmbeddingOps.prepped(s, dir).filter(col("vec_id") < 10),
-        cents, maxRank = nprobe)
-      .select(col("cell")).distinct().collect().map(_.getLong(0))
+    // ONE query-side assignment job: the pinned frame feeds both the
+    // bounded probe-plan collect (#queries x nprobe rows, <= 20 here —
+    // what turns the manifest's cell boxes into skipped files) and the
+    // broadcast probe side of the ADC join.
+    val q = graft.Checkpoints.pin(
+      EmbeddingOps.ivfPqQueryFrame(s, dir, cents, nprobe))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     if (probed.isEmpty) EmbeddingOps.ivfPqEmpty(s, dir)
     else {
+      // span bound, not per-cell union: on a recluster-maintained index
+      // cells are contiguous on disk so the span is near-exact, and the
+      // equi-join drops any in-span stragglers either way
       val coded = codedSink(root, g)
         .scan(s, Seq(("cell", probed.min, probed.max)))
-      EmbeddingOps.ivfPqProbe(s, dir, cents, coded, cb, nprobe, k)
+      EmbeddingOps.ivfPqProbeWith(q, coded, cb, k)
     }
   }
 }

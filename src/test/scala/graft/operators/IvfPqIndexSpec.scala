@@ -166,6 +166,17 @@ class IvfPqIndexSpec extends SparkSpec {
     val hits = IvfPqIndex.query(s, sfDir, root, nprobe = 4, k = 1000)
       .filter(col("vec_id") >= 7000L)
     assert(hits.count() > 0, "ingested vectors never surfaced in search")
+    // a SECOND stream with a fresh checkpoint restarts micro-batch ids
+    // at 0 — its slot offset must keep those from shadowing (and being
+    // silently skipped by) the first stream's committed batch markers
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ivfpq_ingest_ck2").toString
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    in2.addData((8000L until 8005L).map(vec))
+    val q2 = IvfPqIndex.startIngest(
+      in2.toDF().toDF("vec_id", "embedding"), root, ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sink.scan(s, bounds).count() === base + 16 + 5,
+      "second ingest stream's first batch was shadowed by the first stream's markers")
   }
 
   test("recluster by cell restores probe-time file skipping") {
