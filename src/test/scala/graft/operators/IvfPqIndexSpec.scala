@@ -179,6 +179,29 @@ class IvfPqIndexSpec extends SparkSpec {
       "second ingest stream's first batch was shadowed by the first stream's markers")
   }
 
+  test("concurrent ensure() calls build exactly one generation (ConcurrentBench's shape)") {
+    // ConcurrentBench runs registered queries from N threads; the first
+    // wave of e_knn_ivfpq_indexed invocations on a cold root must
+    // serialize into ONE build — a second builder racing the first
+    // would interleave renames into a corrupt-but-committed artifact
+    // (the class the build lock + double-checked ensure close).
+    val s = spark
+    val root = tmpRoot("concurrent")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val gens = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(IvfPqIndex.ensure(s, sfDir, root)))),
+      5.minutes)
+    assert(gens.forall(_.contains(1L)),
+      s"concurrent ensure() diverged: $gens — a racer built a second generation")
+    // exactly one generation on disk, committed, and it answers queries
+    assert(IvfPqIndex.currentGeneration(root).contains(1L))
+    assert(!new java.io.File(s"$root/g2").exists())
+    val out = rows(IvfPqIndex.query(s, sfDir, root, 2, 3))
+    assert(out === rows(EmbeddingOps.ivfPqTrainedResidual(s, sfDir, 2, 3)))
+  }
+
   test("recluster by cell restores probe-time file skipping") {
     val s = spark
     import s.implicits._
