@@ -237,14 +237,22 @@ object IvfPqIndex {
       batchId: Long): Unit = {
     val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
       s"IvfPqIndex: no committed generation under $root — build first"))
-    val cb = readCodebook(s, root, g)
+    codedSink(root, g).process(
+      codeWithModel(vecs, centroids(s, root, g), readCodebook(s, root, g)),
+      batchId)
+  }
+
+  /** Code raw vectors (vec_id, embedding) with a frozen model: nearest-
+    * cell assignment ([[EmbeddingOps.ivfAssign]], the one trajectory) +
+    * PQ encode. Shared by [[addVectors]] and [[startIngest]]. */
+  private def codeWithModel(vecs: DataFrame, cents: DataFrame,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     val prep = vecs
       .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
-    val coded = EmbeddingOps.ivfAssign(prep, centroids(s, root, g), maxRank = 1)
+    EmbeddingOps.ivfAssign(prep, cents, maxRank = 1)
       .select(col("vec_id"), col("cell"),
         graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
-    codedSink(root, g).process(coded, batchId)
   }
 
   /** Streaming-ingest batch ids live in per-stream SLOTS of this size,
@@ -308,16 +316,38 @@ object IvfPqIndex {
     * pre-ingest snapshots, recluster-by-cell when add-batch debris
     * accumulates. Single ACTIVE writer per root (Structured
     * Streaming's one-active-query-per-checkpoint). */
-  def startIngest(vecsStream: DataFrame,
-      root: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+  def startIngest(vecsStream: DataFrame, root: String, checkpointDir: String,
+      autoReclusterAt: Option[Int] = None,
+      reclusterFiles: Int = 8,
+      reclusterBuckets: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = vecsStream.sparkSession
     val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
       s"IvfPqIndex: no committed generation under $root — build first"))
     val off = ingestOffset(root, g, checkpointDir)
+    // model read ONCE at stream start — frozen per generation by
+    // contract, so per-batch re-reads would buy nothing
+    val cents = centroids(s, root, g)
+    val cb = readCodebook(s, root, g)
+    // one sink INSTANCE for the stream so the maintenance policy rides
+    // along: with `autoReclusterAt`, the sink re-clusters the coded
+    // table by (cell, vec_id) inline once add-batch debris crosses the
+    // threshold — between micro-batches is the single-writer-safe
+    // point, and a probe on the re-clustered table goes back to
+    // skipping non-probed-cell files (the SinkSoak economics: unbounded
+    // ingest without maintenance means unbounded per-batch refresh cost
+    // AND an unprunable coded scan)
+    val sink = new ManifestedParquetSink(
+      dataDir = s"${genPath(root, g)}/coded",
+      manifestDir = s"${genPath(root, g)}/coded_manifest",
+      keyCols = Seq("cell", "vec_id"),
+      autoReclusterAt = autoReclusterAt,
+      reclusterFiles = reclusterFiles,
+      reclusterBuckets = reclusterBuckets)
     vecsStream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
-        addVectors(b.sparkSession, root, b, off + id))
+        sink.process(codeWithModel(b, cents, cb), off + id))
       .start()
   }
 

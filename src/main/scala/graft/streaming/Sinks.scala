@@ -418,6 +418,13 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
   // hard error because retention 0 would GC the version just published
   require(manifestRetention >= 1,
     s"ManifestedParquetSink: manifestRetention must be >= 1 (got $manifestRetention)")
+  // a recluster that lands AT or ABOVE the trigger threshold re-fires on
+  // every subsequent batch — a full table rewrite per micro-batch,
+  // silently (round-15 lesson: the default reclusterFiles=32 against a
+  // small threshold did exactly that). Misconfiguration, so: loud.
+  autoReclusterAt.foreach(t => require(reclusterFiles < t,
+    s"ManifestedParquetSink: reclusterFiles ($reclusterFiles) must be < " +
+      s"autoReclusterAt ($t), or maintenance re-triggers on every batch"))
 
   private def dataPath = new Path(dataDir)
 

@@ -179,6 +179,51 @@ class IvfPqIndexSpec extends SparkSpec {
       "second ingest stream's first batch was shadowed by the first stream's markers")
   }
 
+  test("self-maintaining ingest: autoReclusterAt bounds coded-table debris, data exact, probes still prune") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+    s.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "5000")
+    try {
+      val root = tmpRoot("maint")
+      assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+      val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_maint_ck").toString
+      def vec(id: Long) =
+        (id, (0 until 64).map(i => (math.sin(id * 1.7 + i * 0.9)).toFloat))
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      val q = IvfPqIndex.startIngest(
+        in.toDF().toDF("vec_id", "embedding"), root, ckpt,
+        autoReclusterAt = Some(12))
+      // 15 micro-batches of 8 vectors: without maintenance that is 15+
+      // files of batch debris; the threshold policy must keep resetting
+      // the curve
+      try (0 until 15).foreach { b =>
+        in.addData((6000L + b * 8 until 6008L + b * 8).map(vec))
+        q.processAllAvailable()
+      } finally q.stop()
+      val sink = IvfPqIndex.codedSink(root, 1L)
+      val bounds = Seq(("cell", Long.MinValue, Long.MaxValue))
+      val all = sink.scan(s, bounds)
+      // exact through every inline rewrite (the lifecycle's whole point)
+      assert(all.filter(col("vec_id") >= 6000L).count() === 15L * 8)
+      assert(all.filter(col("vec_id") >= 6000L)
+        .groupBy(col("vec_id")).count().filter(col("count") > 1).isEmpty)
+      // debris bounded: file count stays near the recluster target, not
+      // at build-files + 15 (loose bound — the flaky-file-count lesson)
+      val files = all.select(input_file_name()).distinct().count()
+      assert(files <= 40, s"maintenance never engaged: $files files on disk")
+      // and the re-clustered layout still prunes single-cell probes
+      val oneCell = sink.scan(s, Seq(("cell", 12L, 12L)))
+        .select(input_file_name()).distinct().count()
+      assert(oneCell < files,
+        s"single-cell probe opened all $files files after maintenance")
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", v)
+      case None => s.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+    }
+  }
+
   test("concurrent ensure() calls build exactly one generation (ConcurrentBench's shape)") {
     // ConcurrentBench runs registered queries from N threads; the first
     // wave of e_knn_ivfpq_indexed invocations on a cold root must
