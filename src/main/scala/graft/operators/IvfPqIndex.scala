@@ -58,8 +58,10 @@ import graft.streaming.{FsIo, ManifestedParquetSink}
 object IvfPqIndex {
 
   /** Bump on ANY change to the training trajectory or on-disk layout:
-    * persisted indexes from older code must not satisfy [[ensure]]. */
-  val FormatVersion = 1
+    * persisted indexes from older code must not satisfy [[ensure]].
+    * v2: generations carry `baseline_resid` (the drift monitor's
+    * build-time reference). */
+  val FormatVersion = 2
 
   /** Committed generations GC'd past this many (newest kept). 2, not 1:
     * a reader that resolved just before a rebuild is still scanning the
@@ -182,6 +184,15 @@ object IvfPqIndex {
         cbRows.toDF("j", "c", "cv").coalesce(1)
           .write.mode("overwrite").parquet(s"$g/codebook")
         codedSink(root, next).process(parts.coded, batchId = 0L)
+        // build-time drift baseline: the corpus' mean residual norm
+        // against the frozen coarse model (6dp). One extra bounded agg
+        // on the amortized build path; [[startIngest]]'s drift monitor
+        // prices arriving batches against it.
+        val baseline = EmbeddingOps
+          .ivfAssign(EmbeddingOps.prepped(s, dir), parts.cents, maxRank = 1)
+          .agg(round(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))), 6))
+          .head().getDouble(0)
+        FsIo.writeStringAtomic(s"$g/baseline_resid", baseline.toString)
         FsIo.writeStringAtomic(s"$g/fingerprint", fingerprint(s, dir))
         FsIo.writeStringAtomic(s"$g/_graft_ok", next.toString)
         // GC: committed generations past retention + uncommitted debris
@@ -246,14 +257,10 @@ object IvfPqIndex {
     * cell assignment ([[EmbeddingOps.ivfAssign]], the one trajectory) +
     * PQ encode. Shared by [[addVectors]] and [[startIngest]]. */
   private def codeWithModel(vecs: DataFrame, cents: DataFrame,
-      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val prep = vecs
-      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
-    EmbeddingOps.ivfAssign(prep, cents, maxRank = 1)
+      cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    codeWithModel0(vecs, cents)
       .select(col("vec_id"), col("cell"),
         graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
-  }
 
   /** Streaming-ingest batch ids live in per-stream SLOTS of this size,
     * above [[build]]'s corpus batch (id 0) and low-numbered manual
@@ -316,10 +323,19 @@ object IvfPqIndex {
     * pre-ingest snapshots, recluster-by-cell when add-batch debris
     * accumulates. Single ACTIVE writer per root (Structured
     * Streaming's one-active-query-per-checkpoint). */
+  /** The generation's drift alert, if one fired: "batch=<sink batch id>
+    * ratio=<mean-resid multiple of baseline>". Create-once — the FIRST
+    * breaching batch wins; clearing it is a rebuild (new generation). */
+  def driftAlert(root: String): Option[String] = for {
+    g <- currentGeneration(root)
+    a <- FsIo.readString(s"${genPath(root, g)}/_drift_alert")
+  } yield a
+
   def startIngest(vecsStream: DataFrame, root: String, checkpointDir: String,
       autoReclusterAt: Option[Int] = None,
       reclusterFiles: Int = 8,
-      reclusterBuckets: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery = {
+      reclusterBuckets: Int = 4096,
+      driftAlertAt: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val s = vecsStream.sparkSession
     val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
       s"IvfPqIndex: no committed generation under $root — build first"))
@@ -343,12 +359,47 @@ object IvfPqIndex {
       autoReclusterAt = autoReclusterAt,
       reclusterFiles = reclusterFiles,
       reclusterBuckets = reclusterBuckets)
+    // drift monitor (opt-in): the per-batch mean residual norm against
+    // the build-time baseline — residuals ARE the model-fit signal (a
+    // frozen coarse model codes a drifted distribution with growing
+    // residuals, which 4-bit PQ then quantizes badly; the RecallSweep
+    // misaligned lane prices the endpoint). The alert is create-once
+    // and the POLICY stays external: a retrain needs a refreshed
+    // reference corpus, which only the operator can designate —
+    // detection is wired in, the rebuild decision is not usurped.
+    val baseline = driftAlertAt.map { _ =>
+      FsIo.readString(s"${genPath(root, g)}/baseline_resid")
+        .map(_.trim.toDouble)
+        .getOrElse(throw new IllegalStateException(
+          s"IvfPqIndex: driftAlertAt set but generation g$g has no " +
+            "baseline_resid (built by an older format?) — rebuild first"))
+    }
+    val alertPath = s"${genPath(root, g)}/_drift_alert"
     vecsStream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) =>
-        sink.process(codeWithModel(b, cents, cb), off + id))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.process(codeWithModel(b, cents, cb), off + id)
+        for (t <- driftAlertAt; base <- baseline)
+          if (FsIo.readString(alertPath).isEmpty) {
+            val r = codeWithModel0(b, cents)
+              .agg(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))))
+              .head()
+            if (!r.isNullAt(0) && base > 0 && r.getDouble(0) / base > t)
+              FsIo.writeStringAtomic(alertPath,
+                f"batch=${off + id} ratio=${r.getDouble(0) / base}%.4f")
+          }
+      }
       .start()
+  }
+
+  /** Assignment-only half of [[codeWithModel]] (vec_id, cell, rv) — the
+    * drift monitor reads residual norms without paying the PQ encode. */
+  private def codeWithModel0(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val prep = vecs
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
+    EmbeddingOps.ivfAssign(prep, cents, maxRank = 1)
   }
 
   /** SEARCH: probe the persisted index with the source corpus' query

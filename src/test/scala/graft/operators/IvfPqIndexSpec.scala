@@ -224,6 +224,47 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("drift monitor: in-distribution ingest stays quiet, shifted vectors fire a create-once alert") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmpRoot("drift")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    assert(IvfPqIndex.driftAlert(root).isEmpty)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_drift_ck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = IvfPqIndex.startIngest(
+      in.toDF().toDF("vec_id", "embedding"), root, ckpt,
+      driftAlertAt = Some(3.0))
+    try {
+      // in-distribution batch: actual corpus vectors under new ids —
+      // mean residual ≈ the build baseline, far under the 3x threshold
+      val inDist = graft.Tables.t(s, sfDir, "embeddings")
+        .selectExpr("vec_id + 50000 AS vec_id", "embedding")
+        .limit(32).as[(Long, Seq[Float])].collect().toSeq
+      in.addData(inDist)
+      q.processAllAvailable()
+      assert(IvfPqIndex.driftAlert(root).isEmpty,
+        "alert fired on in-distribution ingest")
+      // shifted batch: +5.0 per dimension — residuals explode past any
+      // cell's reach; the monitor must flag the model as stale
+      in.addData(inDist.map { case (id, e) =>
+        (id + 1000, e.map(_ + 5.0f)) })
+      q.processAllAvailable()
+      val alert = IvfPqIndex.driftAlert(root)
+      assert(alert.isDefined, "drifted batch raised no alert")
+      assert(alert.get.contains("ratio="), s"malformed alert: $alert")
+      // create-once: another drifted batch does not overwrite the first
+      in.addData(inDist.map { case (id, e) => (id + 2000, e.map(_ + 9.0f)) })
+      q.processAllAvailable()
+      assert(IvfPqIndex.driftAlert(root) === alert)
+    } finally q.stop()
+    // detection, not usurpation: the alert does NOT make ensure()
+    // rebuild behind the operator's back (the source corpus is
+    // unchanged; a retrain needs a refreshed reference corpus)
+    assert(IvfPqIndex.ensure(s, sfDir, root).contains(1L))
+  }
+
   test("concurrent ensure() calls build exactly one generation (ConcurrentBench's shape)") {
     // ConcurrentBench runs registered queries from N threads; the first
     // wave of e_knn_ivfpq_indexed invocations on a cold root must
