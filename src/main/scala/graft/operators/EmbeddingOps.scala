@@ -627,7 +627,10 @@ FROM (SELECT qid, vec_id, ad,
   private[graft] final case class IvfPqParts(
       cents: DataFrame, // cid, ce array<double>, cn
       coded: DataFrame, // vec_id, cell, codes (4-bit-packed int)
-      cb: Seq[Seq[Seq[Double]]]) // codebook: cb(j)(c) = 8-double centroid
+      cb: Seq[Seq[Seq[Double]]], // codebook: cb(j)(c) = 8-double centroid
+      assigned: DataFrame) // the PINNED (vec_id, cell, rv) assignment —
+                           // derived stats (drift baseline) read it
+                           // instead of re-running the corpus join
 
   /** Assign each vector of `vecs` (needs ed/nrm) to its nearest coarse
     * cell — 6dp-rounded cosine, centroid-index tiebreak — and emit the
@@ -733,7 +736,7 @@ FROM (SELECT qid, vec_id, ad,
       }
       val coded = assigned.select(col("vec_id"), col("cell"),
         GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
-      Some(IvfPqParts(cents, coded, cb))
+      Some(IvfPqParts(cents, coded, cb, assigned))
     }
   }
 

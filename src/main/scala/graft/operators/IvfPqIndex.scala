@@ -157,11 +157,17 @@ object IvfPqIndex {
     * uses; vec_id bounds ride along (the z-order maintenance writer
     * wants >= 2 keys, and id-ranged maintenance scans get skipping for
     * free). */
-  def codedSink(root: String, g: Long): ManifestedParquetSink =
+  def codedSink(root: String, g: Long,
+      autoReclusterAt: Option[Int] = None,
+      reclusterFiles: Int = 8,
+      reclusterBuckets: Int = 4096): ManifestedParquetSink =
     new ManifestedParquetSink(
       dataDir = s"${genPath(root, g)}/coded",
       manifestDir = s"${genPath(root, g)}/coded_manifest",
-      keyCols = Seq("cell", "vec_id"))
+      keyCols = Seq("cell", "vec_id"),
+      autoReclusterAt = autoReclusterAt,
+      reclusterFiles = reclusterFiles,
+      reclusterBuckets = reclusterBuckets)
 
   /** TRAIN + ADD(corpus): build a brand-new committed generation from
     * the corpus at `dir`. None when the corpus lacks the model rows
@@ -185,11 +191,11 @@ object IvfPqIndex {
           .write.mode("overwrite").parquet(s"$g/codebook")
         codedSink(root, next).process(parts.coded, batchId = 0L)
         // build-time drift baseline: the corpus' mean residual norm
-        // against the frozen coarse model (6dp). One extra bounded agg
-        // on the amortized build path; [[startIngest]]'s drift monitor
-        // prices arriving batches against it.
-        val baseline = EmbeddingOps
-          .ivfAssign(EmbeddingOps.prepped(s, dir), parts.cents, maxRank = 1)
+        // against the frozen coarse model (6dp), read off the PINNED
+        // assignment frame training already materialized — one tiny
+        // agg, never a second corpus join. [[startIngest]]'s drift
+        // monitor prices arriving batches against it.
+        val baseline = parts.assigned
           .agg(round(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))), 6))
           .head().getDouble(0)
         FsIo.writeStringAtomic(s"$g/baseline_resid", baseline.toString)
@@ -310,27 +316,33 @@ object IvfPqIndex {
 
   /** Streaming ADD — the index's ingest path: land a vector stream
     * (vec_id, embedding) into the current generation's coded table,
-    * one [[addVectors]] call per micro-batch. Exactly-once by the
-    * sink's batch-keyed idempotence (a replayed micro-batch finds its
-    * commit marker and skips; a crashed-mid-append batch is purged and
+    * one coded batch per micro-batch. Exactly-once by the sink's
+    * batch-keyed idempotence (a replayed micro-batch finds its commit
+    * marker and skips; a crashed-mid-append batch is purged and
     * rewritten whole); batch ids are offset into this stream's
     * [[ingestOffset]] slot so neither the build's corpus batch nor a
     * previous stream's batches can shadow them. The model is FROZEN
     * per generation — ingest never retrains; a scheduled [[ensure]]
     * after the reference corpus changes starts the next generation,
-    * exactly FAISS's add-vs-retrain split. Composes with the sink's
-    * maintenance: versioned manifests per batch, scanAsOf to
-    * pre-ingest snapshots, recluster-by-cell when add-batch debris
-    * accumulates. Single ACTIVE writer per root (Structured
-    * Streaming's one-active-query-per-checkpoint). */
-  /** The generation's drift alert, if one fired: "batch=<sink batch id>
-    * ratio=<mean-resid multiple of baseline>". Create-once — the FIRST
-    * breaching batch wins; clearing it is a rebuild (new generation). */
-  def driftAlert(root: String): Option[String] = for {
-    g <- currentGeneration(root)
-    a <- FsIo.readString(s"${genPath(root, g)}/_drift_alert")
-  } yield a
-
+    * exactly FAISS's add-vs-retrain split. The stream is BOUND to the
+    * generation it started on: every micro-batch re-checks the live
+    * generation and fails LOUDLY if a rebuild superseded it (silently
+    * appending to a superseded — eventually GC'd — generation would
+    * lose every vector ingested after the swap). Composes with the
+    * sink's maintenance: versioned manifests per batch, scanAsOf to
+    * pre-ingest snapshots, and with `autoReclusterAt` an inline
+    * recluster-by-cell between micro-batches (the single-writer-safe
+    * point) once add-batch debris crosses the threshold. Opt-in drift
+    * monitor (`driftAlertAt`): each batch's mean residual norm is
+    * priced against the build-time baseline — residuals ARE the
+    * model-fit signal (a frozen coarse model codes a drifted
+    * distribution with growing residuals, which 4-bit PQ quantizes
+    * badly; the RecallSweep misaligned lane prices the endpoint); a
+    * breach writes the create-once `_drift_alert`. The POLICY stays
+    * external: a retrain needs a refreshed reference corpus only the
+    * operator can designate — detection is wired in, the rebuild
+    * decision is not usurped. Single ACTIVE writer per root
+    * (Structured Streaming's one-active-query-per-checkpoint). */
   def startIngest(vecsStream: DataFrame, root: String, checkpointDir: String,
       autoReclusterAt: Option[Int] = None,
       reclusterFiles: Int = 8,
@@ -344,29 +356,7 @@ object IvfPqIndex {
     // contract, so per-batch re-reads would buy nothing
     val cents = centroids(s, root, g)
     val cb = readCodebook(s, root, g)
-    // one sink INSTANCE for the stream so the maintenance policy rides
-    // along: with `autoReclusterAt`, the sink re-clusters the coded
-    // table by (cell, vec_id) inline once add-batch debris crosses the
-    // threshold — between micro-batches is the single-writer-safe
-    // point, and a probe on the re-clustered table goes back to
-    // skipping non-probed-cell files (the SinkSoak economics: unbounded
-    // ingest without maintenance means unbounded per-batch refresh cost
-    // AND an unprunable coded scan)
-    val sink = new ManifestedParquetSink(
-      dataDir = s"${genPath(root, g)}/coded",
-      manifestDir = s"${genPath(root, g)}/coded_manifest",
-      keyCols = Seq("cell", "vec_id"),
-      autoReclusterAt = autoReclusterAt,
-      reclusterFiles = reclusterFiles,
-      reclusterBuckets = reclusterBuckets)
-    // drift monitor (opt-in): the per-batch mean residual norm against
-    // the build-time baseline — residuals ARE the model-fit signal (a
-    // frozen coarse model codes a drifted distribution with growing
-    // residuals, which 4-bit PQ then quantizes badly; the RecallSweep
-    // misaligned lane prices the endpoint). The alert is create-once
-    // and the POLICY stays external: a retrain needs a refreshed
-    // reference corpus, which only the operator can designate —
-    // detection is wired in, the rebuild decision is not usurped.
+    val sink = codedSink(root, g, autoReclusterAt, reclusterFiles, reclusterBuckets)
     val baseline = driftAlertAt.map { _ =>
       FsIo.readString(s"${genPath(root, g)}/baseline_resid")
         .map(_.trim.toDouble)
@@ -379,19 +369,55 @@ object IvfPqIndex {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        sink.process(codeWithModel(b, cents, cb), off + id)
-        for (t <- driftAlertAt; base <- baseline)
-          if (FsIo.readString(alertPath).isEmpty) {
-            val r = codeWithModel0(b, cents)
-              .agg(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))))
-              .head()
-            if (!r.isNullAt(0) && base > 0 && r.getDouble(0) / base > t)
-              FsIo.writeStringAtomic(alertPath,
-                f"batch=${off + id} ratio=${r.getDouble(0) / base}%.4f")
-          }
+        val live = currentGeneration(root)
+        if (!live.contains(g)) throw new IllegalStateException(
+          s"IvfPqIndex: ingest stream is bound to generation g$g but the " +
+            s"live generation is ${live.fold("<none>")(v => s"g$v")} — a " +
+            "rebuild superseded it; stop this stream and start a new one " +
+            "against the current generation")
+        // ONE assignment job per batch: the monitored path persists the
+        // assigned frame and derives both the PQ-encode projection and
+        // the residual-norm agg from it (re-running the join+window per
+        // batch would double the pinned-rate ingest lane's cost)
+        if (driftAlertAt.isEmpty) {
+          sink.process(codeWithModel(b, cents, cb), off + id)
+        } else {
+          val assigned = codeWithModel0(b, cents)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            sink.process(assigned.select(col("vec_id"), col("cell"),
+              graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes")),
+              off + id)
+            for (t <- driftAlertAt; base <- baseline)
+              if (FsIo.readString(alertPath).isEmpty) {
+                val r = assigned
+                  .agg(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))))
+                  .head()
+                // zero baseline (a corpus the centroids fit exactly, to
+                // 6dp) must not disable the monitor: ANY material
+                // residual over a zero baseline is infinite drift
+                val breach = !r.isNullAt(0) &&
+                  (if (base > 0) r.getDouble(0) / base > t
+                   else r.getDouble(0) > 1e-6)
+                if (breach)
+                  FsIo.writeStringAtomic(alertPath,
+                    if (base > 0)
+                      f"batch=${off + id} ratio=${r.getDouble(0) / base}%.4f"
+                    else f"batch=${off + id} ratio=inf")
+              }
+          } finally { assigned.unpersist(); () }
+        }
       }
       .start()
   }
+
+  /** The generation's drift alert, if one fired: "batch=<sink batch id>
+    * ratio=<mean-resid multiple of baseline>". Create-once — the FIRST
+    * breaching batch wins; clearing it is a rebuild (new generation). */
+  def driftAlert(root: String): Option[String] = for {
+    g <- currentGeneration(root)
+    a <- FsIo.readString(s"${genPath(root, g)}/_drift_alert")
+  } yield a
 
   /** Assignment-only half of [[codeWithModel]] (vec_id, cell, rv) — the
     * drift monitor reads residual norms without paying the PQ encode. */

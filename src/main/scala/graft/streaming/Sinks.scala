@@ -418,13 +418,17 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
   // hard error because retention 0 would GC the version just published
   require(manifestRetention >= 1,
     s"ManifestedParquetSink: manifestRetention must be >= 1 (got $manifestRetention)")
-  // a recluster that lands AT or ABOVE the trigger threshold re-fires on
-  // every subsequent batch — a full table rewrite per micro-batch,
-  // silently (round-15 lesson: the default reclusterFiles=32 against a
-  // small threshold did exactly that). Misconfiguration, so: loud.
-  autoReclusterAt.foreach(t => require(reclusterFiles < t,
-    s"ManifestedParquetSink: reclusterFiles ($reclusterFiles) must be < " +
-      s"autoReclusterAt ($t), or maintenance re-triggers on every batch"))
+  // maintenance cadence = (threshold − reclusterFiles) batches between
+  // full-table rewrites: a target AT/ABOVE the threshold re-fires every
+  // batch (round-15 lesson: the default reclusterFiles=32 against a
+  // small threshold did exactly that, silently), and target=threshold−1
+  // is the same pathology one batch later. Demand 2x headroom so a
+  // rewrite buys at least reclusterFiles quiet batches. Loud, because
+  // the failure mode is a silent full rewrite per micro-batch.
+  autoReclusterAt.foreach(t => require(reclusterFiles * 2 <= t,
+    s"ManifestedParquetSink: autoReclusterAt ($t) must be >= 2x " +
+      s"reclusterFiles ($reclusterFiles), or maintenance re-triggers " +
+      "after every few batches — a full table rewrite per micro-batch"))
 
   private def dataPath = new Path(dataDir)
 

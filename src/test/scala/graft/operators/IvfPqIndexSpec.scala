@@ -194,7 +194,7 @@ class IvfPqIndexSpec extends SparkSpec {
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
       val q = IvfPqIndex.startIngest(
         in.toDF().toDF("vec_id", "embedding"), root, ckpt,
-        autoReclusterAt = Some(12))
+        autoReclusterAt = Some(16))
       // 15 micro-batches of 8 vectors: without maintenance that is 15+
       // files of batch debris; the threshold policy must keep resetting
       // the curve
@@ -218,10 +218,50 @@ class IvfPqIndexSpec extends SparkSpec {
         .select(input_file_name()).distinct().count()
       assert(oneCell < files,
         s"single-cell probe opened all $files files after maintenance")
+      // the misconfiguration class the sink now rejects loudly: a
+      // recluster target without 2x headroom under the trigger
+      // threshold re-fires a full table rewrite every few batches
+      intercept[IllegalArgumentException] {
+        new graft.streaming.ManifestedParquetSink(
+          s"$root/x", s"$root/xm", Seq("cell", "vec_id"),
+          autoReclusterAt = Some(12), reclusterFiles = 8)
+      }
     } finally prev match {
       case Some(v) => s.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", v)
       case None => s.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
     }
+  }
+
+  test("an ingest stream bound to a superseded generation fails loudly, never appends silently") {
+    // the silent-loss scenario: a long-running ingest stream on g1, a
+    // rebuild publishes g2 (whose later GC would delete g1) — the
+    // stream's next batch must REFUSE, not keep appending into a
+    // generation no query reads and no GC spares
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmpRoot("genbind")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_bind_ck").toString
+    def vec(id: Long) =
+      (id, (0 until 64).map(i => (math.cos(id + i * 0.3)).toFloat))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = IvfPqIndex.startIngest(in.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    try {
+      in.addData((4000L until 4004L).map(vec))
+      q.processAllAvailable() // bound generation still live: fine
+      assert(IvfPqIndex.build(s, sfDir, root).contains(2L)) // supersede
+      in.addData((4004L until 4008L).map(vec))
+      val err = intercept[Throwable](q.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("superseded")),
+        s"stream did not fail on the superseded generation: ${messages(err).take(3)}")
+    } finally q.stop()
+    // and nothing from the refused batch leaked into EITHER generation
+    val b2 = Seq(("cell", Long.MinValue, Long.MaxValue))
+    assert(IvfPqIndex.codedSink(root, 2L).scan(s, b2)
+      .filter(col("vec_id") >= 4004L).isEmpty)
   }
 
   test("drift monitor: in-distribution ingest stays quiet, shifted vectors fire a create-once alert") {
