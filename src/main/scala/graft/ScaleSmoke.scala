@@ -74,7 +74,11 @@ object ScaleSmoke {
     // first pass per fixture pays build (training scans + manifested
     // publish), the second reuses; min-of-two prices the query-many
     // path: one manifest-pruned coded scan + broadcast probe.
-    "e_knn_hamming", "e_knn_ivfpq_indexed")
+    "e_knn_hamming", "e_knn_ivfpq_indexed",
+    // per-source KL: one exploded-gram shuffle (the t_dsir_score class),
+    // then model-sized math — the ratio prices that the divergence
+    // frame never grows past #sources x 1024
+    "t_source_kl")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

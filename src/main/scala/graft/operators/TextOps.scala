@@ -1002,6 +1002,86 @@ SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
 FROM o JOIN m2 USING (b) GROUP BY 1"""),
     "DSIR importance score per document: hashed unigram+bigram buckets, add-1-smoothed target/source log-ratio in exact micro-nats.")
 
+  /** Per-source distribution divergence (round 15) — the data-MIXTURE
+    * diagnostic: KL(source ‖ corpus) over the DSIR hashed-gram feature
+    * space (unigram+bigram buckets mod 1024, the one bucket definition —
+    * [[GraftFunctions.dsirBuckets]]), add-1 smoothed on both sides so
+    * every source is scored over the FULL 1024-bucket domain (a bucket
+    * the source never produced still contributes its smoothed mass).
+    * This is what mixture design reads before setting source weights:
+    * a near-zero KL source is interchangeable with the corpus average,
+    * a high-KL source is the distinct voice temperature-mixing exists
+    * to protect (d_temperature_mix sets the weights; THIS says which
+    * sources are actually different).
+    *
+    * Determinism: counts are exact integers; each bucket's term rounds
+    * to integer MICRO-nats before the sum (the t_dsir_score discipline —
+    * ln of integer arguments agreed cross-engine at 1e6 rounding across
+    * every replica), so kl_micro is an exact BIGINT on both engines;
+    * the final kl derives from it. Per-term rounding can leave a
+    * degenerate source's sum epsilon-negative → the +0e0 negative-zero
+    * pin on the derived column.
+    *
+    * Scale shape: ONE exploded-gram shuffle into the (source, bucket)
+    * partial agg; everything after is model-sized (#sources x 1024
+    * rows) — the corpus-total scalar broadcasts, the full-domain frame
+    * is a tiny cross join. At 100 TB the gram agg is the only stage
+    * that sees the corpus. */
+  private val tSourceKl = GQuery(
+    "t_source_kl",
+    (s, dir) => {
+      val occ = docs(s, dir)
+        .withColumn("toks", expr("filter(split(text, ' '), w -> length(w) > 0)"))
+        .filter(expr("size(toks) > 0"))
+        .select(col("source"),
+          explode(GraftFunctions.dsirBuckets(col("toks"))).as("b"))
+      val perSrc = occ.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("nsb"))
+        .transform(graft.Checkpoints.pin(_))
+      val srcTot = perSrc.groupBy(col("source")).agg(sum(col("nsb")).as("ns"))
+      val corpusB = perSrc.groupBy(col("b")).agg(sum(col("nsb")).as("nb"))
+      val corpusTot = perSrc.agg(sum(col("nsb")).as("nn"))
+      val domain = srcTot.crossJoin(
+        s.range(1024).select(col("id").cast("int").as("b")))
+      domain
+        .join(perSrc, Seq("source", "b"), "left")
+        .join(corpusB, Seq("b"), "left")
+        .crossJoin(broadcast(corpusTot))
+        .withColumn("tm", expr(
+          "CAST(round((CAST(coalesce(nsb, 0) + 1 AS DOUBLE) / (ns + 1024)) * " +
+            "(ln(coalesce(nsb, 0) + 1) - ln(ns + 1024) - " +
+            "ln(coalesce(nb, 0) + 1) + ln(nn + 1024)) * 1000000e0, 0) AS BIGINT)"))
+        .groupBy(col("source"), col("ns").as("n_grams"))
+        .agg(sum(col("tm")).as("kl_micro"))
+        .withColumn("kl",
+          expr("round(kl_micro / 1000000e0 + 1e-9, 6) + 0e0"))
+        .select(col("source"), col("n_grams"), col("kl_micro"), col("kl"))
+    },
+    Some(s"""WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+  FROM documents),
+g AS (SELECT source,
+        unnest(list_concat(toks,
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS g
+      FROM t WHERE len(toks) > 0),
+o AS (SELECT source, ${hD("g")} % 1024 AS b FROM g),
+sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS nsb FROM o GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(nsb) AS BIGINT) AS ns FROM sb GROUP BY 1),
+cbk AS (SELECT b, CAST(sum(nsb) AS BIGINT) AS nb FROM sb GROUP BY 1),
+ct AS (SELECT CAST(sum(nsb) AS BIGINT) AS nn FROM sb),
+dom AS (SELECT st.source, st.ns, CAST(r.b AS INT) AS b FROM st, range(1024) r(b)),
+term AS (SELECT d.source, d.ns,
+    CAST(round((CAST(coalesce(s2.nsb, 0) + 1 AS DOUBLE) / (d.ns + 1024)) *
+      (ln(coalesce(s2.nsb, 0) + 1) - ln(d.ns + 1024) -
+       ln(coalesce(cbk.nb, 0) + 1) + ln(ct.nn + 1024)) * 1000000e0, 0) AS BIGINT) AS tm
+  FROM dom d
+  LEFT JOIN sb s2 ON d.source = s2.source AND d.b = s2.b
+  LEFT JOIN cbk ON cbk.b = d.b, ct)
+SELECT source, ns AS n_grams, CAST(sum(tm) AS BIGINT) AS kl_micro,
+       round(CAST(sum(tm) AS BIGINT) / 1000000e0 + 1e-9, 6) + 0e0 AS kl
+FROM term GROUP BY 1, 2"""),
+    "Per-source KL divergence vs the corpus over hashed-gram buckets, add-1 smoothed, exact micro-nats — the data-mixture diagnostic.")
+
   // CCNet-style perplexity BAND filter: keep the middle half of the
   // LM-score distribution — dropping both the degenerate tail (too
   // unpredictable = garbage) and the over-predictable head (templated/
@@ -2335,7 +2415,7 @@ FROM c"""),
     tTextStats, tQuality, tLangid, tLangidConfusion, tFingerprint, tTokenFreq,
     dExactDedup, dNgramJaccard, dMinhashSig, dMinhashLsh, dDedupGroups,
     dCurate, tSimhash, dSimhashNeardup, dEditDistance, dHashSample,
-    dStratified, tRegexTokens, tRepetition, tLmScore, tDsirScore, tTfidf, tRedact,
+    dStratified, tRegexTokens, tRepetition, tLmScore, tDsirScore, tSourceKl, tTfidf, tRedact,
     dDecontaminate, dPackSequences, dIngestNeardup, tVocabCoverage,
     dContaminationReport, tBm25, dReservoir, dTemperatureMix,
     dChunkOverlap, dBoilerplate, dQualityPrune,

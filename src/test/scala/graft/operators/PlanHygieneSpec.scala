@@ -91,7 +91,11 @@ class PlanHygieneSpec extends SparkSpec {
       // against the 16-row PERSISTED coarse-centroid table (the
       // e_knn_ivf cross-join shape, constant build side); the coded-
       // corpus candidate join is an equi BroadcastHashJoin on cell
-      "e_knn_ivfpq_indexed")
+      "e_knn_ivfpq_indexed",
+      // model-sized full-domain frame: #sources x range(1024) cross
+      // join plus the 1-row corpus-total scalar — both constant build
+      // sides (the corpus is only touched by the one gram agg upstream)
+      "t_source_kl")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
