@@ -890,7 +890,10 @@ FROM (SELECT qid, vec_id, ad,
     "e_knn_ivfpq_indexed",
     (s, dir) => {
       val root = IvfPqIndex.defaultRoot(dir)
-      IvfPqIndex.ensure(s, dir, root) match {
+      // pristineOnly: this query's oracle recomputes f(corpus) — a root
+      // mutated by out-of-band adds/ingest/deletes must rebuild, not be
+      // silently reused (ADVICE r15)
+      IvfPqIndex.ensure(s, dir, root, pristineOnly = true) match {
         case None => ivfPqEmpty(s, dir) // corpus lacks model rows
         case Some(_) => IvfPqIndex.query(s, dir, root, nprobe = 2, k = 3)
       }

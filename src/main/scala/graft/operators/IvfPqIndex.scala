@@ -60,8 +60,12 @@ object IvfPqIndex {
   /** Bump on ANY change to the training trajectory or on-disk layout:
     * persisted indexes from older code must not satisfy [[ensure]].
     * v2: generations carry `baseline_resid` (the drift monitor's
-    * build-time reference). */
-  val FormatVersion = 2
+    * build-time reference). v3: generations carry a raw ingest LEDGER
+    * (`raw/` — the WAL [[handoff]] re-codes across a generation swap)
+    * and a TOMBSTONE table (`tombs/` — [[deleteVectors]]); a v2
+    * generation with adds has no ledger, so reusing it would lose them
+    * silently on the first handoff — the bump forces the rebuild. */
+  val FormatVersion = 3
 
   /** Committed generations GC'd past this many (newest kept). 2, not 1:
     * a reader that resolved just before a rebuild is still scanning the
@@ -72,6 +76,15 @@ object IvfPqIndex {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(root: String): Object =
     buildLocks.computeIfAbsent(root, _ => new Object)
+
+  /** Roots whose build lock THIS thread already holds — [[withBuildLock]]
+    * must be reentrant (handoff holds it across buildLocked +
+    * ingestOffset, which each take it too): the JVM monitor is
+    * reentrant by nature, but re-opening the held FileChannel lock from
+    * the same JVM throws OverlappingFileLockException. */
+  private val lockHeld = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
 
   /** Serialize index builds on `root` across THREADS (the JVM map —
     * ConcurrentBench runs queries concurrently) AND across PROCESSES
@@ -85,7 +98,8 @@ object IvfPqIndex {
     * (no NIO filesystem path) fall back to the JVM lock alone — the
     * documented single-writer-per-root contract covers them. */
   private def withBuildLock[A](root: String)(f: => A): A =
-    lockFor(root).synchronized {
+    if (lockHeld.get.contains(root)) f // reentrant: an outer frame holds it
+    else lockFor(root).synchronized {
       val lockCh =
         try {
           val p = java.nio.file.Paths.get(root)
@@ -93,13 +107,24 @@ object IvfPqIndex {
           Some(java.nio.channels.FileChannel.open(p.resolve(".build_lock"),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.WRITE))
-        } catch { case _: Exception => None }
-      lockCh match {
+        } catch {
+          // ONLY the documented non-local-root case degrades to JVM-only
+          // locking: a root that is not an NIO path at all (hdfs://, s3a://
+          // — their single-writer contract covers cross-process). Anything
+          // else (a transient IO error on a LOCAL root) must not silently
+          // reintroduce the cross-process interleaved-build race the lock
+          // exists to close — rethrow it (ADVICE r15).
+          case _: java.nio.file.InvalidPathException => None
+          case _: UnsupportedOperationException => None
+          case _: java.nio.file.FileSystemNotFoundException => None
+        }
+      lockHeld.get.add(root)
+      try lockCh match {
         case Some(ch) =>
           try { val l = ch.lock(); try f finally l.release() }
           finally ch.close()
         case None => f
-      }
+      } finally lockHeld.get.remove(root)
     }
 
   /** Deterministic default root per source dir (the LayoutQueries
@@ -169,15 +194,100 @@ object IvfPqIndex {
       reclusterFiles = reclusterFiles,
       reclusterBuckets = reclusterBuckets)
 
+  /** The generation's raw ingest LEDGER: every vector that entered the
+    * index through [[addVectors]]/[[startIngest]] — i.e. NOT through a
+    * corpus snapshot — as (vec_id, cell, embedding array<double>),
+    * batch-id-aligned with the coded sink. This is the index's WAL
+    * between corpus refreshes: [[handoff]] re-codes its tail (vectors
+    * absent from the refreshed corpus) into the next generation, which
+    * is what makes a generation swap loss-free. Cost shape at 100 TB:
+    * 512 B/vector for NOT-yet-graduated vectors only (the build's corpus
+    * batch never ledgers — those vectors live in the corpus), GC'd with
+    * the generation. */
+  private[graft] def rawSink(root: String, g: Long): ManifestedParquetSink =
+    new ManifestedParquetSink(
+      dataDir = s"${genPath(root, g)}/raw",
+      manifestDir = s"${genPath(root, g)}/raw_manifest",
+      keyCols = Seq("vec_id", "cell"))
+
+  /** The generation's TOMBSTONE table ([[deleteVectors]]): (cell, vec_id)
+    * rows, SEPARATE from the coded table so the hot probe scan stays a
+    * single pass over codes — the query anti-joins the (small,
+    * maintenance-bounded) tombstone side instead of re-reading the coded
+    * files to split live rows from markers. Keyed (cell, vec_id) like the
+    * coded table, so a cell-pruned probe that can see a data file can
+    * always see its tombstones. */
+  private[graft] def tombSink(root: String, g: Long): ManifestedParquetSink =
+    new ManifestedParquetSink(
+      dataDir = s"${genPath(root, g)}/tombs",
+      manifestDir = s"${genPath(root, g)}/tombs_manifest",
+      keyCols = Seq("cell", "vec_id"))
+
+  /** Tombstoned vec_ids intersecting the probed cell ranges (None = the
+    * generation has no tombstones at all — callers then skip the
+    * anti-join entirely, keeping the probe plan identical to the
+    * delete-free case). The existence check is one bounded manifest
+    * collect (rows column), never a data read. */
+  private def tombstoneIds(s: SparkSession, root: String, g: Long,
+      cellSets: Option[Seq[Seq[(String, Long, Long)]]]): Option[DataFrame] = {
+    val ts = tombSink(root, g)
+    ts.currentVersion().flatMap { _ =>
+      val n = ts.manifest(s).agg(coalesce(sum(col("rows")), lit(0L)))
+        .head().getLong(0)
+      if (n == 0L) None
+      else Some((cellSets match {
+        case Some(sets) => ts.scanAny(s, sets)
+        case None => ts.scan(s, Seq(("vec_id", Long.MinValue, Long.MaxValue)))
+      }).select(col("vec_id")))
+    }
+  }
+
+  /** The generation's full raw ledger, None when absent OR empty (the
+    * rows-sum check is a bounded manifest collect; scanning an
+    * empty-but-manifested dir would fail schema inference). */
+  private def ledgerScan(s: SparkSession, root: String, g: Long): Option[DataFrame] = {
+    val rs = rawSink(root, g)
+    rs.currentVersion().flatMap { _ =>
+      val n = rs.manifest(s).agg(coalesce(sum(col("rows")), lit(0L)))
+        .head().getLong(0)
+      if (n == 0L) None
+      else Some(rs.scan(s, Seq(("vec_id", Long.MinValue, Long.MaxValue))))
+    }
+  }
+
+  /** True when the generation is no longer a pure function of its source
+    * corpus: any coded batch beyond the build's batch 0 (adds/ingest),
+    * any tombstone, or a past tombstone PURGE (the `_purged` flag — the
+    * purge rewrite removes the tombstones that would otherwise witness
+    * the mutation). [[ensure]]'s registered-query path treats a mutated
+    * generation as stale (ADVICE r15): the DuckDB oracle recomputes from
+    * the corpus alone, so a mutated artifact would silently diverge. */
+  private[graft] def isMutated(root: String, g: Long): Boolean = {
+    val dataP = new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/coded")
+    val fs = FsIo.fs(dataP)
+    val addMarkers = fs.exists(dataP) && fs.listStatus(dataP).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("_graft_batch_") && n != "_graft_batch_000000000"
+    }
+    addMarkers ||
+      FsIo.readString(s"${genPath(root, g)}/_purged").isDefined ||
+      tombSink(root, g).currentVersion().isDefined
+  }
+
   /** TRAIN + ADD(corpus): build a brand-new committed generation from
     * the corpus at `dir`. None when the corpus lacks the model rows
     * (the sibling query's empty contract). Publish order: model tables,
     * coded batch 0, fingerprint, THEN the commit marker — a crash
-    * anywhere before the marker leaves the previous generation live. */
+    * anywhere before the marker leaves the previous generation live.
+    * `carry` is [[handoff]]'s tail — raw (vec_id, embedding) rows coded
+    * with the NEW generation's frozen model and landed (coded + ledger)
+    * BEFORE the commit marker, so a crash mid-handoff can never publish
+    * a generation that silently dropped them. */
   def build(s: SparkSession, dir: String, root: String): Option[Long] =
     withBuildLock(root) { buildLocked(s, dir, root) }
 
-  private def buildLocked(s: SparkSession, dir: String, root: String): Option[Long] =
+  private def buildLocked(s: SparkSession, dir: String, root: String,
+      carry: Option[DataFrame] = None): Option[Long] =
     {
       EmbeddingOps.ivfPqTrainParts(s, dir).map { parts =>
         val next = (listGens(root) :+ 0L).max + 1
@@ -190,6 +300,19 @@ object IvfPqIndex {
         cbRows.toDF("j", "c", "cv").coalesce(1)
           .write.mode("overwrite").parquet(s"$g/codebook")
         codedSink(root, next).process(parts.coded, batchId = 0L)
+        // handoff tail: code with THIS generation's frozen model and land
+        // coded + ledger rows pre-commit (see scaladoc). The tail stays
+        // in the new ledger because it is still in no corpus snapshot —
+        // a second handoff must carry it again.
+        carry.foreach { c =>
+          val assigned = codeWithModel0(c, parts.cents, keepEd = true)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val slot = ingestOffset(root, next, "graft-handoff-carry")
+            landCodedAndRaw(assigned, parts.cb,
+              codedSink(root, next), rawSink(root, next), slot)
+          } finally { assigned.unpersist(); () }
+        }
         // build-time drift baseline: the corpus' mean residual norm
         // against the frozen coarse model (6dp), read off the PINNED
         // assignment frame training already materialized — one tiny
@@ -218,11 +341,22 @@ object IvfPqIndex {
     * None = the corpus cannot carry an index (too few model rows).
     * The fingerprint check runs INSIDE the build lock (double-checked):
     * a second process that blocked on a concurrent build re-reads the
-    * now-committed generation and reuses it instead of building again. */
-  def ensure(s: SparkSession, dir: String, root: String): Option[Long] = {
+    * now-committed generation and reuses it instead of building again.
+    *
+    * `pristineOnly` (the REGISTERED query passes true, ADVICE r15): also
+    * rebuild when the generation was MUTATED by adds/ingest/deletes —
+    * the corpus fingerprint cannot see those, but a mutated artifact is
+    * no longer the pure f(corpus) the cross-engine oracle recomputes.
+    * The rebuild supersedes the mutated generation, so any ingest stream
+    * bound to it fails loudly rather than feeding an artifact the
+    * registered path just abandoned. Production lifecycles that WANT
+    * adds to survive corpus refreshes use [[handoff]], not this gate. */
+  def ensure(s: SparkSession, dir: String, root: String,
+      pristineOnly: Boolean = false): Option[Long] = {
     val fp = fingerprint(s, dir)
     def fresh(): Option[Long] = currentGeneration(root).filter(g =>
-      FsIo.readString(s"${genPath(root, g)}/fingerprint").contains(fp))
+      FsIo.readString(s"${genPath(root, g)}/fingerprint").contains(fp) &&
+        !(pristineOnly && isMutated(root, g)))
     fresh().orElse(withBuildLock(root) {
       fresh().orElse(buildLocked(s, dir, root))
     })
@@ -244,29 +378,83 @@ object IvfPqIndex {
     s.read.parquet(s"${genPath(root, g)}/centroids")
 
   /** ADD: code `vecs` (vec_id, embedding) with the current generation's
-    * FROZEN model and append them as the coded sink's next batch.
-    * Assignment + encode are [[EmbeddingOps.ivfAssign]] +
-    * [[graft.functions.GraftFunctions.pqCodes]] — the training
-    * trajectory's own expressions — so an added vector's row is
-    * byte-identical to what a full rebuild would code it as. `batchId`
-    * is the caller's ingest batch (the sink's idempotent-replay key). */
+    * FROZEN model and append them as the coded sink's next batch, plus
+    * the raw ledger row [[handoff]] needs to carry them across a
+    * generation swap. Assignment + encode are
+    * [[EmbeddingOps.ivfAssign]] + [[graft.functions.GraftFunctions.pqCodes]]
+    * — the training trajectory's own expressions — so an added vector's
+    * row is byte-identical to what a full rebuild would code it as.
+    * `batchId` is the caller's ingest batch (the sink's idempotent-replay
+    * key). Runs under the build lock so an add can never interleave with
+    * a handoff's ledger snapshot. vec_ids must be unique index-wide (the
+    * corpus contract); re-adding a [[deleteVectors]]-tombstoned id does
+    * NOT resurrect it within this generation. */
   def addVectors(s: SparkSession, root: String, vecs: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long): Unit = withBuildLock(root) {
     val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
       s"IvfPqIndex: no committed generation under $root — build first"))
-    codedSink(root, g).process(
-      codeWithModel(vecs, centroids(s, root, g), readCodebook(s, root, g)),
-      batchId)
+    val assigned = codeWithModel0(vecs, centroids(s, root, g), keepEd = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try landCodedAndRaw(assigned, readCodebook(s, root, g),
+      codedSink(root, g), rawSink(root, g), batchId)
+    finally { assigned.unpersist(); () }
   }
 
-  /** Code raw vectors (vec_id, embedding) with a frozen model: nearest-
-    * cell assignment ([[EmbeddingOps.ivfAssign]], the one trajectory) +
-    * PQ encode. Shared by [[addVectors]] and [[startIngest]]. */
-  private def codeWithModel(vecs: DataFrame, cents: DataFrame,
-      cb: Seq[Seq[Seq[Double]]]): DataFrame =
-    codeWithModel0(vecs, cents)
-      .select(col("vec_id"), col("cell"),
-        graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
+  /** DELETE ([[https://github.com/facebookresearch/faiss]] remove_ids
+    * analog): tombstone `ids` in the current generation. A tombstone is
+    * a (cell, vec_id) row in the generation's SEPARATE tombstone table —
+    * the cell comes from the live data row itself, so any cell-pruned
+    * probe that can reach the data row can also reach its exclusion.
+    * Query-side the probe anti-joins tombstoned ids out; [[scanAsOf]] on
+    * the coded sink still sees pre-delete snapshots (the data row is
+    * untouched); [[purgeDeleted]] later drops the bytes physically.
+    * Returns the number of ids tombstoned (ids with no live row are
+    * no-ops). Deletes are INDEX-level: a rebuild/handoff from a corpus
+    * that still contains a deleted id resurrects it — remove it from
+    * the corpus to delete durably. Idempotent per `batchId` (the sink's
+    * replay key, same namespace discipline as [[addVectors]]). */
+  def deleteVectors(s: SparkSession, root: String, ids: Seq[Long],
+      batchId: Long): Long = withBuildLock(root) {
+    require(ids.nonEmpty, "IvfPqIndex.deleteVectors: no ids given")
+    val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
+      s"IvfPqIndex: no committed generation under $root — build first"))
+    // locate each id's cell from its data row: one vec_id-pruned scan
+    // (the coded manifest boxes BOTH key columns), distinct guards the
+    // out-of-contract duplicate-id case
+    val targets = codedSink(root, g)
+      .scan(s, Seq(("vec_id", ids.min, ids.max)))
+      .filter(col("vec_id").isInCollection(ids))
+      .select(col("cell"), col("vec_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = targets.count()
+      if (n > 0) tombSink(root, g).process(targets, batchId)
+      n
+    } finally { targets.unpersist(); () }
+  }
+
+  /** Land one assigned batch (vec_id, cell, rv, ed) into a generation:
+    * PQ-coded rows into the coded sink, then the raw
+    * (vec_id, cell, embedding-as-double) rows into the ingest ledger,
+    * both under the SAME batch id. Coded first: a crash between the two
+    * leaves the coded batch committed and the ledger row missing —
+    * exactly the state the checkpoint replay repairs (the micro-batch
+    * was never checkpoint-committed, so a restarted stream re-delivers
+    * it: on the same generation the coded sink skips by marker and the
+    * ledger write completes; after a [[handoff]] the replay re-lands the
+    * batch whole in the NEW generation, which is also where a
+    * ledger-missed batch must end up — no loss, no duplicate, in either
+    * order of recovery). Ledger-first would instead let handoff AND the
+    * replay both deliver the batch: duplicates. */
+  private def landCodedAndRaw(assigned: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      coded: ManifestedParquetSink, raw: ManifestedParquetSink,
+      batchId: Long): Unit = {
+    coded.process(assigned.select(col("vec_id"), col("cell"),
+      graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes")),
+      batchId)
+    raw.process(assigned.select(col("vec_id"), col("cell"),
+      col("ed").as("embedding")), batchId)
+  }
 
   /** Streaming-ingest batch ids live in per-stream SLOTS of this size,
     * above [[build]]'s corpus batch (id 0) and low-numbered manual
@@ -357,6 +545,7 @@ object IvfPqIndex {
     val cents = centroids(s, root, g)
     val cb = readCodebook(s, root, g)
     val sink = codedSink(root, g, autoReclusterAt, reclusterFiles, reclusterBuckets)
+    val raw = rawSink(root, g)
     val baseline = driftAlertAt.map { _ =>
       FsIo.readString(s"${genPath(root, g)}/baseline_resid")
         .map(_.trim.toDouble)
@@ -369,43 +558,56 @@ object IvfPqIndex {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        // slot exhaustion fails LOUDLY like the 900-slot cap: a stream
+        // past 2^20 micro-batches would overflow into the NEXT stream's
+        // slot, where a colliding id finds the other stream's commit
+        // marker and is silently skipped — the exact loss mode the slots
+        // exist to prevent (ADVICE r15)
+        require(id < IngestSlotSize,
+          s"IvfPqIndex: ingest stream at $checkpointDir exceeded its batch-id " +
+            s"slot ($id >= $IngestSlotSize) — restart ingest on a fresh " +
+            "checkpoint to allocate a new slot")
+        // the whole batch lands under the build lock: a [[handoff]]
+        // holding it cannot snapshot the ledger BETWEEN this batch's
+        // generation check and its writes — either the batch completes
+        // first (its ledger row is in the snapshot) or the handoff does
+        // (the check below fails loudly, the checkpoint never commits
+        // the batch, and the restarted stream re-delivers it to the new
+        // generation). One driver-side lock per micro-batch — noise next
+        // to the batch's own Spark jobs.
+        withBuildLock(root) {
         val live = currentGeneration(root)
         if (!live.contains(g)) throw new IllegalStateException(
           s"IvfPqIndex: ingest stream is bound to generation g$g but the " +
             s"live generation is ${live.fold("<none>")(v => s"g$v")} — a " +
             "rebuild superseded it; stop this stream and start a new one " +
-            "against the current generation")
-        // ONE assignment job per batch: the monitored path persists the
-        // assigned frame and derives both the PQ-encode projection and
-        // the residual-norm agg from it (re-running the join+window per
-        // batch would double the pinned-rate ingest lane's cost)
-        if (driftAlertAt.isEmpty) {
-          sink.process(codeWithModel(b, cents, cb), off + id)
-        } else {
-          val assigned = codeWithModel0(b, cents)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            sink.process(assigned.select(col("vec_id"), col("cell"),
-              graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes")),
-              off + id)
-            for (t <- driftAlertAt; base <- baseline)
-              if (FsIo.readString(alertPath).isEmpty) {
-                val r = assigned
-                  .agg(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))))
-                  .head()
-                // zero baseline (a corpus the centroids fit exactly, to
-                // 6dp) must not disable the monitor: ANY material
-                // residual over a zero baseline is infinite drift
-                val breach = !r.isNullAt(0) &&
-                  (if (base > 0) r.getDouble(0) / base > t
-                   else r.getDouble(0) > 1e-6)
-                if (breach)
-                  FsIo.writeStringAtomic(alertPath,
-                    if (base > 0)
-                      f"batch=${off + id} ratio=${r.getDouble(0) / base}%.4f"
-                    else f"batch=${off + id} ratio=inf")
-              }
-          } finally { assigned.unpersist(); () }
+            "against the current generation (a handoff re-codes this " +
+            "stream's committed ledger; the replay covers the rest)")
+        // ONE assignment job per batch: the persisted frame feeds the
+        // PQ-encode projection, the raw-ledger projection, and (when
+        // monitored) the residual-norm agg — never a second corpus join
+        val assigned = codeWithModel0(b, cents, keepEd = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          landCodedAndRaw(assigned, cb, sink, raw, off + id)
+          for (t <- driftAlertAt; base <- baseline)
+            if (FsIo.readString(alertPath).isEmpty) {
+              val r = assigned
+                .agg(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))))
+                .head()
+              // zero baseline (a corpus the centroids fit exactly, to
+              // 6dp) must not disable the monitor: ANY material
+              // residual over a zero baseline is infinite drift
+              val breach = !r.isNullAt(0) &&
+                (if (base > 0) r.getDouble(0) / base > t
+                 else r.getDouble(0) > 1e-6)
+              if (breach)
+                FsIo.writeStringAtomic(alertPath,
+                  if (base > 0)
+                    f"batch=${off + id} ratio=${r.getDouble(0) / base}%.4f"
+                  else f"batch=${off + id} ratio=inf")
+            }
+        } finally { assigned.unpersist(); () }
         }
       }
       .start()
@@ -419,21 +621,37 @@ object IvfPqIndex {
     a <- FsIo.readString(s"${genPath(root, g)}/_drift_alert")
   } yield a
 
-  /** Assignment-only half of [[codeWithModel]] (vec_id, cell, rv) — the
-    * drift monitor reads residual norms without paying the PQ encode. */
-  private def codeWithModel0(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  /** Assignment-only coding half (vec_id, cell, rv[, ed]) — the one
+    * frozen-model assignment [[landCodedAndRaw]], the drift monitor and
+    * [[buildLocked]]'s carry all project from. `keepEd = true` keeps the
+    * double-cast embedding for the raw-ledger projection. */
+  private def codeWithModel0(vecs: DataFrame, cents: DataFrame,
+      keepEd: Boolean = false): DataFrame = {
     val prep = vecs
       .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
-    EmbeddingOps.ivfAssign(prep, cents, maxRank = 1)
+    EmbeddingOps.ivfAssign(prep, cents, maxRank = 1, keepEd = keepEd)
   }
+
+  /** Merge sorted probed cells into maximal consecutive runs — the
+    * bound sets a union-pruned scan reads. nprobe cells → ≤ nprobe
+    * runs, driver-side on a ≤(#queries × nprobe)-element array. */
+  private[graft] def cellRuns(cells: Seq[Long]): Seq[(Long, Long)] =
+    cells.distinct.sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, c) if c <= hi + 1 => (lo, c) :: rest
+      case (acc, c) => (c, c) :: acc
+    }.reverse
 
   /** SEARCH: probe the persisted index with the source corpus' query
     * vectors (vec_id < 10) — nprobe cell ranking against the persisted
     * centroids, residual ADC against the persisted codes. The coded
-    * scan goes through the sink's manifest, pruned to the probed cells'
-    * range: on a cell-reclustered index, files outside the probed cell
-    * span are never opened. */
+    * scan goes through the sink's manifest pruned to the UNION of the
+    * probed cells' consecutive runs (round-16: the former [min, max]
+    * span over-read badly on a fragmented pre-recluster layout when
+    * probe cells land far apart — receipt in BASELINE.md); tombstoned
+    * ids ([[deleteVectors]]) are anti-joined out only when the
+    * generation actually has tombstones, so the delete-free plan is
+    * byte-identical to before. */
   def query(s: SparkSession, dir: String, root: String,
       nprobe: Int, k: Int): DataFrame = {
     val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
@@ -449,12 +667,110 @@ object IvfPqIndex {
     val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     if (probed.isEmpty) EmbeddingOps.ivfPqEmpty(s, dir)
     else {
-      // span bound, not per-cell union: on a recluster-maintained index
-      // cells are contiguous on disk so the span is near-exact, and the
-      // equi-join drops any in-span stragglers either way
-      val coded = codedSink(root, g)
-        .scan(s, Seq(("cell", probed.min, probed.max)))
-      EmbeddingOps.ivfPqProbeWith(q, coded, cb, k)
+      val sets = cellRuns(probed.toSeq).map { case (lo, hi) =>
+        Seq(("cell", lo, hi)) }
+      val coded = codedSink(root, g).scanAny(s, sets)
+      val live = tombstoneIds(s, root, g, Some(sets)) match {
+        case None => coded
+        case Some(t) => coded.join(t, Seq("vec_id"), "left_anti")
+      }
+      EmbeddingOps.ivfPqProbeWith(q, live, cb, k)
     }
   }
+
+  /** DRIFT-ALERT RECOVERY — the generation swap with NO vector loss
+    * (round-16 verdict task 1). The operational loop this closes:
+    * [[startIngest]]'s monitor fires `_drift_alert` → the operator
+    * designates a REFRESHED reference corpus at `dir` (typically: the
+    * old corpus plus whatever re-labeling/re-embedding motivated the
+    * refresh) → `handoff(s, dir, root)` retrains and publishes the next
+    * generation. The hole it plugs: vectors ingested into the live
+    * generation that the refreshed snapshot does NOT contain would
+    * otherwise exist only in the superseded (soon-GC'd) generation —
+    * silently lost. Handoff snapshots the live generation's raw ingest
+    * LEDGER under the build lock, anti-joins the refreshed corpus' ids
+    * (corpus wins on overlap — it is the source of truth) and the
+    * generation's tombstones (a deleted vector must not resurrect), and
+    * hands the surviving tail to the build as `carry`: coded with the
+    * NEW model and landed — coded + ledger — BEFORE the new generation's
+    * commit marker, so a crash at ANY point leaves either the old
+    * generation fully live or the new one fully carried.
+    *
+    * Stream choreography: the bound ingest stream fails loudly on its
+    * next batch (by design); RESTART IT ON ITS SAME CHECKPOINT. Every
+    * batch the old checkpoint committed is in the ledger handoff just
+    * carried; the one possibly-uncommitted in-flight batch is exactly
+    * what the checkpoint replays into the new generation's fresh slot —
+    * no loss and no duplicate, proven in IvfPqIndexSpec. The new
+    * generation starts alert-free (drift baselines are per-build).
+    * None = the refreshed corpus cannot carry an index (model-row
+    * contract); nothing is changed in that case. */
+  def handoff(s: SparkSession, dir: String, root: String): Option[Long] =
+    withBuildLock(root) {
+      currentGeneration(root) match {
+        case None => buildLocked(s, dir, root)
+        case Some(old) =>
+          val tail: Option[DataFrame] = ledgerScan(s, root, old).flatMap { lsc =>
+            val led = lsc.select(col("vec_id"), col("embedding"))
+            val corpusIds = graft.Tables.t(s, dir, "embeddings")
+              .select(col("vec_id"))
+            val t0 = led.join(corpusIds, Seq("vec_id"), "left_anti")
+            val t = tombstoneIds(s, root, old, None)
+              .fold(t0)(ti => t0.join(ti, Seq("vec_id"), "left_anti"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            if (t.limit(1).count() > 0) Some(t) else { t.unpersist(); None }
+          }
+          try buildLocked(s, dir, root, carry = tail)
+          finally { tail.foreach(_.unpersist()); () }
+      }
+    }
+
+  /** MAINTENANCE: physically drop tombstoned vectors (and their
+    * tombstones) from the current generation — the rewrite half of
+    * [[deleteVectors]], FAISS's compaction analog. The coded table is
+    * re-clustered through the sink's atomic swap with the tombstoned ids
+    * filtered out of the rewrite; the `_purged` flag lands BEFORE the
+    * tombstone table is cleared so [[isMutated]] keeps witnessing the
+    * mutation at every crash point; the raw LEDGER drops the same ids so
+    * a later [[handoff]] cannot resurrect them. Single-writer: pause any
+    * ingest stream first (the recluster refuses an in-flight batch).
+    * scanAsOf readers of pre-purge coded versions fail loudly after the
+    * swap (recluster's documented contract). Returns the recluster
+    * receipt. */
+  def purgeDeleted(s: SparkSession, root: String,
+      numFiles: Int = 8, buckets: Int = 4096): graft.operators.Layout.ReclusterReceipt =
+    withBuildLock(root) {
+      val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
+        s"IvfPqIndex: no committed generation under $root — build first"))
+      val t = tombstoneIds(s, root, g, None).getOrElse(
+        throw new IllegalStateException(
+          s"IvfPqIndex: generation g$g has no tombstones to purge"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        t.count()
+        val r = codedSink(root, g).recluster(s, numFiles, buckets,
+          transform = df => df.join(t, Seq("vec_id"), "left_anti"))
+        // the ledger must forget purged ids too — tombstones are about
+        // to vanish, and a handoff carrying a purged id would undelete it
+        ledgerScan(s, root, g).foreach { lsc =>
+          val surviving = lsc
+            .join(t, Seq("vec_id"), "left_anti").limit(1).count()
+          if (surviving > 0)
+            rawSink(root, g).recluster(s, numFiles = 1,
+              transform = df => df.join(t, Seq("vec_id"), "left_anti"))
+          else {
+            // every ledgered vector was purged: an EMPTY ledger is the
+            // legal no-WAL state — drop it rather than rewrite 0 rows
+            val fs0 = FsIo.fs(new org.apache.hadoop.fs.Path(root))
+            fs0.delete(new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/raw"), true)
+            fs0.delete(new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/raw_manifest"), true)
+          }
+        }
+        FsIo.writeStringAtomic(s"${genPath(root, g)}/_purged", "1")
+        val fs = FsIo.fs(new org.apache.hadoop.fs.Path(root))
+        fs.delete(new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/tombs"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/tombs_manifest"), true)
+        r
+      } finally { t.unpersist(); () }
+    }
 }

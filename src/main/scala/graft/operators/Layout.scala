@@ -743,8 +743,23 @@ object Layout {
     * directory, not the directory), for callers that pin immutable
     * snapshots externally. */
   def scanPruned(spark: SparkSession, path: String, manifest: DataFrame,
-      bounds: Seq[(String, Long, Long)], allowStale: Boolean = false): DataFrame = {
-    require(bounds.nonEmpty, "scanPruned: at least one (column, lo, hi) bound")
+      bounds: Seq[(String, Long, Long)], allowStale: Boolean = false): DataFrame =
+    scanPrunedAny(spark, path, manifest, Seq(bounds), allowStale)
+
+  /** [[scanPruned]] generalized to a DISJUNCTION of bound sets (an OR of
+    * ANDs): a file is kept when its boxes intersect EVERY bound of ANY
+    * set, and the residual row filter is the same OR-of-ANDs predicate.
+    * This is what a multi-probe reader wants (round-16: IvfPqIndex.query
+    * probes nprobe cells that may land far apart — the single [min, max]
+    * SPAN over them can cover nearly the whole table on a fragmented
+    * pre-recluster layout, while the union of per-cell ranges stays
+    * exact). Cost shape is unchanged: one listing, one bounded
+    * manifest collect, one explicit-index relation. */
+  def scanPrunedAny(spark: SparkSession, path: String, manifest: DataFrame,
+      boundSets: Seq[Seq[(String, Long, Long)]],
+      allowStale: Boolean = false): DataFrame = {
+    require(boundSets.nonEmpty && boundSets.forall(_.nonEmpty),
+      "scanPrunedAny: at least one non-empty (column, lo, hi) bound set")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ONE listing serves both the staleness guard and the relation build
@@ -763,11 +778,13 @@ object Layout {
             "buildManifest (or pass allowStale = true to scan the manifest's " +
             "snapshot of the directory).")
     }
-    val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
-      m.filter(col(s"${c}_min") <= hi && col(s"${c}_max") >= lo)
-    }.select("file").collect().map(_.getString(0))
-    val residual = bounds.map { case (c, lo, hi) =>
-      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    val keepPred = boundSets.map(_.map { case (c, lo, hi) =>
+      col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+    }.reduce(_ && _)).reduce(_ || _)
+    val keep = manifest.filter(keepPred)
+      .select("file").collect().map(_.getString(0))
+    val residual = boundSets.map(_.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)).reduce(_ || _)
     val kept = keep.flatMap(p =>
       statuses.get(p.substring(p.lastIndexOf('/') + 1)))
     if (keep.isEmpty)
@@ -840,7 +857,8 @@ object Layout {
     * O(file count) renames and the bounded manifest collect. */
   def reclusterWithManifest(spark: SparkSession, path: String,
       keyCols: Seq[String], numFiles: Int = 32,
-      buckets: Int = 4096): (ReclusterReceipt, DataFrame) = {
+      buckets: Int = 4096,
+      transform: DataFrame => DataFrame = identity): (ReclusterReceipt, DataFrame) = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverReclusterSwap(fs, dir)
@@ -860,7 +878,10 @@ object Layout {
     val newDir = reclusterNewDir(dir)
     val oldDir = reclusterOldDir(dir)
     fs.delete(newDir, true)
-    writeZOrderedEquiDepth(spark.read.parquet(path), keyCols,
+    // `transform` lets maintenance REWRITE semantics ride the same swap
+    // machinery (round-16: tombstone purge drops deleted rows here) —
+    // the whole-directory rename still publishes all-or-nothing
+    writeZOrderedEquiDepth(transform(spark.read.parquet(path)), keyCols,
       newDir.toString, numFiles, buckets)
     // generation-marked names in range order: one past the highest marker
     // in the CURRENT directory, so the rewrite is detectable and a later

@@ -601,9 +601,10 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
     * beyond the swap's own atomic-rename window. Commit markers are
     * carried, so a restarted stream still skips its committed batches. */
   def recluster(spark: org.apache.spark.sql.SparkSession,
-      numFiles: Int = 32, buckets: Int = 4096): Layout.ReclusterReceipt = {
+      numFiles: Int = 32, buckets: Int = 4096,
+      transform: DataFrame => DataFrame = identity): Layout.ReclusterReceipt = {
     val (r, m) = Layout.reclusterWithManifest(spark, dataDir, keyCols,
-      numFiles, buckets)
+      numFiles, buckets, transform)
     publish(spark, m)
     r
   }
@@ -628,6 +629,14 @@ final class ManifestedParquetSink(dataDir: String, manifestDir: String,
   def scan(spark: org.apache.spark.sql.SparkSession,
       bounds: Seq[(String, Long, Long)]): DataFrame =
     Layout.scanPruned(spark, dataDir, manifest(spark), bounds)
+
+  /** [[scan]] over a DISJUNCTION of bound sets (an OR of ANDs) — the
+    * multi-probe reader's shape: files intersecting ANY set are read
+    * once, files intersecting none never open. See
+    * [[graft.operators.Layout.scanPrunedAny]]. */
+  def scanAny(spark: org.apache.spark.sql.SparkSession,
+      boundSets: Seq[Seq[(String, Long, Long)]]): DataFrame =
+    Layout.scanPrunedAny(spark, dataDir, manifest(spark), boundSets)
 
   /** All COMMITTED manifest versions currently retained, ascending —
     * the time-travel horizon ([[publish]]'s GC keeps the newest

@@ -328,6 +328,198 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(out === rows(EmbeddingOps.ivfPqTrainedResidual(s, sfDir, 2, 3)))
   }
 
+  test("handoff: drift alert -> rebuild -> stream restart loses no vector across the generation swap") {
+    // The round-16 flagship choreography, end to end: a live monitored
+    // ingest stream, a drift alert, an operator-designated refreshed
+    // corpus that contains SOME of the ingested vectors (graduated) but
+    // not the drifted tail, a handoff mid-stream, the bound stream
+    // failing loudly, and a restart ON THE SAME CHECKPOINT — the final
+    // vector set must equal an uninterrupted run's, bit for bit.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val fixture1 = java.nio.file.Files.createTempDirectory("ivfpq_ho_c1").toString
+    val fixture2 = java.nio.file.Files.createTempDirectory("ivfpq_ho_c2").toString
+    val root = tmpRoot("handoff")
+    def baseVec(id: Long): Seq[Float] =
+      (0 until 64).map(i => (math.sin(id * 7.3 + i * 1.9)).toFloat)
+    def writeCorpus(dir: String, extra: Seq[(Long, Seq[Float])]): Unit =
+      ((0L until 64L).map(id => (id, baseVec(id), (id % 16).toInt)) ++
+        extra.map { case (id, e) => (id, e, 0) })
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    writeCorpus(fixture1, Nil)
+    assert(IvfPqIndex.ensure(s, fixture1, root).contains(1L))
+    // in-distribution ingest: exact corpus vectors under new ids (the
+    // graduating cohort), then a +5/dim shifted tail that fires the alert
+    val inDist = (0L until 16L).map(j => (100L + j, baseVec(j)))
+    val shifted = (200L until 205L).map(id =>
+      (id, baseVec(id).map(_ + 5.0f)))
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_ho_ck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = IvfPqIndex.startIngest(
+      in.toDF().toDF("vec_id", "embedding"), root, ckpt,
+      driftAlertAt = Some(2.0))
+    in.addData(inDist)
+    q.processAllAvailable()
+    assert(IvfPqIndex.driftAlert(root).isEmpty, "alert fired on in-distribution ingest")
+    in.addData(shifted)
+    q.processAllAvailable()
+    assert(IvfPqIndex.driftAlert(root).isDefined, "shifted tail raised no alert")
+    // an index-level delete before the swap: the tombstoned id must not
+    // ride the handoff back in
+    assert(IvfPqIndex.deleteVectors(s, root, Seq(202L), batchId = 7L) === 1L)
+    // operator designates the refreshed corpus: graduates the in-dist
+    // cohort, does NOT contain the drifted tail
+    writeCorpus(fixture2, inDist)
+    assert(IvfPqIndex.handoff(s, fixture2, root).contains(2L))
+    assert(IvfPqIndex.driftAlert(root).isEmpty, "new generation inherited the old alert")
+    // the still-running stream is bound to g1: its next batch fails
+    // loudly and is NEVER checkpoint-committed...
+    in.addData((300L until 305L).map(id => (id, baseVec(id + 17))))
+    val err = intercept[Throwable](q.processAllAvailable())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("superseded")), s"${messages(err).take(3)}")
+    q.stop()
+    // ...so a restart ON THE SAME CHECKPOINT replays it into g2
+    val q2 = IvfPqIndex.startIngest(
+      in.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val g2 = IvfPqIndex.codedSink(root, 2L)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = g2.map(_._1)
+    assert(ids.toSet === ((0L until 64L) ++ (100L until 116L) ++
+      Seq(200L, 201L, 203L, 204L) ++ (300L until 305L)).toSet,
+      "handoff + replay did not reconstruct the exact vector set")
+    assert(ids.length === ids.toSet.size, "a vector landed twice across the swap")
+    // bit-equality with an UNINTERRUPTED run: build g1 directly from the
+    // refreshed corpus and add the same post-snapshot vectors — every
+    // coded row beyond the corpus must match (frozen-model determinism)
+    val ref = tmpRoot("handoff_ref")
+    assert(IvfPqIndex.build(s, fixture2, ref).contains(1L))
+    IvfPqIndex.addVectors(s, ref,
+      (shifted.filterNot(_._1 == 202L) ++
+        (300L until 305L).map(id => (id, baseVec(id + 17))))
+        .toDF("vec_id", "embedding"), batchId = 1L)
+    val refRows = IvfPqIndex.codedSink(ref, 1L)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .filter(col("vec_id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(g2.filter(_._1 >= 100L).toSet === refRows,
+      "handoff-carried codes diverged from an uninterrupted run's")
+  }
+
+  test("deleteVectors tombstones: query excludes, scanAsOf still sees, purge drops the bytes") {
+    val s = spark
+    val root = tmpRoot("delete")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    val sink = IvfPqIndex.codedSink(root, 1L)
+    val bounds = Seq(("cell", Long.MinValue, Long.MaxValue))
+    val preVersion = sink.versions().max
+    val preCount = sink.scan(s, bounds).count()
+    // pick a vector that actually SURFACES in search results — deleting
+    // it must visibly change the answer, not just the storage
+    val victim = IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3)
+      .filter(col("rnk") === 1).select(col("vec_id")).head().getLong(0)
+    assert(IvfPqIndex.deleteVectors(s, root, Seq(victim), batchId = 3L) === 1L)
+    // deleted vector never returned — at ANY probe depth
+    assert(IvfPqIndex.query(s, sfDir, root, 2, 3)
+      .filter(col("vec_id") === victim).isEmpty)
+    assert(IvfPqIndex.query(s, sfDir, root, 4, 1000)
+      .filter(col("vec_id") === victim).isEmpty)
+    // every query still fills its top-3 (the next candidate promotes)
+    val perQ = IvfPqIndex.query(s, sfDir, root, 2, 3)
+      .groupBy(col("qid")).count().select(col("count")).collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(0) === 3L))
+    // the data row is untouched: the live scan AND the pre-delete
+    // snapshot both still hold it (a tombstone is metadata, not a rewrite)
+    assert(sink.scan(s, bounds).filter(col("vec_id") === victim).count() === 1L)
+    assert(sink.scanAsOf(s, preVersion, bounds)
+      .filter(col("vec_id") === victim).count() === 1L)
+    // idempotent replay: the same delete batch id skips, no double tombstone
+    assert(IvfPqIndex.deleteVectors(s, root, Seq(victim), batchId = 3L) === 1L)
+    // deleting an id with no live row is a loud-free no-op
+    assert(IvfPqIndex.deleteVectors(s, root, Seq(999999L), batchId = 4L) === 0L)
+    // PURGE: recluster drops the deleted row and its tombstones physically
+    val r = IvfPqIndex.purgeDeleted(s, root)
+    assert(r.rows === preCount - 1)
+    assert(sink.scan(s, bounds).count() === preCount - 1)
+    assert(sink.scan(s, bounds).filter(col("vec_id") === victim).isEmpty)
+    assert(!new java.io.File(s"$root/g1/tombs").exists(), "tombstones survived the purge")
+    assert(IvfPqIndex.query(s, sfDir, root, 2, 3)
+      .filter(col("vec_id") === victim).isEmpty)
+    // nothing left to purge -> loud
+    intercept[IllegalStateException](IvfPqIndex.purgeDeleted(s, root))
+  }
+
+  test("ensure(pristineOnly) rebuilds a mutated generation; the registered query stays f(corpus)") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("pristine")
+    assert(IvfPqIndex.ensure(s, sfDir, root, pristineOnly = true).contains(1L))
+    // reuse while pristine
+    assert(IvfPqIndex.ensure(s, sfDir, root, pristineOnly = true).contains(1L))
+    // out-of-band ADD mutates the artifact: the coded table is no longer
+    // f(corpus), so the oracle-checked path must rebuild...
+    IvfPqIndex.addVectors(s, root,
+      Seq((9100L, (0 until 64).map(i => (math.sin(i * 0.31)).toFloat)))
+        .toDF("vec_id", "embedding"), batchId = 1L)
+    assert(IvfPqIndex.isMutated(root, 1L))
+    assert(IvfPqIndex.ensure(s, sfDir, root, pristineOnly = true).contains(2L))
+    // ...and the rebuilt generation answers exactly like the sibling
+    assert(rows(IvfPqIndex.query(s, sfDir, root, 2, 3)) ===
+      rows(EmbeddingOps.ivfPqTrainedResidual(s, sfDir, 2, 3)))
+    // the default (production) gate keeps reusing a mutated generation —
+    // adds surviving is the POINT of that path
+    IvfPqIndex.deleteVectors(s, root, Seq(0L), batchId = 2L)
+    assert(IvfPqIndex.ensure(s, sfDir, root).contains(2L))
+    // a DELETE is a mutation too (the oracle would still see the row)
+    assert(IvfPqIndex.ensure(s, sfDir, root, pristineOnly = true).contains(3L))
+  }
+
+  test("union-of-runs pruning reads fewer files than the probed-cell span on a fragmented index") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("union")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    // fragment: add batches each confined to ONE cell's neighborhood by
+    // construction is hard (assignment decides) — instead add several
+    // batches and rely on per-batch files having narrow vec_id boxes but
+    // broad cell boxes; then compare pruning plans from the MANIFEST
+    // directly, where the span-vs-union difference is mechanical
+    (1L to 6L).foreach { b =>
+      val vecs = (20000L + b * 100 until 20016L + b * 100).map { id =>
+        (id, (0 until 64).map(i => (math.sin(id * 1.3 + i * 2.1)).toFloat), 0)
+      }.toDF("vec_id", "embedding", "label")
+      IvfPqIndex.addVectors(s, root, vecs, batchId = b)
+    }
+    val sink = IvfPqIndex.codedSink(root, 1L)
+    sink.recluster(s, numFiles = 12, buckets = 64)
+    val m = sink.manifest(s)
+      .select(col("file"), col("cell_min"), col("cell_max")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // two far-apart probed cells, as a low-nprobe probe produces
+    val (a, b) = (11L, 24L)
+    val spanKept = m.count { case (_, lo, hi) => lo <= b && hi >= a }
+    val unionKept = m.count { case (_, lo, hi) =>
+      (lo <= a && hi >= a) || (lo <= b && hi >= b) }
+    assert(unionKept <= spanKept)
+    assert(unionKept < m.length, "union pruning kept every file — vacuous")
+    // soundness: the disjunctive scan returns exactly the two cells' rows
+    val sets = Seq(Seq(("cell", a, a)), Seq(("cell", b, b)))
+    val viaAny = sink.scanAny(s, sets)
+    val direct = sink.scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .filter(col("cell") === a || col("cell") === b)
+    assert(viaAny.count() === direct.count() && viaAny.count() > 0)
+    assert(viaAny.filter(col("cell") =!= a && col("cell") =!= b).isEmpty)
+    // and the merged-runs helper: consecutive cells coalesce, gaps split
+    assert(IvfPqIndex.cellRuns(Seq(5L, 3L, 4L, 9L, 10L, 20L)) ===
+      Seq((3L, 5L), (9L, 10L), (20L, 20L)))
+    assert(IvfPqIndex.cellRuns(Seq(7L, 7L, 8L)) === Seq((7L, 8L)))
+  }
+
   test("recluster by cell restores probe-time file skipping") {
     val s = spark
     import s.implicits._
