@@ -73,6 +73,54 @@ object RecallSweep {
       dir: String): Unit =
     writeClusterFixture(spark, dir, seed = 20250815L, exactSeeds = false)
 
+  /** Deterministic ANISOTROPIC fixture (round-16 task 2): the geometry
+    * OPQ exists for. All 16 cluster centers differ ONLY inside the first
+    * PQ subspace (dims 0..7, amplitude 1) with tiny energy elsewhere
+    * (amplitude 0.05), so a subspace-independent PQ spends one 16-code
+    * codebook on ALL of the cluster identity and seven codebooks on
+    * noise — ADC resolution binds in exactly the way a rotation that
+    * spreads the dominant axis across subspaces is supposed to relieve.
+    * Seeds 10..25 are ordinary noisy members (the misaligned
+    * convention: production codebooks are sample-seeded). */
+  private[graft] def writeAnisotropicFixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val rnd = new scala.util.Random(20260815L)
+    val centers = Array.fill(16)(Array.tabulate(64)(i =>
+      if (i < 8) rnd.nextDouble() * 2 - 1 else (rnd.nextDouble() * 2 - 1) * 0.05))
+    def noisy(k: Int): Array[Float] =
+      centers(k).map(x => (x + (rnd.nextDouble() * 0.2 - 0.1)).toFloat)
+    val rows = (0L until 500L).map { id => (id, noisy((id % 16).toInt).toSeq, (id % 16).toInt) }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Deterministic SPANNING-dominant fixture (round-16 task 2): cluster
+    * identity lives along ONE direction that spans ALL 64 dims (the
+    * normalized all-ones axis) — after subspace slicing, every one of
+    * the 8 PQ codebooks redundantly encodes a perfectly-correlated share
+    * of that direction, the independence failure OPQ's rotation exists
+    * to fix: the decorrelating reflection maps it onto coordinate 0, so
+    * one codebook owns the whole identity axis. Cluster positions are
+    * (k−7.5)/4 along the axis, noise ±0.1 per dim, seeds 10..25 noisy
+    * members (sample-seeded, the misaligned convention). */
+  private[graft] def writeSpanningFixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val rnd = new scala.util.Random(20260816L)
+    val axis = Array.fill(64)(0.125)
+    val rows = (0L until 500L).map { id =>
+      val k = (id % 16).toInt
+      val pos = (k - 7.5) / 4.0
+      val emb = axis.map(a => (a * pos * 8 + (rnd.nextDouble() * 0.2 - 0.1)).toFloat)
+      (id, emb.toSeq, k)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -88,12 +136,19 @@ object RecallSweep {
     val misalignedDir = java.nio.file.Files
       .createTempDirectory("graft_recall_misaligned").toString
     writeMisalignedFixture(spark, misalignedDir)
+    val anisotropicDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_anisotropic").toString
+    writeAnisotropicFixture(spark, anisotropicDir)
+    val spanningDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_spanning").toString
+    writeSpanningFixture(spark, spanningDir)
 
     def num(d: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, d)
 
     val fixtures = Seq("isotropic" -> sfDir, "clustered" -> clusteredDir,
-      "misaligned" -> misalignedDir)
+      "misaligned" -> misalignedDir, "anisotropic" -> anisotropicDir,
+      "spanning" -> spanningDir)
     val blocks = fixtures.map { case (fixName, dir) =>
       // exact truth: brute-force EUCLIDEAN top-3 (e_knn_l2 is top-5) —
       // ADC approximates squared L2, so that is the metric it is graded
@@ -152,15 +207,31 @@ object RecallSweep {
           System.err.println(f"[recall] $fixName%-10s $name%-24s bits/dim=$bitsPerDim%5.3f  recall@3(cos) ${r}%.4f")
           s"""{"index":"$name","bits_per_dim":$bitsPerDim,"recall_at_3":${num(r)}}"""
         }
+      // PQ-rotation lane (round 16): the flat (no-IVF) PQ family against
+      // the same L2 truth — untrained, trained, and OPQ-rotated-then-
+      // trained. Centering and the (6dp-orthogonal) reflection preserve
+      // L2 distances, so the OPQ column's recall delta isolates what the
+      // rotation buys at identical bit budget and candidate volume (all
+      // three rank the full corpus).
+      val pqCells = Seq("e_knn_pq", "e_knn_pq_trained", "e_knn_opq")
+        .map { name =>
+          val approx = SparkEntry.queries(name)(spark, dir)
+            .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val r = (approx & exact3).size.toDouble / exact3.size
+          System.err.println(f"[recall] $fixName%-10s $name%-24s flat-PQ  recall@3(L2) ${r}%.4f")
+          s"""{"index":"$name","recall_at_3":${num(r)}}"""
+        }
       s""""$fixName":{"n_queries":$nQ,"cells":[${cells.mkString(",")}],""" +
-        s""""quant_axis":[${quantCells.mkString(",")}]}"""
+        s""""quant_axis":[${quantCells.mkString(",")}],""" +
+        s""""pq_axis":[${pqCells.mkString(",")}]}"""
     }
     println(s"""{"mode":"recall_sweep","sf":"$sfDir",${blocks.mkString(",")}}""")
     spark.stop()
     // per-run temp fixtures: delete on the way out (the per-run-dir
     // concurrency fix must not turn into an unbounded /tmp leak on a
     // long-lived bench host)
-    Seq(clusteredDir, misalignedDir).foreach { d =>
+    Seq(clusteredDir, misalignedDir, anisotropicDir, spanningDir).foreach { d =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit

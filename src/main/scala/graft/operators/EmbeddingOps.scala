@@ -229,10 +229,13 @@ FROM (SELECT qid, vec_id, ad,
   // agg — the standard k-means iteration plan (e_kmeans_step) applied
   // per subspace; the trained codebook is a bounded collect feeding the
   // same codegen kernels.
-  private val eKnnPqTrained = GQuery(
-    "e_knn_pq_trained",
-    (s, dir) => {
-      val base = prepped(s, dir)
+  /** The e_knn_pq_trained trajectory over ANY (vec_id, ed) frame: two
+    * pinned Lloyd iterations per subspace seeded from rows 10..25, then
+    * integer-exact ADC top-k. Shared by e_knn_pq_trained (raw frame) and
+    * e_knn_opq (the OPQ-rotated frame) — the two queries differ in
+    * EXACTLY the input geometry, so their recall gap prices the
+    * rotation. */
+  private def trainedPqTopK(s: SparkSession, base: DataFrame, k: Int): DataFrame = {
       val seed = base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
         .select(col("ed")).collect()
       if (seed.length < 16) {
@@ -279,10 +282,14 @@ FROM (SELECT qid, vec_id, ad,
           .withColumn("approx_d2", expr("round(cast(ad AS double) / 1000000.0, 6)"))
           .withColumn("rnk", row_number().over(
             Window.partitionBy("qid").orderBy(col("ad"), col("vec_id"))))
-          .filter(col("rnk") <= 5)
+          .filter(col("rnk") <= k)
           .select(col("qid"), col("vec_id"), col("approx_d2"), col("rnk"))
       }
-    },
+  }
+
+  private val eKnnPqTrained = GQuery(
+    "e_knn_pq_trained",
+    (s, dir) => trainedPqTopK(s, prepped(s, dir).select(col("vec_id"), col("ed")), 5),
     Some(s"""$duckPrep,
 c0 AS (SELECT CAST(cc.vec_id - 10 AS INT) AS c, j, cc.ed[8*j+1:8*j+8] AS cv
        FROM n cc, range(8) t(j) WHERE cc.vec_id BETWEEN 10 AND 25),
@@ -334,6 +341,159 @@ FROM (SELECT qid, vec_id, ad,
              row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
       FROM adc) WHERE rnk <= 5"""),
     "Trained-PQ ANN top-5: two Lloyd iterations per subspace, then the e_knn_pq codes/ADC — the training-vs-sampling recall gap, measurable.")
+
+  /** The OPQ rotation's Householder vector (round-16 verdict task 2):
+    * the reflection H = I − 2uuᵀ that maps the corpus' dominant
+    * principal component v onto the FIRST coordinate axis e₁ —
+    * concentrating the top-variance direction into ONE dimension of ONE
+    * PQ subspace, so a single codebook quantizes it (16 levels of an
+    * essentially 1-D spread) instead of all 8 codebooks redundantly
+    * encoding correlated shares of it. This is the INDEPENDENCE half of
+    * OPQ's objective (Ge et al. 2013, "Optimized Product Quantization":
+    * rotate to minimize distortion = balance variance AND decorrelate
+    * subspaces); the RecallSweep round-16 receipt shows it is the half
+    * that matters for a single reflection — the variance-BALANCING
+    * reflection (v → uniform) was measured first and LOWERED flat-PQ
+    * recall on concentrated geometry (0.367 → 0.267 on the anisotropic
+    * fixture), because smearing one direction across all subspaces
+    * maximizes exactly the cross-subspace correlation a product
+    * quantizer cannot encode (it pays to code the same coordinate 8
+    * times). Machinery is the repo's pinned trajectory: v comes from
+    * the ABTT power iteration (6dp), u rounds at 6dp (BigDecimal
+    * HALF_UP — the SQL round), so both engines apply the bit-identical
+    * reflection; a full OPQ alternates SVD with codebook training —
+    * out of reach of an exact cross-engine replay. u = 0 (identity)
+    * when v is already ±e₁... sign: power iteration's v may be the
+    * negative of the principal direction (deterministic given data);
+    * H maps whichever v emerged onto e₁ exactly, which is all the
+    * decorrelation argument needs. u is 6dp-rounded so H is orthogonal
+    * only to ~1e-6 — irrelevant for ranking (both engines share the
+    * exact same H) and for recall (the distortion is 12 orders below
+    * the signal). */
+  private def opqHouseholder(v: Seq[Double]): Seq[Double] = {
+    val d = v.zipWithIndex.map { case (x, i) => if (i == 0) x - 1.0 else x }
+    val den = math.sqrt(d.map(x => x * x).sum)
+    if (den < 1e-6) Seq.fill(64)(0.0)
+    else d.map(x => BigDecimal(x / den + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** The OPQ-rotated frame (vec_id, ed): center on the corpus mean,
+    * reflect with [[opqHouseholder]], 6dp-pin each coordinate. One pure
+    * map over the calibration's pinned centered frame — no extra corpus
+    * scan beyond the mean + two power iterations. */
+  private def opqRotate(centered: DataFrame, u: Seq[Double]): DataFrame =
+    centered
+      .withColumn("du", GraftFunctions.vecDot(col("xc"), typedlit(u)))
+      .select(col("vec_id"),
+        expr("transform(xc, (x, i) -> round(x - 2 * du * element_at(uu, i + 1) + 1e-9, 6))")
+          .as("ed"))
+
+  // OPQ ANN top-5 (round 16) — rotation-then-PQ, the standard public
+  // lever when ADC resolution (not coverage) binds recall: e_knn_pq
+  // quantizes each 8-dim subspace INDEPENDENTLY, so a dominant
+  // direction that spans subspaces is encoded redundantly by every
+  // codebook it touches (perfectly correlated shares the quantizer
+  // cannot exploit). The Householder reflection above concentrates that
+  // direction into coordinate 0 before the exact e_knn_pq_trained
+  // trajectory runs — same seeds, same two Lloyd steps, same integer
+  // ADC, on the rotated frame. Distances live in the rotated space
+  // (reflection ≈ isometry; centering is an exact L2 isometry), so
+  // ranks are comparable to the sibling's and the recall delta isolates
+  // the rotation's contribution. Scale shape: calibrate = mean + 2
+  // power iterations (three corpus scans, 64-row collects); rotate = a
+  // codegen'd map with the 64-double u as a literal; then the sibling's
+  // cost.
+  private val eKnnOpq = GQuery(
+    "e_knn_opq",
+    (s, dir) => abttCalibrateFull(s, dir) match {
+      case None =>
+        prepped(s, dir).limit(0).selectExpr("vec_id AS qid", "vec_id",
+          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
+      case Some((model, centered)) =>
+        val u = opqHouseholder(model.component)
+        val rotated = opqRotate(
+          centered.withColumn("uu", typedlit(u)), u)
+        trainedPqTopK(s, rotated, 5)
+    },
+    Some(s"""$duckPrep,
+mm AS (SELECT i, round(avg(ed[i + 1]) + 1e-9, 6) AS m FROM n, range(64) t(i) GROUP BY 1),
+ml AS (SELECT list(m ORDER BY i) AS mv FROM mm),
+cx AS (SELECT vec_id, list_transform(range(64), i -> ed[i + 1] - mv[i + 1]) AS xc FROM n, ml),
+v0 AS (SELECT list_transform(range(64), i -> 0.125) AS v),
+pd1 AS (SELECT vec_id, xc,
+          list_aggregate(list_transform(range(64), i -> xc[i + 1] * v[i + 1]), 'sum') AS d
+        FROM cx, v0),
+pw1 AS (SELECT i, sum(d * xc[i + 1]) AS w FROM pd1, range(64) t(i) GROUP BY 1),
+pv1 AS (SELECT list(round(w / nrm + 1e-9, 6) ORDER BY i) AS v
+        FROM pw1, (SELECT sqrt(sum(w * w)) AS nrm FROM pw1)),
+pd2 AS (SELECT vec_id, xc,
+          list_aggregate(list_transform(range(64), i -> xc[i + 1] * v[i + 1]), 'sum') AS d
+        FROM cx, pv1),
+pw2 AS (SELECT i, sum(d * xc[i + 1]) AS w FROM pd2, range(64) t(i) GROUP BY 1),
+pv2 AS (SELECT list(round(w / nrm + 1e-9, 6) ORDER BY i) AS v
+        FROM pw2, (SELECT sqrt(sum(w * w)) AS nrm FROM pw2)),
+uv AS (SELECT CASE WHEN den < 1e-6 THEN list_transform(range(64), i -> 0e0)
+                   ELSE list_transform(range(64), i -> round(dv[i + 1] / den + 1e-9, 6)) END AS u
+       FROM (SELECT dv, sqrt(list_aggregate(list_transform(range(64),
+                i -> dv[i + 1] * dv[i + 1]), 'sum')) AS den
+             FROM (SELECT list_transform(range(64),
+                i -> v[i + 1] - (CASE WHEN i = 0 THEN 1e0 ELSE 0e0 END)) AS dv FROM pv2))),
+r AS (SELECT vec_id,
+        list_transform(range(64), i -> round(xc[i + 1] - 2 * du * u[i + 1] + 1e-9, 6)) AS ed
+      FROM (SELECT vec_id, xc, u,
+              list_aggregate(list_transform(range(64), i -> u[i + 1] * xc[i + 1]), 'sum') AS du
+            FROM cx, uv)),
+c0 AS (SELECT CAST(cc.vec_id - 10 AS INT) AS c, j, cc.ed[8*j+1:8*j+8] AS cv
+       FROM r cc, range(8) t(j) WHERE cc.vec_id BETWEEN 10 AND 25),
+sub AS (SELECT vec_id, j, ed[8*j+1:8*j+8] AS sv FROM r, range(8) t(j)),
+d1 AS (SELECT s.vec_id, s.j, c0.c,
+         round(list_aggregate(list_transform(range(8),
+           i -> (s.sv[i+1] - c0.cv[i+1]) * (s.sv[i+1] - c0.cv[i+1])), 'sum'), 6) AS d
+       FROM sub s JOIN c0 ON s.j = c0.j),
+a1 AS (SELECT vec_id, j, c FROM (
+         SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT a.j, a.c, i, round(avg(s.sv[i+1]) + 1e-9, 6) AS v
+       FROM a1 a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j, range(8) t(i)
+       GROUP BY 1, 2, 3),
+c1 AS (SELECT c0.j, c0.c, coalesce(mv.cv, c0.cv) AS cv
+       FROM c0 LEFT JOIN (SELECT j, c, list(v ORDER BY i) AS cv FROM m1 GROUP BY 1, 2) mv
+         ON c0.j = mv.j AND c0.c = mv.c),
+d2 AS (SELECT s.vec_id, s.j, c1.c,
+         round(list_aggregate(list_transform(range(8),
+           i -> (s.sv[i+1] - c1.cv[i+1]) * (s.sv[i+1] - c1.cv[i+1])), 'sum'), 6) AS d
+       FROM sub s JOIN c1 ON s.j = c1.j),
+a2 AS (SELECT vec_id, j, c FROM (
+         SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+         FROM d2) WHERE rn = 1),
+m2 AS (SELECT a.j, a.c, i, round(avg(s.sv[i+1]) + 1e-9, 6) AS v
+       FROM a2 a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j, range(8) t(i)
+       GROUP BY 1, 2, 3),
+c2 AS (SELECT c1.j, c1.c, coalesce(mv.cv, c1.cv) AS cv
+       FROM c1 LEFT JOIN (SELECT j, c, list(v ORDER BY i) AS cv FROM m2 GROUP BY 1, 2) mv
+         ON c1.j = mv.j AND c1.c = mv.c),
+dist AS (SELECT s.vec_id, s.j, c2.c,
+           round(list_aggregate(list_transform(range(8),
+             i -> (s.sv[i+1] - c2.cv[i+1]) * (s.sv[i+1] - c2.cv[i+1])), 'sum'), 6) AS d
+         FROM sub s JOIN c2 ON s.j = c2.j),
+code AS (SELECT vec_id, j, c FROM (
+           SELECT vec_id, j, c,
+                  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+           FROM dist) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, ed AS qe FROM r WHERE vec_id < 10),
+qd AS (SELECT q.qid, co.vec_id,
+         CAST(round(list_aggregate(list_transform(range(8),
+             i -> (q.qe[8*co.j+i+1] - c2.cv[i+1]) * (q.qe[8*co.j+i+1] - c2.cv[i+1])), 'sum')
+           * 1000000.0 + 1e-9) AS BIGINT) AS ds
+       FROM code co JOIN c2 ON c2.j = co.j AND c2.c = co.c, q
+       WHERE co.vec_id <> q.qid),
+adc AS (SELECT qid, vec_id, CAST(sum(ds) AS BIGINT) AS ad FROM qd GROUP BY 1, 2)
+SELECT qid, vec_id, round(ad / 1000000.0, 6) AS approx_d2, rnk
+FROM (SELECT qid, vec_id, ad,
+             row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
+      FROM adc) WHERE rnk <= 5"""),
+    "OPQ ANN top-5: Householder rotation concentrating the dominant component into one axis (the decorrelating OPQ move), then the trained-PQ trajectory on the rotated frame.")
 
   /** Cosine near-dup pairs (cos >= 0.4) within LSH buckets — the pair
     * stage shared by `e_neardup_cosine` (listing) and
@@ -1668,7 +1828,7 @@ GROUP BY 1"""),
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnIvfPq,
       eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
-      eKnnMatryoshka, eKnnPq, eKnnPqTrained, eNeardup, eSemanticDedup, eCentroids, eAssign,
+      eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eAbttProject,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)

@@ -104,6 +104,47 @@ class AnnSweepInvariantsSpec extends SparkSpec {
         "update the round-15 recall-lane analysis in BASELINE.md")
   }
 
+  test("OPQ reflection: decorrelation lifts spanning-dominant recall, never hurts axis-concentrated") {
+    // Round-16 task 2 receipt, pinned (deterministic: seeded fixtures,
+    // 6dp trajectory). e_knn_opq's Householder maps the dominant
+    // principal component onto coordinate 0 — the INDEPENDENCE half of
+    // OPQ. On the SPANNING fixture (cluster identity along the all-ones
+    // direction: every PQ subspace redundantly encodes a perfectly
+    // correlated share of it) the rotation hands the whole identity
+    // axis to one codebook: recall@3 0.0667 -> 0.4667 at identical bit
+    // budget. On the ANISOTROPIC fixture (identity already confined to
+    // subspace 0) it is a no-op by construction: 0.3667 == trained. The
+    // REJECTED variant is part of the lesson: a variance-BALANCING
+    // reflection (dominant axis -> uniform) measured 0.3667 -> 0.2667
+    // on the anisotropic fixture — smearing one direction across all
+    // subspaces maximizes exactly the cross-subspace correlation a
+    // product quantizer cannot encode (BASELINE.md round-16 lane).
+    val s = spark
+    def recallOn(dir: String, name: String): Double = {
+      val truth = graft.SparkEntry.queries("e_knn_l2")(s, dir)
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = graft.SparkEntry.queries(name)(s, dir)
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & truth).size.toDouble / truth.size
+    }
+    val spanDir = java.nio.file.Files.createTempDirectory("ann-spanning").toString
+    graft.RecallSweep.writeSpanningFixture(s, spanDir)
+    val spanTrained = recallOn(spanDir, "e_knn_pq_trained")
+    val spanOpq = recallOn(spanDir, "e_knn_opq")
+    assert(spanOpq > spanTrained + 0.25,
+      s"OPQ rotation stopped paying on spanning geometry: trained=$spanTrained opq=$spanOpq")
+    assert(spanOpq >= 0.4, s"spanning OPQ recall regressed to $spanOpq")
+    val anisoDir = java.nio.file.Files.createTempDirectory("ann-aniso").toString
+    graft.RecallSweep.writeAnisotropicFixture(s, anisoDir)
+    val anisoTrained = recallOn(anisoDir, "e_knn_pq_trained")
+    val anisoOpq = recallOn(anisoDir, "e_knn_opq")
+    assert(anisoOpq >= anisoTrained,
+      s"OPQ now HURTS axis-concentrated geometry ($anisoTrained -> $anisoOpq) — " +
+        "the balancing-variant failure mode is back; revisit opqHouseholder")
+  }
+
   test("ABTT component dominates: explained variance >= best coordinate axis, residuals shrink") {
     // The DuckDB oracle proves CROSS-ENGINE EQUALITY of e_abtt_project,
     // not that the found direction is the right one — a silently
