@@ -30,6 +30,7 @@ object OperatorIndex {
     "StreamingPipelines.codeDetect" -> "t_code_detect",
     "StreamingPipelines.dsirScore" -> "t_dsir_score",
     "StreamingPipelines.abttApply" -> "e_abtt_project",
+    "StreamingPipelines.sourceKl" -> "t_source_kl",
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
     "StreamingPipelines.streamingKnn" -> "e_knn_brute",
     "StreamingPipelines.decontaminate" -> "d_decontaminate",

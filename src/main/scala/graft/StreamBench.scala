@@ -318,6 +318,59 @@ object StreamBench {
         Sinks.file(StreamingPipelines.codeDetect(docsStream(d.in)),
           d.out, d.ckpt)
       },
+      // round-16 (verdict-r15 task 5): the windowed mixture-drift
+      // monitor — per-(window, source) KL against the calibrated corpus
+      // through the single-stage histogram aggregate. Calibration is the
+      // offline half (outside the timed window, the r15 lesson); the
+      // cell prices the exploded-gram stateful aggregation at ingest.
+      {
+        val model = StreamingPipelines.sourceKlCalibrate(spark, "/root/testdata/sf0.001")
+        runDocs("source_kl_windowed", math.max(2048, n / 10)) { d =>
+          Sinks.file(StreamingPipelines.sourceKl(
+              docsStream(d.in).withWatermark("ts", "1 minute"),
+              model, windowDur = "5 minutes"),
+            d.out, d.ckpt)
+        }
+      },
+      // round-16 (verdict-r15 task 1): persisted-index ingest with ONE
+      // generation swap inside the measured window — phase 1 lands into
+      // g1, handoff retrains g2 and re-codes the whole ledger tail
+      // (none of these vectors are in the reference corpus), the stream
+      // restarts on ITS SAME CHECKPOINT bound to g2, phase 2 lands into
+      // g2. The cell prices the full recovery choreography, not just
+      // steady-state ingest; the build (the deployment's offline
+      // build-once half) stays outside.
+      {
+        val sfDir = "/root/testdata/sf0.001"
+        val root = Files.createTempDirectory("sbench-ivfpq-root").toString
+        graft.operators.IvfPqIndex.build(spark, sfDir, root)
+        val half = n / 32
+        val d = Jobs.Dirs(
+          Files.createTempDirectory("sbench-in-ivfpqswap").toString,
+          Files.createTempDirectory("sbench-out-ivfpqswap").toString,
+          Files.createTempDirectory("sbench-ck-ivfpqswap").toString)
+        Generators.writeCsvFilesWide(d.in, seed = 42, files = 16,
+          perFile = half, users = 100000)
+        def drain(): Unit = {
+          val (good, _) = StreamingPipelines.parseCsvQuarantine(
+            spark.readStream.text(d.in))
+          // event_id + 1 inside sin: id 0 would emit the all-zero vector,
+          // whose cosine assignment is undefined (ANSI divide-by-zero —
+          // the corpus contract is nonzero vectors)
+          val vecs = good.selectExpr("event_id + 1000000 AS vec_id",
+            "transform(sequence(1, 64), j -> CAST(sin((event_id + 1) * j) AS float)) AS embedding")
+          val q = graft.operators.IvfPqIndex.startIngest(vecs, root, d.ckpt)
+          try q.processAllAvailable() finally q.stop()
+        }
+        val sec = timed {
+          drain() // phase 1 -> g1
+          graft.operators.IvfPqIndex.handoff(spark, sfDir, root) // swap -> g2
+          Generators.writeCsvFilesWide(d.in, seed = 43, files = 16,
+            perFile = half, users = 100000, fileOffset = 16, idOffset = 16L * half)
+          drain() // same checkpoint, bound to g2, catch-up
+        }
+        ("ivfpq_ingest_swap", sec, 32 * half)
+      },
       // docs are ~50 tokens each (vs ~5-field CSV events), so the
       // capstone corpus is n/10 docs for a comparable byte volume
       runCapstone(math.max(2048, n / 10)))

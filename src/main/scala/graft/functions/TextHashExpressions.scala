@@ -321,4 +321,13 @@ object GraftFunctions {
   def ddSketchQ(c: org.apache.spark.sql.Column,
       qs: Seq[Double]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.ddSketchQ(c, qs)
+
+  /** Single-pass KL(group ‖ reference) over the 1024 DSIR buckets:
+    * struct<n_grams, kl_micro> from the group's exact bucket histogram
+    * (8 KiB constant state, mergeable) against the calibrated reference
+    * counts — t_source_kl's term sum in one stateful stage, the shape a
+    * windowed streaming aggregation requires. */
+  def sourceKl(bucket: org.apache.spark.sql.Column, nb: Seq[Long],
+      nn: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.sourceKl(bucket, nb, nn)
 }

@@ -1027,14 +1027,57 @@ FROM o JOIN m2 USING (b) GROUP BY 1"""),
     * rows) — the corpus-total scalar broadcasts, the full-domain frame
     * is a tiny cross join. At 100 TB the gram agg is the only stage
     * that sees the corpus. */
+  /** The one gram-bucket stream definition shared by the batch
+    * t_source_kl, its calibrate, and the streaming dual: tokens → DSIR
+    * hashed buckets, one row per gram occurrence, every other input
+    * column carried (the dual needs ts for its window). */
+  private[graft] def sourceKlBuckets(docsFrame: DataFrame): DataFrame =
+    docsFrame
+      .withColumn("toks", expr("filter(split(text, ' '), w -> length(w) > 0)"))
+      .filter(expr("size(toks) > 0"))
+      .withColumn("b", explode(GraftFunctions.dsirBuckets(col("toks"))))
+      .drop("toks")
+
+  /** Source-KL reference model — the calibrate half of the streaming
+    * calibrate/apply split (dsir/abtt convention): the reference
+    * corpus' exact bucket counts over the full 1024 domain + total.
+    * Bounded collect (≤1024 rows). None on an empty corpus. */
+  final case class SourceKlModel(nb: Seq[Long], nn: Long)
+
+  private[graft] def sourceKlCalibrate(s: SparkSession, dir: String): Option[SourceKlModel] = {
+    val rows = sourceKlBuckets(docs(s, dir))
+      .groupBy(col("b")).agg(count(lit(1)).as("nb")).collect()
+    if (rows.isEmpty) None
+    else {
+      val arr = Array.fill(1024)(0L)
+      rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      Some(SourceKlModel(arr.toSeq, arr.sum))
+    }
+  }
+
+  /** The APPLY half, shared by the streaming dual
+    * ([[graft.streaming.StreamingPipelines.sourceKl]], grouping on
+    * (window, source)) and its spec's batch replay: ONE stateful
+    * aggregation ([[GraftFunctions.sourceKl]] — the group's exact
+    * 1024-bucket histogram, constant 8 KiB state, merged map-side),
+    * then the batch query's own derived-kl projection. The chained
+    * count-then-sum shape the batch query uses is illegal in a
+    * streaming query (two stateful aggregations); this is the same
+    * term sum in one stage. */
+  private[graft] def sourceKlApply(bucketed: DataFrame, model: SourceKlModel,
+      groupCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    bucketed
+      .groupBy(groupCols: _*)
+      .agg(GraftFunctions.sourceKl(col("b"), model.nb, model.nn).as("klb"))
+      .withColumn("n_grams", col("klb.n_grams"))
+      .withColumn("kl_micro", col("klb.kl_micro"))
+      .withColumn("kl", expr("round(kl_micro / 1000000e0 + 1e-9, 6) + 0e0"))
+      .drop("klb")
+
   private val tSourceKl = GQuery(
     "t_source_kl",
     (s, dir) => {
-      val occ = docs(s, dir)
-        .withColumn("toks", expr("filter(split(text, ' '), w -> length(w) > 0)"))
-        .filter(expr("size(toks) > 0"))
-        .select(col("source"),
-          explode(GraftFunctions.dsirBuckets(col("toks"))).as("b"))
+      val occ = sourceKlBuckets(docs(s, dir)).select(col("source"), col("b"))
       val perSrc = occ.groupBy(col("source"), col("b"))
         .agg(count(lit(1)).as("nsb"))
         .transform(graft.Checkpoints.pin(_))

@@ -466,6 +466,37 @@ object StreamingPipelines {
         expr("transform(embedding, x -> cast(x as double))")),
       model)
 
+  /** Source-KL calibrate (bounded: the reference corpus' 1024 exact
+    * bucket counts + total, [[graft.operators.TextOps.sourceKlCalibrate]])
+    * — run offline, then hand the model to [[sourceKl]]. Loud on an
+    * empty corpus. */
+  def sourceKlCalibrate(s: SparkSession,
+      dir: String): graft.operators.TextOps.SourceKlModel =
+    graft.operators.TextOps.sourceKlCalibrate(s, dir).getOrElse(
+      throw new IllegalArgumentException("source-kl calibrate: empty corpus"))
+
+  /** Streaming dual of the batch `t_source_kl` — the calibrate/apply
+    * split the MIXTURE-DRIFT monitor deploys as: the corpus bucket
+    * distribution is calibrated once offline; ingest computes, per
+    * event-time window and source, KL(window's source ‖ corpus) over
+    * the same hashed-gram buckets — the pairing of IvfPqIndex's
+    * residual drift monitor (is the embedding model stale?) for the
+    * text side (is the source mix drifting from the reference?). One
+    * stateful aggregation: the gram/bucket expressions are the shared
+    * TextOps definitions and the per-group state is the custom
+    * 1024-long histogram aggregate (constant 8 KiB, map-side partial
+    * merge — a chained count-then-sum would be an illegal second
+    * stateful stage). Emits (window, source, n_grams, kl_micro, kl) on
+    * window close; batch == stream pinned by SourceKlStreamSpec against
+    * the oracle-checked twin. Callers watermark `ts` first. */
+  def sourceKl(docsStream: DataFrame,
+      model: graft.operators.TextOps.SourceKlModel,
+      windowDur: String = "1 hour"): DataFrame =
+    graft.operators.TextOps.sourceKlApply(
+      graft.operators.TextOps.sourceKlBuckets(docsStream),
+      model,
+      Seq(window(col("ts"), windowDur), col("source")))
+
   /** Streaming dual of the batch `t_code_detect`: code-likeness routing
     * as a STATELESS map over the document stream — the mix-splitting
     * decision (prose pipeline vs code pipeline) made inline during

@@ -231,6 +231,15 @@ object columns {
       TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id),
         org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
 
+  def sourceKl(bucket: Column, nb: Seq[Long], nn: Long): Column =
+    ExpressionUtils.column(
+      SourceKlAgg(ExpressionUtils.expression(bucket),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          nb.toArray, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal(nn))
+        .toAggregateExpression())
+
   def bucketOf(v: Column, boundaries: Seq[Double]): Column =
     ExpressionUtils.column(BucketOf(ExpressionUtils.expression(v), boundaries))
 
