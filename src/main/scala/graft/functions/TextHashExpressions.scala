@@ -142,6 +142,25 @@ object TextHashUtil {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** POSITION-ORDERED 48-bit hashes of the n-token shingles — one hash
+    * per start offset, neither sorted nor deduplicated (element i is the
+    * window toks(i..i+n-1)), for operators that need the gram's location
+    * (duplicated-SPAN coverage), unlike [[ngramHashes]]'s set form.
+    * 48-bit (== [[hash48]] of the chr(1)-joined window) so the DuckDB
+    * oracle's `('0x'||substr(md5(...),1,12))::BIGINT` recomputes each
+    * element bit-for-bit. */
+  def ngramHashesPos(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val m = math.max(0, cnt - n + 1)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = hash48(ngramBytes(toks, i, n))
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
   /** DSIR feature buckets of a token array: 1024-bucket [[hash32]] of
     * every unigram then every SPACE-joined bigram, in token order — the
     * exact value set of the oracle's
@@ -248,6 +267,11 @@ object GraftFunctions {
 
   def ngramHashes(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.ngramHashes(tokens, n)
+
+  /** Position-ordered (unsorted, undeduplicated) 48-bit n-gram window
+    * hashes — the span-coverage form of [[ngramHashes]]. */
+  def ngramHashesPos(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.ngramHashesPos(tokens, n)
 
   def trigramHashes(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.trigramHashes(tokens)

@@ -651,6 +651,62 @@ FROM (SELECT qid, vec_id, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY 
 WHERE rnk <= 3"""),
     "Multi-probe IVF ANN: nprobe=2 cells per query, the recall/cost knob beside e_knn_ivf.")
 
+  // IVF cell-balance diagnostic (round 16) — FAISS's imbalance_factor
+  // for the family's shared coarse quantizer: per-cell assignment
+  // counts plus imb = nlist * sum(sz^2) / n^2 (1.0 = perfectly
+  // balanced; k = everything in one of k cells). The number every IVF
+  // deployment watches before trusting nprobe math: probe cost is
+  // E[probed rows] = nprobe * n * imb / nlist, so a skewed index
+  // silently multiplies every query's scan by imb — this is the
+  // operator that decides "recluster / retrain nlist" BEFORE latency
+  // regressions do. Same assignment trajectory as e_knn_ivf (centroids
+  // = vec 10..25, cosine, 6dp pin, cid tiebreak) so the diagnostic can
+  // never drift from the index it grades; nlist is the fixed 16 of the
+  // family. Scale shape: centroid broadcast, ONE corpus scan + map-side
+  // partial agg into a 16-row frame; both window sums run over those 16
+  // rows, never the corpus.
+  private val eIvfBalance = GQuery(
+    "e_ivf_balance",
+    (s, dir) => {
+      val base = prepped(s, dir)
+      val cents = base.filter(col("vec_id").between(10, 25))
+        .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
+      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      val sizes = base.join(broadcast(cents))
+        .withColumn("c_cos",
+          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
+        .withColumn("arn", row_number().over(assignW))
+        .filter(col("arn") === 1)
+        .groupBy(col("cid").as("cell"))
+        .agg(count(lit(1)).as("sz"))
+      val w = Window.partitionBy()
+      sizes
+        .withColumn("n_total", sum(col("sz")).over(w))
+        .withColumn("sumsq", sum(col("sz") * col("sz")).over(w))
+        .select(col("cell"), col("sz"),
+          round(col("sz") / col("n_total").cast("double") + lit(1e-9), 6).as("share"),
+          round(lit(16.0) * col("sumsq").cast("double")
+            / (col("n_total").cast("double") * col("n_total").cast("double"))
+            + lit(1e-9), 6).as("imb"))
+    },
+    Some(s"""$duckPrep,
+c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 10 AND 25),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             round(list_aggregate(list_transform(range(64), i -> c.ce[i + 1] * n.ed[i + 1]), 'sum') / (c.cn * n.nrm), 6) DESC, c.cid) AS arn
+    FROM n, c)
+  WHERE arn = 1),
+sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
+SELECT cell, sz,
+       round(sz / ((sum(sz) OVER ())::DOUBLE) + 1e-9, 6) AS share,
+       round(16.0 * ((sum(sz * sz) OVER ())::DOUBLE)
+         / (((sum(sz) OVER ())::DOUBLE) * ((sum(sz) OVER ())::DOUBLE))
+         + 1e-9, 6) AS imb
+FROM sz"""),
+    "IVF cell-balance report: per-cell sizes, shares, and FAISS's imbalance factor nlist*sum(sz^2)/n^2 over the family's shared coarse assignment.")
+
   // IVF+PQ ANN top-3 (round 13) — the composition the two index halves
   // exist for, and the architecture production ANN systems actually
   // deploy at 100 TB (FAISS IVFPQ): the IVF coarse quantizer restricts
@@ -1826,7 +1882,7 @@ GROUP BY 1"""),
     "Pair-count ladder over candidate dedup thresholds (0.400..0.875, permille rungs).")
 
   val all: Seq[GQuery] =
-    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eKnnIvfPq,
+    Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eIvfBalance, eKnnIvfPq,
       eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eAbttProject,

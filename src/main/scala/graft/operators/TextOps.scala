@@ -2199,6 +2199,83 @@ FROM r GROUP BY 1"""),
     "C4-style segment dedup that rewrites the corpus: global first occurrence survives, later copies are cut.")
 
   // ---------------------------------------------------------------------
+  // Duplicated-SPAN coverage (round 16) — the exact-substring dedup
+  // metric of Lee et al. 2022 ("Deduplicating Training Data Makes
+  // Language Models Better"), fixed-width form: every OVERLAPPING
+  // 8-token window is fingerprinted; a window is duplicated when its
+  // content hash occurs >= 2 times corpus-wide (within-doc repeats
+  // count — a doc that repeats itself is self-duplication); the per-doc
+  // report gives how many tokens sit under at least one duplicated
+  // window (the union of overlapping [p, p+8) intervals) and the
+  // resulting dup fraction — the signal the span-removal rewrite and
+  // doc-level filters ("drop docs > X% duplicated") both key on.
+  // Distinct from d_boilerplate_segments / d_segment_dedup_rewrite:
+  // those tile NON-overlapping segments (a duplicate straddling a
+  // segment boundary is invisible); the stride-1 windows here catch any
+  // duplicated run >= 8 tokens at any offset.
+  // Interval union WITHOUT per-doc interpreted folds: duplicated
+  // positions are strictly increasing per doc, so each window's fresh
+  // coverage is (p+8) - greatest(p, prev_p + 8) — one lag() window,
+  // identical integer arithmetic in both engines.
+  // Scale shape (100 TB): the window hashes come from ONE codegen'd
+  // pass (ngramHashesPos — md5 over chr(1)-joined token bytes, no gram
+  // strings materialized); grams carry only (doc_id, pos, 8-byte hash)
+  // into ONE hash-keyed shuffle for the duplicate counts, the dup set
+  // joins back co-partitioned on that same key (never broadcast — it
+  // scales with the corpus), and the lag/fold runs under ONE doc_id
+  // shuffle. No all-pairs stage, no stage wider than the gram count.
+  private val dDupSpanCoverage = GQuery(
+    "d_dup_span_coverage",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("size(toks)"))
+        .filter(col("n") >= 8)
+        .select(col("doc_id"), col("n"),
+          posexplode(graft.functions.GraftFunctions.ngramHashesPos(col("toks"), 8))
+            .as(Seq("p", "gh")))
+      val dup = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("gh"))
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val cov = grams.join(dup, Seq("gh"))
+        .withColumn("prev_end", coalesce(lag(col("p"), 1).over(w) + lit(8), lit(0)))
+        .withColumn("cv", expr("cast(p + 8 - greatest(p, prev_end) AS bigint)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_grams"), sum(col("cv")).as("covered_tokens"))
+      grams.groupBy(col("doc_id"), col("n"))
+        .agg(count(lit(1)).as("n_grams"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"), col("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("covered_tokens"), lit(0L)) / col("n").cast("double")
+            + lit(1e-9), 4).as("dup_frac"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+g AS (SELECT doc_id, n, unnest(range(n - 7)) AS p, toks FROM t),
+h AS (SELECT doc_id, n, p,
+        ('0x' || substr(md5(array_to_string(toks[p + 1 : p + 8], chr(1))), 1, 12))::BIGINT AS gh
+      FROM g),
+c AS (SELECT gh FROM h GROUP BY 1 HAVING count(*) >= 2),
+dp AS (SELECT h.doc_id, h.p,
+         greatest(h.p, coalesce(lag(h.p) OVER (PARTITION BY h.doc_id ORDER BY h.p) + 8, 0)) AS lo
+       FROM h JOIN c USING (gh)),
+a AS (SELECT doc_id, count(*) AS n_dup_grams,
+        CAST(sum(p + 8 - lo) AS BIGINT) AS covered_tokens
+      FROM dp GROUP BY 1),
+tot AS (SELECT doc_id, n, count(*) AS n_grams FROM h GROUP BY 1, 2)
+SELECT tot.doc_id, CAST(tot.n AS BIGINT) AS n_tokens, tot.n_grams,
+       COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(a.covered_tokens, 0) AS covered_tokens,
+       round(COALESCE(a.covered_tokens, 0) / CAST(tot.n AS DOUBLE) + 1e-9, 4) AS dup_frac
+FROM tot LEFT JOIN a USING (doc_id)"""),
+    "Exact duplicated-span coverage: overlapping 8-token window hashes, corpus-wide duplicate marking, per-doc interval-union token coverage (Lee et al. 2022 metric).")
+
+  // ---------------------------------------------------------------------
   // BPE merge induction — vocabulary building for the tokenizer itself
   // (Sennrich et al. '16): iteratively merge the corpus's most frequent
   // adjacent symbol pair, starting from characters. The 100 TB shape is
@@ -2464,5 +2541,5 @@ FROM c"""),
     dChunkOverlap, dBoilerplate, dQualityPrune,
     tGopherRules, dSourceQuota, dCrossSourceOverlap, dLshBandTuning,
     dContainmentPairs, dClusterSizeProfile, tZipfFit, dPerplexityBand,
-    dEpochPlan, dSegmentDedupRewrite)
+    dEpochPlan, dSegmentDedupRewrite, dDupSpanCoverage)
 }

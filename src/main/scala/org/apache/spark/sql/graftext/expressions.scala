@@ -94,6 +94,27 @@ case class NgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Position-ordered 48-bit hashes of the n-token shingles of `child` —
+  * element i is the window toks(i..i+n-1); neither sorted nor distinct,
+  * for span-level operators that need gram locations. */
+case class NgramHashesPos(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes_pos"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.ngramHashesPos(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.ngramHashesPos($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesPos =
+    copy(child = newChild)
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -188,6 +209,9 @@ object columns {
 
   def ngramHashes(tokens: Column, n: Int): Column =
     ExpressionUtils.column(NgramHashes(ExpressionUtils.expression(tokens), n))
+
+  def ngramHashesPos(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(NgramHashesPos(ExpressionUtils.expression(tokens), n))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(

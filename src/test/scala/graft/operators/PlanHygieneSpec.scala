@@ -80,6 +80,10 @@ class PlanHygieneSpec extends SparkSpec {
       // same <=10-row broadcast query-set join as e_knn_pq; the Lloyd
       // training joins are equi (on j) and hash-broadcast
       "e_knn_pq_trained",
+      // runs the e_knn_pq_trained trajectory verbatim on the rotated
+      // frame, inheriting its <=10-row broadcast query-set join; the
+      // rotation itself is a pure map (no join)
+      "e_knn_opq",
       // inherits e_knn_ivfpq's 16-row coarse-codebook cross join
       // (assignment stage); residual Lloyd training joins are equi on j,
       // the candidate join is an equi BroadcastHashJoin on cell
@@ -95,7 +99,11 @@ class PlanHygieneSpec extends SparkSpec {
       // model-sized full-domain frame: #sources x range(1024) cross
       // join plus the 1-row corpus-total scalar — both constant build
       // sides (the corpus is only touched by the one gram agg upstream)
-      "t_source_kl")
+      "t_source_kl",
+      // the e_knn_ivf assignment's identical 16-row coarse-codebook
+      // cross join; everything downstream of the map-side count agg is
+      // the 16-row cell frame
+      "e_ivf_balance")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
