@@ -389,6 +389,69 @@ FROM (SELECT qid, vec_id, ad,
         expr("transform(xc, (x, i) -> round(x - 2 * du * element_at(uu, i + 1) + 1e-9, 6))")
           .as("ed"))
 
+  /** The FROZEN OPQ rotation model a persisted index stores beside its
+    * centroids/codebook ([[IvfPqIndex]]): the calibration mean and the
+    * Householder vector — 128 doubles, the whole "vector transform"
+    * FAISS chains ahead of IVFPQ ("OPQ64,IVF…,PQ8"). */
+  private[graft] final case class OpqModel(mean: Seq[Double], u: Seq[Double])
+
+  /** Apply a FROZEN rotation model to a frame's `ed` column in place
+    * (nrm recomputed): ed := round((ed−m) − 2·⟨ed−m, u⟩·u + 1e-9, 6) —
+    * the EXACT arithmetic of [[opqRotate]] over the centered frame, so
+    * novel vectors (index ingest, handoff carry, query side) code
+    * bit-identically to the build-time rotated corpus. Pure map; the
+    * model rides into codegen as two 64-double literals. */
+  private[graft] def opqApplyRotation(df: DataFrame,
+      m: Seq[Double], u: Seq[Double]): DataFrame =
+    df.withColumn("xc", zip_with(col("ed"), typedlit(m), (x, mm) => x - mm))
+      .withColumn("du", GraftFunctions.vecDot(col("xc"), typedlit(u)))
+      .withColumn("uu", typedlit(u))
+      .withColumn("ed", expr(
+        "transform(xc, (x, i) -> round(x - 2 * du * element_at(uu, i + 1) + 1e-9, 6))"))
+      .withColumn("nrm", sqrt(GraftFunctions.vecDot(col("ed"), col("ed"))))
+      .drop("xc", "du", "uu")
+
+  /** The OPQ-rotated trained-residual-IVF-PQ model: ABTT calibration →
+    * Householder → [[ivfPqTrainPartsFrom]] on the rotated frame. The
+    * rotation is an (approximate-to-6dp) isometry, so residual L2
+    * geometry — and with it every downstream contract (ADC ranking,
+    * drift-monitor residual norms) — carries over unchanged; what
+    * changes is that ONE codebook owns the dominant direction instead
+    * of all 8 redundantly encoding correlated shares of it (the
+    * [[opqHouseholder]] decorrelation receipt). None when the corpus
+    * is empty or lacks the model rows. */
+  private[graft] def opqIvfPqTrainParts(s: SparkSession,
+      dir: String): Option[(OpqModel, IvfPqParts)] =
+    abttCalibrateFull(s, dir).flatMap { case (model, centered) =>
+      val u = opqHouseholder(model.component)
+      val rotated = opqRotate(centered.withColumn("uu", typedlit(u)), u)
+        .withColumn("nrm", sqrt(GraftFunctions.vecDot(col("ed"), col("ed"))))
+      ivfPqTrainPartsFrom(rotated).map(p => (OpqModel(model.mean, u), p))
+    }
+
+  /** The OPQ index's query-side probe frame: rotate the corpus' query
+    * vectors (vec_id < 10) with the FROZEN model, then the standard
+    * nprobe assignment — [[ivfPqQueryFrame]] one rotation earlier. */
+  private[graft] def opqIvfPqQueryFrame(s: SparkSession, dir: String,
+      om: OpqModel, cents: DataFrame, nprobe: Int): DataFrame =
+    ivfAssign(
+      opqApplyRotation(prepped(s, dir).filter(col("vec_id") < 10), om.mean, om.u),
+      cents, maxRank = nprobe)
+      .select(col("vec_id").as("qid"), col("cell"), col("rv").as("qr"))
+
+  /** In-query OPQ-rotated trained-residual IVF-PQ — the re-training
+    * sibling of the PERSISTED e_knn_opq_indexed, spec-pinned bit-equal
+    * to it (IvfPqIndexSpec), exactly the e_knn_ivfpq_trained /
+    * e_knn_ivfpq_indexed relationship one rotation earlier. */
+  private[graft] def opqIvfPqTrainedResidual(s: SparkSession, dir: String,
+      nprobe: Int, k: Int): DataFrame =
+    opqIvfPqTrainParts(s, dir) match {
+      case None => ivfPqEmpty(s, dir)
+      case Some((om, p)) =>
+        ivfPqProbeWith(opqIvfPqQueryFrame(s, dir, om, p.cents, nprobe),
+          p.coded, p.cb, k)
+    }
+
   // OPQ ANN top-5 (round 16) — rotation-then-PQ, the standard public
   // lever when ADC resolution (not coverage) binds recall: e_knn_pq
   // quantizes each 8-dim subspace INDEPENDENTLY, so a dominant
@@ -404,20 +467,13 @@ FROM (SELECT qid, vec_id, ad,
   // power iterations (three corpus scans, 64-row collects); rotate = a
   // codegen'd map with the 64-double u as a literal; then the sibling's
   // cost.
-  private val eKnnOpq = GQuery(
-    "e_knn_opq",
-    (s, dir) => abttCalibrateFull(s, dir) match {
-      case None =>
-        prepped(s, dir).limit(0).selectExpr("vec_id AS qid", "vec_id",
-          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
-      case Some((model, centered)) =>
-        val u = opqHouseholder(model.component)
-        val rotated = opqRotate(
-          centered.withColumn("uu", typedlit(u)), u)
-        trainedPqTopK(s, rotated, 5)
-    },
-    Some(s"""$duckPrep,
-mm AS (SELECT i, round(avg(ed[i + 1]) + 1e-9, 6) AS m FROM n, range(64) t(i) GROUP BY 1),
+  /** The OPQ rotation, DuckDB side: calibration mean, two power
+    * iterations, Householder u, rotated frame — the CTE chain ending in
+    * `$out AS (SELECT vec_id, … AS ed …)` over duckPrep's `n`. The ONE
+    * source of the rotation SQL, shared by e_knn_opq and
+    * e_knn_opq_indexed so the two oracles cannot drift. */
+  private def duckOpqRotate(out: String): String =
+    s"""mm AS (SELECT i, round(avg(ed[i + 1]) + 1e-9, 6) AS m FROM n, range(64) t(i) GROUP BY 1),
 ml AS (SELECT list(m ORDER BY i) AS mv FROM mm),
 cx AS (SELECT vec_id, list_transform(range(64), i -> ed[i + 1] - mv[i + 1]) AS xc FROM n, ml),
 v0 AS (SELECT list_transform(range(64), i -> 0.125) AS v),
@@ -439,11 +495,26 @@ uv AS (SELECT CASE WHEN den < 1e-6 THEN list_transform(range(64), i -> 0e0)
                 i -> dv[i + 1] * dv[i + 1]), 'sum')) AS den
              FROM (SELECT list_transform(range(64),
                 i -> v[i + 1] - (CASE WHEN i = 0 THEN 1e0 ELSE 0e0 END)) AS dv FROM pv2))),
-r AS (SELECT vec_id,
+$out AS (SELECT vec_id,
         list_transform(range(64), i -> round(xc[i + 1] - 2 * du * u[i + 1] + 1e-9, 6)) AS ed
       FROM (SELECT vec_id, xc, u,
               list_aggregate(list_transform(range(64), i -> u[i + 1] * xc[i + 1]), 'sum') AS du
-            FROM cx, uv)),
+            FROM cx, uv))"""
+
+  private val eKnnOpq = GQuery(
+    "e_knn_opq",
+    (s, dir) => abttCalibrateFull(s, dir) match {
+      case None =>
+        prepped(s, dir).limit(0).selectExpr("vec_id AS qid", "vec_id",
+          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
+      case Some((model, centered)) =>
+        val u = opqHouseholder(model.component)
+        val rotated = opqRotate(
+          centered.withColumn("uu", typedlit(u)), u)
+        trainedPqTopK(s, rotated, 5)
+    },
+    Some(s"""$duckPrep,
+${duckOpqRotate("r")},
 c0 AS (SELECT CAST(cc.vec_id - 10 AS INT) AS c, j, cc.ed[8*j+1:8*j+8] AS cv
        FROM r cc, range(8) t(j) WHERE cc.vec_id BETWEEN 10 AND 25),
 sub AS (SELECT vec_id, j, ed[8*j+1:8*j+8] AS sv FROM r, range(8) t(j)),
@@ -854,16 +925,20 @@ FROM (SELECT qid, vec_id, ad,
     * by training, by the index builder's incremental add, and (with
     * `maxRank` = nprobe) by the query-side probe. */
   private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame,
-      maxRank: Int, keepEd: Boolean = false): DataFrame = {
+      maxRank: Int, keepEd: Boolean = false,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
     val ranked = vecs.join(broadcast(cents))
       .withColumn("c_cos",
         round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
       .withColumn("arn", row_number().over(assignW))
       .filter(col("arn") <= maxRank)
+    // carryCols: pass-through payload columns the caller needs beside the
+    // assignment (the OPQ index carries the PRE-rotation embedding for
+    // its raw ledger while assigning in rotated space)
     val cols = Seq(col("vec_id"), col("cid").as("cell"),
       expr("zip_with(ed, ce, (x, y) -> x - y)").as("rv")) ++
-      (if (keepEd) Seq(col("ed")) else Nil)
+      (if (keepEd) Seq(col("ed")) else Nil) ++ carryCols.map(col)
     ranked.select(cols: _*)
   }
 
@@ -901,8 +976,15 @@ FROM (SELECT qid, vec_id, ad,
     * identically zero, but the PQ seed stays at 26..41 so the trained
     * and untrained-coarse trajectories differ ONLY in the centroids. */
   private[graft] def ivfPqTrainParts(s: SparkSession, dir: String,
+      coarseSteps: Int = 0): Option[IvfPqParts] =
+    ivfPqTrainPartsFrom(prepped(s, dir), coarseSteps)
+
+  /** [[ivfPqTrainParts]] over ANY (vec_id, ed, nrm) frame — the raw
+    * corpus (plain index) or the OPQ-rotated frame
+    * ([[opqIvfPqTrainParts]]); the trajectory is identical, so the two
+    * flavors differ in exactly the input geometry. */
+  private[graft] def ivfPqTrainPartsFrom(base: DataFrame,
       coarseSteps: Int = 0): Option[IvfPqParts] = {
-    val base = prepped(s, dir)
     // one guard aggregation for both model-row counts (ADVICE r14: two
     // collect().length calls ran two full scans per invocation)
     val guard = base.agg(
@@ -1004,24 +1086,18 @@ FROM (SELECT qid, vec_id, ad,
       case Some(p) => ivfPqProbe(s, dir, p.cents, p.coded, p.cb, nprobe, k)
     }
 
-  /** The trained-residual-IVF-PQ oracle — shared verbatim by
-    * e_knn_ivfpq_trained and e_knn_ivfpq_indexed: the persisted index's
-    * tables are a deterministic function of the corpus (pinned training
-    * trajectory + lossless parquet round-trip of doubles/ints), so the
-    * correct cross-engine statement for BOTH is "recompute the whole
-    * train/encode/probe from `embeddings`". The oracle cannot read the
-    * index's host-local parquet anyway: oracleSql is a STATIC map and
-    * the driver's DuckDB sees only the fixture tables — and recomputing
-    * is the stronger check (it re-derives the artifact the index claims
-    * to have persisted; IvfPqIndexSpec separately pins persisted ==
-    * retrained). */
-  private val ivfPqTrainedOracle: String = s"""$duckPrep,
-c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 10 AND 25),
+  /** The trained-residual-IVF-PQ oracle BODY over any (vec_id, ed, nrm)
+    * source CTE `src` — "n" for the raw corpus (e_knn_ivfpq_trained /
+    * e_knn_ivfpq_indexed), the re-normed rotated frame for
+    * e_knn_opq_indexed. One string, so the flavors' oracles replay the
+    * identical trajectory on different geometry — exactly the Spark
+    * side's [[ivfPqTrainPartsFrom]] factoring. */
+  private def ivfPqTrainedBody(src: String): String = s"""c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM $src WHERE vec_id BETWEEN 10 AND 25),
 r AS (
   SELECT n.vec_id, n.ed, n.nrm, c.cid, c.ce,
          row_number() OVER (PARTITION BY n.vec_id ORDER BY
            round(list_aggregate(list_transform(range(64), i -> c.ce[i + 1] * n.ed[i + 1]), 'sum') / (c.cn * n.nrm), 6) DESC, c.cid) AS arn
-  FROM n, c),
+  FROM $src n, c),
 asg AS (SELECT vec_id, cid AS cell,
           list_transform(range(64), i -> ed[i + 1] - ce[i + 1]) AS rv
         FROM r WHERE arn = 1),
@@ -1078,6 +1154,30 @@ FROM (SELECT qid, vec_id, ad,
              row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
       FROM adc) WHERE rnk <= 3"""
 
+  /** The trained-residual-IVF-PQ oracle — shared verbatim by
+    * e_knn_ivfpq_trained and e_knn_ivfpq_indexed: the persisted index's
+    * tables are a deterministic function of the corpus (pinned training
+    * trajectory + lossless parquet round-trip of doubles/ints), so the
+    * correct cross-engine statement for BOTH is "recompute the whole
+    * train/encode/probe from `embeddings`". The oracle cannot read the
+    * index's host-local parquet anyway: oracleSql is a STATIC map and
+    * the driver's DuckDB sees only the fixture tables — and recomputing
+    * is the stronger check (it re-derives the artifact the index claims
+    * to have persisted; IvfPqIndexSpec separately pins persisted ==
+    * retrained). */
+  private val ivfPqTrainedOracle: String =
+    s"$duckPrep,\n${ivfPqTrainedBody("n")}"
+
+  /** e_knn_opq_indexed's oracle: the rotation CTEs, a re-norm of the
+    * rotated frame, then the identical trained-residual-IVF-PQ body —
+    * recomputing from `embeddings` the full model the persisted OPQ
+    * index claims to have materialized (same recompute-the-artifact
+    * argument as [[ivfPqTrainedOracle]]'s scaladoc). */
+  private val opqIvfPqIndexedOracle: String = s"""$duckPrep,
+${duckOpqRotate("rot")},
+rn AS (SELECT vec_id, ed, sqrt(list_aggregate(list_transform(ed, x -> x * x), 'sum')) AS nrm FROM rot),
+${ivfPqTrainedBody("rn")}"""
+
   private val eKnnIvfPqTrained = GQuery(
     "e_knn_ivfpq_trained",
     (s, dir) => ivfPqTrainedResidual(s, dir, nprobe = 2, k = 3),
@@ -1116,6 +1216,31 @@ FROM (SELECT qid, vec_id, ad,
     },
     Some(ivfPqTrainedOracle),
     "Trained IVF-PQ against a PERSISTED index (build-once/query-many): probe + residual ADC on materialized centroids/codebook/coded tables, manifest-pruned by probed cell.")
+
+  // OPQ-rotated persisted index (round 16) — FAISS's full
+  // "OPQ64,IVF16,PQ8" factory chain as lakehouse tables: the round-16
+  // OPQ rotation becomes part of the PERSISTED model (stored beside
+  // centroids/codebook, frozen per generation), so ingest, handoff
+  // carry, and every query rotate novel vectors with the model the
+  // codes were built under — the composition rule FAISS calls a
+  // chained VectorTransform. Same lifecycle guarantees as
+  // e_knn_ivfpq_indexed (build-once/query-many, pristine gate for the
+  // oracle path, generation commit protocol); the oracle recomputes
+  // rotation + training + coding + probe from `embeddings`.
+  private val eKnnOpqIndexed = GQuery(
+    "e_knn_opq_indexed",
+    (s, dir) => {
+      // flavor-specific root: the rotation changes the trajectory, so an
+      // OPQ index can never be confused with the plain sibling's root
+      // (the flavor is also baked into the stored fingerprint)
+      val root = IvfPqIndex.defaultRoot(dir) + "_opq"
+      IvfPqIndex.ensure(s, dir, root, pristineOnly = true, opq = true) match {
+        case None => ivfPqEmpty(s, dir) // corpus lacks model rows
+        case Some(_) => IvfPqIndex.query(s, dir, root, nprobe = 2, k = 3)
+      }
+    },
+    Some(opqIvfPqIndexedOracle),
+    "OPQ-rotated persisted IVF-PQ (the FAISS 'OPQ,IVF,PQ' chain): frozen Householder rotation stored with centroids/codebook; probe + rotated-residual ADC, manifest-pruned by probed cell.")
 
   // Binary-Hamming ANN top-3 (round 14) — the 1-BIT quantization point
   // on the family's compression axis: each 64-dim vector collapses to
@@ -1883,7 +2008,7 @@ GROUP BY 1"""),
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eIvfBalance, eKnnIvfPq,
-      eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
+      eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnOpqIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eAbttProject,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,

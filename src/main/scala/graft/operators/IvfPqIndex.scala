@@ -18,6 +18,10 @@ import graft.streaming.{FsIo, ManifestedParquetSink}
   * ```
   *   <root>/g<N>/centroids/          16 rows: cid, ce, cn
   *   <root>/g<N>/codebook/          128 rows: j, c, cv
+  *   <root>/g<N>/rotation/           64 rows: i, m, u — the frozen OPQ
+  *                                   model (opq builds only): FAISS's
+  *                                   chained VectorTransform persisted
+  *                                   beside the quantizers it trained
   *   <root>/g<N>/coded/              the coded corpus (vec_id, cell, codes),
   *                                   a [[ManifestedParquetSink]] data dir
   *   <root>/g<N>/coded_manifest/     its versioned manifests (cell min/max
@@ -138,19 +142,23 @@ object IvfPqIndex {
     * ONE narrow aggregation over (vec_id, embedding) — cheap next to
     * a build, and content-sensitive enough that a regenerated fixture
     * with equal row count still misses. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
+  private def fingerprint(s: SparkSession, dir: String,
+      opq: Boolean = false): String = {
     // DECIMAL(38,0) sum of the row hashes: order-independent AND
     // multiplicity-sensitive. bit_xor would self-cancel any row with
     // even multiplicity (swap duplicate pair {A,A} for {B,B} and the
     // xor is unchanged — a silent stale-index reuse); a BIGINT sum of
     // ~2^63-magnitude hashes throws under ANSI arithmetic. 38 digits
     // hold ~10^19 rows of headroom above the hash magnitude.
+    // The FLAVOR is part of the fingerprint: an ensure of one flavor
+    // pointed at the other flavor's root sees a mismatch and rebuilds
+    // rather than serving codes from the wrong trajectory.
     val r = graft.Tables.t(s, dir, "embeddings")
       .agg(count(lit(1)).as("n"),
         coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
           .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h"))
       .head()
-    s"v$FormatVersion:n=${r.getLong(0)}:h=${r.getDecimal(1)}"
+    s"v$FormatVersion:${if (opq) "opq:" else ""}n=${r.getLong(0)}:h=${r.getDecimal(1)}"
   }
 
   private def genPath(root: String, g: Long) = s"$root/g$g"
@@ -283,13 +291,20 @@ object IvfPqIndex {
     * with the NEW generation's frozen model and landed (coded + ledger)
     * BEFORE the commit marker, so a crash mid-handoff can never publish
     * a generation that silently dropped them. */
-  def build(s: SparkSession, dir: String, root: String): Option[Long] =
-    withBuildLock(root) { buildLocked(s, dir, root) }
+  def build(s: SparkSession, dir: String, root: String,
+      opq: Boolean = false): Option[Long] =
+    withBuildLock(root) { buildLocked(s, dir, root, opq = opq) }
 
   private def buildLocked(s: SparkSession, dir: String, root: String,
-      carry: Option[DataFrame] = None): Option[Long] =
+      carry: Option[DataFrame] = None, opq: Boolean = false): Option[Long] =
     {
-      EmbeddingOps.ivfPqTrainParts(s, dir).map { parts =>
+      // flavor selection: the OPQ build trains rotation + centroids +
+      // codebook on the rotated frame and persists all three; the plain
+      // build is byte-identical to before (rot = None everywhere)
+      val trained: Option[(Option[EmbeddingOps.OpqModel], EmbeddingOps.IvfPqParts)] =
+        if (opq) EmbeddingOps.opqIvfPqTrainParts(s, dir).map { case (om, p) => (Some(om), p) }
+        else EmbeddingOps.ivfPqTrainParts(s, dir).map(p => (None, p))
+      trained.map { case (rot, parts) =>
         val next = (listGens(root) :+ 0L).max + 1
         val g = genPath(root, next)
         parts.cents.coalesce(1).write.mode("overwrite").parquet(s"$g/centroids")
@@ -299,13 +314,18 @@ object IvfPqIndex {
         import s.implicits._
         cbRows.toDF("j", "c", "cv").coalesce(1)
           .write.mode("overwrite").parquet(s"$g/codebook")
+        rot.foreach { om =>
+          om.mean.indices.map(i => (i, om.mean(i), om.u(i)))
+            .toDF("i", "m", "u").coalesce(1)
+            .write.mode("overwrite").parquet(s"$g/rotation")
+        }
         codedSink(root, next).process(parts.coded, batchId = 0L)
         // handoff tail: code with THIS generation's frozen model and land
         // coded + ledger rows pre-commit (see scaladoc). The tail stays
         // in the new ledger because it is still in no corpus snapshot —
         // a second handoff must carry it again.
         carry.foreach { c =>
-          val assigned = codeWithModel0(c, parts.cents, keepEd = true)
+          val assigned = codeWithModel0(c, parts.cents, keepEd = true, rot = rot)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val slot = ingestOffset(root, next, "graft-handoff-carry")
@@ -322,7 +342,7 @@ object IvfPqIndex {
           .agg(round(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))), 6))
           .head().getDouble(0)
         FsIo.writeStringAtomic(s"$g/baseline_resid", baseline.toString)
-        FsIo.writeStringAtomic(s"$g/fingerprint", fingerprint(s, dir))
+        FsIo.writeStringAtomic(s"$g/fingerprint", fingerprint(s, dir, opq))
         FsIo.writeStringAtomic(s"$g/_graft_ok", next.toString)
         // GC: committed generations past retention + uncommitted debris
         // older than the one just published (a crashed build's leftovers)
@@ -352,13 +372,13 @@ object IvfPqIndex {
     * registered path just abandoned. Production lifecycles that WANT
     * adds to survive corpus refreshes use [[handoff]], not this gate. */
   def ensure(s: SparkSession, dir: String, root: String,
-      pristineOnly: Boolean = false): Option[Long] = {
-    val fp = fingerprint(s, dir)
+      pristineOnly: Boolean = false, opq: Boolean = false): Option[Long] = {
+    val fp = fingerprint(s, dir, opq)
     def fresh(): Option[Long] = currentGeneration(root).filter(g =>
       FsIo.readString(s"${genPath(root, g)}/fingerprint").contains(fp) &&
         !(pristineOnly && isMutated(root, g)))
     fresh().orElse(withBuildLock(root) {
-      fresh().orElse(buildLocked(s, dir, root))
+      fresh().orElse(buildLocked(s, dir, root, opq = opq))
     })
   }
 
@@ -377,6 +397,22 @@ object IvfPqIndex {
   private def centroids(s: SparkSession, root: String, g: Long): DataFrame =
     s.read.parquet(s"${genPath(root, g)}/centroids")
 
+  /** The generation's FROZEN OPQ rotation model, if it carries one —
+    * present exactly on generations built with `opq = true`. Every
+    * downstream path (add, ingest, handoff carry, query) loads it where
+    * it loads the centroids, so a rotated generation can never code or
+    * probe unrotated vectors. */
+  private def readRotation(s: SparkSession, root: String,
+      g: Long): Option[EmbeddingOps.OpqModel] = {
+    val p = new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/rotation")
+    if (!FsIo.fs(p).exists(p)) None
+    else {
+      val rows = s.read.parquet(p.toString).collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      Some(EmbeddingOps.OpqModel(rows.map(_._2).toSeq, rows.map(_._3).toSeq))
+    }
+  }
+
   /** ADD: code `vecs` (vec_id, embedding) with the current generation's
     * FROZEN model and append them as the coded sink's next batch, plus
     * the raw ledger row [[handoff]] needs to carry them across a
@@ -393,7 +429,8 @@ object IvfPqIndex {
       batchId: Long): Unit = withBuildLock(root) {
     val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
       s"IvfPqIndex: no committed generation under $root — build first"))
-    val assigned = codeWithModel0(vecs, centroids(s, root, g), keepEd = true)
+    val assigned = codeWithModel0(vecs, centroids(s, root, g), keepEd = true,
+      rot = readRotation(s, root, g))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try landCodedAndRaw(assigned, readCodebook(s, root, g),
       codedSink(root, g), rawSink(root, g), batchId)
@@ -544,6 +581,7 @@ object IvfPqIndex {
     // contract, so per-batch re-reads would buy nothing
     val cents = centroids(s, root, g)
     val cb = readCodebook(s, root, g)
+    val rot = readRotation(s, root, g)
     val sink = codedSink(root, g, autoReclusterAt, reclusterFiles, reclusterBuckets)
     val raw = rawSink(root, g)
     val baseline = driftAlertAt.map { _ =>
@@ -586,7 +624,7 @@ object IvfPqIndex {
         // ONE assignment job per batch: the persisted frame feeds the
         // PQ-encode projection, the raw-ledger projection, and (when
         // monitored) the residual-norm agg — never a second corpus join
-        val assigned = codeWithModel0(b, cents, keepEd = true)
+        val assigned = codeWithModel0(b, cents, keepEd = true, rot = rot)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           landCodedAndRaw(assigned, cb, sink, raw, off + id)
@@ -624,13 +662,30 @@ object IvfPqIndex {
   /** Assignment-only coding half (vec_id, cell, rv[, ed]) — the one
     * frozen-model assignment [[landCodedAndRaw]], the drift monitor and
     * [[buildLocked]]'s carry all project from. `keepEd = true` keeps the
-    * double-cast embedding for the raw-ledger projection. */
+    * double-cast embedding for the raw-ledger projection. With `rot`
+    * (an OPQ generation) the vector is rotated by the FROZEN model
+    * before assignment — residuals, codes, and drift norms all live in
+    * rotated space, matching the build — while the kept `ed` stays the
+    * PRE-rotation embedding: the raw ledger is the WAL a future
+    * [[handoff]] re-codes under a RETRAINED rotation, so it must store
+    * the original vector, not this generation's frame. */
   private def codeWithModel0(vecs: DataFrame, cents: DataFrame,
-      keepEd: Boolean = false): DataFrame = {
-    val prep = vecs
+      keepEd: Boolean = false,
+      rot: Option[EmbeddingOps.OpqModel] = None): DataFrame = {
+    val prep0 = vecs
       .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
-    EmbeddingOps.ivfAssign(prep, cents, maxRank = 1, keepEd = keepEd)
+    rot match {
+      case None =>
+        val prep = prep0.withColumn("nrm",
+          sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
+        EmbeddingOps.ivfAssign(prep, cents, maxRank = 1, keepEd = keepEd)
+      case Some(om) =>
+        val prep = EmbeddingOps.opqApplyRotation(
+          prep0.withColumn("ed0", col("ed")), om.mean, om.u)
+        val a = EmbeddingOps.ivfAssign(prep, cents, maxRank = 1,
+          keepEd = false, carryCols = if (keepEd) Seq("ed0") else Nil)
+        if (keepEd) a.withColumnRenamed("ed0", "ed") else a
+    }
   }
 
   /** Merge sorted probed cells into maximal consecutive runs — the
@@ -661,9 +716,13 @@ object IvfPqIndex {
     // ONE query-side assignment job: the pinned frame feeds both the
     // bounded probe-plan collect (#queries x nprobe rows, <= 20 here —
     // what turns the manifest's cell boxes into skipped files) and the
-    // broadcast probe side of the ADC join.
-    val q = graft.Checkpoints.pin(
-      EmbeddingOps.ivfPqQueryFrame(s, dir, cents, nprobe))
+    // broadcast probe side of the ADC join. An OPQ generation rotates
+    // the query vectors with ITS frozen model first — probing rotated
+    // codes with unrotated queries would rank garbage.
+    val q = graft.Checkpoints.pin(readRotation(s, root, g) match {
+      case None => EmbeddingOps.ivfPqQueryFrame(s, dir, cents, nprobe)
+      case Some(om) => EmbeddingOps.opqIvfPqQueryFrame(s, dir, om, cents, nprobe)
+    })
     val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     if (probed.isEmpty) EmbeddingOps.ivfPqEmpty(s, dir)
     else {
@@ -705,10 +764,11 @@ object IvfPqIndex {
     * generation starts alert-free (drift baselines are per-build).
     * None = the refreshed corpus cannot carry an index (model-row
     * contract); nothing is changed in that case. */
-  def handoff(s: SparkSession, dir: String, root: String): Option[Long] =
+  def handoff(s: SparkSession, dir: String, root: String,
+      opq: Boolean = false): Option[Long] =
     withBuildLock(root) {
       currentGeneration(root) match {
-        case None => buildLocked(s, dir, root)
+        case None => buildLocked(s, dir, root, opq = opq)
         case Some(old) =>
           val tail: Option[DataFrame] = ledgerScan(s, root, old).flatMap { lsc =>
             val led = lsc.select(col("vec_id"), col("embedding"))
@@ -720,7 +780,10 @@ object IvfPqIndex {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             if (t.limit(1).count() > 0) Some(t) else { t.unpersist(); None }
           }
-          try buildLocked(s, dir, root, carry = tail)
+          // the ledger stores PRE-rotation embeddings precisely so this
+          // carry can re-code the tail under the NEW generation's
+          // (possibly retrained) rotation
+          try buildLocked(s, dir, root, carry = tail, opq = opq)
           finally { tail.foreach(_.unpersist()); () }
       }
     }

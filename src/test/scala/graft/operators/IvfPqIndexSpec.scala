@@ -555,4 +555,114 @@ class IvfPqIndexSpec extends SparkSpec {
       case None => s.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
     }
   }
+
+  // ------------------------------------------------------------------
+  // OPQ flavor (round 16): the rotation is part of the PERSISTED model.
+
+  /** Re-derive the (vec_id, cell, codes) rows generation `g`'s frozen
+    * model would assign to `vecs` — rotation read off disk, then the
+    * exact ingest arithmetic (opqApplyRotation → ivfAssign → pqCodes).
+    * The spec-side recompute that pins "frozen model" against drift. */
+  private def opqExpectedCodes(s: org.apache.spark.sql.SparkSession,
+      root: String, g: Long,
+      vecs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] = {
+    val rot = s.read.parquet(s"$root/g$g/rotation").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rot.length === 64, "rotation table must hold 64 (i, m, u) rows")
+    val cents = s.read.parquet(s"$root/g$g/centroids")
+    val cbRows = s.read.parquet(s"$root/g$g/codebook").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq)).toMap
+    val cb = Seq.tabulate(8)(j => Seq.tabulate(16)(c => cbRows((j, c))))
+    val prep = vecs.withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+    val rotated = EmbeddingOps.opqApplyRotation(
+      prep, rot.map(_._2).toSeq, rot.map(_._3).toSeq)
+    EmbeddingOps.ivfAssign(rotated, cents, maxRank = 1)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("opq: persisted rotated index equals the in-query OPQ sibling; rotation stored frozen") {
+    val s = spark
+    val root = tmpRoot("opq_eq")
+    assert(IvfPqIndex.ensure(s, sfDir, root, opq = true).contains(1L))
+    // the rotation rides the generation — the plain flavor never writes one
+    assert(new java.io.File(s"$root/g1/rotation").exists())
+    // build-once: a second ensure of the same flavor reuses generation 1
+    assert(IvfPqIndex.ensure(s, sfDir, root, opq = true).contains(1L))
+    val indexed = rows(IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3))
+    val sibling = rows(EmbeddingOps.opqIvfPqTrainedResidual(s, sfDir, 2, 3))
+    assert(sibling.nonEmpty, "vacuous — OPQ sibling returned nothing")
+    assert(indexed === sibling,
+      s"only-indexed=${(indexed -- sibling).take(3)} only-sibling=${(sibling -- indexed).take(3)}")
+    // deeper probe off the SAME persisted artifact
+    assert(rows(IvfPqIndex.query(s, sfDir, root, nprobe = 4, k = 3)) ===
+      rows(EmbeddingOps.opqIvfPqTrainedResidual(s, sfDir, 4, 3)))
+    // and the flavors are genuinely different artifacts: the rotated
+    // codes differ from the plain sibling's on this corpus
+    val plain = rows(EmbeddingOps.ivfPqTrainedResidual(s, sfDir, 2, 3))
+    assert(indexed !== plain, "rotation was a no-op on the fixture — vacuous flavor")
+  }
+
+  test("opq: addVectors rotates with the frozen model; the raw ledger keeps pre-rotation embeddings") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("opq_add")
+    assert(IvfPqIndex.build(s, sfDir, root, opq = true).contains(1L))
+    val novel = (9100L until 9108L).map { id =>
+      (id, (0 until 64).map(i => (math.cos(id * 3.7 + i) * 0.9).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    IvfPqIndex.addVectors(s, root, novel, batchId = 1L)
+    // frozen-model contract, rotated edition: the landed codes equal a
+    // direct recompute under the PERSISTED rotation + centroids + codebook
+    val landed = IvfPqIndex.codedSink(root, 1L)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .filter(col("vec_id") >= 9100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(landed.size === 8)
+    assert(landed === opqExpectedCodes(s, root, 1L, novel))
+    // the ledger stores the PRE-rotation embedding (the WAL a handoff
+    // re-codes under a RETRAINED rotation), not this generation's frame
+    val led = IvfPqIndex.rawSink(root, 1L)
+      .scan(s, Seq(("vec_id", Long.MinValue, Long.MaxValue)))
+      .filter(col("vec_id") === 9100L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val orig = (0 until 64).map(i => (math.cos(9100L * 3.7 + i) * 0.9).toFloat.toDouble)
+    assert(led === orig, "ledger holds a rotated frame — handoff would re-rotate it")
+  }
+
+  test("opq: handoff re-codes the ledger tail under the retrained rotation") {
+    val s = spark
+    import s.implicits._
+    val fixture = java.nio.file.Files.createTempDirectory("ivfpq_opq_fixture").toString
+    val root = tmpRoot("opq_handoff")
+    def writeCorpus(scale: Double): Unit =
+      (0L until 64L).map { id =>
+        (id, (0 until 64).map(i =>
+          (math.sin(id * 7.3 + i * 1.9) * scale).toFloat), (id % 16).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    writeCorpus(1.0)
+    assert(IvfPqIndex.ensure(s, fixture, root, opq = true).contains(1L))
+    val novel = (9200L until 9204L).map { id =>
+      (id, (0 until 64).map(i => (math.cos(id * 3.7 + i) * 0.9).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    IvfPqIndex.addVectors(s, root, novel, batchId = 1L)
+    // refreshed corpus (retrains mean/component -> a DIFFERENT rotation)
+    writeCorpus(0.5)
+    assert(IvfPqIndex.handoff(s, fixture, root, opq = true).contains(2L))
+    assert(new java.io.File(s"$root/g2/rotation").exists())
+    // the carried tail is coded under generation 2's NEW rotation — the
+    // reason the ledger stores pre-rotation vectors
+    val carried = IvfPqIndex.codedSink(root, 2L)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .filter(col("vec_id") >= 9200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(carried.size === 4, s"handoff lost carried vectors: $carried")
+    assert(carried === opqExpectedCodes(s, root, 2L, novel))
+    // and the rotations genuinely differ across the swap (retrained)
+    def rotOf(g: Long) = s.read.parquet(s"$root/g$g/rotation").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rotOf(1L) !== rotOf(2L), "handoff reused the stale rotation")
+  }
 }

@@ -96,6 +96,10 @@ class PlanHygieneSpec extends SparkSpec {
       // e_knn_ivf cross-join shape, constant build side); the coded-
       // corpus candidate join is an equi BroadcastHashJoin on cell
       "e_knn_ivfpq_indexed",
+      // the OPQ flavor of the same persisted-index probe: identical
+      // constant-size model joins (16-row persisted centroids), plus a
+      // pure-map rotation; the candidate join stays cell-equi
+      "e_knn_opq_indexed",
       // model-sized full-domain frame: #sources x range(1024) cross
       // join plus the 1-row corpus-total scalar — both constant build
       // sides (the corpus is only touched by the one gram agg upstream)
