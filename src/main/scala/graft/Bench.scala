@@ -54,7 +54,11 @@ object Bench {
     "x4_cep_negation",
     // round-15 addition: the persisted-index ANN query (build-once/
     // query-many; min-of-two-passes reports the query-only cost)
-    "e_knn_ivfpq_indexed")
+    "e_knn_ivfpq_indexed",
+    // round-16 additions: the OPQ-rotated persisted index (the same
+    // query-many protocol one rotation earlier) and the duplicated-span
+    // coverage metric (the exploded-gram family's newest member)
+    "e_knn_opq_indexed", "d_dup_span_coverage")
 
   /** Multi-thread stream-copy probe: `threads` workers each copy a
     * 64 MiB long array (well past any L3) `reps` times; the aggregate

@@ -165,12 +165,17 @@ object RecallSweep {
         (approx & exact3).size.toDouble / exact3.size
       }
 
-      // three training depths: untrained (raw-vector PQ, fixed seed
+      // four training depths: untrained (raw-vector PQ, fixed seed
       // coarse), trained residual (fixed seed coarse), trained residual
-      // + one coarse Lloyd step (full FAISS-style training — round 15)
+      // + one coarse Lloyd step (full FAISS-style training — round 15),
+      // and OPQ-rotated trained residual (round 16: the e_knn_opq
+      // Householder ahead of the whole IVF-PQ composition — whether
+      // decorrelation still pays AFTER residual re-centering has already
+      // shrunk the codebook's dynamic range is exactly what this column
+      // prices)
       val cells = for {
         depth <- Seq("ivfpq_untrained", "ivfpq_trained_residual",
-          "ivfpq_trained_coarse1")
+          "ivfpq_trained_coarse1", "ivfpq_opq_trained")
         nprobe <- Seq(1, 2, 4)
       } yield {
         val df = depth match {
@@ -178,9 +183,11 @@ object RecallSweep {
             operators.EmbeddingOps.ivfPqUntrained(spark, dir, nprobe, 3)
           case "ivfpq_trained_residual" =>
             operators.EmbeddingOps.ivfPqTrainedResidual(spark, dir, nprobe, 3)
-          case _ =>
+          case "ivfpq_trained_coarse1" =>
             operators.EmbeddingOps.ivfPqTrainedResidual(spark, dir, nprobe, 3,
               coarseSteps = 1)
+          case _ =>
+            operators.EmbeddingOps.opqIvfPqTrainedResidual(spark, dir, nprobe, 3)
         }
         val r = recallOf(df)
         System.err.println(f"[recall] $fixName%-10s $depth%-24s nprobe=$nprobe  recall@3 ${r}%.4f")

@@ -78,7 +78,17 @@ object ScaleSmoke {
     // per-source KL: one exploded-gram shuffle (the t_dsir_score class),
     // then model-sized math — the ratio prices that the divergence
     // frame never grows past #sources x 1024
-    "t_source_kl")
+    "t_source_kl",
+    // round-16 additions: OPQ rotation ahead of trained PQ (three
+    // calibration scans + the e_knn_pq_trained shape; the rotation is a
+    // pure map) and its PERSISTED composition (the e_knn_ivfpq_indexed
+    // build-once/query-many protocol one rotation earlier). Duplicated-
+    // span coverage — one exploded-gram shuffle (the t_dsir_score
+    // class) + a co-partitioned join-back + one doc_id window; the
+    // ratio prices that nothing outgrows the gram count. IVF balance —
+    // one assignment scan into a 16-row frame.
+    "e_knn_opq", "e_knn_opq_indexed", "d_dup_span_coverage",
+    "e_ivf_balance")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

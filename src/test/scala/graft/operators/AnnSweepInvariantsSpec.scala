@@ -145,6 +145,52 @@ class AnnSweepInvariantsSpec extends SparkSpec {
         "the balancing-variant failure mode is back; revisit opqHouseholder")
   }
 
+  test("OPQ ahead of IVF-PQ: pays on spanning-dominant geometry, harms misaligned-clustered — a knob, not a default") {
+    // Round-16 receipt, pinned (deterministic fixtures + 6dp
+    // trajectory). Chaining the Householder AHEAD of the whole IVF-PQ
+    // composition (e_knn_opq_indexed's trajectory) is geometry-
+    // dependent in a way the flat-PQ lane above is not:
+    //  - SPANNING (nprobe=2): trained residual 0.0333 -> OPQ 0.2000.
+    //    Handing the subspace-spanning identity axis to one codebook
+    //    still pays after residual re-centering.
+    //  - MISALIGNED (nprobe=2): trained residual 0.4333 -> OPQ 0.2000.
+    //    Residual training against the noisy seeds was the rescue
+    //    (cell above), and rotating BEFORE coarse assignment reshapes
+    //    the cosine cells that rescue depended on — the reflection is
+    //    trained on the RAW corpus' dominant component, not the
+    //    residuals', so it can disrupt a partition it never saw.
+    // The operational rule this pins: OPQ-IVF-PQ is an OPT-IN for
+    // corpora with a subspace-spanning dominant direction; it is NOT a
+    // safe default the way residual training is (BASELINE.md
+    // round-16 lane). If either direction flips, the analysis is
+    // stale — revisit the lane, don't just bump numbers.
+    val s = spark
+    def recallOn(dir: String,
+        mk: => org.apache.spark.sql.DataFrame): Double = {
+      val truth = graft.SparkEntry.queries("e_knn_l2")(s, dir)
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = mk.select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & truth).size.toDouble / truth.size
+    }
+    val spanDir = java.nio.file.Files.createTempDirectory("ann-span-ivf").toString
+    graft.RecallSweep.writeSpanningFixture(s, spanDir)
+    val spanTrained = recallOn(spanDir, EmbeddingOps.ivfPqTrainedResidual(s, spanDir, 2, 3))
+    val spanOpq = recallOn(spanDir, EmbeddingOps.opqIvfPqTrainedResidual(s, spanDir, 2, 3))
+    assert(spanOpq >= spanTrained + 0.1,
+      s"OPQ-IVF-PQ stopped paying on spanning geometry: trained=$spanTrained opq=$spanOpq")
+    val misDir = java.nio.file.Files.createTempDirectory("ann-mis-ivf").toString
+    graft.RecallSweep.writeMisalignedFixture(s, misDir)
+    val misTrained = recallOn(misDir, EmbeddingOps.ivfPqTrainedResidual(s, misDir, 2, 3))
+    val misOpq = recallOn(misDir, EmbeddingOps.opqIvfPqTrainedResidual(s, misDir, 2, 3))
+    assert(misOpq < misTrained,
+      s"OPQ-IVF-PQ now WINS on misaligned geometry ($misTrained -> $misOpq) — " +
+        "the opt-in-only rule is stale; update the BASELINE.md round-16 lane")
+    assert(misOpq >= 0.1,
+      s"rotation broke the misaligned index outright: recall $misOpq")
+  }
+
   test("ABTT component dominates: explained variance >= best coordinate axis, residuals shrink") {
     // The DuckDB oracle proves CROSS-ENGINE EQUALITY of e_abtt_project,
     // not that the found direction is the right one — a silently
