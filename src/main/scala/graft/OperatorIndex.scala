@@ -31,6 +31,8 @@ object OperatorIndex {
     "StreamingPipelines.dsirScore" -> "t_dsir_score",
     "StreamingPipelines.abttApply" -> "e_abtt_project",
     "StreamingPipelines.sourceKl" -> "t_source_kl",
+    "StreamingPipelines.dupSpanCalibrate" -> "d_dup_span_coverage",
+    "StreamingPipelines.dupSpanStream" -> "d_dup_span_coverage",
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
     "StreamingPipelines.streamingKnn" -> "e_knn_brute",
     "StreamingPipelines.decontaminate" -> "d_decontaminate",

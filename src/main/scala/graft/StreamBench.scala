@@ -332,6 +332,23 @@ object StreamBench {
             d.out, d.ckpt)
         }
       },
+      // round-16: the ingest-side duplicated-span monitor — the batch
+      // gram kernel + ONE stream-static left join against the calibrated
+      // corpus gram table + ONE windowed per-doc aggregation (position-
+      // list state, doc-length-bounded). minDup = 1: the production
+      // novel-arrival threshold (an arriving occurrence plus >= 1
+      // in-corpus = duplicated). Calibration outside the timed window
+      // (the offline half of the split, the r15 lesson).
+      {
+        val gramTable = StreamingPipelines.dupSpanCalibrate(
+          spark, "/root/testdata/sf0.001")
+        runDocs("dup_span_windowed", math.max(2048, n / 10)) { d =>
+          Sinks.file(StreamingPipelines.dupSpanStream(
+              docsStream(d.in).withWatermark("ts", "1 minute"),
+              gramTable, windowDur = "5 minutes", minDup = 1L),
+            d.out, d.ckpt)
+        }
+      },
       // round-16 (verdict-r15 task 1): persisted-index ingest with ONE
       // generation swap inside the measured window — phase 1 lands into
       // g1, handoff retrains g2 and re-codes the whole ledger tail

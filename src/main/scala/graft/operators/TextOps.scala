@@ -2224,16 +2224,23 @@ FROM r GROUP BY 1"""),
   // joins back co-partitioned on that same key (never broadcast — it
   // scales with the corpus), and the lag/fold runs under ONE doc_id
   // shuffle. No all-pairs stage, no stage wider than the gram count.
+  /** The (doc_id[, carry…], n, p, gh) overlapping-8-token-window frame —
+    * the ONE gram definition shared by the batch d_dup_span_coverage and
+    * the streaming calibrate/apply (DupSpanStreamSpec pins the duals
+    * equal, so the gram expressions must not be able to drift). */
+  private[graft] def dupSpanGrams(d: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    d.withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("n", expr("size(toks)"))
+      .filter(col("n") >= 8)
+      .select(col("doc_id") +: carry.map(col) :+ col("n") :+
+        posexplode(graft.functions.GraftFunctions.ngramHashesPos(col("toks"), 8))
+          .as(Seq("p", "gh")): _*)
+
   private val dDupSpanCoverage = GQuery(
     "d_dup_span_coverage",
     (s, dir) => {
-      val grams = docs(s, dir)
-        .withColumn("toks", expr("split(text, ' ')"))
-        .withColumn("n", expr("size(toks)"))
-        .filter(col("n") >= 8)
-        .select(col("doc_id"), col("n"),
-          posexplode(graft.functions.GraftFunctions.ngramHashesPos(col("toks"), 8))
-            .as(Seq("p", "gh")))
+      val grams = dupSpanGrams(docs(s, dir))
       val dup = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)

@@ -497,6 +497,57 @@ object StreamingPipelines {
       model,
       Seq(window(col("ts"), windowDur), col("source")))
 
+  /** Calibrate the vs-corpus duplicated-span monitor: the corpus'
+    * overlapping 8-token window hash counts (gh, cnt) as a STATIC frame
+    * for [[dupSpanStream]]'s per-micro-batch stream-static join.
+    * Deliberately NOT collected or literal-broadcast: the gram table is
+    * corpus-sized (decontaminate's eval-gram literal works because eval
+    * sets are small; a corpus is not) — at 100 TB this is a table the
+    * join shuffles or broadcasts per the optimizer's real sizing. */
+  def dupSpanCalibrate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dupSpanGrams(graft.Tables.t(s, dir, "documents"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+
+  /** Streaming dual of the batch `d_dup_span_coverage` — the INGEST-side
+    * duplication monitor: per (event-time window, arriving doc), how
+    * many of its tokens sit under 8-token windows already present in
+    * the CALIBRATED corpus — the near-real-time "this arrival is mostly
+    * copies" alarm that decides routing before a document ever reaches
+    * the batch dedup passes. Shape: the batch's exact gram kernel
+    * (shared [[graft.operators.TextOps.dupSpanGrams]]), ONE stateless
+    * stream-static left equi join against the gram table, then ONE
+    * windowed aggregation per (window, doc_id) whose state is the doc's
+    * duplicated-position list (doc-length-bounded); the interval union
+    * runs as a fold over the sorted positions in the agg projection —
+    * the same integer arithmetic as the batch's lag window (prev_end
+    * seeds at 0), so batch == stream row-for-row on the calibration
+    * corpus (DupSpanStreamSpec).
+    * `minDup` is the corpus-occurrence threshold: 2 replays the batch
+    * semantics exactly when the stream IS the calibration corpus (each
+    * replayed gram already counts its own corpus occurrence — the
+    * parity pin); production ingest of NOVEL documents uses 1 (the
+    * arriving occurrence plus >= 1 in-corpus = duplicated). Callers
+    * watermark `ts` first. */
+  def dupSpanStream(docsStream: DataFrame, gramTable: DataFrame,
+      windowDur: String = "1 hour", minDup: Long = 2L): DataFrame =
+    graft.operators.TextOps.dupSpanGrams(docsStream, carry = Seq("ts"))
+      .join(gramTable.withColumnRenamed("cnt", "corpus_cnt"), Seq("gh"), "left")
+      .withColumn("dp", when(coalesce(col("corpus_cnt"), lit(0L)) >= minDup, col("p")))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_grams"), collect_list(col("dp")).as("ps"))
+      .select(col("window"), col("doc_id"),
+        col("n").cast("long").as("n_tokens"), col("n_grams"),
+        expr("cast(size(ps) AS bigint)").as("n_dup_grams"),
+        expr("""aggregate(array_sort(ps),
+            named_struct('e', 0, 't', cast(0 AS bigint)),
+            (acc, p) -> named_struct(
+              'e', greatest(acc.e, p + 8),
+              't', acc.t + cast(p + 8 - greatest(p, acc.e) AS bigint)),
+            acc -> acc.t)""").as("covered_tokens"))
+      .withColumn("dup_frac",
+        round(col("covered_tokens") / col("n_tokens").cast("double")
+          + lit(1e-9), 4))
+
   /** Streaming dual of the batch `t_code_detect`: code-likeness routing
     * as a STATELESS map over the document stream — the mix-splitting
     * decision (prose pipeline vs code pipeline) made inline during
