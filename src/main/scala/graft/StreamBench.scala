@@ -340,8 +340,13 @@ object StreamBench {
       // in-corpus = duplicated). Calibration outside the timed window
       // (the offline half of the split, the r15 lesson).
       {
-        val gramTable = StreamingPipelines.dupSpanCalibrate(
-          spark, "/root/testdata/sf0.001")
+        // pin EAGERLY: the static side of a stream-static join re-
+        // evaluates per micro-batch, so an unmaterialized calibrate
+        // would re-run the corpus gram aggregation inside the timed
+        // window — the exact mispricing the out-of-window rule exists
+        // to prevent (the r15 calibrate-hoisting lesson, lazy edition)
+        val gramTable = graft.Checkpoints.pin(
+          StreamingPipelines.dupSpanCalibrate(spark, "/root/testdata/sf0.001"))
         runDocs("dup_span_windowed", math.max(2048, n / 10)) { d =>
           Sinks.file(StreamingPipelines.dupSpanStream(
               docsStream(d.in).withWatermark("ts", "1 minute"),

@@ -751,9 +751,15 @@ WHERE rnk <= 3"""),
         .groupBy(col("cid").as("cell"))
         .agg(count(lit(1)).as("sz"))
       val w = Window.partitionBy()
+      // sumsq in DECIMAL(38,0): a LongType sz*sz wraps (or throws under
+      // ANSI) past ~3e9 rows in one cell — the multi-billion-vector
+      // scale this diagnostic is FOR. The oracle's HUGEINT product sums
+      // exactly too; both engines then pay one double division each on
+      // the same exact integers, so the 6dp round cannot straddle.
       sizes
         .withColumn("n_total", sum(col("sz")).over(w))
-        .withColumn("sumsq", sum(col("sz") * col("sz")).over(w))
+        .withColumn("sumsq", sum(col("sz").cast("decimal(19,0)")
+          * col("sz").cast("decimal(19,0)")).over(w))
         .select(col("cell"), col("sz"),
           round(col("sz") / col("n_total").cast("double") + lit(1e-9), 6).as("share"),
           round(lit(16.0) * col("sumsq").cast("double")
@@ -772,7 +778,7 @@ asg AS (
 sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
 SELECT cell, sz,
        round(sz / ((sum(sz) OVER ())::DOUBLE) + 1e-9, 6) AS share,
-       round(16.0 * ((sum(sz * sz) OVER ())::DOUBLE)
+       round(16.0 * ((sum(sz::HUGEINT * sz) OVER ())::DOUBLE)
          / (((sum(sz) OVER ())::DOUBLE) * ((sum(sz) OVER ())::DOUBLE))
          + 1e-9, 6) AS imb
 FROM sz"""),

@@ -2213,17 +2213,23 @@ FROM r GROUP BY 1"""),
   // those tile NON-overlapping segments (a duplicate straddling a
   // segment boundary is invisible); the stride-1 windows here catch any
   // duplicated run >= 8 tokens at any offset.
-  // Interval union WITHOUT per-doc interpreted folds: duplicated
-  // positions are strictly increasing per doc, so each window's fresh
-  // coverage is (p+8) - greatest(p, prev_p + 8) — one lag() window,
-  // identical integer arithmetic in both engines.
+  // Interval union: duplicated positions are strictly increasing per
+  // doc, so each window's fresh coverage is
+  // (p+8) - greatest(p, prev_end) with prev_end seeded at 0 — computed
+  // here as a fold over the doc's sorted duplicated-position list (the
+  // list is doc-length-bounded), the EXACT arithmetic the streaming
+  // dual runs ([[graft.streaming.StreamingPipelines.dupSpanStream]] —
+  // the duals share the formula verbatim); the oracle states the same
+  // recurrence through a lag() window, an independent formulation of
+  // the same function (cross-checked by the hash gate and brute force).
   // Scale shape (100 TB): the window hashes come from ONE codegen'd
   // pass (ngramHashesPos — md5 over chr(1)-joined token bytes, no gram
-  // strings materialized); grams carry only (doc_id, pos, 8-byte hash)
-  // into ONE hash-keyed shuffle for the duplicate counts, the dup set
-  // joins back co-partitioned on that same key (never broadcast — it
-  // scales with the corpus), and the lag/fold runs under ONE doc_id
-  // shuffle. No all-pairs stage, no stage wider than the gram count.
+  // strings materialized) feeding ONE gh-keyed exchange that BOTH the
+  // duplicate-count aggregation and the join-back consume (same key →
+  // ReuseExchange; the dup side is never broadcast — it scales with
+  // the corpus), then ONE doc_id shuffle folds the per-doc report. No
+  // all-pairs stage, no second scan, no stage wider than the gram
+  // count.
   /** The (doc_id[, carry…], n, p, gh) overlapping-8-token-window frame —
     * the ONE gram definition shared by the batch d_dup_span_coverage and
     * the streaming calibrate/apply (DupSpanStreamSpec pins the duals
@@ -2244,21 +2250,23 @@ FROM r GROUP BY 1"""),
       val dup = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
-        .select(col("gh"))
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      val cov = grams.join(dup, Seq("gh"))
-        .withColumn("prev_end", coalesce(lag(col("p"), 1).over(w) + lit(8), lit(0)))
-        .withColumn("cv", expr("cast(p + 8 - greatest(p, prev_end) AS bigint)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_grams"), sum(col("cv")).as("covered_tokens"))
-      grams.groupBy(col("doc_id"), col("n"))
-        .agg(count(lit(1)).as("n_grams"))
-        .join(cov, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n").cast("long").as("n_tokens"), col("n_grams"),
-          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-          round(coalesce(col("covered_tokens"), lit(0L)) / col("n").cast("double")
-            + lit(1e-9), 4).as("dup_frac"))
+        .select(col("gh"), lit(true).as("isdup"))
+      grams.join(dup, Seq("gh"), "left")
+        .groupBy(col("doc_id"), col("n"))
+        .agg(count(lit(1)).as("n_grams"),
+          collect_list(when(col("isdup"), col("p"))).as("ps"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("n_grams"),
+          expr("cast(size(ps) AS bigint)").as("n_dup_grams"),
+          expr("""aggregate(array_sort(ps),
+              named_struct('e', 0, 't', cast(0 AS bigint)),
+              (acc, p) -> named_struct(
+                'e', greatest(acc.e, p + 8),
+                't', acc.t + cast(p + 8 - greatest(p, acc.e) AS bigint)),
+              acc -> acc.t)""").as("covered_tokens"))
+        .withColumn("dup_frac",
+          round(col("covered_tokens") / col("n_tokens").cast("double")
+            + lit(1e-9), 4))
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                   len(string_split(text, ' ')) AS n
