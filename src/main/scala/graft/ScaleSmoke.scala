@@ -88,7 +88,11 @@ object ScaleSmoke {
     // ratio prices that nothing outgrows the gram count. IVF balance —
     // one assignment scan into a 16-row frame.
     "e_knn_opq", "e_knn_opq_indexed", "d_dup_span_coverage",
-    "e_ivf_balance")
+    "e_ivf_balance",
+    // span-granular dedup rewrite: the coverage op's gram shuffle plus
+    // a gh-window (count + first-occurrence rank) and the narrow text
+    // rejoin — the ratio prices that the rewrite stays gram-bounded
+    "d_dup_span_rewrite")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */

@@ -2291,6 +2291,76 @@ FROM tot LEFT JOIN a USING (doc_id)"""),
     "Exact duplicated-span coverage: overlapping 8-token window hashes, corpus-wide duplicate marking, per-doc interval-union token coverage (Lee et al. 2022 metric).")
 
   // ---------------------------------------------------------------------
+  // Duplicated-SPAN rewrite (round 16) — the removal step of Lee et al.
+  // 2022 at span granularity: for every duplicated 8-token window
+  // (corpus count >= 2), the corpus-wide FIRST occurrence under the
+  // deterministic (doc_id, p) total order survives; every token covered
+  // by a LATER occurrence's [p, p+8) window is cut, and the output is
+  // the rewritten corpus (kept tokens re-joined in document order) plus
+  // retention counts. Completes the dedup-editing family:
+  // d_boilerplate_segments FLAGS (non-overlapping tiles),
+  // d_segment_dedup_rewrite EDITS at tile granularity (a duplicate
+  // straddling a tile boundary is invisible), d_dup_span_coverage
+  // REPORTS at span granularity — this op EDITS at span granularity:
+  // two identical documents leave exactly one intact copy; a document
+  // repeating its own first half loses only the repeat.
+  // Scale shape (100 TB): the gram frame (doc_id, pos, 8-byte hash —
+  // never text) goes through ONE gh-keyed exchange where BOTH window
+  // functions (occurrence count, first-occurrence rank) evaluate, then
+  // one doc_id aggregation collects each doc's removal starts
+  // (doc-length-bounded list), and ONE narrow doc_id equi-join back to
+  // `documents` rebuilds the text — the text rides only this final
+  // join, never the gram shuffle. Per-doc mask work is
+  // O(n_tokens x removals), both doc-bounded.
+  private val dDupSpanRewrite = GQuery(
+    "d_dup_span_rewrite",
+    (s, dir) => {
+      val wCnt = Window.partitionBy("gh")
+      val wRn = Window.partitionBy("gh").orderBy(col("doc_id"), col("p"))
+      val rm = dupSpanGrams(docs(s, dir))
+        .withColumn("cnt", count(lit(1)).over(wCnt))
+        .withColumn("rn", row_number().over(wRn))
+        .filter(col("cnt") >= 2 && col("rn") >= 2)
+        .groupBy(col("doc_id"))
+        .agg(expr("sort_array(collect_list(p))").as("rs"))
+      docs(s, dir)
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("size(toks)"))
+        .filter(col("n") >= 8)
+        .join(rm, Seq("doc_id"), "left")
+        .withColumn("rs", expr("coalesce(rs, cast(array() AS array<int>))"))
+        .withColumn("keep_idx", expr(
+          "filter(sequence(0, n - 1), i -> NOT exists(rs, rr -> rr <= i AND i <= rr + 7))"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          expr("cast(size(keep_idx) AS bigint)").as("kept_tokens"),
+          expr("concat_ws(' ', transform(keep_idx, i -> element_at(toks, i + 1)))")
+            .as("new_text"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+g AS (SELECT doc_id, n, unnest(range(n - 7)) AS p, toks FROM t),
+h AS (SELECT doc_id, n, p,
+        ('0x' || substr(md5(array_to_string(toks[p + 1 : p + 8], chr(1))), 1, 12))::BIGINT AS gh
+      FROM g),
+r AS (SELECT doc_id, p,
+        count(*) OVER (PARTITION BY gh) AS cnt,
+        row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+      FROM h),
+rm AS (SELECT doc_id, list(p ORDER BY p) AS rs
+       FROM r WHERE cnt >= 2 AND rn >= 2 GROUP BY 1),
+k AS (SELECT t.doc_id, t.n, t.toks,
+        list_filter(range(t.n), i -> len(list_filter(
+          coalesce(rm.rs, CAST([] AS BIGINT[])),
+          rr -> rr <= i AND i <= rr + 7)) = 0) AS keep_idx
+      FROM t LEFT JOIN rm USING (doc_id))
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(keep_idx) AS BIGINT) AS kept_tokens,
+       coalesce(array_to_string(list_transform(keep_idx, i -> toks[i + 1]), ' '), '') AS new_text
+FROM k"""),
+    "Span-granular dedup rewrite: corpus-wide first occurrence of each duplicated 8-token window survives; tokens under later occurrences are cut (Lee et al. 2022 removal step).")
+
+  // ---------------------------------------------------------------------
   // BPE merge induction — vocabulary building for the tokenizer itself
   // (Sennrich et al. '16): iteratively merge the corpus's most frequent
   // adjacent symbol pair, starting from characters. The 100 TB shape is
@@ -2556,5 +2626,5 @@ FROM c"""),
     dChunkOverlap, dBoilerplate, dQualityPrune,
     tGopherRules, dSourceQuota, dCrossSourceOverlap, dLshBandTuning,
     dContainmentPairs, dClusterSizeProfile, tZipfFit, dPerplexityBand,
-    dEpochPlan, dSegmentDedupRewrite, dDupSpanCoverage)
+    dEpochPlan, dSegmentDedupRewrite, dDupSpanCoverage, dDupSpanRewrite)
 }

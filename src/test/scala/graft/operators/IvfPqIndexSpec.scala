@@ -582,12 +582,42 @@ class IvfPqIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
   }
 
+  test("stats reports the lifecycle numbers from manifests alone, through add/delete/purge") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("stats")
+    assert(IvfPqIndex.stats(s, root).isEmpty, "stats invented a generation")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    val base = IvfPqIndex.stats(s, root).get
+    assert(base.generation === 1L && !base.opq && !base.mutated && !base.purged)
+    assert(base.ledgerRows === 0L && base.tombstoneRows === 0L)
+    assert(base.driftAlert.isEmpty)
+    assert(base.codedRows > 0L && base.codedFiles > 0L)
+    // adds show up as coded rows + WAL depth + the mutation witness
+    val novel = (9300L until 9306L).map { id =>
+      (id, (0 until 64).map(i => (math.cos(id * 3.7 + i) * 0.9).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    IvfPqIndex.addVectors(s, root, novel, batchId = 1L)
+    val added = IvfPqIndex.stats(s, root).get
+    assert(added.codedRows === base.codedRows + 6 && added.ledgerRows === 6L)
+    assert(added.mutated && !added.purged)
+    // deletes are purge backlog; purge drains it and flags the rewrite
+    assert(IvfPqIndex.deleteVectors(s, root, Seq(9300L, 9301L), batchId = 2L) === 2L)
+    assert(IvfPqIndex.stats(s, root).get.tombstoneRows === 2L)
+    IvfPqIndex.purgeDeleted(s, root)
+    val purged = IvfPqIndex.stats(s, root).get
+    assert(purged.tombstoneRows === 0L && purged.purged)
+    assert(purged.codedRows === base.codedRows + 4)
+    assert(purged.ledgerRows === 4L, "purge must drop purged ids from the WAL too")
+  }
+
   test("opq: persisted rotated index equals the in-query OPQ sibling; rotation stored frozen") {
     val s = spark
     val root = tmpRoot("opq_eq")
     assert(IvfPqIndex.ensure(s, sfDir, root, opq = true).contains(1L))
     // the rotation rides the generation — the plain flavor never writes one
     assert(new java.io.File(s"$root/g1/rotation").exists())
+    assert(IvfPqIndex.stats(s, root).exists(_.opq), "stats missed the flavor")
     // build-once: a second ensure of the same flavor reuses generation 1
     assert(IvfPqIndex.ensure(s, sfDir, root, opq = true).contains(1L))
     val indexed = rows(IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3))
