@@ -152,6 +152,16 @@ class PlanHygieneSpec extends SparkSpec {
       "column pruning regressed — the scan reads more than doc_id/lang")
   }
 
+  test("the gram family prunes the documents scan to (doc_id, text) (d_dup_span_coverage)") {
+    // the gram frame projects doc_id + window hashes only; the scan must
+    // not drag lang/source/n_chars through the corpus-wide explode
+    val plan = SparkEntry.queries("d_dup_span_coverage")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning regressed — the gram scan reads more than doc_id/text:\n" +
+        plan.split("\n").filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("the 3-column projection prunes the documents scan (d_hash_sample)") {
     val plan = SparkEntry.queries("d_hash_sample")(spark, sfDir)
       .queryExecution.executedPlan.toString
