@@ -760,9 +760,19 @@ object IvfPqIndex {
     * the create-once monitor verbatim. None = no committed generation.
     * Pairs with [[EmbeddingOps]]'s e_ivf_balance (cell skew) the way
     * the drift monitor pairs with t_source_kl: one watches the model,
-    * one watches the layout, this reports the lifecycle. */
-  def stats(s: SparkSession, root: String): Option[IndexStats] =
-    currentGeneration(root).map { g =>
+    * one watches the layout, this reports the lifecycle.
+    *
+    * Concurrency (ADVICE r16): the reads deliberately do NOT take
+    * [[withBuildLock]] — a poller must not block behind a multi-minute
+    * build — so a concurrent handoff/purge/generation-GC can delete
+    * generation g's files between `currentGeneration` and the
+    * manifest/marker reads. Any such mid-read failure is caught and the
+    * read RETRIES against the then-current generation; if the second
+    * attempt also loses the race (two swaps inside one poll — not a
+    * steady state), it returns None, which a scheduled poller treats as
+    * "try again next tick", never a crash. */
+  def stats(s: SparkSession, root: String): Option[IndexStats] = {
+    def readGen(g: Long): IndexStats = {
       // manifest aggs are bounded by the table's FILE count (one row
       // per file), so the driver-side head() reads a tiny frame
       def tbl(sink: ManifestedParquetSink): (Long, Long) =
@@ -783,6 +793,22 @@ object IvfPqIndex {
         FsIo.readString(s"${genPath(root, g)}/_purged").isDefined,
         FsIo.readString(s"${genPath(root, g)}/_drift_alert"))
     }
+    @annotation.tailrec
+    def go(attempt: Int): Option[IndexStats] =
+      currentGeneration(root) match {
+        case None => None
+        case Some(g) =>
+          val read =
+            try Some(readGen(g))
+            catch { case scala.util.control.NonFatal(_) => None }
+          read match {
+            case some @ Some(_) => some
+            case None if attempt == 0 => go(1)
+            case None => None
+          }
+      }
+    go(0)
+  }
 
   /** DRIFT-ALERT RECOVERY — the generation swap with NO vector loss
     * (round-16 verdict task 1). The operational loop this closes:

@@ -2251,12 +2251,11 @@ FROM r GROUP BY 1"""),
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
         .select(col("gh"), lit(true).as("isdup"))
-      grams.join(dup, Seq("gh"), "left")
-        .groupBy(col("doc_id"), col("n"))
+      val rep = grams.join(dup, Seq("gh"), "left")
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           collect_list(when(col("isdup"), col("p"))).as("ps"))
-        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-          col("n_grams"),
+        .select(col("doc_id"), col("n_grams"),
           expr("cast(size(ps) AS bigint)").as("n_dup_grams"),
           expr("""aggregate(array_sort(ps),
               named_struct('e', 0, 't', cast(0 AS bigint)),
@@ -2264,14 +2263,28 @@ FROM r GROUP BY 1"""),
                 'e', greatest(acc.e, p + 8),
                 't', acc.t + cast(p + 8 - greatest(p, acc.e) AS bigint)),
               acc -> acc.t)""").as("covered_tokens"))
+      // ADVICE r16: n<8-token docs carry no 8-token window and so no
+      // gram rows — they must still APPEAR in the report (dup_frac 0),
+      // or corpus-level totals computed from it undercount and doc-level
+      // "drop if > X% duplicated" consumers never see them. The report
+      // left-joins back to the full corpus on doc_id (narrow 2-column
+      // scan, co-partitioned with the aggregation output).
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("cast(size(split(text, ' ')) AS bigint)").as("n_tokens"))
+        .join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
         .withColumn("dup_frac",
           round(col("covered_tokens") / col("n_tokens").cast("double")
             + lit(1e-9), 4))
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                   len(string_split(text, ' ')) AS n
-           FROM documents WHERE len(string_split(text, ' ')) >= 8),
-g AS (SELECT doc_id, n, unnest(range(n - 7)) AS p, toks FROM t),
+           FROM documents),
+g AS (SELECT doc_id, n, unnest(range(n - 7)) AS p, toks FROM t WHERE n >= 8),
 h AS (SELECT doc_id, n, p,
         ('0x' || substr(md5(array_to_string(toks[p + 1 : p + 8], chr(1))), 1, 12))::BIGINT AS gh
       FROM g),
@@ -2282,12 +2295,13 @@ dp AS (SELECT h.doc_id, h.p,
 a AS (SELECT doc_id, count(*) AS n_dup_grams,
         CAST(sum(p + 8 - lo) AS BIGINT) AS covered_tokens
       FROM dp GROUP BY 1),
-tot AS (SELECT doc_id, n, count(*) AS n_grams FROM h GROUP BY 1, 2)
-SELECT tot.doc_id, CAST(tot.n AS BIGINT) AS n_tokens, tot.n_grams,
+tot AS (SELECT doc_id, count(*) AS n_grams FROM h GROUP BY 1)
+SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       COALESCE(tot.n_grams, 0) AS n_grams,
        COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
        COALESCE(a.covered_tokens, 0) AS covered_tokens,
-       round(COALESCE(a.covered_tokens, 0) / CAST(tot.n AS DOUBLE) + 1e-9, 4) AS dup_frac
-FROM tot LEFT JOIN a USING (doc_id)"""),
+       round(COALESCE(a.covered_tokens, 0) / CAST(t.n AS DOUBLE) + 1e-9, 4) AS dup_frac
+FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN a USING (doc_id)"""),
     "Exact duplicated-span coverage: overlapping 8-token window hashes, corpus-wide duplicate marking, per-doc interval-union token coverage (Lee et al. 2022 metric).")
 
   // ---------------------------------------------------------------------
@@ -2323,10 +2337,16 @@ FROM tot LEFT JOIN a USING (doc_id)"""),
         .filter(col("cnt") >= 2 && col("rn") >= 2)
         .groupBy(col("doc_id"))
         .agg(expr("sort_array(collect_list(p))").as("rs"))
+      // ADVICE r16: NO n>=8 filter on the corpus side — a short doc
+      // cannot contain a duplicated 8-token window, so a Lee-et-al-style
+      // removal must pass it through VERBATIM (new_text = text,
+      // kept_tokens = n_tokens), not silently drop it from the rewritten
+      // corpus. The >=8 filter lives only in dupSpanGrams (the gram
+      // side); short docs left-join to no removal list and keep all
+      // positions.
       docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .withColumn("n", expr("size(toks)"))
-        .filter(col("n") >= 8)
         .join(rm, Seq("doc_id"), "left")
         .withColumn("rs", expr("coalesce(rs, cast(array() AS array<int>))"))
         .withColumn("keep_idx", expr(
@@ -2338,8 +2358,8 @@ FROM tot LEFT JOIN a USING (doc_id)"""),
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                   len(string_split(text, ' ')) AS n
-           FROM documents WHERE len(string_split(text, ' ')) >= 8),
-g AS (SELECT doc_id, n, unnest(range(n - 7)) AS p, toks FROM t),
+           FROM documents),
+g AS (SELECT doc_id, n, unnest(range(n - 7)) AS p, toks FROM t WHERE n >= 8),
 h AS (SELECT doc_id, n, p,
         ('0x' || substr(md5(array_to_string(toks[p + 1 : p + 8], chr(1))), 1, 12))::BIGINT AS gh
       FROM g),

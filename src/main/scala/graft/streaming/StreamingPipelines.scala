@@ -527,7 +527,13 @@ object StreamingPipelines {
     * replayed gram already counts its own corpus occurrence — the
     * parity pin); production ingest of NOVEL documents uses 1 (the
     * arriving occurrence plus >= 1 in-corpus = duplicated). Callers
-    * watermark `ts` first. */
+    * watermark `ts` first.
+    * Scope: only gram-ELIGIBLE arrivals (n >= 8 tokens) emit a row —
+    * a shorter doc cannot be span-duplicated, and a row-per-arrival
+    * ingest monitor has no batch report to reconcile against (the
+    * BATCH d_dup_span_coverage, per ADVICE r16, reports short docs
+    * with dup_frac 0 so corpus roll-ups stay exact; here a missing
+    * row already means "nothing to flag"). */
   def dupSpanStream(docsStream: DataFrame, gramTable: DataFrame,
       windowDur: String = "1 hour", minDup: Long = 2L): DataFrame =
     graft.operators.TextOps.dupSpanGrams(docsStream, carry = Seq("ts"))

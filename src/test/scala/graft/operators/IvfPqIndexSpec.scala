@@ -611,6 +611,27 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(purged.ledgerRows === 4L, "purge must drop purged ids from the WAL too")
   }
 
+  test("stats survives generation files vanishing mid-read (ADVICE r16)") {
+    val s = spark
+    val root = tmpRoot("stats_race")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    assert(IvfPqIndex.stats(s, root).isDefined)
+    // Simulate the swap race a scheduled poller can hit: a concurrent
+    // build's generation GC (or purge/handoff) deletes the coded
+    // manifest's parquet data AFTER the poller resolved generation 1.
+    // The committed version marker still resolves, so the manifest READ
+    // throws — stats must catch, retry, and come back None (poll again
+    // next tick), never propagate the crash into the scheduler.
+    val mroot = new java.io.File(s"$root/g1/coded_manifest")
+    val vdirs = Option(mroot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(vdirs.nonEmpty, "fixture: no committed manifest version found")
+    vdirs.foreach(_.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete())))
+    assert(IvfPqIndex.stats(s, root).isEmpty,
+      "stats must degrade to None when the generation vanishes mid-read")
+  }
+
   test("opq: persisted rotated index equals the in-query OPQ sibling; rotation stored frozen") {
     val s = spark
     val root = tmpRoot("opq_eq")
