@@ -320,9 +320,37 @@ object Bench {
     val bwRatio = (BwRefGbps / bwMedian).max(1.0).min(2.0)
     val hostRatio = (spinRatio * bwRatio).max(1.0).min(3.0)
     val normSpq = rawSpq / hostRatio
-    val verdict = if (normSpq <= GateSpq) "pass" else "weak"
+    // --- Per-query regression gate (round-17): the VERDICT is now "no
+    // query exceeds 2x its own committed host-normalized reference"
+    // (bench_ref.json; see BenchGate's scaladoc for why the fleet
+    // average was mix-sensitive and had to become telemetry). The
+    // fleet norm_spq / 0.55 check remains REPORTED below for
+    // round-over-round comparability, and stays the fallback verdict
+    // when no ledger applies (missing file or sf mismatch — e.g. local
+    // sf0.001 iteration runs are never graded against sf0.1 entries).
+    val fleetVerdict = if (normSpq <= GateSpq) "pass" else "weak"
+    val sfName = new java.io.File(sfDir).getName
+    val normByQ: Map[String, Double] =
+      results.collect { case (k, Some(v)) => k -> v / hostRatio }.toMap
+    val refOpt = BenchGate.load().filter(_.sf == sfName)
+    val regs = refOpt.map(r => BenchGate.regressions(r.norms, normByQ))
+      .getOrElse(Seq.empty)
+    val refN = refOpt.map(r => normByQ.keysIterator.count(r.norms.contains))
+      .getOrElse(0)
+    val unrefN = normByQ.size - refN
+    val (gateKind, verdict) = refOpt match {
+      case Some(_) =>
+        ("per_query_v1", if (regs.isEmpty) "pass" else "weak")
+      case None => ("fleet_fallback", fleetVerdict)
+    }
+    if (sys.env.get("SPARK_GRAFT_UPDATE_REF").contains("1")) {
+      val base = refOpt.map(_.norms).getOrElse(Map.empty)
+      BenchGate.save(BenchGate.RefFile, sfName, BenchGate.merged(base, normByQ))
+      System.err.println(s"[bench] ${BenchGate.RefFile} updated (" +
+        s"${normByQ.size} measured into ${base.size} existing entries)")
+    }
     val gate =
-      s"""{"raw_spq":${num(rawSpq)},"spin_ratio":${num(spinRatio)},"bw_ratio":${num(bwRatio)},"bw_median_gbps":${num(bwMedian)},"bw_ref_gbps":$BwRefGbps,"host_ratio":${num(hostRatio)},"norm_spq":${num(normSpq)},"threshold":$GateSpq,"verdict":"$verdict","compute_n":$computeN,"maint_n":$maintN,"maint_sec":${num(maintSec)},"maint_lane":[${maintenanceLane.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"raw_spq":${num(rawSpq)},"spin_ratio":${num(spinRatio)},"bw_ratio":${num(bwRatio)},"bw_median_gbps":${num(bwMedian)},"bw_ref_gbps":$BwRefGbps,"host_ratio":${num(hostRatio)},"norm_spq":${num(normSpq)},"threshold":$GateSpq,"fleet_verdict":"$fleetVerdict","gate_kind":"$gateKind","ref_n":$refN,"unref_n":$unrefN,"regressions_n":${regs.size},"regressions":${BenchGate.regsJson(regs)},"verdict":"$verdict","compute_n":$computeN,"maint_n":$maintN,"maint_sec":${num(maintSec)},"maint_lane":[${maintenanceLane.map("\"" + _ + "\"").mkString(",")}]}"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"gate":$gate,"queries":$head,"sf":"$sfDir"}"""
     // Full map for forensics/BASELINE.md (stderr + file — NOT stdout, where
@@ -332,7 +360,7 @@ object Bench {
       ordered.collect { case (k, _) if m.contains(k) => "\"" + k + "\":" + fmt(m(k)) }
         .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":${num(total)},"sf":"$sfDir","queries":$detail,"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"gate":$gate,"pass1":${mapJson(pass1.view.mapValues(identity).toMap)},"pass2":${mapJson(pass2)},"pass3":${mapJson(pass3)}}""" + "\n")
+      s"""{"total":${num(total)},"sf":"$sfDir","queries":$detail,"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"gate":$gate,"regressions_full":${BenchGate.regsJson(regs, Int.MaxValue)},"pass1":${mapJson(pass1.view.mapValues(identity).toMap)},"pass2":${mapJson(pass2)},"pass3":${mapJson(pass3)}}""" + "\n")
     catch { case _: Throwable => }
     // Quiet shutdown so nothing lands after the JSON line but sbt's one
     // [success] trailer.

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-query bench regression gate (round-17 verdict task 1) —
+  * pure-function pins plus a ledger round-trip, including the verdict's
+  * "one simulated regression caught" requirement. */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val ref = Map(
+    "q_fast" -> 0.050, // micro map-only plan
+    "q_mid" -> 0.400,
+    "q_heavy" -> 1.500)
+
+  test("a genuine 2x+ regression on a non-micro query is caught") {
+    val measured = Map("q_fast" -> 0.060, "q_mid" -> 0.900, "q_heavy" -> 1.400)
+    val regs = BenchGate.regressions(ref, measured)
+    assert(regs.map(_.query) === Seq("q_mid"))
+    assert(regs.head.ratio > 2.0 && regs.head.refSec === 0.400)
+  }
+
+  test("micro-query jitter below the absolute noise floor is not a regression") {
+    // 2.4x ratio but only +0.07 s — the e_knn_ivf 0.37->0.59 s noise
+    // class the round-16 audit documented; a ratio-only gate would
+    // flip the verdict on scheduler noise
+    val regs = BenchGate.regressions(ref, Map("q_fast" -> 0.120))
+    assert(regs.isEmpty)
+  }
+
+  test("just-under-2x on a heavy query passes; just-over fails") {
+    assert(BenchGate.regressions(ref, Map("q_heavy" -> 2.990)).isEmpty)
+    assert(BenchGate.regressions(ref, Map("q_heavy" -> 3.010)).nonEmpty)
+  }
+
+  test("a query with no reference entry never regresses (first run seeds)") {
+    assert(BenchGate.regressions(ref, Map("q_new" -> 99.0)).isEmpty)
+  }
+
+  test("merge takes the per-query min and admits new queries") {
+    val m = BenchGate.merged(ref,
+      Map("q_mid" -> 0.300, "q_heavy" -> 9.000, "q_new" -> 0.700))
+    assert(m("q_mid") === 0.300, "an improvement must tighten the ledger")
+    assert(m("q_heavy") === 1.500, "a slow run must never loosen the ledger")
+    assert(m("q_fast") === 0.050, "an unmeasured query keeps its entry")
+    assert(m("q_new") === 0.700, "a new query enters at its first time")
+  }
+
+  test("ledger save/load round-trips, including the sf tag") {
+    val p = java.nio.file.Files.createTempFile("bench_ref", ".json").toString
+    BenchGate.save(p, "sf0.1", ref)
+    val back = BenchGate.load(p).get
+    assert(back.sf === "sf0.1")
+    assert(back.norms === ref.view.mapValues(v =>
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap)
+  }
+
+  test("a missing ledger file loads as None, never throws") {
+    assert(BenchGate.load("/tmp/definitely-missing-bench-ref.json").isEmpty)
+  }
+
+  test("the committed repo ledger parses and covers the registry") {
+    val r = BenchGate.load("bench_ref.json")
+      .orElse(BenchGate.load("/root/repo/bench_ref.json")).get
+    assert(r.sf === "sf0.1")
+    // every ledgered query must still exist (renames must prune the
+    // ledger), and coverage must stay near-total so the gate means
+    // something — new queries are allowed to lag one round
+    val registry = SparkEntry.queries.keySet
+    val orphans = r.norms.keySet.diff(registry)
+    assert(orphans.isEmpty, s"ledger entries for unregistered queries: $orphans")
+    assert(r.norms.size >= registry.size - 10,
+      s"ledger covers ${r.norms.size} of ${registry.size} queries — refresh it")
+    assert(r.norms.values.forall(v => v >= 0.0 && v < 60.0),
+      "implausible ledger entry")
+  }
+}
