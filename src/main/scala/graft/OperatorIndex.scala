@@ -33,6 +33,8 @@ object OperatorIndex {
     "StreamingPipelines.sourceKl" -> "t_source_kl",
     "StreamingPipelines.dupSpanCalibrate" -> "d_dup_span_coverage",
     "StreamingPipelines.dupSpanStream" -> "d_dup_span_coverage",
+    "StreamingPipelines.dupSpanRewriteCalibrate" -> "d_dup_span_rewrite",
+    "StreamingPipelines.dupSpanRewriteStream" -> "d_dup_span_rewrite",
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
     "StreamingPipelines.streamingKnn" -> "e_knn_brute",
     "StreamingPipelines.decontaminate" -> "d_decontaminate",

@@ -354,6 +354,23 @@ object StreamBench {
             d.out, d.ckpt)
         }
       },
+      // round-17 (verdict task 3): the EDITING counterpart — arriving
+      // docs scored into quarantine reports (removal spans + kept token
+      // count) against the calibrated first-occurrence gram table. Same
+      // kernel and join shape as dup_span_windowed plus the min(struct)
+      // in the calibrate (outside the window, as ever); the apply
+      // join-back is priced where it runs — the batch consumer — not
+      // the ingest lane.
+      {
+        val gramTable = graft.Checkpoints.pin(
+          StreamingPipelines.dupSpanRewriteCalibrate(spark, "/root/testdata/sf0.001"))
+        runDocs("dup_span_rewrite_windowed", math.max(2048, n / 10)) { d =>
+          Sinks.file(StreamingPipelines.dupSpanRewriteStream(
+              docsStream(d.in).withWatermark("ts", "1 minute"),
+              gramTable, windowDur = "5 minutes", minDup = 1L),
+            d.out, d.ckpt)
+        }
+      },
       // round-16 (verdict-r15 task 1): persisted-index ingest with ONE
       // generation swap inside the measured window — phase 1 lands into
       // g1, handoff retrains g2 and re-codes the whole ledger tail

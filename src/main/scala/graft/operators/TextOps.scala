@@ -2326,6 +2326,33 @@ FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN a USING (doc_id)"""),
   // `documents` rebuilds the text — the text rides only this final
   // join, never the gram shuffle. Per-doc mask work is
   // O(n_tokens x removals), both doc-bounded.
+  /** Rebuild the rewritten corpus from a (doc_id, rs: array<int>)
+    * removal-starts frame: every token under any [r, r+8) window is
+    * cut, the rest re-join in document order. ONE narrow doc_id
+    * equi-join — the text never rides a gram shuffle. Shared verbatim
+    * by the batch d_dup_span_rewrite and the apply step of the
+    * streaming quarantine report ([[graft.streaming.StreamingPipelines
+    * .dupSpanRewriteStream]] — DupSpanRewriteStreamSpec pins the duals
+    * equal through this function).
+    * ADVICE r16: NO n>=8 filter on the corpus side — a short doc
+    * cannot contain a duplicated 8-token window, so a Lee-et-al-style
+    * removal must pass it through VERBATIM (new_text = text,
+    * kept_tokens = n_tokens), not silently drop it from the rewritten
+    * corpus. Docs absent from `rm` — short or simply clean — left-join
+    * to no removal list and keep every position. */
+  private[graft] def dupSpanApplyRemovals(d: DataFrame,
+      rm: DataFrame): DataFrame =
+    d.withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("n", expr("size(toks)"))
+      .join(rm, Seq("doc_id"), "left")
+      .withColumn("rs", expr("coalesce(rs, cast(array() AS array<int>))"))
+      .withColumn("keep_idx", expr(
+        "filter(sequence(0, n - 1), i -> NOT exists(rs, rr -> rr <= i AND i <= rr + 7))"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        expr("cast(size(keep_idx) AS bigint)").as("kept_tokens"),
+        expr("concat_ws(' ', transform(keep_idx, i -> element_at(toks, i + 1)))")
+          .as("new_text"))
+
   private val dDupSpanRewrite = GQuery(
     "d_dup_span_rewrite",
     (s, dir) => {
@@ -2337,24 +2364,7 @@ FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN a USING (doc_id)"""),
         .filter(col("cnt") >= 2 && col("rn") >= 2)
         .groupBy(col("doc_id"))
         .agg(expr("sort_array(collect_list(p))").as("rs"))
-      // ADVICE r16: NO n>=8 filter on the corpus side — a short doc
-      // cannot contain a duplicated 8-token window, so a Lee-et-al-style
-      // removal must pass it through VERBATIM (new_text = text,
-      // kept_tokens = n_tokens), not silently drop it from the rewritten
-      // corpus. The >=8 filter lives only in dupSpanGrams (the gram
-      // side); short docs left-join to no removal list and keep all
-      // positions.
-      docs(s, dir)
-        .withColumn("toks", expr("split(text, ' ')"))
-        .withColumn("n", expr("size(toks)"))
-        .join(rm, Seq("doc_id"), "left")
-        .withColumn("rs", expr("coalesce(rs, cast(array() AS array<int>))"))
-        .withColumn("keep_idx", expr(
-          "filter(sequence(0, n - 1), i -> NOT exists(rs, rr -> rr <= i AND i <= rr + 7))"))
-        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-          expr("cast(size(keep_idx) AS bigint)").as("kept_tokens"),
-          expr("concat_ws(' ', transform(keep_idx, i -> element_at(toks, i + 1)))")
-            .as("new_text"))
+      dupSpanApplyRemovals(docs(s, dir), rm)
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                   len(string_split(text, ' ')) AS n

@@ -554,6 +554,67 @@ object StreamingPipelines {
         round(col("covered_tokens") / col("n_tokens").cast("double")
           + lit(1e-9), 4))
 
+  /** Calibrate the vs-corpus duplicated-span REWRITE (round-17 verdict
+    * task 3): one row per corpus gram hash with its occurrence count
+    * AND the corpus-wide first occurrence under the (doc_id, p) total
+    * order — exactly what [[dupSpanRewriteStream]] needs to replay the
+    * batch rule "the first occurrence survives, later ones are cut"
+    * without a window function over the stream (min(struct) is the
+    * same lexicographic order the batch row_number sorts by). Same
+    * deliberate non-broadcast stance as [[dupSpanCalibrate]]: the gram
+    * table is corpus-sized and stays a real table. */
+  def dupSpanRewriteCalibrate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.dupSpanGrams(graft.Tables.t(s, dir, "documents"))
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("first_occ"))
+
+  /** Streaming dual of the batch `d_dup_span_rewrite` — the EDITING
+    * counterpart of [[dupSpanStream]]'s monitor: each arriving doc is
+    * scored against the calibrated corpus and emitted as a QUARANTINE
+    * REPORT (window, doc_id, n_tokens, rs = sorted removal-start
+    * positions, kept_tokens): every 8-token window whose hash is
+    * duplicated at the threshold (corpus count >= minDup) and is NOT
+    * the recorded corpus-wide first occurrence is marked for removal.
+    * The report deliberately carries removal SPANS, not rewritten
+    * text — text riding the n-grams-per-doc shuffle is the exact scale
+    * smell the batch op's narrow join-back avoids, and the apply step
+    * is the SHARED [[graft.operators.TextOps.dupSpanApplyRemovals]]
+    * (one doc_id equi-join wherever the consumer lands the batch);
+    * DupSpanRewriteStreamSpec pins report->apply == batch row-for-row
+    * on the calibration corpus. Plan: the batch gram kernel (shared
+    * [[graft.operators.TextOps.dupSpanGrams]]), ONE stateless
+    * stream-static left equi join, ONE windowed per-(doc, window)
+    * aggregation whose state is the doc-length-bounded removal list;
+    * kept_tokens falls out of the family's interval-union fold.
+    * `minDup` follows [[dupSpanStream]]: 2 replays the batch semantics
+    * exactly when the stream IS the calibration corpus (the parity
+    * pin — including WITHIN-doc repeats, whose first occurrence the
+    * calibrated first_occ records); production ingest of NOVEL docs
+    * uses 1 (any corpus match cuts — the arrival is by definition a
+    * later occurrence; a novel doc's internal repeats are intentionally
+    * out of scope for a stateless ingest monitor and reach the batch
+    * pass untouched). Scope: gram-eligible arrivals only (n >= 8),
+    * like every op in this family. Callers watermark `ts` first. */
+  def dupSpanRewriteStream(docsStream: DataFrame, gramTable: DataFrame,
+      windowDur: String = "1 hour", minDup: Long = 2L): DataFrame =
+    graft.operators.TextOps.dupSpanGrams(docsStream, carry = Seq("ts"))
+      .join(gramTable, Seq("gh"), "left")
+      .withColumn("rm",
+        when(coalesce(col("cnt"), lit(0L)) >= minDup &&
+          !(col("first_occ.doc_id") === col("doc_id") &&
+            col("first_occ.p") === col("p")), col("p")))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"), col("n"))
+      .agg(expr("sort_array(collect_list(rm))").as("rs"))
+      .select(col("window"), col("doc_id"),
+        col("n").cast("long").as("n_tokens"), col("rs"),
+        expr("""cast(n AS bigint) - aggregate(rs,
+            named_struct('e', 0, 't', cast(0 AS bigint)),
+            (acc, p) -> named_struct(
+              'e', greatest(acc.e, p + 8),
+              't', acc.t + cast(p + 8 - greatest(p, acc.e) AS bigint)),
+            acc -> acc.t)""").as("kept_tokens"))
+
   /** Streaming dual of the batch `t_code_detect`: code-likeness routing
     * as a STATELESS map over the document stream — the mix-splitting
     * decision (prose pipeline vs code pipeline) made inline during
