@@ -410,6 +410,55 @@ object StreamBench {
         }
         ("ivfpq_ingest_swap", sec, 32 * half)
       },
+      // round-17 (verdict task 4): the STATS-DRIVEN maintenance loop
+      // inside the measured window — phase-1 ingest lands into g1, the
+      // operational events fire (tombstone backlog past policy, then a
+      // drift alert), Jobs.indexMaintenance reads stats and executes
+      // the decision table (purge, then handoff to g2), and the stream
+      // restarts on ITS SAME CHECKPOINT bound to g2 for phase 2. Same
+      // choreography as ivfpq_ingest_swap but with the POLICY deciding
+      // from the operator report instead of hand-placed calls — the
+      // cell prices what a scheduled maintenance tick actually costs.
+      {
+        val sfDir = "/root/testdata/sf0.001"
+        val root = Files.createTempDirectory("sbench-ivfpq-maint").toString
+        graft.operators.IvfPqIndex.build(spark, sfDir, root)
+        val part = n / 64
+        val d = Jobs.Dirs(
+          Files.createTempDirectory("sbench-in-ivfpqmaint").toString,
+          Files.createTempDirectory("sbench-out-ivfpqmaint").toString,
+          Files.createTempDirectory("sbench-ck-ivfpqmaint").toString)
+        Generators.writeCsvFilesWide(d.in, seed = 42, files = 16,
+          perFile = part, users = 100000)
+        def drain(): Unit = {
+          val (good, _) = StreamingPipelines.parseCsvQuarantine(
+            spark.readStream.text(d.in))
+          val vecs = good.selectExpr("event_id + 1000000 AS vec_id",
+            "transform(sequence(1, 64), j -> CAST(sin((event_id + 1) * j) AS float)) AS embedding")
+          val q = graft.operators.IvfPqIndex.startIngest(vecs, root, d.ckpt)
+          try q.processAllAvailable() finally q.stop()
+        }
+        val sec = timed {
+          drain() // phase 1 -> g1
+          graft.operators.IvfPqIndex.deleteVectors(spark, root,
+            (1000001L to 1000064L), batchId = 9000L)
+          val purgeLog = Jobs.indexMaintenance(spark, root,
+            graft.operators.IvfPqIndex.MaintenancePolicy(purgeBacklog = 16L))
+          graft.streaming.FsIo.writeStringAtomic(s"$root/g1/_drift_alert",
+            "bench: simulated drift")
+          val swapLog = Jobs.indexMaintenance(spark, root,
+            graft.operators.IvfPqIndex.MaintenancePolicy(
+              refreshedCorpus = Some(sfDir)))
+          require(purgeLog.exists(_.startsWith("purge")) &&
+            swapLog.exists(_.startsWith("handoff")),
+            s"maintenance cell took wrong actions: $purgeLog $swapLog")
+          Generators.writeCsvFilesWide(d.in, seed = 43, files = 16,
+            perFile = part, users = 100000, fileOffset = 16,
+            idOffset = 16L * part)
+          drain() // same checkpoint, bound to g2, catch-up
+        }
+        ("ivfpq_maintenance", sec, 32 * part)
+      },
       // docs are ~50 tokens each (vs ~5-field CSV events), so the
       // capstone corpus is n/10 docs for a comparable byte volume
       runCapstone(math.max(2048, n / 10)))

@@ -909,4 +909,79 @@ object IvfPqIndex {
         r
       } finally { t.unpersist(); () }
     }
+
+  /** MAINTENANCE: compact ingest debris — recluster the current
+    * generation's coded table back to `numFiles` without touching its
+    * content. Every [[addVectors]]/[[startIngest]] batch appends at
+    * least one file, so a long-lived generation accretes small files
+    * that [[query]]'s manifest pruning must enumerate and the scan
+    * must open; compaction restores the build-time layout (same sink,
+    * same cluster keys, so cell locality — and with it the
+    * union-of-runs pruning — is preserved). Content is unchanged:
+    * `mutated`/pristine gates are NOT touched. Single-writer like
+    * every rewrite here: pause any ingest stream first; scanAsOf
+    * readers of pre-compact coded versions fail loudly after the swap
+    * (recluster's documented contract). */
+  def compactCoded(s: SparkSession, root: String, numFiles: Int = 8,
+      buckets: Int = 4096): graft.operators.Layout.ReclusterReceipt =
+    withBuildLock(root) {
+      val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
+        s"IvfPqIndex: no committed generation under $root — build first"))
+      codedSink(root, g).recluster(s, numFiles, buckets)
+    }
+
+  /** The maintenance DECISION TABLE (round-17 verdict task 4) — the
+    * thresholds a scheduled [[maintain]] tick compares one [[stats]]
+    * report against. `refreshedCorpus` is where a drift-triggered
+    * [[handoff]] retrains from (the refreshed reference corpus the
+    * alert's operator designates); None = drift alerts are surfaced
+    * but handoff stays a human decision. */
+  final case class MaintenancePolicy(
+      purgeBacklog: Long = 1024L,
+      maxCodedFiles: Long = 64L,
+      targetFiles: Int = 8,
+      buckets: Int = 4096,
+      refreshedCorpus: Option[String] = None)
+
+  /** One maintenance TICK: poll [[stats]], execute the decision table,
+    * return the actions taken (empty = quiesced). The operational loop
+    * the round-16 report machinery fed by hand, now driven end-to-end:
+    *
+    *  - drift alert + a designated refreshed corpus → [[handoff]]
+    *    (exclusive: it swaps the generation, so the tick returns and
+    *    the NEXT tick re-reads the new generation's clean stats);
+    *  - tombstone backlog > `purgeBacklog` → [[purgeDeleted]] (which
+    *    itself reclusters, so the follow-up debris check reads FRESH
+    *    stats — a purge usually resolves compaction too);
+    *  - coded files > `maxCodedFiles` → [[compactCoded]].
+    *
+    * None from [[stats]] (no generation, or a concurrent swap lost the
+    * race twice) takes no action — the next tick sees the settled
+    * state. Single-writer contract unchanged: run ticks beside a
+    * PAUSED ingest stream (the rewrites refuse in-flight batches), the
+    * same choreography [[handoff]] documents. */
+  def maintain(s: SparkSession, root: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): Seq[String] =
+    stats(s, root) match {
+      case None => Seq.empty
+      case Some(st) if st.driftAlert.isDefined && policy.refreshedCorpus.isDefined =>
+        handoff(s, policy.refreshedCorpus.get, root, opq = st.opq) match {
+          case Some(g) => Seq(s"handoff:drift:g$g")
+          case None => Seq.empty // refreshed corpus cannot carry an index
+        }
+      case Some(st) =>
+        val purged =
+          if (st.tombstoneRows > policy.purgeBacklog) {
+            purgeDeleted(s, root, policy.targetFiles, policy.buckets)
+            Seq(s"purge:${st.tombstoneRows}")
+          } else Seq.empty
+        val fresh = if (purged.nonEmpty) stats(s, root) else Some(st)
+        val compacted = fresh match {
+          case Some(a) if a.codedFiles > policy.maxCodedFiles =>
+            compactCoded(s, root, policy.targetFiles, policy.buckets)
+            Seq(s"compact:${a.codedFiles}")
+          case _ => Seq.empty
+        }
+        purged ++ compacted
+    }
 }

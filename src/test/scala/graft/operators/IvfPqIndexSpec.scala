@@ -632,6 +632,77 @@ class IvfPqIndexSpec extends SparkSpec {
       "stats must degrade to None when the generation vanishes mid-read")
   }
 
+  test("maintenance: a stats reading drives purge, then the loop quiesces (verdict-r16 task 4)") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("maint_purge")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    val novel = (9400L until 9406L).map { id =>
+      (id, (0 until 64).map(i => (math.cos(id * 3.1 + i) * 0.9).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    IvfPqIndex.addVectors(s, root, novel, batchId = 1L)
+    assert(IvfPqIndex.deleteVectors(s, root, Seq(9400L, 9401L), batchId = 2L) === 2L)
+    val policy = IvfPqIndex.MaintenancePolicy(
+      purgeBacklog = 1L, targetFiles = 4, buckets = 256)
+    val actions = graft.streaming.Jobs.indexMaintenance(s, root, policy)
+    assert(actions.exists(_.startsWith("purge:2")),
+      s"2 tombstones > backlog 1 must drive a purge, got $actions")
+    val after = IvfPqIndex.stats(s, root).get
+    assert(after.tombstoneRows === 0L && after.purged,
+      s"purge did not drain the backlog: $after")
+    assert(graft.streaming.Jobs.indexMaintenance(s, root, policy).isEmpty,
+      "a healthy index must quiesce (no actions on the next loop)")
+  }
+
+  test("maintenance: ingest debris past the file threshold drives compaction, queries unchanged") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("maint_compact")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    val base = IvfPqIndex.stats(s, root).get
+    (1L to 3L).foreach { b =>
+      val novel = Seq(((9500L + b),
+        (0 until 64).map(i => (math.sin((9500 + b) * 2.3 + i) * 0.9).toFloat), 0))
+        .toDF("vec_id", "embedding", "label")
+      IvfPqIndex.addVectors(s, root, novel, batchId = b)
+    }
+    val grown = IvfPqIndex.stats(s, root).get
+    assert(grown.codedFiles > base.codedFiles, "fixture: adds created no debris")
+    val before = rows(IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3))
+    val policy = IvfPqIndex.MaintenancePolicy(
+      purgeBacklog = 1024L, maxCodedFiles = base.codedFiles,
+      targetFiles = base.codedFiles.toInt, buckets = 256)
+    val actions = graft.streaming.Jobs.indexMaintenance(s, root, policy)
+    assert(actions.exists(_.startsWith("compact:")),
+      s"debris ${grown.codedFiles} > ${base.codedFiles} must drive compaction, got $actions")
+    val compacted = IvfPqIndex.stats(s, root).get
+    assert(compacted.codedFiles <= base.codedFiles,
+      s"compaction left ${compacted.codedFiles} files")
+    assert(compacted.codedRows === grown.codedRows, "compaction changed content")
+    assert(rows(IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3)) === before,
+      "compaction changed query results")
+  }
+
+  test("maintenance: a drift alert with a designated refreshed corpus drives handoff") {
+    val s = spark
+    val root = tmpRoot("maint_drift")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    // surface the create-once monitor's alert the way startIngest would
+    graft.streaming.FsIo.writeStringAtomic(s"$root/g1/_drift_alert",
+      "resid_ratio=2.00 baseline=0.5 current=1.0")
+    assert(IvfPqIndex.stats(s, root).get.driftAlert.isDefined)
+    // no refreshed corpus designated: the alert is surfaced, not acted on
+    assert(IvfPqIndex.maintain(s, root,
+      IvfPqIndex.MaintenancePolicy()).isEmpty)
+    val policy = IvfPqIndex.MaintenancePolicy(refreshedCorpus = Some(sfDir))
+    val actions = graft.streaming.Jobs.indexMaintenance(s, root, policy)
+    assert(actions === Seq("handoff:drift:g2"),
+      s"drift + refreshed corpus must drive exactly one handoff, got $actions")
+    val after = IvfPqIndex.stats(s, root).get
+    assert(after.generation === 2L && after.driftAlert.isEmpty,
+      s"handoff must land a clean next generation: $after")
+  }
+
   test("opq: persisted rotated index equals the in-query OPQ sibling; rotation stored frozen") {
     val s = spark
     val root = tmpRoot("opq_eq")
