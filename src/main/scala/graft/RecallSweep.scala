@@ -121,6 +121,40 @@ object RecallSweep {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Deterministic MULTI-SPANNING fixture (round-17 task 2): cluster
+    * identity lives in a THREE-dimensional subspace whose every basis
+    * direction spans all 64 dims (all-ones; half +/half −; alternating
+    * 16-blocks — mutually orthogonal, equal energy in every PQ
+    * subspace), with distinct variances (grid positions scaled 2.4 /
+    * 1.6 / 1.2 on a 4×2×2 layout) so deflated power iteration separates
+    * them deterministically. A rank-1 rotation can capture only the
+    * dominant direction — the other two identity axes stay smeared
+    * across all 8 codebooks; the rank-3 chain hands each to its own
+    * subspace. This is the geometry that prices e_knn_opq3 against
+    * e_knn_opq. Seeds 10..25 are noisy members (sample-seeded
+    * convention). */
+  private[graft] def writeMultiSpanningFixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val rnd = new scala.util.Random(20260817L)
+    val a1 = Array.fill(64)(0.125)
+    val a2 = Array.tabulate(64)(i => if (i < 32) 0.125 else -0.125)
+    val a3 = Array.tabulate(64)(i => if ((i / 16) % 2 == 0) 0.125 else -0.125)
+    val rows = (0L until 500L).map { id =>
+      val k = (id % 16).toInt
+      val p1 = ((k % 4) - 1.5) * 2.4
+      val p2 = (((k / 4) % 2) - 0.5) * 2.0 * 1.6
+      val p3 = (((k / 8) % 2) - 0.5) * 2.0 * 1.2
+      val emb = Array.tabulate(64)(i =>
+        (a1(i) * p1 + a2(i) * p2 + a3(i) * p3
+          + (rnd.nextDouble() * 0.2 - 0.1)).toFloat)
+      (id, emb.toSeq, k)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -142,13 +176,16 @@ object RecallSweep {
     val spanningDir = java.nio.file.Files
       .createTempDirectory("graft_recall_spanning").toString
     writeSpanningFixture(spark, spanningDir)
+    val multiSpanDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_multispan").toString
+    writeMultiSpanningFixture(spark, multiSpanDir)
 
     def num(d: Double): String =
       "%.4f".formatLocal(java.util.Locale.ROOT, d)
 
     val fixtures = Seq("isotropic" -> sfDir, "clustered" -> clusteredDir,
       "misaligned" -> misalignedDir, "anisotropic" -> anisotropicDir,
-      "spanning" -> spanningDir)
+      "spanning" -> spanningDir, "multispan" -> multiSpanDir)
     val blocks = fixtures.map { case (fixName, dir) =>
       // exact truth: brute-force EUCLIDEAN top-3 (e_knn_l2 is top-5) —
       // ADC approximates squared L2, so that is the metric it is graded
@@ -175,7 +212,7 @@ object RecallSweep {
       // prices)
       val cells = for {
         depth <- Seq("ivfpq_untrained", "ivfpq_trained_residual",
-          "ivfpq_trained_coarse1", "ivfpq_opq_trained")
+          "ivfpq_trained_coarse1", "ivfpq_opq_trained", "ivfpq_opq_residual")
         nprobe <- Seq(1, 2, 4)
       } yield {
         val df = depth match {
@@ -186,8 +223,12 @@ object RecallSweep {
           case "ivfpq_trained_coarse1" =>
             operators.EmbeddingOps.ivfPqTrainedResidual(spark, dir, nprobe, 3,
               coarseSteps = 1)
-          case _ =>
+          case "ivfpq_opq_trained" =>
             operators.EmbeddingOps.opqIvfPqTrainedResidual(spark, dir, nprobe, 3)
+          case _ =>
+            // round-17: rotation trained on/applied to residuals AFTER
+            // coarse assignment — the harm-free OPQ ordering
+            operators.EmbeddingOps.opqResidualKnn(spark, dir, nprobe, 3)
         }
         val r = recallOf(df)
         System.err.println(f"[recall] $fixName%-10s $depth%-24s nprobe=$nprobe  recall@3 ${r}%.4f")
@@ -220,7 +261,7 @@ object RecallSweep {
       // L2 distances, so the OPQ column's recall delta isolates what the
       // rotation buys at identical bit budget and candidate volume (all
       // three rank the full corpus).
-      val pqCells = Seq("e_knn_pq", "e_knn_pq_trained", "e_knn_opq")
+      val pqCells = Seq("e_knn_pq", "e_knn_pq_trained", "e_knn_opq", "e_knn_opq3")
         .map { name =>
           val approx = SparkEntry.queries(name)(spark, dir)
             .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
@@ -238,7 +279,8 @@ object RecallSweep {
     // per-run temp fixtures: delete on the way out (the per-run-dir
     // concurrency fix must not turn into an unbounded /tmp leak on a
     // long-lived bench host)
-    Seq(clusteredDir, misalignedDir, anisotropicDir, spanningDir).foreach { d =>
+    Seq(clusteredDir, misalignedDir, anisotropicDir, spanningDir,
+        multiSpanDir).foreach { d =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit

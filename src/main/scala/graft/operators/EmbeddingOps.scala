@@ -370,8 +370,22 @@ FROM (SELECT qid, vec_id, ad,
     * only to ~1e-6 — irrelevant for ranking (both engines share the
     * exact same H) and for recall (the distortion is 12 orders below
     * the signal). */
-  private def opqHouseholder(v: Seq[Double]): Seq[Double] = {
-    val d = v.zipWithIndex.map { case (x, i) => if (i == 0) x - 1.0 else x }
+  private def opqHouseholder(v: Seq[Double]): Seq[Double] =
+    opqHouseholderAt(v, 0)
+
+  /** [[opqHouseholder]] generalized to ANY target axis e_t: the
+    * reflection vector u = (v − e_t)/‖v − e_t‖ (6dp-pinned), so
+    * H = I − 2uuᵀ maps v onto coordinate t exactly. The rank-3 chain
+    * ([[opq3Rotated]]) targets t = 0, 8, 16 — the FIRST coordinate of
+    * three DIFFERENT PQ subspaces — so each deflated principal
+    * direction is owned by its own codebook (eigenvalue allocation by
+    * reflection: published OPQ's balancing objective, achieved without
+    * smearing any single direction across subspaces, the rejected
+    * round-16 variant's failure mode). A zero coordinate in v at every
+    * masked index makes u zero there too, so later reflections provably
+    * fix the axes earlier ones established. */
+  private def opqHouseholderAt(v: Seq[Double], t: Int): Seq[Double] = {
+    val d = v.zipWithIndex.map { case (x, i) => if (i == t) x - 1.0 else x }
     val den = math.sqrt(d.map(x => x * x).sum)
     if (den < 1e-6) Seq.fill(64)(0.0)
     else d.map(x => BigDecimal(x / den + 1e-9)
@@ -410,6 +424,71 @@ FROM (SELECT qid, vec_id, ad,
         "transform(xc, (x, i) -> round(x - 2 * du * element_at(uu, i + 1) + 1e-9, 6))"))
       .withColumn("nrm", sqrt(GraftFunctions.vecDot(col("ed"), col("ed"))))
       .drop("xc", "du", "uu")
+
+  /** Two pinned power iterations over a centered frame's `xc`, with the
+    * coordinates in `mask` zeroed out of the ITERATION (deflation: the
+    * returned direction lives in the complement of the already-targeted
+    * axes, so its Householder vector is zero there and the composed
+    * reflections commute with the earlier targets). Identical pins to
+    * [[abttCalibrateFull]]'s loop — round(w/‖w‖ + 1e-9, 6), all-0.125
+    * start; masked coordinates emerge as exactly 0.0 (w_i = 0 there, and
+    * round(1e-9, 6) = 0). Each iteration is ONE scan of the (pinned)
+    * frame with a 64-row collect. */
+  private def opqPowerIterate(frame: DataFrame, mask: Seq[Int]): Seq[Double] = {
+    val masked =
+      if (mask.isEmpty) frame.withColumn("xm", col("xc"))
+      else frame.withColumn("xm", expr(
+        s"transform(xc, (x, i) -> CASE WHEN i IN (${mask.mkString(", ")}) THEN CAST(0.0 AS DOUBLE) ELSE x END)"))
+    var v: Seq[Double] = Seq.fill(64)(0.125)
+    (1 to 2).foreach { _ =>
+      val w = masked
+        .withColumn("d", GraftFunctions.vecDot(col("xm"), typedlit(v)))
+        .select(col("d"), posexplode(col("xm")).as(Seq("i", "xi")))
+        .groupBy(col("i")).agg(sum(col("d") * col("xi")).as("w"))
+      val nrmW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      v = w.withColumn("nrm", sqrt(sum(col("w") * col("w")).over(nrmW)))
+        .select(col("i"), round(col("w") / col("nrm") + lit(1e-9), 6).as("vi"))
+        .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
+    }
+    v
+  }
+
+  /** Reflect a centered frame's `xc` in place with Householder vector u
+    * (6dp-pinned, the family's rotation arithmetic), every other column
+    * carried through — the composable stage [[opq3Rotated]] and the
+    * residual-rotation trainer chain. */
+  private def opqRotateXc(frame: DataFrame, u: Seq[Double]): DataFrame =
+    frame
+      .withColumn("du", GraftFunctions.vecDot(col("xc"), typedlit(u)))
+      .withColumn("uu", typedlit(u))
+      .withColumn("xc", expr(
+        "transform(xc, (x, i) -> round(x - 2 * du * element_at(uu, i + 1) + 1e-9, 6))"))
+      .drop("du", "uu")
+
+  /** RANK-3 deflated OPQ rotation (round-17 verdict task 2): compose
+    * three Householder reflections, each trained by deflated power
+    * iteration — stage 1 maps the dominant principal direction onto
+    * coordinate 0 (subspace 0, exactly e_knn_opq's reflection), stage 2
+    * iterates with coordinate 0 masked and maps the second direction
+    * onto coordinate 8 (subspace 1), stage 3 masks {0, 8} and targets
+    * coordinate 16 (subspace 2). The single-reflection form can only
+    * concentrate ONE direction; when cluster identity spans a 2-3-dim
+    * subspace (the multi-spanning RecallSweep fixture) the remaining
+    * identity directions stay smeared across every codebook — this
+    * chain hands each of the top three to its OWN subspace. Frames are
+    * pinned between stages so each power iteration scans a
+    * materialized input, not a growing expression tree. Cost: the
+    * rank-1 calibration + 2 extra pinned-frame scans per added stage;
+    * every model object is a bounded 64-row collect. */
+  private[graft] def opq3Rotated(s: SparkSession, dir: String): Option[DataFrame] =
+    abttCalibrateFull(s, dir).map { case (model, centered) =>
+      var frame = opqRotateXc(centered, opqHouseholderAt(model.component, 0))
+        .transform(graft.Checkpoints.pin(_))
+      frame = opqRotateXc(frame, opqHouseholderAt(opqPowerIterate(frame, Seq(0)), 8))
+        .transform(graft.Checkpoints.pin(_))
+      frame = opqRotateXc(frame, opqHouseholderAt(opqPowerIterate(frame, Seq(0, 8)), 16))
+      frame.select(col("vec_id"), col("xc").as("ed"))
+    }
 
   /** The OPQ-rotated trained-residual-IVF-PQ model: ABTT calibration →
     * Householder → [[ivfPqTrainPartsFrom]] on the rotated frame. The
@@ -501,23 +580,73 @@ $out AS (SELECT vec_id,
               list_aggregate(list_transform(range(64), i -> u[i + 1] * xc[i + 1]), 'sum') AS du
             FROM cx, uv))"""
 
-  private val eKnnOpq = GQuery(
-    "e_knn_opq",
-    (s, dir) => abttCalibrateFull(s, dir) match {
-      case None =>
-        prepped(s, dir).limit(0).selectExpr("vec_id AS qid", "vec_id",
-          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
-      case Some((model, centered)) =>
-        val u = opqHouseholder(model.component)
-        val rotated = opqRotate(
-          centered.withColumn("uu", typedlit(u)), u)
-        trainedPqTopK(s, rotated, 5)
-    },
-    Some(s"""$duckPrep,
-${duckOpqRotate("r")},
-c0 AS (SELECT CAST(cc.vec_id - 10 AS INT) AS c, j, cc.ed[8*j+1:8*j+8] AS cv
-       FROM r cc, range(8) t(j) WHERE cc.vec_id BETWEEN 10 AND 25),
-sub AS (SELECT vec_id, j, ed[8*j+1:8*j+8] AS sv FROM r, range(8) t(j)),
+  /** The centering CTEs shared by the multi-stage rotation oracles:
+    * per-dimension pinned mean over duckPrep's `n`, then the centered
+    * frame `cx` (vec_id, xc) — textually the head of [[duckOpqRotate]],
+    * extracted so the rank-3 chain can splice stages after it. */
+  private val duckOpqCenter: String =
+    """mm AS (SELECT i, round(avg(ed[i + 1]) + 1e-9, 6) AS m FROM n, range(64) t(i) GROUP BY 1),
+ml AS (SELECT list(m ORDER BY i) AS mv FROM mm),
+cx AS MATERIALIZED (SELECT vec_id, list_transform(range(64), i -> ed[i + 1] - mv[i + 1]) AS xc FROM n, ml)"""
+
+  /** One deflated-reflection stage, DuckDB side — the oracle twin of
+    * [[opqPowerIterate]] + [[opqHouseholderAt]] + [[opqRotateXc]]: mask
+    * the already-targeted coordinates out of the iteration, two pinned
+    * power iterations from the 0.125 start, Householder u against
+    * e_`target`, reflect `in`'s xc into `out` (6dp per stage, exactly
+    * where the Spark chain rounds). `ids` are the pass-through key
+    * columns (vec_id, or vec_id + cell on the residual trainer);
+    * `sfx` uniquifies the stage's internal CTE names. The Householder
+    * CTE is exposed as uv`sfx` so a caller can re-apply the FROZEN u to
+    * a second frame (the residual oracle's query side). */
+  private def duckOpqStageXc(in: String, out: String, target: Int,
+      mask: Seq[Int], sfx: String, ids: String = "vec_id"): String = {
+    val xmExpr =
+      if (mask.isEmpty) "xc"
+      else s"list_transform(range(64), i -> CASE WHEN i IN (${mask.mkString(", ")}) THEN 0e0 ELSE xc[i + 1] END)"
+    // MATERIALIZED on every multiply-referenced frame: DuckDB 1.0
+    // inlines plain CTEs at each reference site, and a CHAIN of stages
+    // (each referencing its input from two places, with the power
+    // iterations referencing their own intermediates twice) would
+    // otherwise re-evaluate the whole upstream pipeline exponentially —
+    // the rank-3 oracle locked a core for minutes at sf0.001 before
+    // this. Semantics are identical; only evaluation count changes.
+    s"""xm$sfx AS MATERIALIZED (SELECT $ids, xc, $xmExpr AS xm FROM $in),
+v0$sfx AS (SELECT list_transform(range(64), i -> 0.125) AS v),
+pd1$sfx AS (SELECT $ids, xm,
+          list_aggregate(list_transform(range(64), i -> xm[i + 1] * v[i + 1]), 'sum') AS d
+        FROM xm$sfx, v0$sfx),
+pw1$sfx AS MATERIALIZED (SELECT i, sum(d * xm[i + 1]) AS w FROM pd1$sfx, range(64) t(i) GROUP BY 1),
+pv1$sfx AS (SELECT list(round(w / nrm + 1e-9, 6) ORDER BY i) AS v
+        FROM pw1$sfx, (SELECT sqrt(sum(w * w)) AS nrm FROM pw1$sfx)),
+pd2$sfx AS (SELECT $ids, xm,
+          list_aggregate(list_transform(range(64), i -> xm[i + 1] * v[i + 1]), 'sum') AS d
+        FROM xm$sfx, pv1$sfx),
+pw2$sfx AS MATERIALIZED (SELECT i, sum(d * xm[i + 1]) AS w FROM pd2$sfx, range(64) t(i) GROUP BY 1),
+pv2$sfx AS (SELECT list(round(w / nrm + 1e-9, 6) ORDER BY i) AS v
+        FROM pw2$sfx, (SELECT sqrt(sum(w * w)) AS nrm FROM pw2$sfx)),
+uv$sfx AS MATERIALIZED (SELECT CASE WHEN den < 1e-6 THEN list_transform(range(64), i -> 0e0)
+                   ELSE list_transform(range(64), i -> round(dv[i + 1] / den + 1e-9, 6)) END AS u
+       FROM (SELECT dv, sqrt(list_aggregate(list_transform(range(64),
+                i -> dv[i + 1] * dv[i + 1]), 'sum')) AS den
+             FROM (SELECT list_transform(range(64),
+                i -> v[i + 1] - (CASE WHEN i = $target THEN 1e0 ELSE 0e0 END)) AS dv FROM pv2$sfx))),
+$out AS MATERIALIZED (SELECT $ids,
+        list_transform(range(64), i -> round(xc[i + 1] - 2 * du * u[i + 1] + 1e-9, 6)) AS xc
+      FROM (SELECT $ids, xc, u,
+              list_aggregate(list_transform(range(64), i -> u[i + 1] * xc[i + 1]), 'sum') AS du
+            FROM $in, uv$sfx))"""
+  }
+
+  /** The e_knn_pq_trained oracle BODY over any (vec_id, ed) source CTE
+    * `src` — seeds 10..25, two Lloyd steps, integer ADC, top-`k`. One
+    * string shared by e_knn_opq (rank-1 rotated frame) and e_knn_opq3
+    * (rank-3 chain), so the flat-PQ trajectory the rotation oracles
+    * replay cannot drift between them. */
+  private def duckFlatTrainedPq(src: String, k: Int): String =
+    s"""c0 AS (SELECT CAST(cc.vec_id - 10 AS INT) AS c, j, cc.ed[8*j+1:8*j+8] AS cv
+       FROM $src cc, range(8) t(j) WHERE cc.vec_id BETWEEN 10 AND 25),
+sub AS (SELECT vec_id, j, ed[8*j+1:8*j+8] AS sv FROM $src, range(8) t(j)),
 d1 AS (SELECT s.vec_id, s.j, c0.c,
          round(list_aggregate(list_transform(range(8),
            i -> (s.sv[i+1] - c0.cv[i+1]) * (s.sv[i+1] - c0.cv[i+1])), 'sum'), 6) AS d
@@ -552,7 +681,7 @@ code AS (SELECT vec_id, j, c FROM (
            SELECT vec_id, j, c,
                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
            FROM dist) WHERE rn = 1),
-q AS (SELECT vec_id AS qid, ed AS qe FROM r WHERE vec_id < 10),
+q AS (SELECT vec_id AS qid, ed AS qe FROM $src WHERE vec_id < 10),
 qd AS (SELECT q.qid, co.vec_id,
          CAST(round(list_aggregate(list_transform(range(8),
              i -> (q.qe[8*co.j+i+1] - c2.cv[i+1]) * (q.qe[8*co.j+i+1] - c2.cv[i+1])), 'sum')
@@ -563,8 +692,44 @@ adc AS (SELECT qid, vec_id, CAST(sum(ds) AS BIGINT) AS ad FROM qd GROUP BY 1, 2)
 SELECT qid, vec_id, round(ad / 1000000.0, 6) AS approx_d2, rnk
 FROM (SELECT qid, vec_id, ad,
              row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
-      FROM adc) WHERE rnk <= 5"""),
+      FROM adc) WHERE rnk <= $k"""
+
+  private val eKnnOpq = GQuery(
+    "e_knn_opq",
+    (s, dir) => abttCalibrateFull(s, dir) match {
+      case None =>
+        prepped(s, dir).limit(0).selectExpr("vec_id AS qid", "vec_id",
+          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
+      case Some((model, centered)) =>
+        val u = opqHouseholder(model.component)
+        val rotated = opqRotate(
+          centered.withColumn("uu", typedlit(u)), u)
+        trainedPqTopK(s, rotated, 5)
+    },
+    Some(s"""$duckPrep,
+${duckOpqRotate("r")},
+${duckFlatTrainedPq("r", 5)}"""),
     "OPQ ANN top-5: Householder rotation concentrating the dominant component into one axis (the decorrelating OPQ move), then the trained-PQ trajectory on the rotated frame.")
+
+  /** Rank-3 OPQ ANN — the deflated-reflection chain ahead of the same
+    * trained-PQ trajectory; see [[opq3Rotated]]. */
+  private val eKnnOpq3 = GQuery(
+    "e_knn_opq3",
+    (s, dir) => opq3Rotated(s, dir) match {
+      case None =>
+        prepped(s, dir).limit(0).selectExpr("vec_id AS qid", "vec_id",
+          "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
+      case Some(rotated) => trainedPqTopK(s, rotated, 5)
+    },
+    Some(s"""$duckPrep,
+$duckOpqCenter,
+${duckOpqStageXc("cx", "s1", 0, Nil, "a")},
+${duckOpqStageXc("s1", "s2", 8, Seq(0), "b")},
+${duckOpqStageXc("s2", "s3", 16, Seq(0, 8), "c")},
+r AS MATERIALIZED (SELECT vec_id, xc AS ed FROM s3),
+${duckFlatTrainedPq("r", 5)}"""),
+    "Rank-3 deflated OPQ ANN top-5: three composed Householder reflections allocate the top three principal directions to three different PQ subspaces (coordinates 0/8/16), then the trained-PQ trajectory on the rotated frame.")
+
 
   /** Cosine near-dup pairs (cos >= 0.4) within LSH buckets — the pair
     * stage shared by `e_neardup_cosine` (listing) and
@@ -990,7 +1155,19 @@ FROM (SELECT qid, vec_id, ad,
     * ([[opqIvfPqTrainParts]]); the trajectory is identical, so the two
     * flavors differ in exactly the input geometry. */
   private[graft] def ivfPqTrainPartsFrom(base: DataFrame,
-      coarseSteps: Int = 0): Option[IvfPqParts] = {
+      coarseSteps: Int = 0): Option[IvfPqParts] =
+    ivfCoarseStage(base, coarseSteps).map { case (cents, assigned) =>
+      pqTrainFromAssigned(assigned, cents)
+    }
+
+  /** The model-row guard + coarse-centroid + pinned-assignment prefix of
+    * [[ivfPqTrainPartsFrom]], extracted so the residual-rotation trainer
+    * ([[opqResidualTrainParts]]) can splice a reflection between the
+    * assignment and the PQ training without duplicating the trajectory.
+    * None when the corpus lacks the 16 centroid rows (10..25) or 16 PQ
+    * seed rows (26..41). */
+  private def ivfCoarseStage(base: DataFrame,
+      coarseSteps: Int): Option[(DataFrame, DataFrame)] = {
     // one guard aggregation for both model-row counts (ADVICE r14: two
     // collect().length calls ran two full scans per invocation)
     val guard = base.agg(
@@ -1005,6 +1182,17 @@ FROM (SELECT qid, vec_id, ad,
       (1 to coarseSteps).foreach(_ => cents = coarseLloydStep(base, cents))
       val assigned = ivfAssign(base, cents, maxRank = 1)
         .transform(graft.Checkpoints.pin(_))
+      Some((cents, assigned))
+    }
+  }
+
+  /** Train the residual PQ codebook on an assigned (vec_id, cell, rv)
+    * frame and code every row — the PQ half of [[ivfPqTrainPartsFrom]]
+    * (two Lloyd steps, 6dp pins, seeds = rows 26..41's residuals),
+    * shared verbatim by the plain trainer and the residual-rotated one
+    * so the trajectory cannot fork. */
+  private def pqTrainFromAssigned(assigned: DataFrame,
+      cents: DataFrame): IvfPqParts = {
       // --- train PQ on residual subvectors (two Lloyd steps, 6dp pins)
       val sub = assigned.select(col("vec_id"), explode(expr(
           "transform(sequence(0, 7), j -> struct(cast(j AS int) AS j, slice(rv, cast(j*8+1 AS int), 8) AS sv))")).as("s"))
@@ -1040,9 +1228,74 @@ FROM (SELECT qid, vec_id, ad,
       }
       val coded = assigned.select(col("vec_id"), col("cell"),
         GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
-      Some(IvfPqParts(cents, coded, cb, assigned))
-    }
+      IvfPqParts(cents, coded, cb, assigned)
   }
+
+  /** OPQ-BY-RESIDUAL training (round-17 verdict task 2, option b —
+    * FAISS's "train OPQ on residuals" ordering): coarse assignment runs
+    * on the RAW corpus exactly as [[ivfPqTrainPartsFrom]] — the cells,
+    * and with them everything residual training rescues on a noisy-seed
+    * codebook, are untouched — and the Householder reflection is
+    * trained on the pooled RESIDUALS' dominant component and applied to
+    * residuals only, decorrelating what the PQ codebook actually
+    * quantizes. This is the mechanical fix for the pinned round-16
+    * harm: e_knn_opq_indexed's pre-coarse rotation reshaped the cosine
+    * cells (misaligned recall 0.4333 → 0.2000) because the reflection
+    * was trained on raw-corpus geometry the partition depended on;
+    * rotating after assignment cannot touch the partition at all. The
+    * reflection + centering is an L2 isometry (to the shared 6dp pins)
+    * on residual space, so ADC ranks remain comparable and the recall
+    * delta isolates the ordering. Cost: the plain trainer + one 64-row
+    * residual-mean collect + two pinned-frame power-iteration scans +
+    * a codegen'd map; query side adds one pure rotation map over the
+    * ≤(10·nprobe)-row probe frame. */
+  private[graft] def opqResidualTrainParts(s: SparkSession,
+      dir: String): Option[(OpqModel, IvfPqParts)] =
+    ivfCoarseStage(prepped(s, dir), coarseSteps = 0).map { case (cents, assigned) =>
+      val meanRows = assigned.select(posexplode(col("rv")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(round(avg(col("x")) + lit(1e-9), 6).as("m"))
+        .orderBy(col("i")).collect()
+      val m: Seq[Double] = meanRows.map(_.getDouble(1)).toSeq
+      val centered = assigned
+        .withColumn("xc", zip_with(col("rv"), typedlit(m), (x, mm) => x - mm))
+        .select(col("vec_id"), col("cell"), col("xc"))
+        .transform(graft.Checkpoints.pin(_))
+      val u = opqHouseholderAt(opqPowerIterate(centered, Nil), 0)
+      val assignedRot = opqRotateXc(centered, u)
+        .select(col("vec_id"), col("cell"), col("xc").as("rv"))
+      (OpqModel(m, u), pqTrainFromAssigned(assignedRot, cents))
+    }
+
+  /** Center + reflect a vector column `c` in place with a FROZEN
+    * residual-rotation model: c := round((c − m) − 2⟨c − m, u⟩u, 6) —
+    * the one arithmetic the OPQ-by-residual family applies to corpus
+    * residuals at train/add/ingest time and to query residuals at
+    * probe time ([[opqResidualKnn]], [[IvfPqIndex]]'s opqres flavor),
+    * shared so the two sides cannot drift. Pure codegen'd map; the
+    * model rides in as two 64-double literals. */
+  private[graft] def opqRotateColumn(df: DataFrame, c: String,
+      m: Seq[Double], u: Seq[Double]): DataFrame =
+    df.withColumn("xc", zip_with(col(c), typedlit(m), (x, mm) => x - mm))
+      .withColumn("du", GraftFunctions.vecDot(col("xc"), typedlit(u)))
+      .withColumn("uu", typedlit(u))
+      .withColumn(c, expr(
+        "transform(xc, (x, i) -> round(x - 2 * du * element_at(uu, i + 1) + 1e-9, 6))"))
+      .drop("xc", "du", "uu")
+
+  /** Search half of the OPQ-by-residual index: probe cells come from the
+    * UNROTATED coarse centroids (the ordering's whole point), then the
+    * query's per-cell residual is centered + reflected with the frozen
+    * model before ADC — the same arithmetic its coded candidates went
+    * through. */
+  private[graft] def opqResidualKnn(s: SparkSession, dir: String,
+      nprobe: Int, k: Int): DataFrame =
+    opqResidualTrainParts(s, dir) match {
+      case None => ivfPqEmpty(s, dir)
+      case Some((om, p)) =>
+        val q = opqRotateColumn(
+          ivfPqQueryFrame(s, dir, p.cents, nprobe), "qr", om.mean, om.u)
+        ivfPqProbeWith(q, p.coded, p.cb, k)
+    }
 
   /** The SEARCH half: rank the corpus' query vectors (vec_id < 10)
     * against the coarse centroids, probe each query's `nprobe` nearest
@@ -1098,21 +1351,34 @@ FROM (SELECT qid, vec_id, ad,
     * e_knn_opq_indexed. One string, so the flavors' oracles replay the
     * identical trajectory on different geometry — exactly the Spark
     * side's [[ivfPqTrainPartsFrom]] factoring. */
-  private def ivfPqTrainedBody(src: String): String = s"""c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM $src WHERE vec_id BETWEEN 10 AND 25),
+  private def ivfPqTrainedBody(src: String): String =
+    s"""${ivfPqCoarseBody(src)},
+${ivfPqCodeBody("asg", "qp")}"""
+
+  /** The coarse half of [[ivfPqTrainedBody]]: centroid rows, cosine
+    * assignment, corpus residuals (`asg`) and nprobe=2 query residuals
+    * (`qp`) — extracted so the residual-rotation oracle can reflect the
+    * residual frames before the PQ half runs. */
+  private def ivfPqCoarseBody(src: String): String = s"""c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM $src WHERE vec_id BETWEEN 10 AND 25),
 r AS (
   SELECT n.vec_id, n.ed, n.nrm, c.cid, c.ce,
          row_number() OVER (PARTITION BY n.vec_id ORDER BY
            round(list_aggregate(list_transform(range(64), i -> c.ce[i + 1] * n.ed[i + 1]), 'sum') / (c.cn * n.nrm), 6) DESC, c.cid) AS arn
   FROM $src n, c),
-asg AS (SELECT vec_id, cid AS cell,
+asg AS MATERIALIZED (SELECT vec_id, cid AS cell,
           list_transform(range(64), i -> ed[i + 1] - ce[i + 1]) AS rv
         FROM r WHERE arn = 1),
-qp AS (SELECT vec_id AS qid, cid AS cell,
+qp AS MATERIALIZED (SELECT vec_id AS qid, cid AS cell,
          list_transform(range(64), i -> ed[i + 1] - ce[i + 1]) AS qr
-       FROM r WHERE vec_id < 10 AND arn <= 2),
-c0 AS (SELECT CAST(a.vec_id - 26 AS INT) AS c, j, a.rv[8*j+1:8*j+8] AS cv
-       FROM asg a, range(8) t(j) WHERE a.vec_id BETWEEN 26 AND 41),
-sub AS (SELECT vec_id, j, rv[8*j+1:8*j+8] AS sv FROM asg, range(8) t(j)),
+       FROM r WHERE vec_id < 10 AND arn <= 2)"""
+
+  /** The PQ half of [[ivfPqTrainedBody]] over any residual frames
+    * `$asg` (vec_id, cell, rv) and `$qp` (qid, cell, qr): seed rows
+    * 26..41, two Lloyd steps, cell-equi candidate join, integer ADC,
+    * top-3. */
+  private def ivfPqCodeBody(asg: String, qp: String): String = s"""c0 AS (SELECT CAST(a.vec_id - 26 AS INT) AS c, j, a.rv[8*j+1:8*j+8] AS cv
+       FROM $asg a, range(8) t(j) WHERE a.vec_id BETWEEN 26 AND 41),
+sub AS (SELECT vec_id, j, rv[8*j+1:8*j+8] AS sv FROM $asg, range(8) t(j)),
 d1 AS (SELECT s.vec_id, s.j, c0.c,
          round(list_aggregate(list_transform(range(8),
            i -> (s.sv[i+1] - c0.cv[i+1]) * (s.sv[i+1] - c0.cv[i+1])), 'sum'), 6) AS d
@@ -1151,7 +1417,7 @@ qd AS (SELECT q.qid, a.vec_id,
          CAST(round(list_aggregate(list_transform(range(8),
              i -> (q.qr[8*co.j+i+1] - c2.cv[i+1]) * (q.qr[8*co.j+i+1] - c2.cv[i+1])), 'sum')
            * 1000000.0 + 1e-9) AS BIGINT) AS ds
-       FROM qp q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid
+       FROM $qp q JOIN $asg a ON q.cell = a.cell AND a.vec_id <> q.qid
        JOIN code co ON co.vec_id = a.vec_id
        JOIN c2 ON c2.j = co.j AND c2.c = co.c),
 adc AS (SELECT qid, vec_id, CAST(sum(ds) AS BIGINT) AS ad FROM qd GROUP BY 1, 2)
@@ -1189,6 +1455,33 @@ ${ivfPqTrainedBody("rn")}"""
     (s, dir) => ivfPqTrainedResidual(s, dir, nprobe = 2, k = 3),
     Some(ivfPqTrainedOracle),
     "Trained residual IVF-PQ top-3: PQ Lloyd-trained on (vector - cell centroid) residuals, per-cell query residual ADC — the FAISS IVFPQ composition.")
+
+  /** e_knn_opq_residual's oracle: the shared coarse body on the raw
+    * corpus, then the residual mean + power-iteration + Householder
+    * chain over `asg`'s residuals (the stage generator with the frozen
+    * uvr re-applied to the query residuals), then the identical PQ body
+    * over the rotated frames — recomputing the whole OPQ-by-residual
+    * trajectory from `embeddings`. */
+  private val opqResidualOracle: String = s"""$duckPrep,
+${ivfPqCoarseBody("n")},
+rm AS (SELECT i, round(avg(rv[i + 1]) + 1e-9, 6) AS m FROM asg, range(64) t(i) GROUP BY 1),
+rml AS MATERIALIZED (SELECT list(m ORDER BY i) AS mv FROM rm),
+rcx AS MATERIALIZED (SELECT vec_id, cell, list_transform(range(64), i -> rv[i + 1] - mv[i + 1]) AS xc FROM asg, rml),
+${duckOpqStageXc("rcx", "rrot", 0, Nil, "r", ids = "vec_id, cell")},
+asgr AS MATERIALIZED (SELECT vec_id, cell, xc AS rv FROM rrot),
+qpr AS (SELECT qid, cell,
+          list_transform(range(64), i -> round(xc[i + 1] - 2 * du * u[i + 1] + 1e-9, 6)) AS qr
+        FROM (SELECT qid, cell, xc, u,
+                list_aggregate(list_transform(range(64), i -> u[i + 1] * xc[i + 1]), 'sum') AS du
+              FROM (SELECT qid, cell, list_transform(range(64), i -> qr[i + 1] - mv[i + 1]) AS xc
+                    FROM qp, rml) z, uvr)),
+${ivfPqCodeBody("asgr", "qpr")}"""
+
+  private val eKnnOpqResidual = GQuery(
+    "e_knn_opq_residual",
+    (s, dir) => opqResidualKnn(s, dir, nprobe = 2, k = 3),
+    Some(opqResidualOracle),
+    "OPQ-by-residual IVF-PQ top-3: coarse cells from the raw corpus (the partition residual training rescues stays untouched), Householder reflection trained on and applied to the pooled residuals ahead of PQ — the harm-free rotation ordering.")
 
   // Persisted-index variant (round 15) — the SAME search semantics as
   // e_knn_ivfpq_trained, but FAISS's real deployment lifecycle: the
@@ -1240,13 +1533,38 @@ ${ivfPqTrainedBody("rn")}"""
       // OPQ index can never be confused with the plain sibling's root
       // (the flavor is also baked into the stored fingerprint)
       val root = IvfPqIndex.defaultRoot(dir) + "_opq"
-      IvfPqIndex.ensure(s, dir, root, pristineOnly = true, opq = true) match {
+      IvfPqIndex.ensure(s, dir, root, pristineOnly = true,
+        flavor = IvfPqIndex.Opq) match {
         case None => ivfPqEmpty(s, dir) // corpus lacks model rows
         case Some(_) => IvfPqIndex.query(s, dir, root, nprobe = 2, k = 3)
       }
     },
     Some(opqIvfPqIndexedOracle),
     "OPQ-rotated persisted IVF-PQ (the FAISS 'OPQ,IVF,PQ' chain): frozen Householder rotation stored with centroids/codebook; probe + rotated-residual ADC, manifest-pruned by probed cell.")
+
+  // Persisted OPQ-BY-RESIDUAL index (round 17) — the SAME search
+  // semantics as e_knn_opq_residual through the full IvfPqIndex
+  // lifecycle (build-once/query-many, WAL'd ingest, tombstones,
+  // handoff, maintenance — all shared paths, flavor-dispatched). The
+  // round-17 recall lanes crowned this ordering on clustered geometry
+  // (0.5333 vs 0.4667 plain-trained at nprobe=2), so it is the flavor a
+  // production clustered corpus would actually deploy; the persisted
+  // form is what makes it query-many-cheap. Bit-equal to the in-query
+  // sibling by construction (shared trajectory, lossless parquet),
+  // re-proven cross-engine by the SHARED oracle and Spark-side by
+  // IvfPqIndexSpec.
+  private val eKnnOpqResIndexed = GQuery(
+    "e_knn_opqres_indexed",
+    (s, dir) => {
+      val root = IvfPqIndex.defaultRoot(dir) + "_opqres"
+      IvfPqIndex.ensure(s, dir, root, pristineOnly = true,
+        flavor = IvfPqIndex.OpqResidual) match {
+        case None => ivfPqEmpty(s, dir) // corpus lacks model rows
+        case Some(_) => IvfPqIndex.query(s, dir, root, nprobe = 2, k = 3)
+      }
+    },
+    Some(opqResidualOracle),
+    "Persisted OPQ-by-residual IVF-PQ: raw-corpus coarse cells, frozen residual-space Householder stored with centroids/codebook; probe + reflected-residual ADC, manifest-pruned by probed cell.")
 
   // Binary-Hamming ANN top-3 (round 14) — the 1-BIT quantization point
   // on the family's compression axis: each 64-dim vector collapses to
@@ -2014,8 +2332,9 @@ GROUP BY 1"""),
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eIvfBalance, eKnnIvfPq,
-      eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnOpqIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
-      eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eNeardup, eSemanticDedup, eCentroids, eAssign,
+      eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnOpqIndexed, eKnnOpqResidual,
+      eKnnOpqResIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
+      eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eKnnOpq3, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eAbttProject,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)

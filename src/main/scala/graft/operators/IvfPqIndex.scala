@@ -138,12 +138,33 @@ object IvfPqIndex {
     sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_ivfpq_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Index FLAVOR: which rotation (if any) the generation's frozen
+    * model chain applies, and WHERE in the trajectory. Three flavors,
+    * three trajectories, three separate fingerprint tags — an ensure of
+    * one flavor pointed at another flavor's root rebuilds rather than
+    * serving codes from the wrong trajectory:
+    *  - [[Plain]]: no rotation (e_knn_ivfpq_trained's trajectory);
+    *  - [[Opq]]: Householder trained on the RAW corpus, applied BEFORE
+    *    coarse assignment (FAISS "OPQ,IVF,PQ"; e_knn_opq_indexed);
+    *  - [[OpqResidual]]: Householder trained on the pooled RESIDUALS,
+    *    applied AFTER coarse assignment (FAISS OPQ-on-residual;
+    *    e_knn_opqres_indexed) — the round-17 recall lanes' best
+    *    measured configuration on clustered geometry, with the raw
+    *    partition untouched by construction.
+    * The generation records its flavor in a `flavor` marker file;
+    * pre-round-17 generations lack it, and the reader falls back to
+    * rotation-file presence (which could only mean [[Opq]] then). */
+  sealed trait Flavor { def tag: String; def name: String }
+  case object Plain extends Flavor { val tag = ""; val name = "plain" }
+  case object Opq extends Flavor { val tag = "opq:"; val name = "opq" }
+  case object OpqResidual extends Flavor { val tag = "opqres:"; val name = "opqres" }
+
   /** Source-corpus fingerprint: count + order-independent content hash.
     * ONE narrow aggregation over (vec_id, embedding) — cheap next to
     * a build, and content-sensitive enough that a regenerated fixture
     * with equal row count still misses. */
   private def fingerprint(s: SparkSession, dir: String,
-      opq: Boolean = false): String = {
+      flavor: Flavor = Plain): String = {
     // DECIMAL(38,0) sum of the row hashes: order-independent AND
     // multiplicity-sensitive. bit_xor would self-cancel any row with
     // even multiplicity (swap duplicate pair {A,A} for {B,B} and the
@@ -158,7 +179,7 @@ object IvfPqIndex {
         coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
           .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h"))
       .head()
-    s"v$FormatVersion:${if (opq) "opq:" else ""}n=${r.getLong(0)}:h=${r.getDecimal(1)}"
+    s"v$FormatVersion:${flavor.tag}n=${r.getLong(0)}:h=${r.getDecimal(1)}"
   }
 
   private def genPath(root: String, g: Long) = s"$root/g$g"
@@ -292,18 +313,24 @@ object IvfPqIndex {
     * BEFORE the commit marker, so a crash mid-handoff can never publish
     * a generation that silently dropped them. */
   def build(s: SparkSession, dir: String, root: String,
-      opq: Boolean = false): Option[Long] =
-    withBuildLock(root) { buildLocked(s, dir, root, opq = opq) }
+      flavor: Flavor = Plain): Option[Long] =
+    withBuildLock(root) { buildLocked(s, dir, root, flavor = flavor) }
 
   private def buildLocked(s: SparkSession, dir: String, root: String,
-      carry: Option[DataFrame] = None, opq: Boolean = false): Option[Long] =
+      carry: Option[DataFrame] = None, flavor: Flavor = Plain): Option[Long] =
     {
-      // flavor selection: the OPQ build trains rotation + centroids +
-      // codebook on the rotated frame and persists all three; the plain
-      // build is byte-identical to before (rot = None everywhere)
+      // flavor selection: the OPQ builds train a rotation beside the
+      // centroids + codebook and persist all three (pre-coarse on the
+      // raw frame, or post-coarse on the residuals); the plain build is
+      // byte-identical to before (rot = None everywhere)
       val trained: Option[(Option[EmbeddingOps.OpqModel], EmbeddingOps.IvfPqParts)] =
-        if (opq) EmbeddingOps.opqIvfPqTrainParts(s, dir).map { case (om, p) => (Some(om), p) }
-        else EmbeddingOps.ivfPqTrainParts(s, dir).map(p => (None, p))
+        flavor match {
+          case Plain => EmbeddingOps.ivfPqTrainParts(s, dir).map(p => (None, p))
+          case Opq => EmbeddingOps.opqIvfPqTrainParts(s, dir)
+            .map { case (om, p) => (Some(om), p) }
+          case OpqResidual => EmbeddingOps.opqResidualTrainParts(s, dir)
+            .map { case (om, p) => (Some(om), p) }
+        }
       trained.map { case (rot, parts) =>
         val next = (listGens(root) :+ 0L).max + 1
         val g = genPath(root, next)
@@ -324,8 +351,10 @@ object IvfPqIndex {
         // coded + ledger rows pre-commit (see scaladoc). The tail stays
         // in the new ledger because it is still in no corpus snapshot —
         // a second handoff must carry it again.
+        FsIo.writeStringAtomic(s"$g/flavor", flavor.name)
         carry.foreach { c =>
-          val assigned = codeWithModel0(c, parts.cents, keepEd = true, rot = rot)
+          val assigned = codeWithModel0(c, parts.cents, keepEd = true,
+            rot = rot, flavor = flavor)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val slot = ingestOffset(root, next, "graft-handoff-carry")
@@ -342,7 +371,7 @@ object IvfPqIndex {
           .agg(round(avg(sqrt(graft.functions.GraftFunctions.vecDot(col("rv"), col("rv")))), 6))
           .head().getDouble(0)
         FsIo.writeStringAtomic(s"$g/baseline_resid", baseline.toString)
-        FsIo.writeStringAtomic(s"$g/fingerprint", fingerprint(s, dir, opq))
+        FsIo.writeStringAtomic(s"$g/fingerprint", fingerprint(s, dir, flavor))
         FsIo.writeStringAtomic(s"$g/_graft_ok", next.toString)
         // GC: committed generations past retention + uncommitted debris
         // older than the one just published (a crashed build's leftovers)
@@ -372,13 +401,13 @@ object IvfPqIndex {
     * registered path just abandoned. Production lifecycles that WANT
     * adds to survive corpus refreshes use [[handoff]], not this gate. */
   def ensure(s: SparkSession, dir: String, root: String,
-      pristineOnly: Boolean = false, opq: Boolean = false): Option[Long] = {
-    val fp = fingerprint(s, dir, opq)
+      pristineOnly: Boolean = false, flavor: Flavor = Plain): Option[Long] = {
+    val fp = fingerprint(s, dir, flavor)
     def fresh(): Option[Long] = currentGeneration(root).filter(g =>
       FsIo.readString(s"${genPath(root, g)}/fingerprint").contains(fp) &&
         !(pristineOnly && isMutated(root, g)))
     fresh().orElse(withBuildLock(root) {
-      fresh().orElse(buildLocked(s, dir, root, opq = opq))
+      fresh().orElse(buildLocked(s, dir, root, flavor = flavor))
     })
   }
 
@@ -402,6 +431,18 @@ object IvfPqIndex {
     * downstream path (add, ingest, handoff carry, query) loads it where
     * it loads the centroids, so a rotated generation can never code or
     * probe unrotated vectors. */
+  /** The generation's recorded flavor; pre-round-17 generations have no
+    * `flavor` file — rotation presence could only mean [[Opq]] then. */
+  private def readFlavor(root: String, g: Long): Flavor =
+    FsIo.readString(s"${genPath(root, g)}/flavor") match {
+      case Some("opqres") => OpqResidual
+      case Some("opq") => Opq
+      case Some(_) => Plain
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/rotation")
+        if (FsIo.fs(p).exists(p)) Opq else Plain
+    }
+
   private def readRotation(s: SparkSession, root: String,
       g: Long): Option[EmbeddingOps.OpqModel] = {
     val p = new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/rotation")
@@ -430,7 +471,7 @@ object IvfPqIndex {
     val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
       s"IvfPqIndex: no committed generation under $root — build first"))
     val assigned = codeWithModel0(vecs, centroids(s, root, g), keepEd = true,
-      rot = readRotation(s, root, g))
+      rot = readRotation(s, root, g), flavor = readFlavor(root, g))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try landCodedAndRaw(assigned, readCodebook(s, root, g),
       codedSink(root, g), rawSink(root, g), batchId)
@@ -582,6 +623,7 @@ object IvfPqIndex {
     val cents = centroids(s, root, g)
     val cb = readCodebook(s, root, g)
     val rot = readRotation(s, root, g)
+    val flavor = readFlavor(root, g)
     val sink = codedSink(root, g, autoReclusterAt, reclusterFiles, reclusterBuckets)
     val raw = rawSink(root, g)
     val baseline = driftAlertAt.map { _ =>
@@ -624,7 +666,8 @@ object IvfPqIndex {
         // ONE assignment job per batch: the persisted frame feeds the
         // PQ-encode projection, the raw-ledger projection, and (when
         // monitored) the residual-norm agg — never a second corpus join
-        val assigned = codeWithModel0(b, cents, keepEd = true, rot = rot)
+        val assigned = codeWithModel0(b, cents, keepEd = true, rot = rot,
+            flavor = flavor)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           landCodedAndRaw(assigned, cb, sink, raw, off + id)
@@ -671,20 +714,32 @@ object IvfPqIndex {
     * the original vector, not this generation's frame. */
   private def codeWithModel0(vecs: DataFrame, cents: DataFrame,
       keepEd: Boolean = false,
-      rot: Option[EmbeddingOps.OpqModel] = None): DataFrame = {
+      rot: Option[EmbeddingOps.OpqModel] = None,
+      flavor: Flavor = Plain): DataFrame = {
     val prep0 = vecs
       .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
-    rot match {
-      case None =>
-        val prep = prep0.withColumn("nrm",
-          sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
-        EmbeddingOps.ivfAssign(prep, cents, maxRank = 1, keepEd = keepEd)
-      case Some(om) =>
+    def plainAssign() = {
+      val prep = prep0.withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
+      EmbeddingOps.ivfAssign(prep, cents, maxRank = 1, keepEd = keepEd)
+    }
+    (flavor, rot) match {
+      case (Plain, _) => plainAssign()
+      case (_, None) => throw new IllegalStateException(
+        s"IvfPqIndex: flavor ${flavor.name} generation is missing its rotation model")
+      case (Opq, Some(om)) =>
         val prep = EmbeddingOps.opqApplyRotation(
           prep0.withColumn("ed0", col("ed")), om.mean, om.u)
         val a = EmbeddingOps.ivfAssign(prep, cents, maxRank = 1,
           keepEd = false, carryCols = if (keepEd) Seq("ed0") else Nil)
         if (keepEd) a.withColumnRenamed("ed0", "ed") else a
+      case (OpqResidual, Some(om)) =>
+        // the residual ordering's whole point: assignment runs on the
+        // RAW vector (same cells as a plain index); only the residual is
+        // centered + reflected before coding, matching the build. The
+        // kept `ed` is the raw embedding either way — the ledger's WAL
+        // contract is untouched by this flavor.
+        EmbeddingOps.opqRotateColumn(plainAssign(), "rv", om.mean, om.u)
     }
   }
 
@@ -719,9 +774,18 @@ object IvfPqIndex {
     // broadcast probe side of the ADC join. An OPQ generation rotates
     // the query vectors with ITS frozen model first — probing rotated
     // codes with unrotated queries would rank garbage.
-    val q = graft.Checkpoints.pin(readRotation(s, root, g) match {
-      case None => EmbeddingOps.ivfPqQueryFrame(s, dir, cents, nprobe)
-      case Some(om) => EmbeddingOps.opqIvfPqQueryFrame(s, dir, om, cents, nprobe)
+    val q = graft.Checkpoints.pin((readFlavor(root, g), readRotation(s, root, g)) match {
+      case (Plain, _) => EmbeddingOps.ivfPqQueryFrame(s, dir, cents, nprobe)
+      case (_, None) => throw new IllegalStateException(
+        s"IvfPqIndex: rotated generation g$g is missing its rotation model")
+      case (Opq, Some(om)) =>
+        EmbeddingOps.opqIvfPqQueryFrame(s, dir, om, cents, nprobe)
+      case (OpqResidual, Some(om)) =>
+        // probe cells from the RAW centroids; only the per-cell query
+        // residual is centered + reflected before ADC (the coded
+        // candidates went through the identical arithmetic at build)
+        EmbeddingOps.opqRotateColumn(
+          EmbeddingOps.ivfPqQueryFrame(s, dir, cents, nprobe), "qr", om.mean, om.u)
     })
     val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     if (probed.isEmpty) EmbeddingOps.ivfPqEmpty(s, dir)
@@ -740,7 +804,8 @@ object IvfPqIndex {
   /** One generation's maintenance numbers ([[stats]]). */
   final case class IndexStats(
       generation: Long,
-      opq: Boolean,
+      opq: Boolean, // any rotation present (either ordering)
+      flavor: String, // "plain" | "opq" | "opqres"
       codedRows: Long,
       codedFiles: Long,
       ledgerRows: Long,
@@ -788,7 +853,8 @@ object IvfPqIndex {
       val (ledgerRows, _) = tbl(rawSink(root, g))
       val (tombRows, _) = tbl(tombSink(root, g))
       val rotP = new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/rotation")
-      IndexStats(g, FsIo.fs(rotP).exists(rotP), codedRows, codedFiles,
+      IndexStats(g, FsIo.fs(rotP).exists(rotP), readFlavor(root, g).name,
+        codedRows, codedFiles,
         ledgerRows, tombRows, isMutated(root, g),
         FsIo.readString(s"${genPath(root, g)}/_purged").isDefined,
         FsIo.readString(s"${genPath(root, g)}/_drift_alert"))
@@ -838,10 +904,10 @@ object IvfPqIndex {
     * None = the refreshed corpus cannot carry an index (model-row
     * contract); nothing is changed in that case. */
   def handoff(s: SparkSession, dir: String, root: String,
-      opq: Boolean = false): Option[Long] =
+      flavor: Flavor = Plain): Option[Long] =
     withBuildLock(root) {
       currentGeneration(root) match {
-        case None => buildLocked(s, dir, root, opq = opq)
+        case None => buildLocked(s, dir, root, flavor = flavor)
         case Some(old) =>
           val tail: Option[DataFrame] = ledgerScan(s, root, old).flatMap { lsc =>
             val led = lsc.select(col("vec_id"), col("embedding"))
@@ -856,7 +922,7 @@ object IvfPqIndex {
           // the ledger stores PRE-rotation embeddings precisely so this
           // carry can re-code the tail under the NEW generation's
           // (possibly retrained) rotation
-          try buildLocked(s, dir, root, carry = tail, opq = opq)
+          try buildLocked(s, dir, root, carry = tail, flavor = flavor)
           finally { tail.foreach(_.unpersist()); () }
       }
     }
@@ -965,7 +1031,11 @@ object IvfPqIndex {
     stats(s, root) match {
       case None => Seq.empty
       case Some(st) if st.driftAlert.isDefined && policy.refreshedCorpus.isDefined =>
-        handoff(s, policy.refreshedCorpus.get, root, opq = st.opq) match {
+        handoff(s, policy.refreshedCorpus.get, root, flavor = st.flavor match {
+          case "opqres" => OpqResidual
+          case "opq" => Opq
+          case _ => Plain
+        }) match {
           case Some(g) => Seq(s"handoff:drift:g$g")
           case None => Seq.empty // refreshed corpus cannot carry an index
         }

@@ -191,6 +191,126 @@ class AnnSweepInvariantsSpec extends SparkSpec {
       s"rotation broke the misaligned index outright: recall $misOpq")
   }
 
+  test("rank-3 deflated OPQ: reflections provably concentrate variance; pays on organic geometry, costs on single-direction synthetics") {
+    // Round-17 task 2a receipt, pinned (deterministic fixtures + 6dp
+    // trajectory). Two layers:
+    //  1. SEMANTICS (construction, not luck): after opq3Rotated on the
+    //     multi-spanning fixture, coordinate variances must satisfy
+    //     var(c0) > var(c8) > var(c16) > every other coordinate — the
+    //     deflated power iterations actually found the three identity
+    //     directions and the Householder chain landed each on its
+    //     target axis. A silently degenerate stage-2/3 iteration (bad
+    //     mask, broken deflation) fails here even if recall happens to
+    //     look plausible.
+    //  2. GEOMETRY LESSON: on the ORGANIC sf corpus (isotropic-ish,
+    //     several comparable moderate principal directions) rank-3
+    //     DOUBLES flat-PQ recall over rank-1 (0.1333 -> 0.2667) —
+    //     allocating the top three directions to three subspaces pays
+    //     when the spectrum decays slowly. On the single-dominant-
+    //     direction SPANNING synthetic it is a small COST (0.4667 ->
+    //     0.4000): directions 2-3 are noise there, and reflecting noise
+    //     onto coordinates 8/16 spends two more codebooks' resolution
+    //     on nothing. Match rotation rank to spectrum decay; rank-3 is
+    //     not a free upgrade over rank-1. If rank-3 starts BEATING
+    //     rank-1 on spanning, the rank-cost analysis is stale.
+    val s = spark
+    import s.implicits._
+    val msDir = java.nio.file.Files.createTempDirectory("ann-multispan").toString
+    graft.RecallSweep.writeMultiSpanningFixture(s, msDir)
+    val rotated = EmbeddingOps.opq3Rotated(s, msDir)
+      .getOrElse(fail("vacuous — empty multispan calibration"))
+    val varByCoord = rotated
+      .select(posexplode(col("ed")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
+      .as[(Int, Double)].collect().toMap
+    val (v0, v8, v16) = (varByCoord(0), varByCoord(8), varByCoord(16))
+    val others = varByCoord.removedAll(Seq(0, 8, 16)).values.max
+    assert(v0 > v8 && v8 > v16,
+      s"deflation order broken: var(c0)=$v0 var(c8)=$v8 var(c16)=$v16")
+    assert(v16 > others * 2,
+      s"stage-3 target does not dominate the residual coords: $v16 vs max-other $others")
+    def recallOn(dir: String, name: String): Double = {
+      val truth = graft.SparkEntry.queries("e_knn_l2")(s, dir)
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = graft.SparkEntry.queries(name)(s, dir)
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & truth).size.toDouble / truth.size
+    }
+    val isoOpq = recallOn(sfDir, "e_knn_opq")
+    val isoOpq3 = recallOn(sfDir, "e_knn_opq3")
+    assert(isoOpq3 >= isoOpq + 0.1,
+      s"rank-3 stopped paying on organic geometry: opq=$isoOpq opq3=$isoOpq3")
+    val spanDir = java.nio.file.Files.createTempDirectory("ann-span-r17").toString
+    graft.RecallSweep.writeSpanningFixture(s, spanDir)
+    val spanOpq = recallOn(spanDir, "e_knn_opq")
+    val spanOpq3 = recallOn(spanDir, "e_knn_opq3")
+    assert(spanOpq3 >= 0.35,
+      s"the decorrelation lift no longer survives the rank-3 chain: $spanOpq3")
+    assert(spanOpq3 <= spanOpq,
+      s"rank-3 now BEATS rank-1 on single-direction geometry ($spanOpq -> $spanOpq3) — " +
+        "the rank-cost lesson is stale; update the BASELINE.md round-17 lane")
+  }
+
+  test("OPQ-by-residual ordering: best measured index on clustered geometry, shrinks the misaligned harm, still not a default") {
+    // Round-17 task 2b receipt, pinned (deterministic fixtures + 6dp
+    // trajectory). e_knn_opq_residual trains/applies the reflection on
+    // RESIDUALS after coarse assignment, so the partition the
+    // misaligned fixture's rescue depends on is untouched by
+    // construction. Measured (nprobe=2, recall@3 vs exact L2):
+    //  - CLUSTERED: 0.5333 — the best of all five index lanes
+    //    (trained residual 0.4667, pre-coarse OPQ 0.4333): clustered
+    //    residuals carry cross-subspace structure worth decorrelating.
+    //  - MISALIGNED: 0.2667 vs the pre-coarse flavor's pinned 0.2000
+    //    harm — the ordering recovers part of what pre-coarse rotation
+    //    destroyed, but NOT parity with plain residual training
+    //    (0.4333): rotating residuals still re-mixes the subspaces the
+    //    codebook had adapted to.
+    //  - SPANNING: 0.2000 == the pre-coarse lift, achieved WITHOUT
+    //    touching the partition (cells stay the raw-corpus ones).
+    //  - ANISOTROPIC: 0.1333 < trained residual 0.2000 — the
+    //    counterexample that keeps BOTH rotation orderings opt-in:
+    //    identity already axis-aligned means any residual reflection
+    //    can only smear it.
+    // If residual-OPQ reaches misaligned parity or loses its clustered
+    // crown, the round-17 analysis is stale — revisit BASELINE.md.
+    val s = spark
+    def recallOn(dir: String,
+        mk: => org.apache.spark.sql.DataFrame): Double = {
+      val truth = graft.SparkEntry.queries("e_knn_l2")(s, dir)
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = mk.select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & truth).size.toDouble / truth.size
+    }
+    val cluDir = java.nio.file.Files.createTempDirectory("ann-clu-r17").toString
+    graft.RecallSweep.writeClusteredFixture(s, cluDir)
+    val cluTrained = recallOn(cluDir, EmbeddingOps.ivfPqTrainedResidual(s, cluDir, 2, 3))
+    val cluOpqRes = recallOn(cluDir, EmbeddingOps.opqResidualKnn(s, cluDir, 2, 3))
+    assert(cluOpqRes > cluTrained,
+      s"residual-OPQ lost its clustered crown: trained=$cluTrained opqRes=$cluOpqRes")
+    val misDir = java.nio.file.Files.createTempDirectory("ann-mis-r17").toString
+    graft.RecallSweep.writeMisalignedFixture(s, misDir)
+    val misTrained = recallOn(misDir, EmbeddingOps.ivfPqTrainedResidual(s, misDir, 2, 3))
+    val misOpqPre = recallOn(misDir, EmbeddingOps.opqIvfPqTrainedResidual(s, misDir, 2, 3))
+    val misOpqRes = recallOn(misDir, EmbeddingOps.opqResidualKnn(s, misDir, 2, 3))
+    assert(misOpqRes > misOpqPre,
+      s"residual ordering stopped shrinking the pre-coarse harm: pre=$misOpqPre res=$misOpqRes")
+    assert(misOpqRes < misTrained,
+      s"residual-OPQ reached misaligned parity ($misTrained -> $misOpqRes) — " +
+        "the opt-in rule is stale; update the BASELINE.md round-17 lane")
+    val anisoDir = java.nio.file.Files.createTempDirectory("ann-aniso-r17").toString
+    graft.RecallSweep.writeAnisotropicFixture(s, anisoDir)
+    val anisoTrained = recallOn(anisoDir, EmbeddingOps.ivfPqTrainedResidual(s, anisoDir, 2, 3))
+    val anisoOpqRes = recallOn(anisoDir, EmbeddingOps.opqResidualKnn(s, anisoDir, 2, 3))
+    assert(anisoOpqRes < anisoTrained,
+      s"residual-OPQ now wins on axis-aligned geometry ($anisoTrained -> $anisoOpqRes) — " +
+        "the opt-in counterexample is gone; update the BASELINE.md round-17 lane")
+  }
+
   test("ABTT component dominates: explained variance >= best coordinate axis, residuals shrink") {
     // The DuckDB oracle proves CROSS-ENGINE EQUALITY of e_abtt_project,
     // not that the found direction is the right one — a silently

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.streaming.FsIo
 
 /** The persisted IVF-PQ index's lifecycle contract (round-15 task 1):
   * search equality with the in-query-training sibling, persisted ==
@@ -706,12 +707,12 @@ class IvfPqIndexSpec extends SparkSpec {
   test("opq: persisted rotated index equals the in-query OPQ sibling; rotation stored frozen") {
     val s = spark
     val root = tmpRoot("opq_eq")
-    assert(IvfPqIndex.ensure(s, sfDir, root, opq = true).contains(1L))
+    assert(IvfPqIndex.ensure(s, sfDir, root, flavor = IvfPqIndex.Opq).contains(1L))
     // the rotation rides the generation — the plain flavor never writes one
     assert(new java.io.File(s"$root/g1/rotation").exists())
     assert(IvfPqIndex.stats(s, root).exists(_.opq), "stats missed the flavor")
     // build-once: a second ensure of the same flavor reuses generation 1
-    assert(IvfPqIndex.ensure(s, sfDir, root, opq = true).contains(1L))
+    assert(IvfPqIndex.ensure(s, sfDir, root, flavor = IvfPqIndex.Opq).contains(1L))
     val indexed = rows(IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3))
     val sibling = rows(EmbeddingOps.opqIvfPqTrainedResidual(s, sfDir, 2, 3))
     assert(sibling.nonEmpty, "vacuous — OPQ sibling returned nothing")
@@ -730,7 +731,7 @@ class IvfPqIndexSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val root = tmpRoot("opq_add")
-    assert(IvfPqIndex.build(s, sfDir, root, opq = true).contains(1L))
+    assert(IvfPqIndex.build(s, sfDir, root, flavor = IvfPqIndex.Opq).contains(1L))
     val novel = (9100L until 9108L).map { id =>
       (id, (0 until 64).map(i => (math.cos(id * 3.7 + i) * 0.9).toFloat), 0)
     }.toDF("vec_id", "embedding", "label")
@@ -765,14 +766,14 @@ class IvfPqIndexSpec extends SparkSpec {
       }.toDF("vec_id", "embedding", "label")
         .coalesce(1).write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
     writeCorpus(1.0)
-    assert(IvfPqIndex.ensure(s, fixture, root, opq = true).contains(1L))
+    assert(IvfPqIndex.ensure(s, fixture, root, flavor = IvfPqIndex.Opq).contains(1L))
     val novel = (9200L until 9204L).map { id =>
       (id, (0 until 64).map(i => (math.cos(id * 3.7 + i) * 0.9).toFloat), 0)
     }.toDF("vec_id", "embedding", "label")
     IvfPqIndex.addVectors(s, root, novel, batchId = 1L)
     // refreshed corpus (retrains mean/component -> a DIFFERENT rotation)
     writeCorpus(0.5)
-    assert(IvfPqIndex.handoff(s, fixture, root, opq = true).contains(2L))
+    assert(IvfPqIndex.handoff(s, fixture, root, flavor = IvfPqIndex.Opq).contains(2L))
     assert(new java.io.File(s"$root/g2/rotation").exists())
     // the carried tail is coded under generation 2's NEW rotation — the
     // reason the ledger stores pre-rotation vectors
@@ -786,5 +787,115 @@ class IvfPqIndexSpec extends SparkSpec {
     def rotOf(g: Long) = s.read.parquet(s"$root/g$g/rotation").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(rotOf(1L) !== rotOf(2L), "handoff reused the stale rotation")
+  }
+
+  /** Expected (vec_id, cell, codes) for novel vectors under an OPQRES
+    * generation's persisted model: RAW-vector assignment (the ordering's
+    * point — cells never see the rotation), then the residual centered +
+    * reflected with the persisted model, then the persisted codebook. */
+  private def opqresExpectedCodes(s: org.apache.spark.sql.SparkSession,
+      root: String, g: Long,
+      vecs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] = {
+    val rot = s.read.parquet(s"$root/g$g/rotation").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rot.length === 64, "rotation table must hold 64 (i, m, u) rows")
+    val cents = s.read.parquet(s"$root/g$g/centroids")
+    val cbRows = s.read.parquet(s"$root/g$g/codebook").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq)).toMap
+    val cb = Seq.tabulate(8)(j => Seq.tabulate(16)(c => cbRows((j, c))))
+    val prep = vecs
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
+    val assigned = EmbeddingOps.ivfAssign(prep, cents, maxRank = 1)
+    EmbeddingOps.opqRotateColumn(assigned, "rv",
+        rot.map(_._2).toSeq, rot.map(_._3).toSeq)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("opqres: persisted residual-rotated index equals the in-query sibling; partition matches the plain flavor") {
+    val s = spark
+    val root = tmpRoot("opqres_eq")
+    assert(IvfPqIndex.ensure(s, sfDir, root,
+      flavor = IvfPqIndex.OpqResidual).contains(1L))
+    assert(new java.io.File(s"$root/g1/rotation").exists())
+    assert(new java.io.File(s"$root/g1/flavor").exists())
+    val st = IvfPqIndex.stats(s, root).get
+    assert(st.opq && st.flavor === "opqres", s"stats missed the flavor: $st")
+    // build-once: a second ensure of the same flavor reuses generation 1
+    assert(IvfPqIndex.ensure(s, sfDir, root,
+      flavor = IvfPqIndex.OpqResidual).contains(1L))
+    val indexed = rows(IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3))
+    val sibling = rows(EmbeddingOps.opqResidualKnn(s, sfDir, 2, 3))
+    assert(sibling.nonEmpty, "vacuous — residual-OPQ sibling returned nothing")
+    assert(indexed === sibling,
+      s"only-indexed=${(indexed -- sibling).take(3)} only-sibling=${(sibling -- indexed).take(3)}")
+    assert(rows(IvfPqIndex.query(s, sfDir, root, nprobe = 4, k = 3)) ===
+      rows(EmbeddingOps.opqResidualKnn(s, sfDir, 4, 3)))
+    // the ordering's construction claim, pinned on the ARTIFACTS: the
+    // opqres generation's (vec_id -> cell) partition is IDENTICAL to the
+    // plain flavor's (rotation never touches assignment), while the
+    // codes differ (rotation does touch what gets quantized)
+    val plainRoot = tmpRoot("opqres_eq_plain")
+    assert(IvfPqIndex.build(s, sfDir, plainRoot).contains(1L))
+    def codedOf(r: String) = IvfPqIndex.codedSink(r, 1L)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val resCoded = codedOf(root)
+    val plainCoded = codedOf(plainRoot)
+    assert(resCoded.map(t => (t._1, t._2)) === plainCoded.map(t => (t._1, t._2)),
+      "residual flavor changed the coarse partition — the ordering is broken")
+    assert(resCoded !== plainCoded,
+      "residual rotation was a code-level no-op on the fixture — vacuous flavor")
+  }
+
+  test("opqres: addVectors codes under the frozen residual model; handoff re-codes the tail under the retrained one") {
+    val s = spark
+    import s.implicits._
+    val fixture = java.nio.file.Files.createTempDirectory("ivfpq_opqres_fixture").toString
+    val root = tmpRoot("opqres_handoff")
+    def writeCorpus(scale: Double): Unit =
+      (0L until 64L).map { id =>
+        (id, (0 until 64).map(i =>
+          (math.sin(id * 7.3 + i * 1.9) * scale).toFloat), (id % 16).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    writeCorpus(1.0)
+    assert(IvfPqIndex.ensure(s, fixture, root,
+      flavor = IvfPqIndex.OpqResidual).contains(1L))
+    val novel = (9300L until 9304L).map { id =>
+      (id, (0 until 64).map(i => (math.cos(id * 3.7 + i) * 0.9).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    IvfPqIndex.addVectors(s, root, novel, batchId = 1L)
+    val landed = IvfPqIndex.codedSink(root, 1L)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .filter(col("vec_id") >= 9300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(landed.size === 4)
+    assert(landed === opqresExpectedCodes(s, root, 1L, novel))
+    // ledger stores the raw embedding (residual rotation never rides it)
+    val led = IvfPqIndex.rawSink(root, 1L)
+      .scan(s, Seq(("vec_id", Long.MinValue, Long.MaxValue)))
+      .filter(col("vec_id") === 9300L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val orig = (0 until 64).map(i => (math.cos(9300L * 3.7 + i) * 0.9).toFloat.toDouble)
+    assert(led === orig, "opqres ledger no longer holds the raw vector")
+    // refreshed corpus -> retrained residual rotation; the carried tail
+    // must be coded under generation 2's NEW model
+    writeCorpus(0.5)
+    assert(IvfPqIndex.handoff(s, fixture, root,
+      flavor = IvfPqIndex.OpqResidual).contains(2L))
+    assert(FsIo.readString(s"$root/g2/flavor").contains("opqres"))
+    val carried = IvfPqIndex.codedSink(root, 2L)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+      .filter(col("vec_id") >= 9300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(carried.size === 4, s"handoff lost carried vectors: $carried")
+    assert(carried === opqresExpectedCodes(s, root, 2L, novel))
+    def rotOf(g: Long) = s.read.parquet(s"$root/g$g/rotation").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rotOf(1L) !== rotOf(2L), "handoff reused the stale residual rotation")
   }
 }
