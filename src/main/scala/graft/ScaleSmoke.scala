@@ -92,7 +92,56 @@ object ScaleSmoke {
     // span-granular dedup rewrite: the coverage op's gram shuffle plus
     // a gh-window (count + first-occurrence rank) and the narrow text
     // rejoin — the ratio prices that the rewrite stays gram-bounded
-    "d_dup_span_rewrite")
+    "d_dup_span_rewrite",
+    // round-17 additions: the rank-3 deflated OPQ chain (e_knn_opq's
+    // calibration + two extra pinned-frame power-iteration scans; every
+    // rotation is a pure map), OPQ-by-residual (the trained-IVF-PQ
+    // shape + one residual power-iteration pass), and its PERSISTED
+    // form (the build-once/query-many protocol: min-of-two prices one
+    // manifest-pruned coded scan + a rotated broadcast probe)
+    "e_knn_opq3", "e_knn_opq_residual", "e_knn_opqres_indexed")
+
+  /** Cost class of each gated query (round-17 verdict task 6): the gate
+    * verdict stays per-query, but the artifact also rolls ratios up per
+    * family so creep inside a class — the exploded-gram family keeps
+    * gaining members — is visible mechanically against the prior
+    * round's artifact instead of by reading 45 rows. Classes follow the
+    * BASELINE.md cost-class vocabulary; queries under the 2 s exemption
+    * floor at x100 are excluded from a family's max (their ratios
+    * measure host noise, not scaling shape — same rule as the gate). */
+  val costFamily: Map[String, String] = Map(
+    // one exploded grams-per-token/doc shuffle dominates
+    "t_bpe_merges" -> "exploded_gram", "t_bpe_tokenize" -> "exploded_gram",
+    "t_dsir_score" -> "exploded_gram", "t_source_kl" -> "exploded_gram",
+    "d_dup_span_coverage" -> "exploded_gram",
+    "d_dup_span_rewrite" -> "exploded_gram",
+    // the intentionally write-dominated layout-maintenance lifecycle
+    "q_layout_lifecycle" -> "write_lifecycle",
+    // exact (non-sketch) percentiles: the documented full-sort class
+    "q_percentiles" -> "exact_percentile",
+    // embedding-corpus scans: ANN probes, PQ/coarse training, power
+    // iterations — all scan-plus-broadcast-model shapes
+    "e_knn_brute" -> "embedding", "e_knn_ivfpq" -> "embedding",
+    "e_knn_ivfpq_trained" -> "embedding", "e_knn_ivfpq_indexed" -> "embedding",
+    "e_knn_hamming" -> "embedding", "e_abtt_project" -> "embedding",
+    "e_knn_opq" -> "embedding", "e_knn_opq_indexed" -> "embedding",
+    "e_knn_opq3" -> "embedding", "e_knn_opq_residual" -> "embedding",
+    "e_knn_opqres_indexed" -> "embedding",
+    "e_ivf_balance" -> "embedding",
+    // mergeable-sketch family (HLL / DDSketch / CMS + pane decomposition)
+    "q_count_distinct" -> "sketch", "q_hll_sketch" -> "sketch",
+    "q_dd_quantiles" -> "sketch", "q_dd_quantiles_param" -> "sketch",
+    "q_dd_quantiles_w" -> "sketch", "q_hll_set_algebra" -> "sketch",
+    "w2b_sliding_dd_pane" -> "sketch", "w2c_sliding_hll_pane" -> "sketch",
+    "w2d_sliding_topk_pane" -> "sketch", "w2e_sliding_cms_topk" -> "sketch",
+    // per-key ordered-sequence state (CEP + attribution)
+    "x6_cep_times_range" -> "cep", "x7_cep_one_or_more" -> "cep",
+    "x8_cep_skip_past" -> "cep", "x9_cep_skip_to_next" -> "cep",
+    "x10_cep_skip_to_last" -> "cep", "a21_last_touch" -> "cep",
+    // banded/blocked text dedup shuffles
+    "d_dedup_groups" -> "dedup", "d_minhash_lsh_pairs" -> "dedup",
+    "d_curate_corpus" -> "dedup"
+  ).withDefaultValue("relational")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol
     * as the saltab A/B. */
@@ -159,9 +208,39 @@ object ScaleSmoke {
       }
     }
     val failed = rows.collect { case (name, _, false) => name }
+    // --- per-family roll-up (round-17 verdict task 6): max ratio per
+    // cost class over the NON-exempt queries (x100 time above the
+    // floor), plus the prior round's max re-derived from its artifact
+    // under the same rule, so class creep is one diff, not 45 rows.
+    val famRows = organicSubset.flatMap { name =>
+      (lo(name), hi(name)) match {
+        case (Some(tl), Some(th)) if th > absFloorSec =>
+          Some((costFamily(name), name, th / math.max(tl, 0.05)))
+        case _ => None
+      }
+    }.groupBy(_._1)
+    val prevRatios: Map[String, Double] = scala.util.Try {
+      val prevTag = "r%d".formatLocal(java.util.Locale.ROOT,
+        tag.drop(1).toInt - 1)
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"SCALE_$prevTag.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val re = """"([a-z0-9_]+)":\{"t_lo":[0-9.]+,"t_hi":([0-9.]+),"ratio":([0-9.]+)""".r
+      re.findAllMatchIn(txt)
+        .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble))
+        .collect { case (q, th, r) if th > absFloorSec => q -> r }.toMap
+    }.getOrElse(Map.empty)
+    val famJson = famRows.toSeq.sortBy(_._1).map { case (fam, qs) =>
+      val (_, worst, maxR) = qs.maxBy(_._3)
+      val prevQs = organicSubset.filter(q => costFamily(q) == fam)
+        .flatMap(prevRatios.get)
+      val prevStr = if (prevQs.isEmpty) "null" else n(prevQs.max)
+      s""""$fam":{"n":${qs.size},"max_ratio":${n(maxR)},"worst":"$worst","prev_max_ratio":$prevStr}"""
+    }.mkString(",")
     val json = s"""{"mode":"scale_gate","fixture":"organic","mult_lo":$multLo,"mult_hi":$multHi,""" +
       s""""ratio_max":$ratioMax,"abs_floor_sec":$absFloorSec,""" +
       s""""queries":{${rows.map { case (k, v, _) => s""""$k":$v""" }.mkString(",")}},""" +
+      s""""families":{$famJson},""" +
       s""""failed":[${failed.map(f => s""""$f"""").mkString(",")}],"pass":${failed.isEmpty}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"SCALE_$tag.json"), json + "\n")
