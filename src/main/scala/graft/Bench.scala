@@ -58,7 +58,12 @@ object Bench {
     // round-16 additions: the OPQ-rotated persisted index (the same
     // query-many protocol one rotation earlier) and the duplicated-span
     // coverage metric (the exploded-gram family's newest member)
-    "e_knn_opq_indexed", "d_dup_span_coverage")
+    "e_knn_opq_indexed", "d_dup_span_coverage",
+    // round-17 additions: the rank-3 rotation chain, the OPQ-by-residual
+    // ordering (in-query and persisted), and the spectrum-decay
+    // diagnostic that chooses between them
+    "e_knn_opq3", "e_knn_opq_residual", "e_knn_opqres_indexed",
+    "e_spectrum_decay")
 
   /** Multi-thread stream-copy probe: `threads` workers each copy a
     * 64 MiB long array (well past any L3) `reps` times; the aggregate

@@ -99,7 +99,9 @@ object ScaleSmoke {
     // shape + one residual power-iteration pass), and its PERSISTED
     // form (the build-once/query-many protocol: min-of-two prices one
     // manifest-pruned coded scan + a rotated broadcast probe)
-    "e_knn_opq3", "e_knn_opq_residual", "e_knn_opqres_indexed")
+    "e_knn_opq3", "e_knn_opq_residual", "e_knn_opqres_indexed",
+    // spectrum-decay diagnostic: the opq3 chain + one 64-row variance agg
+    "e_spectrum_decay")
 
   /** Cost class of each gated query (round-17 verdict task 6): the gate
     * verdict stays per-query, but the artifact also rolls ratios up per
@@ -126,7 +128,7 @@ object ScaleSmoke {
     "e_knn_hamming" -> "embedding", "e_abtt_project" -> "embedding",
     "e_knn_opq" -> "embedding", "e_knn_opq_indexed" -> "embedding",
     "e_knn_opq3" -> "embedding", "e_knn_opq_residual" -> "embedding",
-    "e_knn_opqres_indexed" -> "embedding",
+    "e_knn_opqres_indexed" -> "embedding", "e_spectrum_decay" -> "embedding",
     "e_ivf_balance" -> "embedding",
     // mergeable-sketch family (HLL / DDSketch / CMS + pane decomposition)
     "q_count_distinct" -> "sketch", "q_hll_sketch" -> "sketch",

@@ -694,6 +694,66 @@ FROM (SELECT qid, vec_id, ad,
              row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
       FROM adc) WHERE rnk <= $k"""
 
+  // Spectrum-decay diagnostic (round 17) — the DECISION INPUT for the
+  // round's pinned rotation-rank lesson: rank-3 OPQ doubled recall on
+  // the organic corpus (slow spectral decay — three comparable
+  // directions worth three subspaces) and COST recall on every
+  // single-dominant-direction synthetic (fast decay — reflections 2-3
+  // moved noise onto coordinates 8/16). This query measures the decay
+  // so an operator can choose the rank BEFORE training an index, the
+  // way e_ivf_balance reads cell skew before choosing to recluster.
+  // Machinery is the e_knn_opq3 chain itself: after the three deflated
+  // reflections, the top-3 eigenvalue estimates are simply the
+  // VARIANCES OF COORDINATES 0/8/16 of the rotated frame (each
+  // reflection parks its deflated principal direction on its target
+  // axis; the chain is an isometry so total variance is preserved).
+  // One extra 64-row aggregation over the chain's final frame — no scan
+  // beyond what e_knn_opq3 already pays. rec_rank operationalizes the
+  // lesson: count directions with lambda >= 0.3 x lambda_1 (the lanes'
+  // empirical threshold: organic lambda2/lambda1 cleared it, spanning
+  // did not).
+  private val eSpectrumDecay = GQuery(
+    "e_spectrum_decay",
+    (s, dir) => opq3Rotated(s, dir) match {
+      case None =>
+        prepped(s, dir).limit(0).selectExpr("cast(1 AS int) AS rnk",
+          "cast(0.0 AS double) AS lambda", "cast(0.0 AS double) AS frac",
+          "cast(1 AS int) AS rec_rank")
+      case Some(rotated) =>
+        val coordVar = rotated
+          .select(posexplode(col("ed")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(round(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))
+            + lit(1e-9), 6).as("v"))
+        val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rankOf = when(col("i") === 0, 1)
+          .when(col("i") === 8, 2).otherwise(3)
+        coordVar
+          .withColumn("total", sum(col("v")).over(w))
+          .withColumn("l1", max(when(col("i") === 0, col("v"))).over(w))
+          .withColumn("rec_rank", sum(when(col("i").isin(8, 16) &&
+            col("v") >= col("l1") * 0.3, 1).otherwise(0)).over(w).cast("int") + 1)
+          .filter(col("i").isin(0, 8, 16))
+          .select(rankOf.as("rnk"), col("v").as("lambda"),
+            round(col("v") / col("total") + lit(1e-9), 6).as("frac"),
+            col("rec_rank"))
+    },
+    Some(s"""$duckPrep,
+$duckOpqCenter,
+${duckOpqStageXc("cx", "s1", 0, Nil, "a")},
+${duckOpqStageXc("s1", "s2", 8, Seq(0), "b")},
+${duckOpqStageXc("s2", "s3", 16, Seq(0, 8), "c")},
+cv AS MATERIALIZED (SELECT i, round(avg(xc[i + 1] * xc[i + 1]) - avg(xc[i + 1]) * avg(xc[i + 1]) + 1e-9, 6) AS v
+      FROM s3, range(64) t(i) GROUP BY 1),
+tot AS (SELECT sum(v) AS total, max(CASE WHEN i = 0 THEN v END) AS l1 FROM cv),
+rr AS (SELECT CAST(1 + sum(CASE WHEN cv.i IN (8, 16) AND cv.v >= tot.l1 * 0.3
+                           THEN 1 ELSE 0 END) AS INT) AS rec_rank
+       FROM cv, tot)
+SELECT CASE WHEN i = 0 THEN 1 WHEN i = 8 THEN 2 ELSE 3 END AS rnk,
+       v AS lambda, round(v / total + 1e-9, 6) AS frac, rec_rank
+FROM cv, tot, rr WHERE i IN (0, 8, 16)"""),
+    "Embedding spectrum decay: top-3 eigenvalue estimates via the deflated-reflection chain (variance of the rotated frame's target coordinates), with the recommended OPQ rotation rank (count of directions above 0.3 x lambda_1).")
+
   private val eKnnOpq = GQuery(
     "e_knn_opq",
     (s, dir) => abttCalibrateFull(s, dir) match {
@@ -2334,7 +2394,8 @@ GROUP BY 1"""),
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eIvfBalance, eKnnIvfPq,
       eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnOpqIndexed, eKnnOpqResidual,
       eKnnOpqResIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
-      eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eKnnOpq3, eNeardup, eSemanticDedup, eCentroids, eAssign,
+      eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eKnnOpq3, eSpectrumDecay,
+      eNeardup, eSemanticDedup, eCentroids, eAssign,
       eAbttProject,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)

@@ -311,6 +311,52 @@ class AnnSweepInvariantsSpec extends SparkSpec {
         "the opt-in counterexample is gone; update the BASELINE.md round-17 lane")
   }
 
+  test("spectrum-decay diagnostic recommends the rank that actually won each recall lane") {
+    // e_spectrum_decay exists to CHOOSE the rotation rank before
+    // training; its validity claim is agreement with the measured
+    // lanes, pinned here on the deterministic fixtures:
+    //  - ORGANIC corpus: near-flat spectrum (every frac ~1/64) ->
+    //    rec_rank 3, and the lanes measured rank-3 doubling rank-1
+    //    (0.1333 -> 0.2667). Flat decay = more reflections pay.
+    //  - SPANNING fixture: one dominant direction -> rec_rank 1, and
+    //    the lanes measured rank-3 COSTING recall there (0.4667 ->
+    //    0.4000). Fast decay = stop at one reflection.
+    //  - MULTI-SPANNING fixture: variances 7.2 / 2.56 / 1.44 along the
+    //    three planted directions -> lambda2 clears the 0.3 x lambda1
+    //    threshold, lambda3 does not -> rec_rank 2.
+    // If any of these flips, the 0.3 threshold or the lane analysis is
+    // stale — revisit both together (BASELINE.md round-17 lane).
+    val s = spark
+    import s.implicits._
+    def read(dir: String): (Seq[(Int, Double, Double)], Int) = {
+      val rows = graft.SparkEntry.queries("e_spectrum_decay")(s, dir)
+        .select(col("rnk"), col("lambda"), col("frac"), col("rec_rank"))
+        .as[(Int, Double, Double, Int)].collect().sortBy(_._1)
+      assert(rows.length === 3, s"expected 3 spectrum rows, got ${rows.length}")
+      assert(rows.map(_._4).distinct.length === 1, "rec_rank must be constant")
+      (rows.map(r => (r._1, r._2, r._3)).toSeq, rows.head._4)
+    }
+    val (orgRows, orgRank) = read(sfDir)
+    assert(orgRank === 3,
+      s"organic spectrum is near-flat; diagnostic must recommend rank 3, got $orgRank")
+    assert(orgRows.forall(_._3 < 0.05),
+      s"organic fracs should be near-uniform (~1/64): $orgRows")
+    val spanDir = java.nio.file.Files.createTempDirectory("spec-span").toString
+    graft.RecallSweep.writeSpanningFixture(s, spanDir)
+    val (spanRows, spanRank) = read(spanDir)
+    assert(spanRank === 1,
+      s"spanning has one dominant direction; diagnostic must recommend rank 1, got $spanRank")
+    assert(spanRows.head._3 > 0.5,
+      s"spanning lambda1 should dominate the spectrum: $spanRows")
+    val msDir = java.nio.file.Files.createTempDirectory("spec-mspan").toString
+    graft.RecallSweep.writeMultiSpanningFixture(s, msDir)
+    val (msRows, msRank) = read(msDir)
+    assert(msRank === 2,
+      s"multispan lambda2/lambda1 ~ 0.36, lambda3/lambda1 ~ 0.2; expected rank 2, got $msRank")
+    assert(msRows(0)._2 > msRows(1)._2 && msRows(1)._2 > msRows(2)._2,
+      s"multispan eigenvalue estimates must be strictly ordered: $msRows")
+  }
+
   test("ABTT component dominates: explained variance >= best coordinate axis, residuals shrink") {
     // The DuckDB oracle proves CROSS-ENGINE EQUALITY of e_abtt_project,
     // not that the found direction is the right one — a silently
