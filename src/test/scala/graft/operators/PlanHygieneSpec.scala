@@ -107,7 +107,17 @@ class PlanHygieneSpec extends SparkSpec {
       // the e_knn_ivf assignment's identical 16-row coarse-codebook
       // cross join; everything downstream of the map-side count agg is
       // the 16-row cell frame
-      "e_ivf_balance")
+      "e_ivf_balance",
+      // runs the e_knn_pq_trained trajectory on the rank-3-rotated
+      // frame — the same <=10-row broadcast query-set join as
+      // e_knn_opq; the extra reflections are pure maps
+      "e_knn_opq3",
+      // e_knn_ivfpq_trained's constant-size model joins (16-row coarse
+      // cross join in assignment), plus pure-map residual rotations;
+      // the candidate join stays cell-equi (the persisted sibling
+      // e_knn_opqres_indexed needs NO exemption: its probe side reads
+      // the stored 16-row centroid table through a hash join)
+      "e_knn_opq_residual")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no accidental nested-loop or cartesian join") {
