@@ -38,6 +38,7 @@ object OperatorIndex {
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
     "StreamingPipelines.streamingKnn" -> "e_knn_brute",
     "StreamingPipelines.decontaminate" -> "d_decontaminate",
+    "StreamingPipelines.embedDecontaminate" -> "d_embed_decontaminate",
     "StreamingPipelines.perplexityBand" -> "d_perplexity_band",
     "StreamingPipelines.bpeTokenizeStream" -> "t_bpe_tokenize",
     "StreamingPipelines.splitMain" -> "m1_split_main",

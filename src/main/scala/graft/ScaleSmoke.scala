@@ -101,7 +101,11 @@ object ScaleSmoke {
     // manifest-pruned coded scan + a rotated broadcast probe)
     "e_knn_opq3", "e_knn_opq_residual", "e_knn_opqres_indexed",
     // spectrum-decay diagnostic: the opq3 chain + one 64-row variance agg
-    "e_spectrum_decay")
+    "e_spectrum_decay",
+    // semantic eval decontamination: one documents-to-embeddings equi
+    // join + a broadcast-model scoring map — the ratio prices that the
+    // model side never grows with the corpus
+    "d_embed_decontaminate")
 
   /** Cost class of each gated query (round-17 verdict task 6): the gate
     * verdict stays per-query, but the artifact also rolls ratios up per
@@ -129,6 +133,7 @@ object ScaleSmoke {
     "e_knn_opq" -> "embedding", "e_knn_opq_indexed" -> "embedding",
     "e_knn_opq3" -> "embedding", "e_knn_opq_residual" -> "embedding",
     "e_knn_opqres_indexed" -> "embedding", "e_spectrum_decay" -> "embedding",
+    "d_embed_decontaminate" -> "embedding",
     "e_ivf_balance" -> "embedding",
     // mergeable-sketch family (HLL / DDSketch / CMS + pane decomposition)
     "q_count_distinct" -> "sketch", "q_hll_sketch" -> "sketch",

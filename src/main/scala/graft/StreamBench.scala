@@ -318,6 +318,23 @@ object StreamBench {
         Sinks.file(StreamingPipelines.codeDetect(docsStream(d.in)),
           d.out, d.ckpt)
       },
+      // round-17: semantic eval decontamination at ingest — the frozen
+      // broadcast eval model (calibrated outside the window, the r15
+      // lesson) scoring each arriving doc's embedding through one
+      // codegen'd map. The wire has no embedding column, so the cell
+      // synthesizes a deterministic 64-dim one per doc — the scoring
+      // cost it prices is identical.
+      {
+        val eval = graft.operators.EmbeddingOps
+          .embedEvalModel(spark, "/root/testdata/sf0.001")
+        runDocs("embed_decontaminate_stateless", math.max(2048, n / 10)) { d =>
+          val withEmb = docsStream(d.in).withColumn("embedding",
+            org.apache.spark.sql.functions.expr(
+              "transform(sequence(0, 63), i -> cast(sin(doc_id * 0.37 + i) AS float))"))
+          Sinks.file(StreamingPipelines.embedDecontaminate(withEmb, eval),
+            d.out, d.ckpt)
+        }
+      },
       // round-16 (verdict-r15 task 5): the windowed mixture-drift
       // monitor — per-(window, source) KL against the calibrated corpus
       // through the single-stage histogram aggregate. Calibration is the

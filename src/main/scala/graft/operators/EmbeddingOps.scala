@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -790,6 +790,91 @@ r AS MATERIALIZED (SELECT vec_id, xc AS ed FROM s3),
 ${duckFlatTrainedPq("r", 5)}"""),
     "Rank-3 deflated OPQ ANN top-5: three composed Householder reflections allocate the top three principal directions to three different PQ subspaces (coordinates 0/8/16), then the trained-PQ trajectory on the rotated frame.")
 
+
+  /** One eval-set embedding for the semantic-decontamination model —
+    * id + double vector + norm, frozen at calibrate time. */
+  private[graft] final case class EvalVec(id: Long, ed: Seq[Double], nrm: Double)
+
+  /** CALIBRATE half of semantic decontamination: the eval/benchmark
+    * embeddings (the corpus' query rows, vec_id < 10 — the family's
+    * standing eval-set convention), collected as a bounded ≤10-row
+    * model. Real eval benchmarks are thousands of rows — still a
+    * broadcast-sized model next to a 100 TB corpus, the same size
+    * argument as d_decontaminate's eval-gram literal. */
+  private[graft] def embedEvalModel(s: SparkSession, dir: String): Seq[EvalVec] =
+    prepped(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("ed"), col("nrm")).collect()
+      .map(r => EvalVec(r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+      .sortBy(_.id).toSeq
+
+  /** APPLY half, shared verbatim by the batch query and the streaming
+    * dual ([[graft.streaming.StreamingPipelines.embedDecontaminate]]):
+    * score a frame's `ed`/`nrm` against every frozen eval vector (one
+    * codegen'd dot product per eval row, the model riding as literals),
+    * take the max, resolve argmax ties to the SMALLEST eval id (the
+    * first-match `when` chain below is in ascending-id order — exactly
+    * the oracle's `ORDER BY cos DESC, eval_id` row_number). Pure
+    * stateless map: no shuffle, no state, no join — which is what makes
+    * the ingest-side dual legal in a streaming plan. */
+  private[graft] def embedDecontaminateApply(df: DataFrame,
+      eval: Seq[EvalVec], tau: Double = 0.4): DataFrame = {
+    val cosCols = eval.map(ev =>
+      round(GraftFunctions.vecDot(col("ed"), typedlit(ev.ed)) /
+        (col("nrm") * lit(ev.nrm)), 6))
+    val top = if (cosCols.length == 1) cosCols.head else greatest(cosCols: _*)
+    val argmax = eval.zip(cosCols).foldRight(lit(-1L): Column) {
+      case ((ev, c), acc) => when(c === col("top_cos"), lit(ev.id)).otherwise(acc)
+    }
+    df.withColumn("top_cos", top)
+      .withColumn("top_eval", argmax)
+      .withColumn("quarantined", col("top_cos") >= tau)
+  }
+
+  // Semantic EVAL decontamination (round 17) — the embedding-space
+  // counterpart of the 13-gram d_decontaminate: a corpus document whose
+  // embedding is too close to an eval/benchmark item leaks the
+  // benchmark into training even when no 13-gram matches (paraphrase,
+  // translation, re-formatting — exactly what lexical decontamination
+  // misses and published contamination studies flag). Report form: one
+  // row per corpus document with its nearest eval item and cosine, plus
+  // the quarantine flag at the family's 0.4 threshold — consumers drop
+  // or review the flagged tail. 100 TB shape: the eval model is a
+  // bounded broadcast-sized literal (never corpus-sized); the corpus
+  // pays ONE equi-join documents⋈embeddings on the shared id (both
+  // sides co-scale, shuffle-hash/SMJ territory — never broadcast) and a
+  // pure scoring map; no window, no all-pairs anything.
+  private val dEmbedDecontaminate = GQuery(
+    "d_embed_decontaminate",
+    (s, dir) => {
+      val eval = embedEvalModel(s, dir)
+      if (eval.isEmpty)
+        graft.Tables.t(s, dir, "documents").limit(0).selectExpr("doc_id",
+          "source", "cast(-1 AS bigint) AS top_eval",
+          "cast(0.0 AS double) AS top_cos",
+          "cast(false AS boolean) AS quarantined")
+      else {
+        val corpus = graft.Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .join(prepped(s, dir).filter(col("vec_id") >= 10)
+            .select(col("vec_id"), col("ed"), col("nrm")),
+            col("doc_id") === col("vec_id"))
+        embedDecontaminateApply(corpus, eval)
+          .select(col("doc_id"), col("source"), col("top_eval"),
+            col("top_cos"), col("quarantined"))
+      }
+    },
+    Some(s"""$duckPrep,
+ev AS (SELECT vec_id AS eval_id, ed AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+cp AS (SELECT d.doc_id, d.source, n.ed, n.nrm
+       FROM documents d JOIN n ON d.doc_id = n.vec_id AND n.vec_id >= 10),
+sc AS (SELECT doc_id, source, eval_id,
+         round(list_aggregate(list_transform(range(64), i -> ed[i+1] * qe[i+1]), 'sum') / (nrm * qn), 6) AS cos_sim
+       FROM cp, ev)
+SELECT doc_id, source, eval_id AS top_eval, cos_sim AS top_cos,
+       cos_sim >= 0.4 AS quarantined
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cos_sim DESC, eval_id) AS rn
+      FROM sc) WHERE rn = 1"""),
+    "Semantic eval decontamination: each corpus document's nearest eval/benchmark embedding and cosine (broadcast eval model, one scoring map), quarantine flag at cos >= 0.4 — catches the paraphrase-level leakage 13-gram decontamination misses.")
 
   /** Cosine near-dup pairs (cos >= 0.4) within LSH buckets — the pair
     * stage shared by `e_neardup_cosine` (listing) and
@@ -2395,7 +2480,7 @@ GROUP BY 1"""),
       eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnOpqIndexed, eKnnOpqResidual,
       eKnnOpqResIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eKnnOpq3, eSpectrumDecay,
-      eNeardup, eSemanticDedup, eCentroids, eAssign,
+      dEmbedDecontaminate, eNeardup, eSemanticDedup, eCentroids, eAssign,
       eAbttProject,
       eDimStats, eRecallEval, eOodScore, eInertia, eKmeansStep, eCentroidDrift,
       eHardNegatives, eThresholdSweep)

@@ -720,6 +720,29 @@ object StreamingPipelines {
       grams.filter(col("dirty")).select(out: _*))
   }
 
+  /** Streaming SEMANTIC decontamination — the embedding-space dual of
+    * [[decontaminate]] and the streaming twin of the batch
+    * `d_embed_decontaminate`: score each arriving document's embedding
+    * against the frozen eval model
+    * ([[graft.operators.EmbeddingOps.embedEvalModel]], a bounded
+    * broadcast-sized collect) through the SHARED
+    * [[graft.operators.EmbeddingOps.embedDecontaminateApply]] — one
+    * codegen'd dot product per eval vector with the model riding as
+    * literals, max + smallest-id argmax, quarantine flag at the
+    * family's 0.4 threshold. Pure stateless map (no shuffle, state, or
+    * watermark), so it composes into any ingest pipeline ahead of the
+    * corpus sink. Input stream needs (doc_id, source, embedding
+    * ARRAY<FLOAT>); emits the batch query's exact five columns. */
+  def embedDecontaminate(docsStream: DataFrame,
+      eval: Seq[graft.operators.EmbeddingOps.EvalVec]): DataFrame = {
+    val prepped = docsStream
+      .withColumn("ed", expr("transform(embedding, x -> cast(x AS double))"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
+    graft.operators.EmbeddingOps.embedDecontaminateApply(prepped, eval)
+      .select(col("doc_id"), col("source"), col("top_eval"),
+        col("top_cos"), col("quarantined"))
+  }
+
   /** Calibrate the streaming perplexity-band filter from a STATIC
     * corpus frame (doc_id, text): returns the bigram model
     * (length-prefixed key `"len(w1):w1w2" -> P(w2|w1)` — collision-free for any token content) plus the band cut points in the 4 dp
