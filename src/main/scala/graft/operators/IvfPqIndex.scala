@@ -437,7 +437,14 @@ object IvfPqIndex {
     FsIo.readString(s"${genPath(root, g)}/flavor") match {
       case Some("opqres") => OpqResidual
       case Some("opq") => Opq
-      case Some(_) => Plain
+      case Some("plain") => Plain
+      // ADVICE r17: an unrecognized marker (corrupt file, future flavor)
+      // must fail loudly — mapping it to Plain would probe a rotated
+      // generation with unrotated query arithmetic and silently return
+      // garbage ranks.
+      case Some(other) => throw new IllegalStateException(
+        s"IvfPqIndex: unknown flavor marker '$other' at $root g$g — " +
+          "generation was written by an incompatible version")
       case None =>
         val p = new org.apache.hadoop.fs.Path(s"${genPath(root, g)}/rotation")
         if (FsIo.fs(p).exists(p)) Opq else Plain

@@ -735,6 +735,12 @@ object StreamingPipelines {
     * ARRAY<FLOAT>); emits the batch query's exact five columns. */
   def embedDecontaminate(docsStream: DataFrame,
       eval: Seq[graft.operators.EmbeddingOps.EvalVec]): DataFrame = {
+    // ADVICE r17: an empty model would reach greatest() with zero columns
+    // and die at plan time with an obscure analysis error; the batch
+    // GQuery guards this, so the streaming entry point must too.
+    require(eval.nonEmpty,
+      "embedDecontaminate needs a non-empty eval model (embedEvalModel " +
+        "returned no rows — does the calibration corpus have vec_id < 10?)")
     val prepped = docsStream
       .withColumn("ed", expr("transform(embedding, x -> cast(x AS double))"))
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))

@@ -898,4 +898,24 @@ class IvfPqIndexSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(rotOf(1L) !== rotOf(2L), "handoff reused the stale residual rotation")
   }
+
+  test("an unknown flavor marker fails loudly instead of probing as plain (ADVICE r17)") {
+    val s = spark
+    val root = tmpRoot("badflavor")
+    assert(IvfPqIndex.build(s, sfDir, root).contains(1L))
+    FsIo.writeStringAtomic(s"$root/g1/flavor", "opq-v9-from-the-future")
+    // both the query and the add path read the marker; each must refuse
+    // rather than silently run the unrotated arithmetic
+    val eq = intercept[IllegalStateException] {
+      IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3).collect()
+    }
+    assert(eq.getMessage.contains("unknown flavor"), eq.getMessage)
+    import s.implicits._
+    val ea = intercept[IllegalStateException] {
+      IvfPqIndex.addVectors(s, root,
+        Seq((9400L, (0 until 64).map(i => (i + 1).toFloat)))
+          .toDF("vec_id", "embedding"), batchId = 5L)
+    }
+    assert(ea.getMessage.contains("unknown flavor"), ea.getMessage)
+  }
 }

@@ -81,4 +81,16 @@ class EmbedDecontaminateStreamSpec extends SparkSpec {
         s"a near-orthogonal vector must stay clean: $miss")
     } finally q.stop()
   }
+
+  test("an empty eval model is refused with a clear message, not a plan-time greatest() error (ADVICE r17)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipelines.embedDecontaminate(
+        in.toDF().toDF("doc_id", "source", "embedding"), Seq.empty)
+    }
+    assert(e.getMessage.contains("non-empty eval model"), e.getMessage)
+  }
 }
