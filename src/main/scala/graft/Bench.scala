@@ -63,7 +63,10 @@ object Bench {
     // ordering (in-query and persisted), and the spectrum-decay
     // diagnostic that chooses between them
     "e_knn_opq3", "e_knn_opq_residual", "e_knn_opqres_indexed",
-    "e_spectrum_decay")
+    "e_spectrum_decay",
+    // round-18 additions: the perceptual media near-dup rung and the
+    // predicate-aware persisted-index probe
+    "m_media_neardup", "e_knn_ivfpq_filtered")
 
   /** Multi-thread stream-copy probe: `threads` workers each copy a
     * 64 MiB long array (well past any L3) `reps` times; the aggregate
@@ -87,6 +90,13 @@ object Bench {
     pairs.foreach { case (s, d) => s(0) = 1L; d(0) = 1L; s(bwLongs - 1) = 1L }
     pairs
   }
+
+  /** Clean-host calibration constants for the normalization divisor —
+    * shared with [[Profile]] (and the streaming gate) so a single-query
+    * receipt normalizes exactly as the bench gate does. See the gate
+    * scaladoc below and BASELINE.md "Bench gate normalization". */
+  private[graft] val SpinRefMs = 100.0
+  private[graft] val BwRefGbps = 58.0
 
   /** GC wall-time this JVM accumulated inside [[bwGbps]] calls — exposed
     * so the bench can subtract the probe's own collection churn from the
@@ -268,8 +278,6 @@ object Bench {
     // bandwidth probe"). When the dip exceeds 15% below that floor while
     // spin stays flat, consumers should read diffuse per-query inflation
     // as host band, not plan regression — mechanically, not via prose.
-    val SpinRefMs = 100.0
-    val BwRefGbps = 58.0
     val bandSuspected = spinSamples.min / SpinRefMs <= 1.15 &&
       bwSamples.min < 0.85 * BwRefGbps
     val probe =
@@ -338,14 +346,25 @@ object Bench {
     val normByQ: Map[String, Double] =
       results.collect { case (k, Some(v)) => k -> v / hostRatio }.toMap
     val refOpt = BenchGate.load().filter(_.sf == sfName)
-    val regs = refOpt.map(r => BenchGate.regressions(r.norms, normByQ))
-      .getOrElse(Seq.empty)
+    // Two-consecutive rule (round-18): sub-0.2s-reference trips consult
+    // the committed previous sample's suspect set and are persisted as
+    // this sample's — see BenchGate's SmallRefSec scaladoc for the a15
+    // adjudication that motivated it.
+    val priorSuspects = BenchGate.loadFlags(sf = sfName)
+    val gateRes = refOpt.map(r =>
+        BenchGate.gate(r.norms, normByQ, priorSuspects))
+      .getOrElse(BenchGate.GateResult(Nil, Nil))
+    val regs = gateRes.regressions
+    refOpt.foreach { _ =>
+      BenchGate.saveFlags(BenchGate.FlagsFile, sfName,
+        gateRes.suspects.map(_.query))
+    }
     val refN = refOpt.map(r => normByQ.keysIterator.count(r.norms.contains))
       .getOrElse(0)
     val unrefN = normByQ.size - refN
     val (gateKind, verdict) = refOpt match {
       case Some(_) =>
-        ("per_query_v1", if (regs.isEmpty) "pass" else "weak")
+        ("per_query_v2", if (regs.isEmpty) "pass" else "weak")
       case None => ("fleet_fallback", fleetVerdict)
     }
     if (sys.env.get("SPARK_GRAFT_UPDATE_REF").contains("1")) {
@@ -355,7 +374,7 @@ object Bench {
         s"${normByQ.size} measured into ${base.size} existing entries)")
     }
     val gate =
-      s"""{"raw_spq":${num(rawSpq)},"spin_ratio":${num(spinRatio)},"bw_ratio":${num(bwRatio)},"bw_median_gbps":${num(bwMedian)},"bw_ref_gbps":$BwRefGbps,"host_ratio":${num(hostRatio)},"norm_spq":${num(normSpq)},"threshold":$GateSpq,"fleet_verdict":"$fleetVerdict","gate_kind":"$gateKind","ref_n":$refN,"unref_n":$unrefN,"regressions_n":${regs.size},"regressions":${BenchGate.regsJson(regs)},"verdict":"$verdict","compute_n":$computeN,"maint_n":$maintN,"maint_sec":${num(maintSec)},"maint_lane":[${maintenanceLane.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"raw_spq":${num(rawSpq)},"spin_ratio":${num(spinRatio)},"bw_ratio":${num(bwRatio)},"bw_median_gbps":${num(bwMedian)},"bw_ref_gbps":$BwRefGbps,"host_ratio":${num(hostRatio)},"norm_spq":${num(normSpq)},"threshold":$GateSpq,"fleet_verdict":"$fleetVerdict","gate_kind":"$gateKind","ref_n":$refN,"unref_n":$unrefN,"regressions_n":${regs.size},"regressions":${BenchGate.regsJson(regs)},"suspects_n":${gateRes.suspects.size},"suspects":${BenchGate.regsJson(gateRes.suspects, 5)},"verdict":"$verdict","compute_n":$computeN,"maint_n":$maintN,"maint_sec":${num(maintSec)},"maint_lane":[${maintenanceLane.map("\"" + _ + "\"").mkString(",")}]}"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"gate":$gate,"queries":$head,"sf":"$sfDir"}"""
     // Full map for forensics/BASELINE.md (stderr + file — NOT stdout, where

@@ -46,15 +46,46 @@ object BenchGate {
   val RatioLimit = 2.0
   /** ... AND exceeds it by this much absolutely (see scaladoc). */
   val NoiseFloorSec = 0.15
+  /** Sub-floor reference class (round-18 policy, reviewed): a reference
+    * below this is a micro plan whose 2x line sits INSIDE the sandbox's
+    * calm-host jitter band, so one banded sample can trip it — exactly
+    * what happened to a15_level_shift in the round-17 driver run (ref
+    * 0.135, norm 0.313, +0.178 s on the round's most banded sample;
+    * three same-round calm samples graded clean, and the r18 receipts in
+    * BASELINE.md reproduce ~0.25-0.34 norm on calm hosts — the
+    * min-merged ledger entry is simply this class's fast tail, not its
+    * typical calm value). A trip on this class therefore needs TWO
+    * CONSECUTIVE gated samples (the committed [[FlagsFile]] is the
+    * memory) before it grades "weak": host bands don't repeat across
+    * rounds, real plan regressions do. Queries at or above this
+    * reference keep the immediate-fail rule — a heavyweight doubling is
+    * never jitter under the min-of-passes protocol. */
+  val SmallRefSec = 0.2
+  /** Escape hatch for the two-consecutive rule: a sub-[[SmallRefSec]]
+    * query whose ABSOLUTE excess crosses this is failed immediately —
+    * a 0.15 s plan measuring past ~1.2 s is an 8x blow-up no host band
+    * can produce under the capped (<= 3x) normalization, and a real
+    * scale-killer should not get a free round. */
+  val HardFloorSec = 1.0
+  /** Committed one-round memory for the two-consecutive rule: the
+    * previous gated run's suspect list ([[saveFlags]]), sf-tagged like
+    * the ledger. */
+  val FlagsFile = "bench_flags.json"
 
   final case class Ref(sf: String, norms: Map[String, Double])
   final case class Regression(
       query: String, refSec: Double, normSec: Double, ratio: Double)
+  /** Gate outcome: `regressions` flip the verdict to "weak";
+    * `suspects` are sub-[[SmallRefSec]] first-time trips — reported,
+    * persisted to [[FlagsFile]], and promoted to regressions only if
+    * they trip again on the NEXT gated sample. */
+  final case class GateResult(
+      regressions: Seq[Regression], suspects: Seq[Regression])
 
-  /** The gate: queries whose host-normalized time exceeds both the
+  /** Raw trips: queries whose host-normalized time exceeds both the
     * 2x ratio and the absolute noise floor vs their own reference.
-    * Unreferenced queries never regress (first measurement seeds). */
-  def regressions(ref: Map[String, Double],
+    * Unreferenced queries never trip (first measurement seeds). */
+  private[graft] def trips(ref: Map[String, Double],
       norm: Map[String, Double]): Seq[Regression] =
     norm.toSeq.sortBy(_._1).flatMap { case (q, m) =>
       ref.get(q).collect {
@@ -62,6 +93,18 @@ object BenchGate {
           Regression(q, r, m, if (r > 0) m / r else Double.PositiveInfinity)
       }
     }
+
+  /** The gate (round-18 policy): classify [[trips]] into immediate
+    * regressions vs one-round suspects per the [[SmallRefSec]] /
+    * [[HardFloorSec]] rules above. `priorSuspects` is the PREVIOUS
+    * gated sample's suspect set ([[loadFlags]]). */
+  def gate(ref: Map[String, Double], norm: Map[String, Double],
+      priorSuspects: Set[String]): GateResult = {
+    val (immediate, small) = trips(ref, norm).partition(t =>
+      t.refSec >= SmallRefSec || t.normSec - t.refSec > HardFloorSec)
+    val (repeat, fresh) = small.partition(t => priorSuspects(t.query))
+    GateResult(immediate ++ repeat, fresh)
+  }
 
   /** Ledger merge: per-query min of reference and this run's
     * normalized time; queries new to the ledger enter at their
@@ -113,6 +156,43 @@ object BenchGate {
   "host_norm_sec": {
     $body
   }
+}
+"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), txt)
+    ()
+  }
+
+  // Flags file: same writer-owns-the-shape regex discipline as the
+  // ledger above.
+  private val suspectsRe = """"suspects"\s*:\s*\[([^\]]*)\]""".r
+  private val nameRe = """"([A-Za-z0-9_]+)"""".r
+
+  /** Previous gated sample's suspect set, empty when the file is
+    * missing, unparseable, or tagged with a different sf. */
+  def loadFlags(path: String = FlagsFile, sf: String): Set[String] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        if (!sfRe.findFirstMatchIn(txt).map(_.group(1)).contains(sf)) Set.empty
+        else suspectsRe.findFirstMatchIn(txt) match {
+          case Some(m) => nameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSet
+          case None => Set.empty
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  /** Persist THIS gated sample's suspect set (possibly empty — a calm
+    * sample clearing a stale flag is the rule working, not data loss).
+    * Committed alongside the round's artifacts, it is the "previous
+    * sample" the next gate run consults. */
+  def saveFlags(path: String, sf: String, suspects: Seq[String]): Unit = {
+    val txt =
+      s"""{
+  "sf": "$sf",
+  "note": "sub-${SmallRefSec}s-reference gate trips from the latest gated bench sample; a query here fails the NEXT gated sample it trips on (two-consecutive rule, BenchGate.scala)",
+  "suspects": [${suspects.sorted.map("\"" + _ + "\"").mkString(",")}]
 }
 """
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), txt)

@@ -42,16 +42,31 @@ object Profile {
           System.err.println(s"[profile] warm-up skipping table '$t' in $sfDir: ${e.getMessage.linesIterator.next()}")
       }
     }
+    // Bench's 8-thread stream-copy probe, sampled beside each pass, so a
+    // profile run yields the SAME host_ratio normalization the per-query
+    // gate applies — a Profile receipt is then directly comparable to a
+    // bench_ref.json entry (the round-18 a15 adjudication need).
+    val spins = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val bws = scala.collection.mutable.ArrayBuffer(Bench.bwGbps())
     val times = (1 to passes).map { i =>
-      val s0 = spinMs()
+      val s0 = spinMs(); spins += s0
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[profile] $name%-24s pass$i%-2d $dt%7.3f s   spin $s0%6.1f ms")
       dt
     }
+    bws += Bench.bwGbps()
+    // Bench's exact normalization terms (SpinRefMs/BwRefGbps/clamps)
+    val spinRatio = (spins.min / Bench.SpinRefMs).max(1.0).min(3.0)
+    val bwSorted = bws.sorted
+    val bwMedian =
+      if (bwSorted.size % 2 == 1) bwSorted(bwSorted.size / 2)
+      else (bwSorted(bwSorted.size / 2 - 1) + bwSorted(bwSorted.size / 2)) / 2.0
+    val bwRatio = (Bench.BwRefGbps / bwMedian).max(1.0).min(2.0)
+    val hostRatio = (spinRatio * bwRatio).max(1.0).min(3.0)
     def n(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    println(s"""{"query":"$name","sf":"$sfDir","passes":[${times.map(n).mkString(",")}],"min":${n(times.min)},"max":${n(times.max)}}""")
+    println(s"""{"query":"$name","sf":"$sfDir","passes":[${times.map(n).mkString(",")}],"min":${n(times.min)},"max":${n(times.max)},"bw_gbps":[${bws.map(n).mkString(",")}],"host_ratio":${n(hostRatio)},"norm_min":${n(times.min / hostRatio)}}""")
     spark.stop()
   }
 }

@@ -105,7 +105,14 @@ object ScaleSmoke {
     // semantic eval decontamination: one documents-to-embeddings equi
     // join + a broadcast-model scoring map — the ratio prices that the
     // model side never grows with the corpus
-    "d_embed_decontaminate")
+    "d_embed_decontaminate",
+    // round-18 additions: perceptual media near-dup — one fingerprint
+    // scan (codegen'd sign-pack) + the capped pigeonhole-band pair
+    // shuffle (the d_simhash_neardup shape on the media fingerprint);
+    // filtered persisted-index ANN — the e_knn_ivfpq_indexed
+    // build-once/query-many protocol plus a candidate-side predicate
+    // (min-of-two prices one manifest-pruned, overfetched coded scan)
+    "m_media_neardup", "e_knn_ivfpq_filtered")
 
   /** Cost class of each gated query (round-17 verdict task 6): the gate
     * verdict stays per-query, but the artifact also rolls ratios up per
@@ -147,7 +154,10 @@ object ScaleSmoke {
     "x10_cep_skip_to_last" -> "cep", "a21_last_touch" -> "cep",
     // banded/blocked text dedup shuffles
     "d_dedup_groups" -> "dedup", "d_minhash_lsh_pairs" -> "dedup",
-    "d_curate_corpus" -> "dedup"
+    "d_curate_corpus" -> "dedup",
+    // the media fingerprint rides the same capped banded-pair shuffle
+    "m_media_neardup" -> "dedup",
+    "e_knn_ivfpq_filtered" -> "embedding"
   ).withDefaultValue("relational")
 
   /** Two timed passes (cold scan + warm plan), min — the same protocol

@@ -1411,6 +1411,52 @@ FROM (SELECT qid, vec_id, ad,
       (OpqModel(m, u), pqTrainFromAssigned(assignedRot, cents))
     }
 
+  /** Residual-geometry diagnostic (round-18 verdict task 4): the two
+    * numbers the flavor choice needs, measured on the POOLED RESIDUALS
+    * after coarse assignment — i.e. on exactly the frame a rotation
+    * would be trained on:
+    *  - `dominance` = λ̂₁ / total residual variance (the power-iterated
+    *    dominant direction's share) — a rotation can only pay when
+    *    there IS a dominant correlated direction to concentrate;
+    *  - `alignment` = max over the 8 PQ subspaces of the dominant
+    *    direction's energy inside that subspace — when the direction
+    *    already lives in ONE subspace, one codebook already owns it and
+    *    a reflection can only smear it across the others (the pinned
+    *    anisotropic/misaligned harm); when it SPANS subspaces, every
+    *    codebook redundantly encodes a correlated share and the
+    *    reflection is exactly the fix (clustered/spanning/multispan).
+    * Cost: the residual trainer's own calibration prefix (coarse assign
+    * + mean + two power-iteration scans) + one variance aggregate —
+    * bounded collects only. None when the corpus lacks model rows. */
+  private[graft] final case class ResidualSpectrum(
+      dominance: Double, alignment: Double)
+
+  private[graft] def residualSpectrum(s: SparkSession,
+      dir: String): Option[ResidualSpectrum] =
+    ivfCoarseStage(prepped(s, dir), coarseSteps = 0).map { case (_, assigned) =>
+      val meanRows = assigned.select(posexplode(col("rv")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(round(avg(col("x")) + lit(1e-9), 6).as("m"))
+        .orderBy(col("i")).collect()
+      val m: Seq[Double] = meanRows.map(_.getDouble(1)).toSeq
+      val centered = assigned
+        .withColumn("xc", zip_with(col("rv"), typedlit(m), (x, mm) => x - mm))
+        .select(col("vec_id"), col("cell"), col("xc"))
+        .transform(graft.Checkpoints.pin(_))
+      val v = opqPowerIterate(centered, Nil)
+      val st = centered
+        .withColumn("d", GraftFunctions.vecDot(col("xc"), typedlit(v)))
+        .agg(avg(col("d") * col("d")).as("d2"),
+          avg(GraftFunctions.vecDot(col("xc"), col("xc"))).as("tot"))
+        .head()
+      val lam1 = if (st.isNullAt(0)) 0.0 else st.getDouble(0)
+      val tot = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+      val vn = v.map(x => x * x).sum
+      val align =
+        if (vn < 1e-12) 1.0
+        else (0 until 8).map(j => v.slice(j * 8, j * 8 + 8).map(x => x * x).sum / vn).max
+      ResidualSpectrum(if (tot > 0) lam1 / tot else 0.0, align)
+    }
+
   /** Center + reflect a vector column `c` in place with a FROZEN
     * residual-rotation model: c := round((c − m) − 2⟨c − m, u⟩u, 6) —
     * the one arithmetic the OPQ-by-residual family applies to corpus
@@ -1504,7 +1550,7 @@ ${ivfPqCodeBody("asg", "qp")}"""
     * assignment, corpus residuals (`asg`) and nprobe=2 query residuals
     * (`qp`) — extracted so the residual-rotation oracle can reflect the
     * residual frames before the PQ half runs. */
-  private def ivfPqCoarseBody(src: String): String = s"""c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM $src WHERE vec_id BETWEEN 10 AND 25),
+  private def ivfPqCoarseBody(src: String, nprobe: Int = 2): String = s"""c AS (SELECT vec_id AS cid, ed AS ce, nrm AS cn FROM $src WHERE vec_id BETWEEN 10 AND 25),
 r AS (
   SELECT n.vec_id, n.ed, n.nrm, c.cid, c.ce,
          row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -1515,13 +1561,19 @@ asg AS MATERIALIZED (SELECT vec_id, cid AS cell,
         FROM r WHERE arn = 1),
 qp AS MATERIALIZED (SELECT vec_id AS qid, cid AS cell,
          list_transform(range(64), i -> ed[i + 1] - ce[i + 1]) AS qr
-       FROM r WHERE vec_id < 10 AND arn <= 2)"""
+       FROM r WHERE vec_id < 10 AND arn <= $nprobe)"""
 
   /** The PQ half of [[ivfPqTrainedBody]] over any residual frames
     * `$asg` (vec_id, cell, rv) and `$qp` (qid, cell, qr): seed rows
     * 26..41, two Lloyd steps, cell-equi candidate join, integer ADC,
-    * top-3. */
-  private def ivfPqCodeBody(asg: String, qp: String): String = s"""c0 AS (SELECT CAST(a.vec_id - 26 AS INT) AS c, j, a.rv[8*j+1:8*j+8] AS cv
+    * top-3. `cand` (default = `$asg`) is the CANDIDATE frame of the
+    * final probe join — the filtered-ANN oracle passes a
+    * predicate-restricted subset there while training/encoding stay on
+    * the full corpus (exactly the Spark side's split: codes are
+    * f(corpus), the predicate only thins the probe's candidate set). */
+  private def ivfPqCodeBody(asg: String, qp: String, cand: String = ""): String = {
+    val candidates = if (cand.isEmpty) asg else cand
+    s"""c0 AS (SELECT CAST(a.vec_id - 26 AS INT) AS c, j, a.rv[8*j+1:8*j+8] AS cv
        FROM $asg a, range(8) t(j) WHERE a.vec_id BETWEEN 26 AND 41),
 sub AS (SELECT vec_id, j, rv[8*j+1:8*j+8] AS sv FROM $asg, range(8) t(j)),
 d1 AS (SELECT s.vec_id, s.j, c0.c,
@@ -1562,7 +1614,7 @@ qd AS (SELECT q.qid, a.vec_id,
          CAST(round(list_aggregate(list_transform(range(8),
              i -> (q.qr[8*co.j+i+1] - c2.cv[i+1]) * (q.qr[8*co.j+i+1] - c2.cv[i+1])), 'sum')
            * 1000000.0 + 1e-9) AS BIGINT) AS ds
-       FROM $qp q JOIN $asg a ON q.cell = a.cell AND a.vec_id <> q.qid
+       FROM $qp q JOIN $candidates a ON q.cell = a.cell AND a.vec_id <> q.qid
        JOIN code co ON co.vec_id = a.vec_id
        JOIN c2 ON c2.j = co.j AND c2.c = co.c),
 adc AS (SELECT qid, vec_id, CAST(sum(ds) AS BIGINT) AS ad FROM qd GROUP BY 1, 2)
@@ -1570,6 +1622,7 @@ SELECT qid, vec_id, round(ad / 1000000.0, 6) AS approx_d2, rnk
 FROM (SELECT qid, vec_id, ad,
              row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rnk
       FROM adc) WHERE rnk <= 3"""
+  }
 
   /** The trained-residual-IVF-PQ oracle — shared verbatim by
     * e_knn_ivfpq_trained and e_knn_ivfpq_indexed: the persisted index's
@@ -1660,6 +1713,46 @@ ${ivfPqCodeBody("asgr", "qpr")}"""
     },
     Some(ivfPqTrainedOracle),
     "Trained IVF-PQ against a PERSISTED index (build-once/query-many): probe + residual ADC on materialized centroids/codebook/coded tables, manifest-pruned by probed cell.")
+
+  /** The filtered probe's predicate value — an arbitrary but fixed
+    * metadata class ("WHERE lang = 'en'" stands); shared by the Spark
+    * query and its oracle so they cannot drift. */
+  private val FilteredAttr = 7
+
+  /** e_knn_ivfpq_filtered's oracle: the shared trained-IVF-PQ trajectory
+    * at nprobe=4, with the CANDIDATE frame (and only it) restricted to
+    * label = [[FilteredAttr]] — training, coding, and the probe's cell
+    * choice all stay f(full corpus), exactly what the index does with
+    * its persisted attr column. */
+  private val ivfPqFilteredOracle: String = s"""$duckPrep,
+${ivfPqCoarseBody("n", nprobe = 4)},
+asgf AS (SELECT a.vec_id, a.cell, a.rv FROM asg a JOIN n ON n.vec_id = a.vec_id WHERE n.label = $FilteredAttr),
+${ivfPqCodeBody("asg", "qp", cand = "asgf")}"""
+
+  // FILTERED persisted-index ANN (round-18 verdict task 3) — "top-k
+  // WHERE attr = x", the predicate form every production vector store
+  // serves. Same persisted artifact as e_knn_ivfpq_indexed (one root,
+  // build-once, two query flavors); the v4 coded table carries the
+  // metadata column inline, so the predicate reaches the parquet scan
+  // as a pushed filter BESIDE the manifest's cell pruning, and
+  // candidates are thinned BEFORE ADC ranking — a post-filtered
+  // unfiltered top-k under-returns instead (IvfPqIndexSpec pins the
+  // difference). nprobe=4 vs the sibling's 2: the cell-level overfetch
+  // lever for selective predicates (cells are probed by geometry, not
+  // by attr, so a 1-in-16 predicate thins each cell's pool ~16x).
+  private val eKnnIvfPqFiltered = GQuery(
+    "e_knn_ivfpq_filtered",
+    (s, dir) => {
+      val root = IvfPqIndex.defaultRoot(dir)
+      IvfPqIndex.ensure(s, dir, root, pristineOnly = true) match {
+        case None => ivfPqEmpty(s, dir) // corpus lacks model rows
+        case Some(_) =>
+          IvfPqIndex.queryFiltered(s, dir, root, nprobe = 4, k = 3,
+            attrEq = FilteredAttr)
+      }
+    },
+    Some(ivfPqFilteredOracle),
+    "Filtered ANN on the persisted IVF-PQ index: attribute predicate pushed into the coded scan (inline metadata column), candidates thinned before ADC ranking, deeper nprobe as the selectivity overfetch.")
 
   // OPQ-rotated persisted index (round 16) — FAISS's full
   // "OPQ64,IVF16,PQ8" factory chain as lakehouse tables: the round-16
@@ -2477,7 +2570,8 @@ GROUP BY 1"""),
 
   val all: Seq[GQuery] =
     Seq(eKnnBrute, eKnnL2, eKnnLsh, eKnnIvf, eKnnIvfMp, eIvfBalance, eKnnIvfPq,
-      eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnOpqIndexed, eKnnOpqResidual,
+      eKnnIvfPqTrained, eKnnIvfPqIndexed, eKnnIvfPqFiltered,
+      eKnnOpqIndexed, eKnnOpqResidual,
       eKnnOpqResIndexed, eKnnHamming, eKnnQuant, eKnnRerank,
       eKnnMatryoshka, eKnnPq, eKnnPqTrained, eKnnOpq, eKnnOpq3, eSpectrumDecay,
       dEmbedDecontaminate, eNeardup, eSemanticDedup, eCentroids, eAssign,

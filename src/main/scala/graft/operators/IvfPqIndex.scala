@@ -68,8 +68,12 @@ object IvfPqIndex {
     * (`raw/` — the WAL [[handoff]] re-codes across a generation swap)
     * and a TOMBSTONE table (`tombs/` — [[deleteVectors]]); a v2
     * generation with adds has no ledger, so reusing it would lose them
-    * silently on the first handoff — the bump forces the rebuild. */
-  val FormatVersion = 3
+    * silently on the first handoff — the bump forces the rebuild.
+    * v4: coded + ledger rows carry the `attr` METADATA column
+    * ([[queryFiltered]] — filtered ANN needs the predicate column
+    * inline in the probe scan); a v3 generation has no attr, so a
+    * filtered query against it would fail analysis. */
+  val FormatVersion = 4
 
   /** Committed generations GC'd past this many (newest kept). 2, not 1:
     * a reader that resolved just before a rebuild is still scanning the
@@ -158,6 +162,93 @@ object IvfPqIndex {
   case object Plain extends Flavor { val tag = ""; val name = "plain" }
   case object Opq extends Flavor { val tag = "opq:"; val name = "opq" }
   case object OpqResidual extends Flavor { val tag = "opqres:"; val name = "opqres" }
+  /** AUTO flavor (round-18 verdict task 4): resolve to a concrete flavor
+    * at calibrate time via [[chooseFlavor]] — never persisted (the
+    * generation records what Auto RESOLVED to, and the fingerprint is
+    * computed under the resolved flavor, so an Auto ensure against an
+    * existing generation of the same resolution reuses it). */
+  case object Auto extends Flavor { val tag = "auto:"; val name = "auto" }
+
+  /** Auto's calibration sample cap: keep the trajectory's model/query
+    * rows (vec_id < 42 — fixed by the family contract) plus the
+    * hash-smallest others up to this many vectors. Bounded by
+    * construction, so Auto's double-training cost never scales with the
+    * corpus. */
+  val AutoSampleCap = 4096
+
+  /** Resolve Auto by MEASUREMENT (round-18 verdict task 4): train BOTH
+    * candidate flavors on a bounded deterministic sample and keep the
+    * one with higher recall@3 against the sample's exact-L2 truth —
+    * FAISS-autotune's method applied to the flavor axis.
+    *
+    * Why not a spectrum heuristic: the round-18 calibration MEASURED the
+    * residual-spectrum route first (dominance of the pooled residuals'
+    * power-iterated direction x its max subspace alignment) and it
+    * cannot reproduce the round-17 lane table — clustered (where the
+    * lanes crowned OpqResidual at 0.5333) shows the LOWEST residual
+    * dominance of any fixture (0.022 — exact seeds leave near-isotropic
+    * residuals), while misaligned/anisotropic (where rotation HARMS)
+    * show 0.065-0.068: the separation the rule needs runs backwards.
+    * Only spanning (0.993) is spectrum-detectable. Numbers in
+    * BASELINE.md "Flavor.Auto"; IvfPqAutoFlavorSpec pins the
+    * measurement route's agreement with every lane winner instead.
+    *
+    * [[Opq]] (pre-coarse) is never auto-chosen: the lanes showed
+    * OpqResidual beats-or-ties it on 5 of 6 geometries, and the
+    * exception (anisotropic) wants Plain anyway — pre-coarse rotation
+    * additionally risks the partition itself (the round-16 misaligned
+    * harm), a bet Auto should not place unattended. Ties (including
+    * "both recall 0") resolve to Plain — never pay for a rotation that
+    * bought nothing measurable. Plain when the corpus lacks model rows
+    * (the build will return None anyway). */
+  def chooseFlavor(s: SparkSession, dir: String,
+      sampleCap: Int = AutoSampleCap): Flavor = {
+    require(sampleCap >= 64, s"sampleCap $sampleCap cannot hold the model rows")
+    val base = graft.Tables.t(s, dir, "embeddings")
+    val n = base.count()
+    if (n == 0) return Plain
+    val sample =
+      if (n <= sampleCap) base
+      else base.filter(col("vec_id") < 42).unionByName(
+        base.filter(col("vec_id") >= 42)
+          .withColumn("h", xxhash64(col("vec_id")))
+          .orderBy(col("h"), col("vec_id")).limit(sampleCap - 42).drop("h"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_auto_flavor").toString
+    try {
+      sample.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      // exact-L2 truth on the sample's query rows (the family's
+      // vec_id < 10 convention), self excluded, vec_id tiebreak
+      val prepped = graft.Tables.t(s, tmp, "embeddings")
+        .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      val q = prepped.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ed").as("qe"))
+      val truth = prepped.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("d2", graft.functions.GraftFunctions.vecL2Sq(col("qe"), col("ed")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      if (truth.isEmpty) return Plain
+      def recall(df: DataFrame): Double = {
+        val got = df.select(col("qid"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        truth.map { case (qid, t) =>
+          got.get(qid).fold(0.0)(g => (g & t).size.toDouble / t.size)
+        }.sum / truth.size
+      }
+      val plainR = recall(EmbeddingOps.ivfPqTrainedResidual(s, tmp, nprobe = 2, k = 3))
+      val resR = recall(EmbeddingOps.opqResidualKnn(s, tmp, nprobe = 2, k = 3))
+      if (resR > plainR) OpqResidual else Plain
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      FsIo.fs(p).delete(p, true); ()
+    }
+  }
+
+  private def resolveFlavor(s: SparkSession, dir: String, f: Flavor): Flavor =
+    if (f == Auto) chooseFlavor(s, dir) else f
 
   /** Source-corpus fingerprint: count + order-independent content hash.
     * ONE narrow aggregation over (vec_id, embedding) — cheap next to
@@ -174,13 +265,30 @@ object IvfPqIndex {
     // The FLAVOR is part of the fingerprint: an ensure of one flavor
     // pointed at the other flavor's root sees a mismatch and rebuilds
     // rather than serving codes from the wrong trajectory.
-    val r = graft.Tables.t(s, dir, "embeddings")
+    // The label METADATA column (when the corpus has one) is hashed
+    // too: [[queryFiltered]]'s answers depend on it, so a corpus whose
+    // vectors kept their bytes but re-labeled must rebuild.
+    val t = graft.Tables.t(s, dir, "embeddings")
+    val hashCols = Seq(col("vec_id"), col("embedding")) ++
+      (if (t.columns.contains("label"))
+         Seq(coalesce(col("label").cast("long"), lit(-1L))) else Nil)
+    val r = t
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
+        coalesce(sum(xxhash64(hashCols: _*)
           .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h"))
       .head()
     s"v$FormatVersion:${flavor.tag}n=${r.getLong(0)}:h=${r.getDecimal(1)}"
   }
+
+  /** Normalize a frame's metadata column to a nullable int `attr`:
+    * `attr` kept as-is, else `label` (the fixture corpus' metadata
+    * column) cast, else null — every coded/ledger row carries the
+    * column so the filtered probe's predicate always resolves. */
+  private def withAttr(df: DataFrame): DataFrame =
+    if (df.columns.contains("attr")) df.withColumn("attr", col("attr").cast("int"))
+    else if (df.columns.contains("label"))
+      df.withColumn("attr", col("label").cast("int"))
+    else df.withColumn("attr", lit(null).cast("int"))
 
   private def genPath(root: String, g: Long) = s"$root/g$g"
   private val genRe = "^g(\\d+)$".r
@@ -313,12 +421,15 @@ object IvfPqIndex {
     * BEFORE the commit marker, so a crash mid-handoff can never publish
     * a generation that silently dropped them. */
   def build(s: SparkSession, dir: String, root: String,
-      flavor: Flavor = Plain): Option[Long] =
-    withBuildLock(root) { buildLocked(s, dir, root, flavor = flavor) }
+      flavor: Flavor = Plain): Option[Long] = {
+    val f = resolveFlavor(s, dir, flavor)
+    withBuildLock(root) { buildLocked(s, dir, root, flavor = f) }
+  }
 
   private def buildLocked(s: SparkSession, dir: String, root: String,
       carry: Option[DataFrame] = None, flavor: Flavor = Plain): Option[Long] =
     {
+      require(flavor != Auto, "buildLocked needs a resolved flavor")
       // flavor selection: the OPQ builds train a rotation beside the
       // centroids + codebook and persist all three (pre-coarse on the
       // raw frame, or post-coarse on the residuals); the plain build is
@@ -330,6 +441,8 @@ object IvfPqIndex {
             .map { case (om, p) => (Some(om), p) }
           case OpqResidual => EmbeddingOps.opqResidualTrainParts(s, dir)
             .map { case (om, p) => (Some(om), p) }
+          case Auto => throw new IllegalStateException(
+            "unreachable: buildLocked's require resolved Auto already")
         }
       trained.map { case (rot, parts) =>
         val next = (listGens(root) :+ 0L).max + 1
@@ -346,7 +459,15 @@ object IvfPqIndex {
             .toDF("i", "m", "u").coalesce(1)
             .write.mode("overwrite").parquet(s"$g/rotation")
         }
-        codedSink(root, next).process(parts.coded, batchId = 0L)
+        // v4: the corpus batch carries its metadata column — one narrow
+        // co-scaling equi join at BUILD time (the training pipeline
+        // itself stays untouched; codes are byte-identical to v3)
+        val corpusAttr = withAttr(graft.Tables.t(s, dir, "embeddings"))
+          .select(col("vec_id"), col("attr"))
+        codedSink(root, next).process(
+          parts.coded.join(corpusAttr, Seq("vec_id"), "left")
+            .select(col("vec_id"), col("cell"), col("codes"), col("attr")),
+          batchId = 0L)
         // handoff tail: code with THIS generation's frozen model and land
         // coded + ledger rows pre-commit (see scaladoc). The tail stays
         // in the new ledger because it is still in no corpus snapshot —
@@ -402,12 +523,13 @@ object IvfPqIndex {
     * adds to survive corpus refreshes use [[handoff]], not this gate. */
   def ensure(s: SparkSession, dir: String, root: String,
       pristineOnly: Boolean = false, flavor: Flavor = Plain): Option[Long] = {
-    val fp = fingerprint(s, dir, flavor)
+    val f = resolveFlavor(s, dir, flavor)
+    val fp = fingerprint(s, dir, f)
     def fresh(): Option[Long] = currentGeneration(root).filter(g =>
       FsIo.readString(s"${genPath(root, g)}/fingerprint").contains(fp) &&
         !(pristineOnly && isMutated(root, g)))
     fresh().orElse(withBuildLock(root) {
-      fresh().orElse(buildLocked(s, dir, root, flavor = flavor))
+      fresh().orElse(buildLocked(s, dir, root, flavor = f))
     })
   }
 
@@ -534,11 +656,15 @@ object IvfPqIndex {
   private def landCodedAndRaw(assigned: DataFrame, cb: Seq[Seq[Seq[Double]]],
       coded: ManifestedParquetSink, raw: ManifestedParquetSink,
       batchId: Long): Unit = {
+    // attr rides LAST so every (vec_id, cell, codes) positional reader
+    // of the pre-v4 layout keeps working
     coded.process(assigned.select(col("vec_id"), col("cell"),
-      graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes")),
-      batchId)
+      graft.functions.GraftFunctions.pqCodes(col("rv"), cb).as("codes"),
+      col("attr")), batchId)
+    // attr in the LEDGER too: a handoff carry re-codes the tail into the
+    // next generation and must not strip its metadata
     raw.process(assigned.select(col("vec_id"), col("cell"),
-      col("ed").as("embedding")), batchId)
+      col("ed").as("embedding"), col("attr")), batchId)
   }
 
   /** Streaming-ingest batch ids live in per-stream SLOTS of this size,
@@ -723,12 +849,15 @@ object IvfPqIndex {
       keepEd: Boolean = false,
       rot: Option[EmbeddingOps.OpqModel] = None,
       flavor: Flavor = Plain): DataFrame = {
-    val prep0 = vecs
+    // attr rides every assignment (v4): the coded row's metadata column
+    // for [[queryFiltered]], null when the batch carries none
+    val prep0 = withAttr(vecs)
       .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
     def plainAssign() = {
       val prep = prep0.withColumn("nrm",
         sqrt(graft.functions.GraftFunctions.vecDot(col("ed"), col("ed"))))
-      EmbeddingOps.ivfAssign(prep, cents, maxRank = 1, keepEd = keepEd)
+      EmbeddingOps.ivfAssign(prep, cents, maxRank = 1, keepEd = keepEd,
+        carryCols = Seq("attr"))
     }
     (flavor, rot) match {
       case (Plain, _) => plainAssign()
@@ -738,7 +867,8 @@ object IvfPqIndex {
         val prep = EmbeddingOps.opqApplyRotation(
           prep0.withColumn("ed0", col("ed")), om.mean, om.u)
         val a = EmbeddingOps.ivfAssign(prep, cents, maxRank = 1,
-          keepEd = false, carryCols = if (keepEd) Seq("ed0") else Nil)
+          keepEd = false,
+          carryCols = (if (keepEd) Seq("ed0") else Nil) :+ "attr")
         if (keepEd) a.withColumnRenamed("ed0", "ed") else a
       case (OpqResidual, Some(om)) =>
         // the residual ordering's whole point: assignment runs on the
@@ -747,6 +877,8 @@ object IvfPqIndex {
         // kept `ed` is the raw embedding either way — the ledger's WAL
         // contract is untouched by this flavor.
         EmbeddingOps.opqRotateColumn(plainAssign(), "rv", om.mean, om.u)
+      case (Auto, Some(_)) => throw new IllegalStateException(
+        "unreachable: readFlavor never returns Auto")
     }
   }
 
@@ -770,7 +902,30 @@ object IvfPqIndex {
     * generation actually has tombstones, so the delete-free plan is
     * byte-identical to before. */
   def query(s: SparkSession, dir: String, root: String,
-      nprobe: Int, k: Int): DataFrame = {
+      nprobe: Int, k: Int): DataFrame =
+    queryInternal(s, dir, root, nprobe, k, attrEq = None)
+
+  /** FILTERED SEARCH (round-18 verdict task 3) — "nearest neighbors
+    * WHERE attr = x", the predicate form every production vector store
+    * serves (FAISS IDSelector / Milvus scalar filtering). The predicate
+    * is applied to the CANDIDATE SET BEFORE ADC ranking — a caller that
+    * instead post-filters an unfiltered top-k silently under-returns
+    * (the k winners may all carry the wrong attr; IvfPqIndexSpec pins a
+    * case where the two differ). Because attr rides INSIDE the coded
+    * table (v4), the predicate reaches the parquet scan as a pushed
+    * filter beside the manifest's cell pruning — no join, no second
+    * pass. Recall note: cells are still probed by query GEOMETRY alone,
+    * so a selective predicate thins each probed cell's candidate pool;
+    * the operational lever is a deeper nprobe (cell-level overfetch) —
+    * the registered query probes 4 cells where its unfiltered sibling
+    * probes 2, and the brute-force-vs-index recall tradeoff is the
+    * documented IVF contract, unchanged. */
+  def queryFiltered(s: SparkSession, dir: String, root: String,
+      nprobe: Int, k: Int, attrEq: Int): DataFrame =
+    queryInternal(s, dir, root, nprobe, k, attrEq = Some(attrEq))
+
+  private def queryInternal(s: SparkSession, dir: String, root: String,
+      nprobe: Int, k: Int, attrEq: Option[Int]): DataFrame = {
     val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
       s"IvfPqIndex: no committed generation under $root — build first"))
     val cents = centroids(s, root, g)
@@ -793,13 +948,18 @@ object IvfPqIndex {
         // candidates went through the identical arithmetic at build)
         EmbeddingOps.opqRotateColumn(
           EmbeddingOps.ivfPqQueryFrame(s, dir, cents, nprobe), "qr", om.mean, om.u)
+      case (Auto, Some(_)) => throw new IllegalStateException(
+        "unreachable: readFlavor never returns Auto")
     })
     val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     if (probed.isEmpty) EmbeddingOps.ivfPqEmpty(s, dir)
     else {
       val sets = cellRuns(probed.toSeq).map { case (lo, hi) =>
         Seq(("cell", lo, hi)) }
-      val coded = codedSink(root, g).scanAny(s, sets)
+      val coded0 = codedSink(root, g).scanAny(s, sets)
+      // the attr predicate lands directly on the coded scan (pushed to
+      // parquet), so the delete-free unfiltered plan stays byte-identical
+      val coded = attrEq.fold(coded0)(a => coded0.filter(col("attr") === a))
       val live = tombstoneIds(s, root, g, Some(sets)) match {
         case None => coded
         case Some(t) => coded.join(t, Seq("vec_id"), "left_anti")
@@ -911,13 +1071,19 @@ object IvfPqIndex {
     * None = the refreshed corpus cannot carry an index (model-row
     * contract); nothing is changed in that case. */
   def handoff(s: SparkSession, dir: String, root: String,
-      flavor: Flavor = Plain): Option[Long] =
+      flavor: Flavor = Plain): Option[Long] = {
+    // Auto re-resolves against the REFRESHED corpus: a drift-triggered
+    // handoff is exactly when the geometry may have changed flavor
+    val f = resolveFlavor(s, dir, flavor)
     withBuildLock(root) {
       currentGeneration(root) match {
-        case None => buildLocked(s, dir, root, flavor = flavor)
+        case None => buildLocked(s, dir, root, flavor = f)
         case Some(old) =>
           val tail: Option[DataFrame] = ledgerScan(s, root, old).flatMap { lsc =>
-            val led = lsc.select(col("vec_id"), col("embedding"))
+            // pre-v4 ledgers carry no attr; withAttr nulls it so the
+            // carry re-codes cleanly either way
+            val led = withAttr(lsc)
+              .select(col("vec_id"), col("embedding"), col("attr"))
             val corpusIds = graft.Tables.t(s, dir, "embeddings")
               .select(col("vec_id"))
             val t0 = led.join(corpusIds, Seq("vec_id"), "left_anti")
@@ -929,10 +1095,11 @@ object IvfPqIndex {
           // the ledger stores PRE-rotation embeddings precisely so this
           // carry can re-code the tail under the NEW generation's
           // (possibly retrained) rotation
-          try buildLocked(s, dir, root, carry = tail, flavor = flavor)
+          try buildLocked(s, dir, root, carry = tail, flavor = f)
           finally { tail.foreach(_.unpersist()); () }
       }
     }
+  }
 
   /** MAINTENANCE: physically drop tombstoned vectors (and their
     * tombstones) from the current generation — the rewrite half of

@@ -114,5 +114,109 @@ FROM documents
 GROUP BY 1 HAVING count(*) > 1"""),
     "Media dedup by leading-chunk digest; canonical keeper = min id per duplicate set.")
 
-  val all: Seq[GQuery] = Seq(mMediaMeta, mMediaFeatures, mFrameSample, mMediaDedup)
+  /** 64-bit perceptual fingerprint (aHash) over the DECODED content of a
+    * media payload, as two 32-bit halves in BIGINTs (the e_knn_hamming
+    * packing — one 64-bit word would overflow DuckDB's checked BIGINT on
+    * the sign bit). The decode stub for text-posing-as-media is content
+    * normalization (lowercase + whitespace collapse): two byte-different
+    * ENCODINGS of the same content — a re-encode — normalize to the same
+    * signal, exactly what a real image decode does for PNG-vs-JPEG of
+    * one picture. The aHash itself is the classic recipe on the decoded
+    * signal: sample a fixed 8x8 grid (64 evenly-spaced positions), bit b
+    * = sample_b above the grid mean. All-integer comparisons (v*64 >
+    * total avoids the division), so the fingerprint is bit-identical
+    * across engines. Input needs (doc_id, text); emits
+    * (media_id, lo, hi). */
+  private[operators] def mediaFingerprint(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id").as("media_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("s"))
+      .withColumn("len", length(col("s")))
+      .filter(col("len") >= 1)
+      .withColumn("vals", expr(
+        "transform(sequence(0, 63), b -> ascii(substring(s, cast(1 + (b * cast(len AS bigint)) div 64 AS int), 1)))"))
+      .withColumn("total", expr("aggregate(vals, 0L, (acc, v) -> acc + v)"))
+      // strict v*64 - total > 0 in exact double arithmetic (values are
+      // small integers), so the codegen'd sign-pack kernel IS the
+      // "above the mean" test
+      .withColumn("diffs", expr("transform(vals, v -> cast(v AS double) * 64 - total)"))
+      .withColumn("lo", graft.functions.GraftFunctions.signPack(col("diffs"), 0))
+      .withColumn("hi", graft.functions.GraftFunctions.signPack(col("diffs"), 32))
+      .select(col("media_id"), col("lo"), col("hi"))
+
+  /** The shared fingerprint CTE chain, DuckDB side — the oracle twin of
+    * [[mediaFingerprint]], ending in `fp(media_id, lo, hi)`. */
+  private val duckMediaFp: String =
+    raw"""nrm AS (SELECT doc_id AS media_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+v AS (SELECT media_id, length(s) AS len,
+        list_transform(range(64), b -> ascii(substr(s, CAST(1 + (b * length(s)) // 64 AS INT), 1))) AS vals
+      FROM nrm WHERE length(s) >= 1),
+f AS (SELECT media_id, vals, list_aggregate(vals, 'sum') AS total FROM v),
+fp AS (SELECT media_id,
+        list_aggregate(list_transform(range(32), j -> CASE WHEN vals[j+1] * 64 > total THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') AS lo,
+        list_aggregate(list_transform(range(32), j -> CASE WHEN vals[j+33] * 64 > total THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') AS hi
+      FROM f)"""
+
+  /** Oversized perceptual bands are dropped, the d_simhash_neardup /
+    * d_minhash_lsh_pairs cap (mirrored in the oracle): a byte band has
+    * only 256 values, so a mega-corpus WILL have hot buckets, and the
+    * exact-check stage must stay bounded by cap^2 per bucket, never
+    * corpus^2. */
+  private val mediaBandCap = 1000
+
+  // Perceptual media near-dup (round-18 verdict task 2) — the near-dup
+  // ladder rung the multimodal family lacked: m_media_dedup is
+  // digest-EXACT on the leading chunk, so a re-encoded duplicate
+  // (byte-different, same content) sails through — the media analog of
+  // the text-corpus problem MinHash/SimHash solve. This is the media
+  // aHash pipeline: decode-normalize -> 64-bit perceptual fingerprint ->
+  // pigeonhole byte bands (8 bands x 8 bits: any pair at hamming <= 7
+  // shares at least one exact band, so the banded equi join finds EVERY
+  // qualifying pair — never all-pairs) -> exact XOR+POPCNT check at the
+  // aHash similarity threshold (<= 7 of 64). At 100 TB: the fingerprint
+  // computes in the scan (one pass, codegen'd sign-pack), the shuffle
+  // key is (band, byte), hot buckets are capped like every LSH query in
+  // the repo, and the exact check is two integer ops per candidate.
+  private val mMediaNeardup = GQuery(
+    "m_media_neardup",
+    (s, dir) => {
+      val fp = mediaFingerprint(Tables.t(s, dir, "documents"))
+      val banded = fp
+        .select(col("media_id"), col("lo"), col("hi"),
+          explode(expr("sequence(0, 7)")).as("bi"))
+        .withColumn("bb", expr(
+          "CASE WHEN bi < 4 THEN (lo div shiftleft(1L, bi * 8)) % 256 " +
+            "ELSE (hi div shiftleft(1L, (bi - 4) * 8)) % 256 END"))
+      val small = banded.groupBy(col("bi"), col("bb"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, mediaBandCap))
+        .select(col("bi"), col("bb"))
+      val in = banded.join(small, Seq("bi", "bb"))
+      val a = in.select(col("bi"), col("bb"), col("media_id").as("media_id_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = in.select(col("bi"), col("bb"), col("media_id").as("media_id_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+      a.join(b, Seq("bi", "bb"))
+        .filter(col("media_id_a") < col("media_id_b"))
+        .withColumn("hd", expr(
+          "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS bigint)"))
+        .filter(col("hd") <= 7)
+        .groupBy(col("media_id_a"), col("media_id_b"))
+        .agg(min(col("hd")).as("hd"))
+    },
+    Some(s"""WITH $duckMediaFp,
+banded AS (SELECT media_id, lo, hi, bi,
+             CASE WHEN bi < 4 THEN (lo // (1::BIGINT << (bi * 8))) % 256
+                  ELSE (hi // (1::BIGINT << ((bi - 4) * 8))) % 256 END AS bb
+           FROM fp, (SELECT unnest(range(8)) AS bi)),
+small AS (SELECT bi, bb FROM banded GROUP BY bi, bb HAVING count(*) BETWEEN 2 AND $mediaBandCap),
+inb AS (SELECT banded.* FROM banded JOIN small USING (bi, bb)),
+p AS (SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+        CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hd
+      FROM inb a JOIN inb b ON a.bi = b.bi AND a.bb = b.bb AND a.media_id < b.media_id)
+SELECT media_id_a, media_id_b, min(hd) AS hd FROM p WHERE hd <= 7 GROUP BY 1, 2"""),
+    "Perceptual media near-dup (aHash, hamming <= 7) via pigeonhole byte bands over the decoded-content fingerprint; catches re-encoded duplicates the exact digest misses.")
+
+  val all: Seq[GQuery] = Seq(mMediaMeta, mMediaFeatures, mFrameSample,
+    mMediaDedup, mMediaNeardup)
 }

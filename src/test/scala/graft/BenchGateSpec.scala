@@ -14,7 +14,7 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("a genuine 2x+ regression on a non-micro query is caught") {
     val measured = Map("q_fast" -> 0.060, "q_mid" -> 0.900, "q_heavy" -> 1.400)
-    val regs = BenchGate.regressions(ref, measured)
+    val regs = BenchGate.gate(ref, measured, Set.empty).regressions
     assert(regs.map(_.query) === Seq("q_mid"))
     assert(regs.head.ratio > 2.0 && regs.head.refSec === 0.400)
   }
@@ -23,17 +23,74 @@ class BenchGateSpec extends AnyFunSuite {
     // 2.4x ratio but only +0.07 s — the e_knn_ivf 0.37->0.59 s noise
     // class the round-16 audit documented; a ratio-only gate would
     // flip the verdict on scheduler noise
-    val regs = BenchGate.regressions(ref, Map("q_fast" -> 0.120))
+    val regs = BenchGate.trips(ref, Map("q_fast" -> 0.120))
     assert(regs.isEmpty)
   }
 
   test("just-under-2x on a heavy query passes; just-over fails") {
-    assert(BenchGate.regressions(ref, Map("q_heavy" -> 2.990)).isEmpty)
-    assert(BenchGate.regressions(ref, Map("q_heavy" -> 3.010)).nonEmpty)
+    assert(BenchGate.trips(ref, Map("q_heavy" -> 2.990)).isEmpty)
+    assert(BenchGate.trips(ref, Map("q_heavy" -> 3.010)).nonEmpty)
   }
 
   test("a query with no reference entry never regresses (first run seeds)") {
-    assert(BenchGate.regressions(ref, Map("q_new" -> 99.0)).isEmpty)
+    assert(BenchGate.trips(ref, Map("q_new" -> 99.0)).isEmpty)
+  }
+
+  // --- Round-18 policy: the sub-0.2s reference class (SmallRefSec) ---
+
+  test("a sub-0.2s-reference first-time trip is a suspect, not a regression (the a15 case)") {
+    // the exact round-17 driver numbers that motivated the rule:
+    // a15_level_shift ref 0.135, banded-sample norm 0.313 (ratio 2.32,
+    // +0.178 s — 28 ms past the old floor)
+    val r = BenchGate.gate(Map("a15_level_shift" -> 0.135),
+      Map("a15_level_shift" -> 0.313), priorSuspects = Set.empty)
+    assert(r.regressions.isEmpty,
+      "a one-off banded sample must not flip the verdict on a micro plan")
+    assert(r.suspects.map(_.query) === Seq("a15_level_shift"))
+  }
+
+  test("the same sub-0.2s trip on two consecutive gated samples IS a regression") {
+    val r = BenchGate.gate(Map("a15_level_shift" -> 0.135),
+      Map("a15_level_shift" -> 0.313),
+      priorSuspects = Set("a15_level_shift"))
+    assert(r.regressions.map(_.query) === Seq("a15_level_shift"),
+      "a persisting trip is a real regression, not a band")
+    assert(r.suspects.isEmpty)
+  }
+
+  test("a prior suspect that measures clean is dropped (flags clear, not accumulate)") {
+    val r = BenchGate.gate(Map("a15_level_shift" -> 0.135),
+      Map("a15_level_shift" -> 0.150),
+      priorSuspects = Set("a15_level_shift"))
+    assert(r.regressions.isEmpty && r.suspects.isEmpty)
+  }
+
+  test("a sub-0.2s query blowing past the hard floor fails immediately, no free round") {
+    // 0.15 -> 1.4 s is >1.0 s absolute excess: an 8x+ blow-up the capped
+    // (<=3x) host normalization can never produce — a real scale-killer
+    val r = BenchGate.gate(Map("q_fast2" -> 0.150),
+      Map("q_fast2" -> 1.400), priorSuspects = Set.empty)
+    assert(r.regressions.map(_.query) === Seq("q_fast2"))
+    assert(r.suspects.isEmpty)
+  }
+
+  test("at-or-above-0.2s references keep the immediate-fail rule") {
+    val r = BenchGate.gate(Map("q_exact" -> 0.200),
+      Map("q_exact" -> 0.560), priorSuspects = Set.empty)
+    assert(r.regressions.map(_.query) === Seq("q_exact"))
+  }
+
+  test("flags file round-trips, is sf-scoped, and loads empty when missing") {
+    val p = java.nio.file.Files.createTempFile("bench_flags", ".json").toString
+    BenchGate.saveFlags(p, "sf0.1", Seq("a15_level_shift", "q_other"))
+    assert(BenchGate.loadFlags(p, "sf0.1") ===
+      Set("a15_level_shift", "q_other"))
+    assert(BenchGate.loadFlags(p, "sf0.001").isEmpty,
+      "a local-sf run must not consume sf0.1 flags")
+    BenchGate.saveFlags(p, "sf0.1", Seq.empty)
+    assert(BenchGate.loadFlags(p, "sf0.1").isEmpty,
+      "an empty save must clear stale flags")
+    assert(BenchGate.loadFlags("/tmp/definitely-missing-flags.json", "sf0.1").isEmpty)
   }
 
   test("merge takes the per-query min and admits new queries") {

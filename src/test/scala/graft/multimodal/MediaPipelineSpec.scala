@@ -66,4 +66,30 @@ class MediaPipelineSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2))
     assert(frames.map(_.offset_ms).toSeq === Seq(0L, 1000L, 2000L))
   }
+
+  test("m_media_neardup pairs a byte-different re-encode of the same content; the exact digest misses it") {
+    val s = spark
+    import s.implicits._
+    // two ENCODINGS of one content: case + whitespace differ, so every
+    // byte-level digest differs, but the decode-normalize step maps both
+    // to the same signal — the PNG-vs-JPEG-of-one-picture situation
+    val original = "The Quick Brown Fox Jumps Over The Lazy Dog And Keeps Running All Day Without Stopping Once"
+    val reencode = "the quick  brown fox jumps over the lazy dog and keeps  running all day without stopping once"
+    val unrelated = "completely different words about spark shuffles and parquet footers living in another document"
+    val dir = java.nio.file.Files.createTempDirectory("media_neardup").toString
+    Seq((1L, original, "en", "web", original.length.toLong),
+        (2L, reencode, "en", "web", reencode.length.toLong),
+        (3L, unrelated, "en", "web", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.SparkEntry.queries("m_media_neardup")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 0L)),
+      s"re-encode must pair with its original at hamming 0 and nothing else: $pairs")
+    // the exact-digest rung misses exactly this pair — the ladder's point
+    val exact = graft.SparkEntry.queries("m_media_dedup")(s, dir)
+      .collect()
+    assert(exact.isEmpty,
+      s"leading-chunk digest should NOT see a re-encode as a duplicate: ${exact.toSeq}")
+  }
 }

@@ -899,6 +899,39 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(rotOf(1L) !== rotOf(2L), "handoff reused the stale residual rotation")
   }
 
+  test("filtered search: predicate-thinned candidates beat post-filtering an unfiltered top-k") {
+    val s = spark
+    val root = tmpRoot("filtered")
+    assert(IvfPqIndex.ensure(s, sfDir, root).contains(1L))
+    val attr = 7
+    val labels = graft.Tables.t(s, sfDir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // SAME nprobe for both sides so the comparison isolates WHERE the
+    // predicate is applied, not how many cells were probed
+    val filtered = IvfPqIndex.queryFiltered(s, sfDir, root, nprobe = 2, k = 3, attrEq = attr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered.nonEmpty, "vacuous — no filtered candidates in probed cells")
+    assert(filtered.forall { case (_, v) => labels(v) == attr },
+      "filtered search returned a candidate with the wrong attr")
+    val postFiltered = IvfPqIndex.query(s, sfDir, root, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, v) => labels(v) == attr }.toSet
+    // any attr-matching vector in the unfiltered top-3 ranks at least as
+    // well among filtered candidates — so post-filtered is a subset ...
+    assert(postFiltered.subsetOf(filtered),
+      s"post-filter found pairs the filtered probe missed: ${postFiltered -- filtered}")
+    // ... and a STRICT one here: most unfiltered winners carry other
+    // attrs, so post-filtering under-returns — the reason the predicate
+    // must reach the candidate scan
+    assert(filtered.size > postFiltered.size,
+      s"expected under-return from post-filtering: filtered=${filtered.size} post=${postFiltered.size}")
+    // deeper probe (the selectivity overfetch lever) only adds candidates
+    val deeper = IvfPqIndex.queryFiltered(s, sfDir, root, nprobe = 4, k = 3, attrEq = attr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deeper.size >= filtered.size)
+  }
+
   test("an unknown flavor marker fails loudly instead of probing as plain (ADVICE r17)") {
     val s = spark
     val root = tmpRoot("badflavor")
