@@ -232,11 +232,11 @@ object ScaleSmoke {
     val famRows = organicSubset.flatMap { name =>
       (lo(name), hi(name)) match {
         case (Some(tl), Some(th)) if th > absFloorSec =>
-          Some((costFamily(name), name, th / math.max(tl, 0.05)))
+          Some((costFamily(name), name, th / math.max(tl, 0.05), th))
         case _ => None
       }
     }.groupBy(_._1)
-    val prevRatios: Map[String, Double] = scala.util.Try {
+    val prevRatios: Map[String, (Double, Double)] = scala.util.Try {
       val prevTag = "r%d".formatLocal(java.util.Locale.ROOT,
         tag.drop(1).toInt - 1)
       val txt = new String(java.nio.file.Files.readAllBytes(
@@ -245,14 +245,21 @@ object ScaleSmoke {
       val re = """"([a-z0-9_]+)":\{"t_lo":[0-9.]+,"t_hi":([0-9.]+),"ratio":([0-9.]+)""".r
       re.findAllMatchIn(txt)
         .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble))
-        .collect { case (q, th, r) if th > absFloorSec => q -> r }.toMap
+        .collect { case (q, th, r) if th > absFloorSec => q -> (r, th) }.toMap
     }.getOrElse(Map.empty)
+    // The roll-up carries BOTH the ratio trend and the worst member's
+    // ABSOLUTE x100 time (round-18, the w2d lesson): a ratio whose
+    // denominator is a ~1.3 s x4 cell swings +-30% on denominator
+    // jitter alone (r17 measured 5.13 and 6.8 for the same code in one
+    // round), while t_hi is the stable signal a real scaling change
+    // must move — trend-read max_ratio THROUGH worst_t_hi.
     val famJson = famRows.toSeq.sortBy(_._1).map { case (fam, qs) =>
-      val (_, worst, maxR) = qs.maxBy(_._3)
+      val (_, worst, maxR, worstHi) = qs.maxBy(_._3)
       val prevQs = organicSubset.filter(q => costFamily(q) == fam)
         .flatMap(prevRatios.get)
-      val prevStr = if (prevQs.isEmpty) "null" else n(prevQs.max)
-      s""""$fam":{"n":${qs.size},"max_ratio":${n(maxR)},"worst":"$worst","prev_max_ratio":$prevStr}"""
+      val prevStr = if (prevQs.isEmpty) "null" else n(prevQs.map(_._1).max)
+      val prevHiStr = if (prevQs.isEmpty) "null" else n(prevQs.map(_._2).max)
+      s""""$fam":{"n":${qs.size},"max_ratio":${n(maxR)},"worst":"$worst","worst_t_hi":${n(worstHi)},"prev_max_ratio":$prevStr,"prev_max_t_hi":$prevHiStr}"""
     }.mkString(",")
     val json = s"""{"mode":"scale_gate","fixture":"organic","mult_lo":$multLo,"mult_hi":$multHi,""" +
       s""""ratio_max":$ratioMax,"abs_floor_sec":$absFloorSec,""" +

@@ -26,6 +26,17 @@ object StreamBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Bench's fixed spin calibration workload — sampled beside the
+    * bandwidth probe so the gate normalizes throughput with the SAME
+    * divisor terms the batch gate uses (see StreamGate's scaladoc). */
+  private def spinMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L; var i = 0
+    while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 42L) System.err.println("")
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val spark = Sessions.local(
@@ -37,6 +48,11 @@ object StreamBench {
     val in = Files.createTempDirectory("sbench-in").toString
     // 32 files -> 2 micro-batches at the file source's 16-file trigger cap
     Generators.writeCsvFiles(in, seed = 42, files = 32, perFile = n / 32)
+
+    // host probe bracketing the whole cell sequence (round-18 task 5):
+    // spin + bandwidth, Bench's exact normalization terms
+    val spins = scala.collection.mutable.ArrayBuffer(spinMs())
+    val bws = scala.collection.mutable.ArrayBuffer(Bench.bwGbps())
 
     def run(name: String)(start: Jobs.Dirs => org.apache.spark.sql.streaming.StreamingQuery): (String, Double, Int) = {
       val d = Jobs.Dirs(in,
@@ -480,11 +496,44 @@ object StreamBench {
       // capstone corpus is n/10 docs for a comparable byte volume
       runCapstone(math.max(2048, n / 10)))
 
+    spins += spinMs()
+    bws += Bench.bwGbps()
     val json = results.map { case (k, sec, rows) =>
       val rps = if (sec > 0) rows / sec else 0.0
       f""""$k":{"sec":$sec%.2f,"rows":$rows,"rows_per_sec":$rps%.0f}"""
     }.mkString(",")
-    println(s"""{"metric":"stream_throughput","n_events":$n,$json}""")
+    // --- per-cell regression gate vs the committed stream_ref.json
+    // (StreamGate's scaladoc has the contract; throughput normalizes by
+    // MULTIPLYING with host_ratio — the seconds divisor, inverted)
+    def num(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val spinRatio = (spins.min / Bench.SpinRefMs).max(1.0).min(3.0)
+    val bwSorted = bws.sorted
+    val bwMedian =
+      if (bwSorted.size % 2 == 1) bwSorted(bwSorted.size / 2)
+      else (bwSorted(bwSorted.size / 2 - 1) + bwSorted(bwSorted.size / 2)) / 2.0
+    val bwRatio = (Bench.BwRefGbps / bwMedian).max(1.0).min(2.0)
+    val hostRatio = (spinRatio * bwRatio).max(1.0).min(3.0)
+    val normRps: Map[String, Double] = results.map { case (k, sec, rows) =>
+      k -> (if (sec > 0) rows / sec * hostRatio else 0.0)
+    }.toMap
+    val refOpt = StreamGate.load().filter(_.n == n)
+    val regs = refOpt.map(r => StreamGate.regressions(r.rps, normRps))
+      .getOrElse(Seq.empty)
+    val refN = refOpt.map(r => normRps.keysIterator.count(r.rps.contains))
+      .getOrElse(0)
+    val (gateKind, verdict) = refOpt match {
+      case Some(_) => ("per_cell_v1", if (regs.isEmpty) "pass" else "weak")
+      case None => ("unreferenced", "pass")
+    }
+    if (sys.env.get("SPARK_GRAFT_UPDATE_REF").contains("1")) {
+      val base = refOpt.map(_.rps).getOrElse(Map.empty)
+      StreamGate.save(StreamGate.RefFile, n, StreamGate.merged(base, normRps))
+      System.err.println(s"[stream-bench] ${StreamGate.RefFile} updated " +
+        s"(${normRps.size} cells into ${base.size} existing entries)")
+    }
+    val gate =
+      s""""gate":{"spin_ratio":${num(spinRatio)},"bw_ratio":${num(bwRatio)},"host_ratio":${num(hostRatio)},"gate_kind":"$gateKind","ref_n":$refN,"unref_n":${normRps.size - refN},"regressions_n":${regs.size},"regressions":${StreamGate.regsJson(regs)},"verdict":"$verdict"}"""
+    println(s"""{"metric":"stream_throughput","n_events":$n,$json,$gate}""")
     spark.stop()
   }
 }
