@@ -52,15 +52,23 @@ object BenchGate {
     * what happened to a15_level_shift in the round-17 driver run (ref
     * 0.135, norm 0.313, +0.178 s on the round's most banded sample;
     * three same-round calm samples graded clean, and the r18 receipts in
-    * BASELINE.md reproduce ~0.25-0.34 norm on calm hosts — the
+    * BASELINE.md reproduce ~0.19-0.34 norm on calm hosts — the
     * min-merged ledger entry is simply this class's fast tail, not its
     * typical calm value). A trip on this class therefore needs TWO
     * CONSECUTIVE gated samples (the committed [[FlagsFile]] is the
     * memory) before it grades "weak": host bands don't repeat across
     * rounds, real plan regressions do. Queries at or above this
     * reference keep the immediate-fail rule — a heavyweight doubling is
-    * never jitter under the min-of-passes protocol. */
-  val SmallRefSec = 0.2
+    * never jitter under the min-of-passes protocol.
+    *
+    * 0.3, not the 0.2 first proposed: the round-18 calibration ran the
+    * SAME binary three times on one host and watched a14_rolling_dau
+    * (ref 0.237) read 0.432 / 0.731 / 0.513 normalized — a 1.8x-3.1x
+    * ratio spread with zero code change (BASELINE.md "a15 adjudication"
+    * table). The noise class is bounded by the MEASURED time sitting
+    * under ~1 s where scheduler/JIT/band constants dominate, which at
+    * the 2x line means references up to ~0.3 s. */
+  val SmallRefSec = 0.3
   /** Escape hatch for the two-consecutive rule: a sub-[[SmallRefSec]]
     * query whose ABSOLUTE excess crosses this is failed immediately —
     * a 0.15 s plan measuring past ~1.2 s is an 8x blow-up no host band

@@ -33,6 +33,8 @@ object OperatorIndex {
     "StreamingPipelines.sourceKl" -> "t_source_kl",
     "StreamingPipelines.dupSpanCalibrate" -> "d_dup_span_coverage",
     "StreamingPipelines.dupSpanStream" -> "d_dup_span_coverage",
+    "StreamingPipelines.mediaNeardupCalibrate" -> "m_media_neardup",
+    "StreamingPipelines.mediaNeardupStream" -> "m_media_neardup",
     "StreamingPipelines.dupSpanRewriteCalibrate" -> "d_dup_span_rewrite",
     "StreamingPipelines.dupSpanRewriteStream" -> "d_dup_span_rewrite",
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",

@@ -270,9 +270,54 @@ object RecallSweep {
           System.err.println(f"[recall] $fixName%-10s $name%-24s flat-PQ  recall@3(L2) ${r}%.4f")
           s"""{"index":"$name","recall_at_3":${num(r)}}"""
         }
+      // Filtered-ANN lane (round 18): e_knn_ivfpq_filtered's overfetch
+      // lever, priced — recall@3 of the persisted index's
+      // predicate-thinned probe (attr = 7, the registered query's
+      // class) against the exact FILTERED L2 truth, swept over nprobe,
+      // beside the naive post-filter baseline (unfiltered top-3 then
+      // keep attr matches) whose under-return is the reason the
+      // predicate must reach the candidate scan.
+      val pr = graft.Tables.t(spark, dir, "embeddings")
+        .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+      val qs = pr.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ed").as("qe"))
+      val fTruth = pr.filter(col("label") === 7)
+        .join(org.apache.spark.sql.functions.broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("d2", graft.functions.GraftFunctions.vecL2Sq(col("qe"), col("ed")))
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val labelOf = pr.select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val idxRoot = java.nio.file.Files
+        .createTempDirectory(s"graft_recall_idx_$fixName").toString
+      val filteredCells =
+        if (fTruth.isEmpty || operators.IvfPqIndex.ensure(spark, dir, idxRoot).isEmpty) Nil
+        else {
+          def fRecall(df: org.apache.spark.sql.DataFrame): Double = {
+            val approx = df.select(col("qid"), col("vec_id"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            (approx & fTruth).size.toDouble / fTruth.size
+          }
+          val swept = Seq(1, 2, 4, 8).map { np =>
+            val r = fRecall(operators.IvfPqIndex.queryFiltered(
+              spark, dir, idxRoot, nprobe = np, k = 3, attrEq = 7))
+            System.err.println(f"[recall] $fixName%-10s ivfpq_filtered nprobe=$np  recall@3(fL2) ${r}%.4f")
+            s"""{"index":"ivfpq_filtered","nprobe":$np,"recall_at_3":${num(r)}}"""
+          }
+          val postFiltered = operators.IvfPqIndex.query(spark, dir, idxRoot, 2, 3)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .filter { case (_, v) => labelOf.get(v).contains(7) }.toSet
+          val pr2 = (postFiltered & fTruth).size.toDouble / fTruth.size
+          System.err.println(f"[recall] $fixName%-10s post_filtered  nprobe=2  recall@3(fL2) ${pr2}%.4f")
+          swept :+ s"""{"index":"post_filtered","nprobe":2,"recall_at_3":${num(pr2)}}"""
+        }
       s""""$fixName":{"n_queries":$nQ,"cells":[${cells.mkString(",")}],""" +
         s""""quant_axis":[${quantCells.mkString(",")}],""" +
-        s""""pq_axis":[${pqCells.mkString(",")}]}"""
+        s""""pq_axis":[${pqCells.mkString(",")}],""" +
+        s""""filtered_axis":[${filteredCells.mkString(",")}]}"""
     }
     println(s"""{"mode":"recall_sweep","sf":"$sfDir",${blocks.mkString(",")}}""")
     spark.stop()

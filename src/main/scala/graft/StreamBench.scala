@@ -404,6 +404,21 @@ object StreamBench {
             d.out, d.ckpt)
         }
       },
+      // round-18: the ingest-side perceptual media near-dup monitor —
+      // fingerprint map (codegen'd sign-pack) + band-keyed stream-static
+      // join against the calibrated corpus fingerprints + one windowed
+      // per-doc min. Calibration pinned outside the timed window (the
+      // r15/r16 lesson for every stream-static cell).
+      {
+        val banded = graft.Checkpoints.pin(
+          StreamingPipelines.mediaNeardupCalibrate(spark, "/root/testdata/sf0.001"))
+        runDocs("media_neardup_windowed", math.max(2048, n / 10)) { d =>
+          Sinks.file(StreamingPipelines.mediaNeardupStream(
+              docsStream(d.in).withWatermark("ts", "1 minute"),
+              banded, windowDur = "5 minutes"),
+            d.out, d.ckpt)
+        }
+      },
       // round-16 (verdict-r15 task 1): persisted-index ingest with ONE
       // generation swap inside the measured window — phase 1 lands into
       // g1, handoff retrains g2 and re-codes the whole ledger tail

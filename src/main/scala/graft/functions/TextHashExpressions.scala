@@ -252,6 +252,39 @@ object TextHashUtil {
     }
     out
   }
+
+  /** 64-bit perceptual aHash over a (pre-normalized) string's decoded
+    * signal, as [lo, hi] 32-bit halves: sample 64 evenly-spaced
+    * codepoints (position b = (b*len) div 64, 0-based), bit b set iff
+    * sample_b * 64 > sum of samples (the integer form of "above the
+    * grid mean"). One codepoint pass, zero per-row allocations beyond
+    * the two fixed arrays — the codegen replacement for the
+    * interpreted transform/aggregate HOF chain, which re-evaluated per
+    * reference and measured ~1 ms/doc (BASELINE.md round-18
+    * m_media_neardup note). Codepoint domain matches Spark's
+    * length()/substring()/ascii() and DuckDB's length()/substr()/
+    * ascii(), so the cross-engine hash is unchanged. */
+  def mediaAHash(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    if (len < 1) return new GenericArrayData(Array(0L, 0L))
+    val vals = new Array[Int](64)
+    var total = 0L
+    var b = 0
+    while (b < 64) {
+      val v = cps(((b.toLong * len) / 64).toInt)
+      vals(b) = v; total += v; b += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var j = 0
+    while (j < 32) {
+      if (vals(j) * 64L > total) lo |= 1L << j
+      if (vals(j + 32) * 64L > total) hi |= 1L << j
+      j += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
 }
 
 /** Public Column API, delegating to the Expression definitions that live
@@ -264,6 +297,9 @@ object GraftFunctions {
 
   def simhash32(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.simhash32(tokens)
+
+  def mediaAHash(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.mediaAHash(s)
 
   def ngramHashes(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.ngramHashes(tokens, n)

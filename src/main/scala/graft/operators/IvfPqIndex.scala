@@ -1181,7 +1181,14 @@ object IvfPqIndex {
       maxCodedFiles: Long = 64L,
       targetFiles: Int = 8,
       buckets: Int = 4096,
-      refreshedCorpus: Option[String] = None)
+      refreshedCorpus: Option[String] = None,
+      /** Re-choose the flavor by measurement ([[chooseFlavor]]) when a
+        * drift-triggered handoff retrains — drift means the geometry
+        * CHANGED, which is exactly when the old flavor choice may no
+        * longer hold. Default false: keep the current flavor (the
+        * conservative ops stance — a flavor flip also flips the
+        * fingerprint lineage). */
+      autoFlavor: Boolean = false)
 
   /** One maintenance TICK: poll [[stats]], execute the decision table,
     * return the actions taken (empty = quiesced). The operational loop
@@ -1205,11 +1212,13 @@ object IvfPqIndex {
     stats(s, root) match {
       case None => Seq.empty
       case Some(st) if st.driftAlert.isDefined && policy.refreshedCorpus.isDefined =>
-        handoff(s, policy.refreshedCorpus.get, root, flavor = st.flavor match {
-          case "opqres" => OpqResidual
-          case "opq" => Opq
-          case _ => Plain
-        }) match {
+        handoff(s, policy.refreshedCorpus.get, root, flavor =
+          if (policy.autoFlavor) Auto
+          else st.flavor match {
+            case "opqres" => OpqResidual
+            case "opq" => Opq
+            case _ => Plain
+          }) match {
           case Some(g) => Seq(s"handoff:drift:g$g")
           case None => Seq.empty // refreshed corpus cannot carry an index
         }

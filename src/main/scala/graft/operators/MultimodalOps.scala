@@ -126,23 +126,35 @@ GROUP BY 1 HAVING count(*) > 1"""),
     * = sample_b above the grid mean. All-integer comparisons (v*64 >
     * total avoids the division), so the fingerprint is bit-identical
     * across engines. Input needs (doc_id, text); emits
-    * (media_id, lo, hi). */
-  private[operators] def mediaFingerprint(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    * (media_id, lo, hi) plus any `carry` columns (the streaming dual
+    * carries its event time through). */
+  private[graft] def mediaFingerprint(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     docs
-      .select(col("doc_id").as("media_id"),
-        lower(regexp_replace(col("text"), "\\s+", " ")).as("s"))
-      .withColumn("len", length(col("s")))
-      .filter(col("len") >= 1)
-      .withColumn("vals", expr(
-        "transform(sequence(0, 63), b -> ascii(substring(s, cast(1 + (b * cast(len AS bigint)) div 64 AS int), 1)))"))
-      .withColumn("total", expr("aggregate(vals, 0L, (acc, v) -> acc + v)"))
-      // strict v*64 - total > 0 in exact double arithmetic (values are
-      // small integers), so the codegen'd sign-pack kernel IS the
-      // "above the mean" test
-      .withColumn("diffs", expr("transform(vals, v -> cast(v AS double) * 64 - total)"))
-      .withColumn("lo", graft.functions.GraftFunctions.signPack(col("diffs"), 0))
-      .withColumn("hi", graft.functions.GraftFunctions.signPack(col("diffs"), 32))
-      .select(col("media_id"), col("lo"), col("hi"))
+      .select(Seq(col("doc_id").as("media_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("s")) ++
+        carry.map(col): _*)
+      .filter(length(col("s")) >= 1)
+      // ONE native codegen'd pass per payload (graft_media_ahash):
+      // sample + mean + bits in a single codepoint walk. The first
+      // formulation was a transform/aggregate HOF chain — interpreted
+      // CodegenFallback, re-evaluated at every downstream reference —
+      // and measured ~1 ms/doc, 5x the whole simhash sibling
+      // (BASELINE.md round-18 note).
+      .withColumn("ah", graft.functions.GraftFunctions.mediaAHash(col("s")))
+      .select(Seq(expr("element_at(ah, 1)").as("lo"),
+        expr("element_at(ah, 2)").as("hi"), col("media_id")) ++ carry.map(col): _*)
+      .select(Seq(col("media_id"), col("lo"), col("hi")) ++ carry.map(col): _*)
+
+  /** Band-explode a fingerprint frame: one row per (bi, bb) byte band
+    * of the 64-bit fingerprint, every input column carried — the ONE
+    * banding arithmetic shared by the batch pair query and the
+    * streaming ingest monitor. */
+  private[graft] def mediaBanded(fp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    fp.withColumn("bi", explode(expr("sequence(0, 7)")))
+      .withColumn("bb", expr(
+        "CASE WHEN bi < 4 THEN (lo div shiftleft(1L, bi * 8)) % 256 " +
+          "ELSE (hi div shiftleft(1L, (bi - 4) * 8)) % 256 END"))
 
   /** The shared fingerprint CTE chain, DuckDB side — the oracle twin of
     * [[mediaFingerprint]], ending in `fp(media_id, lo, hi)`. */
@@ -162,7 +174,7 @@ fp AS (SELECT media_id,
     * only 256 values, so a mega-corpus WILL have hot buckets, and the
     * exact-check stage must stay bounded by cap^2 per bucket, never
     * corpus^2. */
-  private val mediaBandCap = 1000
+  private[graft] val mediaBandCap = 1000
 
   // Perceptual media near-dup (round-18 verdict task 2) — the near-dup
   // ladder rung the multimodal family lacked: m_media_dedup is
@@ -180,13 +192,12 @@ fp AS (SELECT media_id,
   private val mMediaNeardup = GQuery(
     "m_media_neardup",
     (s, dir) => {
-      val fp = mediaFingerprint(Tables.t(s, dir, "documents"))
-      val banded = fp
-        .select(col("media_id"), col("lo"), col("hi"),
-          explode(expr("sequence(0, 7)")).as("bi"))
-        .withColumn("bb", expr(
-          "CASE WHEN bi < 4 THEN (lo div shiftleft(1L, bi * 8)) % 256 " +
-            "ELSE (hi div shiftleft(1L, (bi - 4) * 8)) % 256 END"))
+      // pinned: the banded frame feeds the hot-bucket agg AND both join
+      // sides — unpinned, Catalyst re-evaluates the fingerprint scan
+      // three times (the d_curate_corpus survivor-set lesson)
+      val banded = graft.Checkpoints.pin(
+        mediaBanded(mediaFingerprint(Tables.t(s, dir, "documents"))),
+        eager = true)
       val small = banded.groupBy(col("bi"), col("bb"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, mediaBandCap))

@@ -615,6 +615,60 @@ object StreamingPipelines {
               't', acc.t + cast(p + 8 - greatest(p, acc.e) AS bigint)),
             acc -> acc.t)""").as("kept_tokens"))
 
+  /** CALIBRATE half of the streaming perceptual media near-dup monitor:
+    * the corpus' band-exploded 64-bit perceptual fingerprints
+    * ([[graft.operators.MultimodalOps.mediaFingerprint]] +
+    * `mediaBanded` — the batch m_media_neardup's exact arithmetic),
+    * with hot bands capped like the batch query. Unlike the batch's
+    * `BETWEEN 2 AND cap` (a pair needs two corpus members in one
+    * bucket), singleton buckets STAY: a single corpus original is
+    * exactly what an arriving re-encode must find. Pin the result
+    * (graft.Checkpoints.pin) before streaming — the static side of a
+    * stream-static join re-evaluates per micro-batch. */
+  def mediaNeardupCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val banded = graft.operators.MultimodalOps.mediaBanded(
+      graft.operators.MultimodalOps.mediaFingerprint(
+        graft.Tables.t(s, dir, "documents")))
+    val small = banded.groupBy(col("bi"), col("bb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= graft.operators.MultimodalOps.mediaBandCap)
+      .select(col("bi"), col("bb"))
+    banded.join(small, Seq("bi", "bb"))
+      .select(col("bi"), col("bb"), col("media_id").as("corpus_id"),
+        col("lo").as("corpus_lo"), col("hi").as("corpus_hi"))
+  }
+
+  /** Streaming dual of the batch `m_media_neardup` — the INGEST-side
+    * perceptual-duplicate monitor: per (event-time window, arriving
+    * payload), the nearest CALIBRATED corpus item within the aHash
+    * similarity threshold — the "this upload is a re-encode of
+    * something we already have" alarm, made before the payload ever
+    * reaches the batch dedup passes. Shape: the batch's fingerprint +
+    * banding kernels on the arrival, ONE stateless stream-static equi
+    * join on (band, byte) against the calibrated table, the exact
+    * XOR+POPCNT hamming check, then ONE windowed per-doc min — the
+    * multi-band duplicate matches collapse in the same agg that
+    * windows the report (state = one best-match struct per in-flight
+    * (window, doc)). Emits (window, doc_id, match_id, hamming); an
+    * arrival with no corpus neighbor within `maxHamming` emits
+    * nothing. Self-matches are excluded so replaying the calibration
+    * corpus reports its true near-dup partners (the
+    * MediaNeardupStreamSpec batch-parity pin). Callers watermark `ts`
+    * first. */
+  def mediaNeardupStream(docsStream: DataFrame, banded: DataFrame,
+      windowDur: String = "1 hour", maxHamming: Long = 7L): DataFrame =
+    graft.operators.MultimodalOps.mediaBanded(
+        graft.operators.MultimodalOps.mediaFingerprint(docsStream, carry = Seq("ts")))
+      .join(banded, Seq("bi", "bb"))
+      .filter(col("corpus_id") =!= col("media_id"))
+      .withColumn("hd", expr(
+        "cast(bit_count(lo ^ corpus_lo) + bit_count(hi ^ corpus_hi) AS bigint)"))
+      .filter(col("hd") <= maxHamming)
+      .groupBy(window(col("ts"), windowDur), col("media_id").as("doc_id"))
+      .agg(min(struct(col("hd"), col("corpus_id"))).as("best"))
+      .select(col("window"), col("doc_id"),
+        col("best.corpus_id").as("match_id"), col("best.hd").as("hamming"))
+
   /** Streaming dual of the batch `t_code_detect`: code-likeness routing
     * as a STATELESS map over the document stream — the mix-splitting
     * decision (prose pipeline vs code pipeline) made inline during

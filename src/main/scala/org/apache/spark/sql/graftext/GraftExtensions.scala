@@ -73,6 +73,8 @@ object GraftExtensions {
         MinHashSig(args.head, perms.map(_._1), perms.map(_._2), MP))),
     (FunctionIdentifier("graft_trigram_hashes"), info("graft_trigram_hashes"),
       arity("graft_trigram_hashes", 1)(args => TrigramHashes(args.head))),
+    (FunctionIdentifier("graft_media_ahash"), info("graft_media_ahash"),
+      arity("graft_media_ahash", 1)(args => MediaAHash(args.head))),
     (FunctionIdentifier("graft_ngram_hashes"), info("graft_ngram_hashes"),
       arity("graft_ngram_hashes", 2)(args => args(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>

@@ -56,6 +56,23 @@ case class SimHash32(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+case class MediaAHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_media_ahash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.mediaAHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashUtil.mediaAHash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaAHash =
+    copy(child = newChild)
+}
+
 case class TrigramHashes(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -206,6 +223,9 @@ object columns {
 
   def trigramHashes(tokens: Column): Column =
     ExpressionUtils.column(TrigramHashes(ExpressionUtils.expression(tokens)))
+
+  def mediaAHash(s: Column): Column =
+    ExpressionUtils.column(MediaAHash(ExpressionUtils.expression(s)))
 
   def ngramHashes(tokens: Column, n: Int): Column =
     ExpressionUtils.column(NgramHashes(ExpressionUtils.expression(tokens), n))

@@ -74,10 +74,15 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r.suspects.isEmpty)
   }
 
-  test("at-or-above-0.2s references keep the immediate-fail rule") {
-    val r = BenchGate.gate(Map("q_exact" -> 0.200),
-      Map("q_exact" -> 0.560), priorSuspects = Set.empty)
+  test("at-or-above-SmallRefSec references keep the immediate-fail rule") {
+    val r = BenchGate.gate(Map("q_exact" -> BenchGate.SmallRefSec),
+      Map("q_exact" -> (BenchGate.SmallRefSec * 2 + 0.2)), priorSuspects = Set.empty)
     assert(r.regressions.map(_.query) === Seq("q_exact"))
+    // the a14 calibration case: ref 0.237 is INSIDE the suspect class —
+    // the same binary measured 1.8x and 3.1x an hour apart (BASELINE.md)
+    val r2 = BenchGate.gate(Map("a14_rolling_dau" -> 0.237),
+      Map("a14_rolling_dau" -> 0.731), priorSuspects = Set.empty)
+    assert(r2.regressions.isEmpty && r2.suspects.map(_.query) === Seq("a14_rolling_dau"))
   }
 
   test("flags file round-trips, is sf-scoped, and loads empty when missing") {

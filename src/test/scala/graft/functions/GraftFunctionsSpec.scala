@@ -155,4 +155,33 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.functions.GraftFunctions.ngramHashes(col("toks"), 3).as("b"))
     assert(tri.filter("a <> b").isEmpty)
   }
+
+  test("graft_media_ahash equals the SQL-HOF aHash it replaced, per half") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a", "zz", "the " * 40 + "end",
+      "MIXED case With   spaces collapsed already? no — raw here",
+      (0 until 500).map(i => ('a' + i % 26).toChar).mkString).toDF("s")
+    val both = docs
+      .selectExpr("s", "length(s) AS len",
+        "transform(sequence(0, 63), b -> ascii(substring(s, cast(1 + (b * cast(len AS bigint)) div 64 AS int), 1))) AS vals")
+      .selectExpr("s", "vals",
+        "aggregate(vals, 0L, (acc, v) -> acc + v) AS total")
+      .selectExpr("s",
+        """aggregate(sequence(0, 31), 0L, (acc, j) ->
+             acc + CASE WHEN element_at(vals, j + 1) * 64 > total THEN shiftleft(1L, j) ELSE 0L END) AS lo""",
+        """aggregate(sequence(0, 31), 0L, (acc, j) ->
+             acc + CASE WHEN element_at(vals, j + 33) * 64 > total THEN shiftleft(1L, j) ELSE 0L END) AS hi""")
+      .withColumn("ah", graft.functions.GraftFunctions.mediaAHash(
+        org.apache.spark.sql.functions.col("s")))
+      .selectExpr("lo", "hi", "element_at(ah, 1) AS klo", "element_at(ah, 2) AS khi")
+    assert(both.filter("lo <> klo OR hi <> khi").isEmpty,
+      both.collect().mkString("\n"))
+    // and callable from SQL through the extensions registration
+    org.apache.spark.sql.graftext.GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_media_ahash('hello world of perceptual hashing') AS ah").head()
+    assert(viaSql.getAs[scala.collection.Seq[Long]]("ah").length === 2)
+  }
 }

@@ -104,6 +104,22 @@ class IvfPqAutoFlavorSpec extends SparkSpec {
     assert(auto === explicit)
   }
 
+  test("maintenance autoFlavor: a drift handoff re-chooses the flavor for the refreshed geometry") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("auto_flavor_maint").toString
+    // built plain on the near-isotropic corpus ...
+    assert(IvfPqIndex.ensure(s, "/root/testdata/sf0.001", root).contains(1L))
+    graft.streaming.FsIo.writeStringAtomic(s"$root/g1/_drift_alert", "spec: simulated drift")
+    // ... then the operator designates a REFRESHED corpus whose geometry
+    // is clustered; the policy's autoFlavor lets the handoff re-measure
+    val log = IvfPqIndex.maintain(s, root,
+      IvfPqIndex.MaintenancePolicy(
+        refreshedCorpus = Some(fixtureDir("clustered")), autoFlavor = true))
+    assert(log.exists(_.startsWith("handoff")), s"expected a handoff action: $log")
+    assert(graft.streaming.FsIo.readString(s"$root/g2/flavor").contains("opqres"),
+      "the drift handoff should have re-chosen opqres for the clustered refresh")
+  }
+
   test("a sampled Auto calibration (cap below corpus size) still resolves and builds") {
     val s = spark
     val dir = fixtureDir("clustered") // 500 rows > cap 128
