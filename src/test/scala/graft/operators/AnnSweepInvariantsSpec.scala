@@ -395,4 +395,50 @@ class AnnSweepInvariantsSpec extends SparkSpec {
     assert(meanResid < meanNorm,
       s"mean resid $meanResid did not shrink below mean centered norm $meanNorm")
   }
+
+  test("filtered search: scan-side predicate beats post-filtering, deeper nprobe is the overfetch lever (round-18 lane)") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ann-filtered").toString
+    graft.RecallSweep.writeClusteredFixture(s, dir)
+    val attr = 7
+    val pr = graft.Tables.t(s, dir, "embeddings")
+      .withColumn("ed", expr("transform(embedding, x -> cast(x as double))"))
+    val qs = pr.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    val fTruth = pr.filter(col("label") === attr)
+      .join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("d2", graft.functions.GraftFunctions.vecL2Sq(col("qe"), col("ed")))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 3).select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fTruth.nonEmpty)
+    val root = java.nio.file.Files.createTempDirectory("ann-filtered-root").toString
+    assert(IvfPqIndex.ensure(s, dir, root).contains(1L))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & fTruth).size.toDouble / fTruth.size
+    }
+    // the measured round-18 lane, pinned on the geometry where IVF works:
+    // recall climbs monotonically with nprobe (the selectivity overfetch)
+    val byNp = Seq(1, 2, 4, 8).map(np =>
+      np -> recall(IvfPqIndex.queryFiltered(s, dir, root, np, 3, attrEq = attr)))
+    for (((loN, lo), (hiN, hi)) <- byNp.zip(byNp.tail))
+      assert(lo <= hi, s"filtered recall fell $lo -> $hi as nprobe grew $loN -> $hiN")
+    assert(byNp.last._2 > byNp.head._2,
+      s"deeper probe bought nothing on clustered geometry: $byNp")
+    // and the naive post-filter under-returns at the same nprobe
+    val labelOf = pr.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val post = IvfPqIndex.query(s, dir, root, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, v) => labelOf.get(v).contains(attr) }.toSet
+    val postR = (post & fTruth).size.toDouble / fTruth.size
+    assert(recall(IvfPqIndex.queryFiltered(s, dir, root, 2, 3, attrEq = attr)) >= postR,
+      "scan-side predicate lost to post-filtering at equal nprobe")
+    assert(postR < byNp.last._2,
+      "post-filtering matched the overfetched filtered probe — the lane inverted")
+  }
 }

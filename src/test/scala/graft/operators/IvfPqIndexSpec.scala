@@ -930,6 +930,19 @@ class IvfPqIndexSpec extends SparkSpec {
     val deeper = IvfPqIndex.queryFiltered(s, sfDir, root, nprobe = 4, k = 3, attrEq = attr)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(deeper.size >= filtered.size)
+    // the predicate reaches the parquet scan: PushedFilters carries the
+    // attr equality (the inline-metadata design's whole point — at
+    // 100 TB the row-group stats skip non-matching candidates before
+    // decode, beside the manifest's cell pruning)
+    val plan = IvfPqIndex.queryFiltered(s, sfDir, root, nprobe = 2, k = 3, attrEq = attr)
+      .queryExecution.executedPlan.toString
+    // the rendered PushedFilters list truncates at ~100 chars, so assert
+    // on the visible prefix (attr leads the pushed list) + the scan-side
+    // DataFilters carrying the equality
+    assert(plan.contains("PushedFilters: [IsNotNull(attr)"),
+      s"attr predicate did not reach the scan:\n${plan.linesIterator.filter(_.contains("Pushed")).mkString("\n")}")
+    assert(plan.contains("(attr#") && plan.contains("= 7)"),
+      "the attr equality is not in the scan-side data filters")
   }
 
   test("an unknown flavor marker fails loudly instead of probing as plain (ADVICE r17)") {
