@@ -61,14 +61,17 @@ object BenchGate {
     * reference keep the immediate-fail rule — a heavyweight doubling is
     * never jitter under the min-of-passes protocol.
     *
-    * 0.3, not the 0.2 first proposed: the round-18 calibration ran the
-    * SAME binary three times on one host and watched a14_rolling_dau
-    * (ref 0.237) read 0.432 / 0.731 / 0.513 normalized — a 1.8x-3.1x
-    * ratio spread with zero code change (BASELINE.md "a15 adjudication"
-    * table). The noise class is bounded by the MEASURED time sitting
-    * under ~1 s where scheduler/JIT/band constants dominate, which at
-    * the 2x line means references up to ~0.3 s. */
-  val SmallRefSec = 0.3
+    * 0.5, not the 0.2 first proposed: the round-18 calibration ran the
+    * SAME binary four times across one day's host weather and measured
+    * every false 2x+ trip at references BELOW 0.4 (a14 ref 0.237 read
+    * 1.8x and 3.1x an hour apart; the day's worst sample — gc 6.7 s,
+    * steal 0.5% — tripped a9_funnel ref 0.373 at 2.04x and
+    * d_boilerplate_segments ref 0.361 at 2.01x), while NO query with a
+    * reference at or above 0.5 s ever exceeded 1.69x on any sample
+    * (BASELINE.md "a15 adjudication"). The immediate-fail line sits
+    * where the measured host-noise envelope cannot reach the 2x ratio
+    * under the min-of-passes protocol. */
+  val SmallRefSec = 0.5
   /** Escape hatch for the two-consecutive rule: a sub-[[SmallRefSec]]
     * query whose ABSOLUTE excess crosses this is failed immediately —
     * a 0.15 s plan measuring past ~1.2 s is an 8x blow-up no host band
@@ -79,6 +82,17 @@ object BenchGate {
     * previous gated run's suspect list ([[saveFlags]]), sf-tagged like
     * the ledger. */
   val FlagsFile = "bench_flags.json"
+  /** Independence gap for the two-consecutive rule: a prior suspect
+    * only promotes a new trip to a regression when the prior sample is
+    * at least this much older — the documented roving host band LASTS
+    * HOURS, so two samples inside one band window are one piece of
+    * evidence, not two (round-18 calibration: back-to-back banded
+    * samples promoted two suspects that a calm sample between them
+    * graded clean). In practice promotion therefore happens across
+    * ROUND cadence (days), which is the cadence the rule was designed
+    * for; a real sub-[[SmallRefSec]] regression persists to the next
+    * round's sample and fails there. */
+  val MinSampleGapMs: Long = 6L * 3600 * 1000
 
   final case class Ref(sf: String, norms: Map[String, Double])
   final case class Regression(
@@ -174,16 +188,24 @@ object BenchGate {
   // ledger above.
   private val suspectsRe = """"suspects"\s*:\s*\[([^\]]*)\]""".r
   private val nameRe = """"([A-Za-z0-9_]+)"""".r
+  private val writtenRe = """"written_at_ms"\s*:\s*(\d+)""".r
 
-  /** Previous gated sample's suspect set, empty when the file is
-    * missing, unparseable, or tagged with a different sf. */
-  def loadFlags(path: String = FlagsFile, sf: String): Set[String] =
+  /** Previous gated sample's suspect set, as PROMOTION INPUT: empty
+    * when the file is missing, unparseable, tagged with a different
+    * sf, or YOUNGER than [[MinSampleGapMs]] (same-band samples are not
+    * independent evidence — see the field's scaladoc). `now` is
+    * injectable for tests. */
+  def loadFlags(path: String = FlagsFile, sf: String,
+      now: Long = System.currentTimeMillis()): Set[String] =
     try {
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(p)) Set.empty
       else {
         val txt = java.nio.file.Files.readString(p)
-        if (!sfRe.findFirstMatchIn(txt).map(_.group(1)).contains(sf)) Set.empty
+        val oldEnough = writtenRe.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).forall(w => now - w >= MinSampleGapMs)
+        if (!oldEnough ||
+          !sfRe.findFirstMatchIn(txt).map(_.group(1)).contains(sf)) Set.empty
         else suspectsRe.findFirstMatchIn(txt) match {
           case Some(m) => nameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSet
           case None => Set.empty
@@ -194,12 +216,14 @@ object BenchGate {
   /** Persist THIS gated sample's suspect set (possibly empty — a calm
     * sample clearing a stale flag is the rule working, not data loss).
     * Committed alongside the round's artifacts, it is the "previous
-    * sample" the next gate run consults. */
-  def saveFlags(path: String, sf: String, suspects: Seq[String]): Unit = {
+    * sample" the next round's gate run consults. */
+  def saveFlags(path: String, sf: String, suspects: Seq[String],
+      now: Long = System.currentTimeMillis()): Unit = {
     val txt =
       s"""{
   "sf": "$sf",
-  "note": "sub-${SmallRefSec}s-reference gate trips from the latest gated bench sample; a query here fails the NEXT gated sample it trips on (two-consecutive rule, BenchGate.scala)",
+  "written_at_ms": $now,
+  "note": "sub-${SmallRefSec}s-reference gate trips from the latest gated bench sample; a query here fails the next gated sample >= ${MinSampleGapMs / 3600000}h later that it trips on (two-consecutive rule, BenchGate.scala)",
   "suspects": [${suspects.sorted.map("\"" + _ + "\"").mkString(",")}]
 }
 """

@@ -13,10 +13,15 @@ class BenchGateSpec extends AnyFunSuite {
     "q_heavy" -> 1.500)
 
   test("a genuine 2x+ regression on a non-micro query is caught") {
-    val measured = Map("q_fast" -> 0.060, "q_mid" -> 0.900, "q_heavy" -> 1.400)
-    val regs = BenchGate.gate(ref, measured, Set.empty).regressions
-    assert(regs.map(_.query) === Seq("q_mid"))
-    assert(regs.head.ratio > 2.0 && regs.head.refSec === 0.400)
+    val measured = Map("q_fast" -> 0.060, "q_mid" -> 0.900, "q_heavy" -> 3.400)
+    val r = BenchGate.gate(ref, measured, Set.empty)
+    assert(r.regressions.map(_.query) === Seq("q_heavy"),
+      "a heavy (>= SmallRefSec ref) doubling fails immediately")
+    assert(r.regressions.head.ratio > 2.0 && r.regressions.head.refSec === 1.500)
+    // q_mid's 0.4s reference is INSIDE the measured noise envelope
+    // (round-18: a9_funnel ref 0.373 tripped 2.04x on a gc-heavy host
+    // with unchanged code) — first trip is a suspect, not a verdict flip
+    assert(r.suspects.map(_.query) === Seq("q_mid"))
   }
 
   test("micro-query jitter below the absolute noise floor is not a regression") {
@@ -85,15 +90,22 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r2.regressions.isEmpty && r2.suspects.map(_.query) === Seq("a14_rolling_dau"))
   }
 
-  test("flags file round-trips, is sf-scoped, and loads empty when missing") {
+  test("flags file round-trips, is sf-scoped and age-gated, and loads empty when missing") {
     val p = java.nio.file.Files.createTempFile("bench_flags", ".json").toString
-    BenchGate.saveFlags(p, "sf0.1", Seq("a15_level_shift", "q_other"))
-    assert(BenchGate.loadFlags(p, "sf0.1") ===
+    val t0 = 1000000000000L
+    BenchGate.saveFlags(p, "sf0.1", Seq("a15_level_shift", "q_other"), now = t0)
+    val later = t0 + BenchGate.MinSampleGapMs + 1
+    assert(BenchGate.loadFlags(p, "sf0.1", now = later) ===
       Set("a15_level_shift", "q_other"))
-    assert(BenchGate.loadFlags(p, "sf0.001").isEmpty,
+    // independence gap: a sample inside the same band window must not
+    // count as the second of "two consecutive" (round-18 calibration:
+    // back-to-back banded samples promoted noise)
+    assert(BenchGate.loadFlags(p, "sf0.1", now = t0 + 3600 * 1000L).isEmpty,
+      "a young prior sample must not promote")
+    assert(BenchGate.loadFlags(p, "sf0.001", now = later).isEmpty,
       "a local-sf run must not consume sf0.1 flags")
-    BenchGate.saveFlags(p, "sf0.1", Seq.empty)
-    assert(BenchGate.loadFlags(p, "sf0.1").isEmpty,
+    BenchGate.saveFlags(p, "sf0.1", Seq.empty, now = t0)
+    assert(BenchGate.loadFlags(p, "sf0.1", now = later).isEmpty,
       "an empty save must clear stale flags")
     assert(BenchGate.loadFlags("/tmp/definitely-missing-flags.json", "sf0.1").isEmpty)
   }
