@@ -314,10 +314,26 @@ object RecallSweep {
           System.err.println(f"[recall] $fixName%-10s post_filtered  nprobe=2  recall@3(fL2) ${pr2}%.4f")
           swept :+ s"""{"index":"post_filtered","nprobe":2,"recall_at_3":${num(pr2)}}"""
         }
+      // Auto lane (round 18, verdict task 4's lane row): what
+      // Flavor.Auto RESOLVES to on this geometry and the recall it
+      // buys at the standard nprobe=2 — by construction the measured
+      // winner of the plain/opqres pair, but the row keeps the
+      // auto-chooser itself under the sweep's eyes (a chooser bug
+      // shows up here as a sub-winner recall before any spec runs).
+      val autoFlavor = operators.IvfPqIndex.chooseFlavor(spark, dir)
+      val autoDf = autoFlavor match {
+        case operators.IvfPqIndex.OpqResidual =>
+          operators.EmbeddingOps.opqResidualKnn(spark, dir, 2, 3)
+        case _ =>
+          operators.EmbeddingOps.ivfPqTrainedResidual(spark, dir, 2, 3)
+      }
+      val autoR = recallOf(autoDf)
+      System.err.println(f"[recall] $fixName%-10s auto=${autoFlavor.name}%-8s nprobe=2  recall@3 ${autoR}%.4f")
       s""""$fixName":{"n_queries":$nQ,"cells":[${cells.mkString(",")}],""" +
         s""""quant_axis":[${quantCells.mkString(",")}],""" +
         s""""pq_axis":[${pqCells.mkString(",")}],""" +
-        s""""filtered_axis":[${filteredCells.mkString(",")}]}"""
+        s""""filtered_axis":[${filteredCells.mkString(",")}],""" +
+        s""""auto":{"flavor":"${autoFlavor.name}","nprobe":2,"recall_at_3":${num(autoR)}}}"""
     }
     println(s"""{"mode":"recall_sweep","sf":"$sfDir",${blocks.mkString(",")}}""")
     spark.stop()

@@ -189,33 +189,40 @@ fp AS (SELECT media_id,
   // computes in the scan (one pass, codegen'd sign-pack), the shuffle
   // key is (band, byte), hot buckets are capped like every LSH query in
   // the repo, and the exact check is two integer ops per candidate.
-  private val mMediaNeardup = GQuery(
-    "m_media_neardup",
-    (s, dir) => {
-      // pinned: the banded frame feeds the hot-bucket agg AND both join
-      // sides — unpinned, Catalyst re-evaluates the fingerprint scan
-      // three times (the d_curate_corpus survivor-set lesson)
-      val banded = graft.Checkpoints.pin(
-        mediaBanded(mediaFingerprint(Tables.t(s, dir, "documents"))),
-        eager = true)
-      val small = banded.groupBy(col("bi"), col("bb"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, mediaBandCap))
-        .select(col("bi"), col("bb"))
-      val in = banded.join(small, Seq("bi", "bb"))
-      val a = in.select(col("bi"), col("bb"), col("media_id").as("media_id_a"),
-        col("lo").as("lo_a"), col("hi").as("hi_a"))
-      val b = in.select(col("bi"), col("bb"), col("media_id").as("media_id_b"),
-        col("lo").as("lo_b"), col("hi").as("hi_b"))
-      a.join(b, Seq("bi", "bb"))
-        .filter(col("media_id_a") < col("media_id_b"))
-        .withColumn("hd", expr(
-          "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS bigint)"))
-        .filter(col("hd") <= 7)
-        .groupBy(col("media_id_a"), col("media_id_b"))
-        .agg(min(col("hd")).as("hd"))
-    },
-    Some(s"""WITH $duckMediaFp,
+  /** The perceptual pair pipeline behind m_media_neardup — one
+    * implementation shared with the groups query so the edge set
+    * cannot drift from the pair report. Emits
+    * (media_id_a < media_id_b, hd) at the hamming-<= 7 threshold. */
+  private def mediaNeardupPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // pinned: the banded frame feeds the hot-bucket agg AND both join
+    // sides — unpinned, Catalyst re-evaluates the fingerprint scan
+    // three times (the d_curate_corpus survivor-set lesson)
+    val banded = graft.Checkpoints.pin(
+      mediaBanded(mediaFingerprint(Tables.t(s, dir, "documents"))),
+      eager = true)
+    val small = banded.groupBy(col("bi"), col("bb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, mediaBandCap))
+      .select(col("bi"), col("bb"))
+    val in = banded.join(small, Seq("bi", "bb"))
+    val a = in.select(col("bi"), col("bb"), col("media_id").as("media_id_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = in.select(col("bi"), col("bb"), col("media_id").as("media_id_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    a.join(b, Seq("bi", "bb"))
+      .filter(col("media_id_a") < col("media_id_b"))
+      .withColumn("hd", expr(
+        "cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS bigint)"))
+      .filter(col("hd") <= 7)
+      .groupBy(col("media_id_a"), col("media_id_b"))
+      .agg(min(col("hd")).as("hd"))
+  }
+
+  /** The pair pipeline's oracle twin, ending in
+    * `mp(media_id_a, media_id_b, hd)` — shared verbatim by the pair
+    * and groups oracles. */
+  private val duckMediaPairs: String = s"""$duckMediaFp,
 banded AS (SELECT media_id, lo, hi, bi,
              CASE WHEN bi < 4 THEN (lo // (1::BIGINT << (bi * 8))) % 256
                   ELSE (hi // (1::BIGINT << ((bi - 4) * 8))) % 256 END AS bb
@@ -224,10 +231,39 @@ small AS (SELECT bi, bb FROM banded GROUP BY bi, bb HAVING count(*) BETWEEN 2 AN
 inb AS (SELECT banded.* FROM banded JOIN small USING (bi, bb)),
 p AS (SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
         CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hd
-      FROM inb a JOIN inb b ON a.bi = b.bi AND a.bb = b.bb AND a.media_id < b.media_id)
-SELECT media_id_a, media_id_b, min(hd) AS hd FROM p WHERE hd <= 7 GROUP BY 1, 2"""),
+      FROM inb a JOIN inb b ON a.bi = b.bi AND a.bb = b.bb AND a.media_id < b.media_id),
+mp AS (SELECT media_id_a, media_id_b, min(hd) AS hd FROM p WHERE hd <= 7 GROUP BY 1, 2)"""
+
+  private val mMediaNeardup = GQuery(
+    "m_media_neardup",
+    (s, dir) => mediaNeardupPairs(s, dir),
+    Some(s"""WITH $duckMediaPairs
+SELECT media_id_a, media_id_b, hd FROM mp"""),
     "Perceptual media near-dup (aHash, hamming <= 7) via pigeonhole byte bands over the decoded-content fingerprint; catches re-encoded duplicates the exact digest misses.")
 
+  // Keeper election over the perceptual pairs — the rung that makes the
+  // media ladder actionable (the d_dedup_groups shape on media): min-id
+  // connected components over the hamming-<= 7 edge set, so a re-encode
+  // CHAIN (A~B~C where A and C never met in a band) still collapses to
+  // one canonical copy. Same pointer-doubling label propagation as the
+  // text family (loud non-convergence, log-diameter rounds); the
+  // recursive-CTE oracle replays the closure over the shared pair CTEs.
+  // Only media that HAVE a near-dup appear (pairless payloads need no
+  // election) — exactly d_dedup_groups' contract.
+  private val mMediaDedupGroups = GQuery(
+    "m_media_dedup_groups",
+    (s, dir) => graft.operators.TextOps.minLabelComponents(
+      mediaNeardupPairs(s, dir)
+        .select(col("media_id_a").as("src"), col("media_id_b").as("dst")))
+      .select(col("doc_id").as("media_id"), col("comp").as("keeper_id")),
+    Some(s"""WITH RECURSIVE $duckMediaPairs,
+e AS (SELECT media_id_a AS src, media_id_b AS dst FROM mp
+      UNION SELECT media_id_b, media_id_a FROM mp),
+r(src, dst) AS (SELECT src, dst FROM e
+                UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src)
+SELECT src AS media_id, least(src, min(dst)) AS keeper_id FROM r GROUP BY src"""),
+    "Perceptual media dedup groups: min-id connected components over the hamming pairs — canonical keeper election that collapses re-encode chains.")
+
   val all: Seq[GQuery] = Seq(mMediaMeta, mMediaFeatures, mFrameSample,
-    mMediaDedup, mMediaNeardup)
+    mMediaDedup, mMediaNeardup, mMediaDedupGroups)
 }

@@ -91,5 +91,11 @@ class MediaPipelineSpec extends SparkSpec {
       .collect()
     assert(exact.isEmpty,
       s"leading-chunk digest should NOT see a re-encode as a duplicate: ${exact.toSeq}")
+    // keeper election: the pair collapses to the min-id canonical copy,
+    // the unrelated payload needs no election and stays absent
+    val groups = graft.SparkEntry.queries("m_media_dedup_groups")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(groups === Set((1L, 1L), (2L, 1L)),
+      s"re-encode group must elect media 1 as keeper: $groups")
   }
 }
