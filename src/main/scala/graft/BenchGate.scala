@@ -78,6 +78,19 @@ object BenchGate {
     * can produce under the capped (<= 3x) normalization, and a real
     * scale-killer should not get a free round. */
   val HardFloorSec = 1.0
+  /** Promotion ratio for the two-consecutive rule: a REPEAT trip only
+    * grades "weak" when it is also at least this far above its
+    * reference. Persistence alone is not evidence on this class — the
+    * round-18 envelope showed q_cdc_apply (ref 0.174, min-merged fast
+    * tail) tripping the 2x line on 3 of 4 valid same-binary samples at
+    * 2.2-2.6x, so ANY pair of independent samples would promote it
+    * forever; magnitude + persistence is outside everything the
+    * envelope measured (valid-sample max: 3.08x, once). A real
+    * regression (the smallest that matters doubles a query PAST its
+    * noise band) clears 3x on every sample and is caught in two
+    * rounds; anything smaller on a sub-0.5 s plan is covered by the
+    * scale gate's shape check and the hard floor. */
+  val PromoteRatio = 3.0
   /** Committed one-round memory for the two-consecutive rule: the
     * previous gated run's suspect list ([[saveFlags]]), sf-tagged like
     * the ledger. */
@@ -124,7 +137,8 @@ object BenchGate {
       priorSuspects: Set[String]): GateResult = {
     val (immediate, small) = trips(ref, norm).partition(t =>
       t.refSec >= SmallRefSec || t.normSec - t.refSec > HardFloorSec)
-    val (repeat, fresh) = small.partition(t => priorSuspects(t.query))
+    val (repeat, fresh) = small.partition(t =>
+      priorSuspects(t.query) && t.ratio >= PromoteRatio)
     GateResult(immediate ++ repeat, fresh)
   }
 

@@ -54,13 +54,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r.suspects.map(_.query) === Seq("a15_level_shift"))
   }
 
-  test("the same sub-0.2s trip on two consecutive gated samples IS a regression") {
-    val r = BenchGate.gate(Map("a15_level_shift" -> 0.135),
-      Map("a15_level_shift" -> 0.313),
+  test("a repeated trip promotes only with magnitude: >= 3x on the second sample") {
+    // persistence alone: q_cdc_apply's envelope (2.2-2.6x on 3 of 4
+    // same-binary samples) must stay a suspect forever, never weak
+    val persistent = BenchGate.gate(Map("q_cdc_apply" -> 0.174),
+      Map("q_cdc_apply" -> 0.449), priorSuspects = Set("q_cdc_apply"))
+    assert(persistent.regressions.isEmpty &&
+      persistent.suspects.map(_.query) === Seq("q_cdc_apply"),
+      "a persistent 2.x-band trip must not promote")
+    // persistence + magnitude: a prior-flagged query at >= 3x IS weak
+    val real = BenchGate.gate(Map("a15_level_shift" -> 0.135),
+      Map("a15_level_shift" -> 0.560),
       priorSuspects = Set("a15_level_shift"))
-    assert(r.regressions.map(_.query) === Seq("a15_level_shift"),
-      "a persisting trip is a real regression, not a band")
-    assert(r.suspects.isEmpty)
+    assert(real.regressions.map(_.query) === Seq("a15_level_shift"),
+      "a flagged query repeating at 4x is a real regression")
+    assert(real.suspects.isEmpty)
+    // magnitude without persistence stays a suspect (first sighting)
+    val firstBig = BenchGate.gate(Map("a15_level_shift" -> 0.135),
+      Map("a15_level_shift" -> 0.560), priorSuspects = Set.empty)
+    assert(firstBig.regressions.isEmpty && firstBig.suspects.nonEmpty)
   }
 
   test("a prior suspect that measures clean is dropped (flags clear, not accumulate)") {
