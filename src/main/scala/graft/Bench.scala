@@ -350,18 +350,40 @@ object Bench {
     // the committed previous sample's suspect set and are persisted as
     // this sample's — see BenchGate's SmallRefSec scaladoc for the a15
     // adjudication that motivated it.
-    val priorSuspects = BenchGate.loadFlags(sf = sfName)
+    val priorCounts = BenchGate.loadFlagCounts(sf = sfName)
     val gateRes = refOpt.map(r =>
-        BenchGate.gate(r.norms, normByQ, priorSuspects))
+        BenchGate.gate(r.norms, normByQ, priorCounts))
       .getOrElse(BenchGate.GateResult(Nil, Nil))
     val regs = gateRes.regressions
     refOpt.foreach { _ =>
-      BenchGate.saveFlags(BenchGate.FlagsFile, sfName,
-        gateRes.suspects.map(_.query))
+      BenchGate.saveFlagCounts(BenchGate.FlagsFile, sfName,
+        gateRes.suspectCounts)
     }
     val refN = refOpt.map(r => normByQ.keysIterator.count(r.norms.contains))
       .getOrElse(0)
     val unrefN = normByQ.size - refN
+    // --- Mix-adjusted fleet telemetry (round-19 verdict task 2): the
+    // fleet norm_spq drifts upward every round purely because new
+    // (often heavier) queries join the registry — r17->r18 moved
+    // 0.465 -> 0.553 with zero per-query regressions. To separate
+    // composition growth from diffuse slowdown mechanically, compute
+    // the same average over ONLY the ledger-referenced compute queries
+    // (the subset prior rounds also measured) and put the LEDGER's own
+    // mean over that subset beside it: diffuse_ratio =
+    // norm_spq_same_subset / ledger_spq_same_subset compares identical
+    // query sets in numerator and denominator, so registry growth
+    // cannot move it — only genuine fleet-wide slowdown can.
+    val sameSubset = refOpt.map(r =>
+      normByQ.keySet.intersect(r.norms.keySet) -- maintenanceLane)
+      .getOrElse(Set.empty[String])
+    val (normSpqSame, ledgerSpqSame, diffuseRatio) =
+      if (sameSubset.isEmpty) (None, None, None)
+      else {
+        val m = sameSubset.toSeq.map(normByQ).sum / sameSubset.size
+        val l = refOpt.map(r =>
+          sameSubset.toSeq.map(r.norms).sum / sameSubset.size).get
+        (Some(m), Some(l), if (l > 0) Some(m / l) else None)
+      }
     val (gateKind, verdict) = refOpt match {
       case Some(_) =>
         ("per_query_v2", if (regs.isEmpty) "pass" else "weak")
@@ -374,7 +396,7 @@ object Bench {
         s"${normByQ.size} measured into ${base.size} existing entries)")
     }
     val gate =
-      s"""{"raw_spq":${num(rawSpq)},"spin_ratio":${num(spinRatio)},"bw_ratio":${num(bwRatio)},"bw_median_gbps":${num(bwMedian)},"bw_ref_gbps":$BwRefGbps,"host_ratio":${num(hostRatio)},"norm_spq":${num(normSpq)},"threshold":$GateSpq,"fleet_verdict":"$fleetVerdict","gate_kind":"$gateKind","ref_n":$refN,"unref_n":$unrefN,"regressions_n":${regs.size},"regressions":${BenchGate.regsJson(regs)},"suspects_n":${gateRes.suspects.size},"suspects":${BenchGate.regsJson(gateRes.suspects, 5)},"verdict":"$verdict","compute_n":$computeN,"maint_n":$maintN,"maint_sec":${num(maintSec)},"maint_lane":[${maintenanceLane.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"raw_spq":${num(rawSpq)},"spin_ratio":${num(spinRatio)},"bw_ratio":${num(bwRatio)},"bw_median_gbps":${num(bwMedian)},"bw_ref_gbps":$BwRefGbps,"host_ratio":${num(hostRatio)},"norm_spq":${num(normSpq)},"norm_spq_same_subset":${fmt(normSpqSame)},"ledger_spq_same_subset":${fmt(ledgerSpqSame)},"diffuse_ratio":${fmt(diffuseRatio)},"same_subset_n":${sameSubset.size},"threshold":$GateSpq,"fleet_verdict":"$fleetVerdict","gate_kind":"$gateKind","ref_n":$refN,"unref_n":$unrefN,"regressions_n":${regs.size},"regressions":${BenchGate.regsJson(regs)},"suspects_n":${gateRes.suspects.size},"suspects":${BenchGate.regsJson(gateRes.suspects, 5)},"verdict":"$verdict","compute_n":$computeN,"maint_n":$maintN,"maint_sec":${num(maintSec)},"maint_lane":[${maintenanceLane.map("\"" + _ + "\"").mkString(",")}]}"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"gate":$gate,"queries":$head,"sf":"$sfDir"}"""
     // Full map for forensics/BASELINE.md (stderr + file — NOT stdout, where
@@ -383,8 +405,13 @@ object Bench {
     def mapJson(m: collection.Map[String, Option[Double]]): String =
       ordered.collect { case (k, _) if m.contains(k) => "\"" + k + "\":" + fmt(m(k)) }
         .mkString("{", ",", "}")
+    // Maintenance-lane stage receipts (round-19 verdict task 6): the
+    // last q_layout_lifecycle pass's per-stage wall times, so a
+    // regressing stage is visible INSIDE the ~10 s lane total.
+    val layoutStages = graft.operators.LayoutQueries.lastStageTimings
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":${num(total)},"sf":"$sfDir","queries":$detail,"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"gate":$gate,"regressions_full":${BenchGate.regsJson(regs, Int.MaxValue)},"pass1":${mapJson(pass1.view.mapValues(identity).toMap)},"pass2":${mapJson(pass2)},"pass3":${mapJson(pass3)}}""" + "\n")
+      s"""{"total":${num(total)},"sf":"$sfDir","queries":$detail,"failed":$failed,"passes":$passes,"retakes":$retakes,"host_probe":$probe,"gate":$gate,"layout_stages":$layoutStages,"regressions_full":${BenchGate.regsJson(regs, Int.MaxValue)},"pass1":${mapJson(pass1.view.mapValues(identity).toMap)},"pass2":${mapJson(pass2)},"pass3":${mapJson(pass3)}}""" + "\n")
     catch { case _: Throwable => }
     // Quiet shutdown so nothing lands after the JSON line but sbt's one
     // [success] trailer.

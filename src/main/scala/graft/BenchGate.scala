@@ -91,6 +91,19 @@ object BenchGate {
     * rounds; anything smaller on a sub-0.5 s plan is covered by the
     * scale gate's shape check and the hard floor. */
   val PromoteRatio = 3.0
+  /** Third escalation tier (round-19, ADVICE r18): persistence alone
+    * DOES eventually promote. The two-rule system above left a
+    * permanent blind spot — a genuine steady regression in the
+    * (2x, PromoteRatio) band on a sub-[[SmallRefSec]] reference (e.g.
+    * ref 0.45 s regressing to 1.25 s: 2.8x, but under the 3x ratio and
+    * under the 1.0 s hard floor) stayed a "suspect" forever. A query
+    * that trips on this many CONSECUTIVE independent gated samples
+    * (each pair >= [[MinSampleGapMs]] apart — the flags file carries
+    * the count) is a regression regardless of magnitude: the round-18
+    * calibration envelope produced banded 2.0-2.6x trips on one or two
+    * samples, never three valid samples in a row on calm-verified
+    * code, while a real mid-band regression trips every sample. */
+  val ConsecutivePromote = 3
   /** Committed one-round memory for the two-consecutive rule: the
     * previous gated run's suspect list ([[saveFlags]]), sf-tagged like
     * the ledger. */
@@ -111,11 +124,14 @@ object BenchGate {
   final case class Regression(
       query: String, refSec: Double, normSec: Double, ratio: Double)
   /** Gate outcome: `regressions` flip the verdict to "weak";
-    * `suspects` are sub-[[SmallRefSec]] first-time trips — reported,
-    * persisted to [[FlagsFile]], and promoted to regressions only if
-    * they trip again on the NEXT gated sample. */
+    * `suspects` are sub-[[SmallRefSec]] trips that have not yet met a
+    * promotion rule — reported and persisted to [[FlagsFile]] with
+    * their consecutive-trip count (`suspectCounts`), promoted when a
+    * repeat trip clears [[PromoteRatio]] or the count reaches
+    * [[ConsecutivePromote]]. */
   final case class GateResult(
-      regressions: Seq[Regression], suspects: Seq[Regression])
+      regressions: Seq[Regression], suspects: Seq[Regression],
+      suspectCounts: Map[String, Int] = Map.empty)
 
   /** Raw trips: queries whose host-normalized time exceeds both the
     * 2x ratio and the absolute noise floor vs their own reference.
@@ -134,12 +150,28 @@ object BenchGate {
     * [[HardFloorSec]] rules above. `priorSuspects` is the PREVIOUS
     * gated sample's suspect set ([[loadFlags]]). */
   def gate(ref: Map[String, Double], norm: Map[String, Double],
-      priorSuspects: Set[String]): GateResult = {
+      priorSuspects: Set[String]): GateResult =
+    gate(ref, norm, priorSuspects.map(_ -> 1).toMap)
+
+  /** Count-aware gate (round-19): `priorCounts` is the previous gated
+    * sample's suspect set with each query's consecutive-trip count
+    * ([[loadFlagCounts]]). A small trip promotes when it repeats at
+    * [[PromoteRatio]]+ magnitude OR when this trip is its
+    * [[ConsecutivePromote]]-th consecutive; otherwise it stays a
+    * suspect whose count increments in `suspectCounts`. A query that
+    * measures clean drops out entirely (counts reset, not accumulate). */
+  def gate(ref: Map[String, Double], norm: Map[String, Double],
+      priorCounts: Map[String, Int]): GateResult = {
     val (immediate, small) = trips(ref, norm).partition(t =>
       t.refSec >= SmallRefSec || t.normSec - t.refSec > HardFloorSec)
-    val (repeat, fresh) = small.partition(t =>
-      priorSuspects(t.query) && t.ratio >= PromoteRatio)
-    GateResult(immediate ++ repeat, fresh)
+    val (repeat, fresh) = small.partition { t =>
+      val prior = priorCounts.getOrElse(t.query, 0)
+      (prior >= 1 && t.ratio >= PromoteRatio) ||
+        prior + 1 >= ConsecutivePromote
+    }
+    val counts = fresh.map(t =>
+      t.query -> (priorCounts.getOrElse(t.query, 0) + 1)).toMap
+    GateResult(immediate ++ repeat, fresh, counts)
   }
 
   /** Ledger merge: per-query min of reference and this run's
@@ -203,6 +235,8 @@ object BenchGate {
   private val suspectsRe = """"suspects"\s*:\s*\[([^\]]*)\]""".r
   private val nameRe = """"([A-Za-z0-9_]+)"""".r
   private val writtenRe = """"written_at_ms"\s*:\s*(\d+)""".r
+  private val countsRe = """"suspect_counts"\s*:\s*\{([^}]*)\}""".r
+  private val countEntryRe = """"([A-Za-z0-9_]+)"\s*:\s*(\d+)""".r
 
   /** Previous gated sample's suspect set, as PROMOTION INPUT: empty
     * when the file is missing, unparseable, tagged with a different
@@ -211,34 +245,59 @@ object BenchGate {
     * injectable for tests. */
   def loadFlags(path: String = FlagsFile, sf: String,
       now: Long = System.currentTimeMillis()): Set[String] =
+    loadFlagCounts(path, sf, now).keySet
+
+  /** Count-aware flags load (round-19): each suspect with its
+    * consecutive-trip count. Pre-round-19 flags files carry only the
+    * `suspects` array — those parse at count 1 (they recorded exactly
+    * one trip). Same staleness/sf guards as [[loadFlags]]. */
+  def loadFlagCounts(path: String = FlagsFile, sf: String,
+      now: Long = System.currentTimeMillis()): Map[String, Int] =
     try {
       val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) Set.empty
+      if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = java.nio.file.Files.readString(p)
         val oldEnough = writtenRe.findFirstMatchIn(txt)
           .map(_.group(1).toLong).forall(w => now - w >= MinSampleGapMs)
         if (!oldEnough ||
-          !sfRe.findFirstMatchIn(txt).map(_.group(1)).contains(sf)) Set.empty
-        else suspectsRe.findFirstMatchIn(txt) match {
-          case Some(m) => nameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSet
-          case None => Set.empty
+          !sfRe.findFirstMatchIn(txt).map(_.group(1)).contains(sf)) Map.empty
+        else countsRe.findFirstMatchIn(txt) match {
+          case Some(m) =>
+            countEntryRe.findAllMatchIn(m.group(1))
+              .map(e => e.group(1) -> e.group(2).toInt).toMap
+          case None => suspectsRe.findFirstMatchIn(txt) match {
+            case Some(m) =>
+              nameRe.findAllMatchIn(m.group(1)).map(_.group(1) -> 1).toMap
+            case None => Map.empty
+          }
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Persist THIS gated sample's suspect set (possibly empty — a calm
     * sample clearing a stale flag is the rule working, not data loss).
     * Committed alongside the round's artifacts, it is the "previous
     * sample" the next round's gate run consults. */
   def saveFlags(path: String, sf: String, suspects: Seq[String],
+      now: Long = System.currentTimeMillis()): Unit =
+    saveFlagCounts(path, sf, suspects.map(_ -> 1).toMap, now)
+
+  /** Count-aware flags save (round-19): the `suspects` array stays for
+    * readability/compat; `suspect_counts` carries each query's
+    * consecutive-trip count toward [[ConsecutivePromote]]. */
+  def saveFlagCounts(path: String, sf: String, counts: Map[String, Int],
       now: Long = System.currentTimeMillis()): Unit = {
+    val names = counts.keys.toSeq.sorted
+    val countBody = names
+      .map(q => s""""$q":${counts(q)}""").mkString(",")
     val txt =
       s"""{
   "sf": "$sf",
   "written_at_ms": $now,
-  "note": "sub-${SmallRefSec}s-reference gate trips from the latest gated bench sample; a query here fails the next gated sample >= ${MinSampleGapMs / 3600000}h later that it trips on (two-consecutive rule, BenchGate.scala)",
-  "suspects": [${suspects.sorted.map("\"" + _ + "\"").mkString(",")}]
+  "note": "sub-${SmallRefSec}s-reference gate trips from the latest gated bench sample, with consecutive-trip counts; a flagged query promotes on a >=${PromoteRatio}x repeat or on its ${ConsecutivePromote}th consecutive trip, samples >= ${MinSampleGapMs / 3600000}h apart (BenchGate.scala)",
+  "suspects": [${names.map("\"" + _ + "\"").mkString(",")}],
+  "suspect_counts": {$countBody}
 }
 """
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), txt)
@@ -248,8 +307,12 @@ object BenchGate {
   /** Compact JSON fragment for the stdout gate object (cap the list —
     * the consumer tails ~2 kB; the full list goes to BENCH_DETAIL). */
   def regsJson(regs: Seq[Regression], cap: Int = 10): String = {
+    // Same non-finite clamp as StreamGate.regsJson: the r <= 0 branch
+    // of [[trips]] yields ratio = +Infinity, which "%.3f" would render
+    // as invalid unquoted JSON.
     def num(d: Double): String =
-      "%.3f".formatLocal(java.util.Locale.ROOT, d)
+      "%.3f".formatLocal(java.util.Locale.ROOT,
+        if (java.lang.Double.isFinite(d)) d else 9.0e9)
     regs.take(cap).map(r =>
       s"""{"q":"${r.query}","ref":${num(r.refSec)},"norm":${num(r.normSec)},"ratio":${num(r.ratio)}}""")
       .mkString("[", ",", "]")

@@ -112,7 +112,15 @@ object ScaleSmoke {
     // filtered persisted-index ANN — the e_knn_ivfpq_indexed
     // build-once/query-many protocol plus a candidate-side predicate
     // (min-of-two prices one manifest-pruned, overfetched coded scan)
-    "m_media_neardup", "e_knn_ivfpq_filtered")
+    "m_media_neardup", "e_knn_ivfpq_filtered",
+    // round-19 addition (verdict task 4): the COMPOSED media keeper
+    // election — pair stage + pointer-doubling components + keeper
+    // join-back. Its parts were both gated (m_media_neardup above,
+    // d_dedup_groups' component loop), but compositions have surprised
+    // this repo before (d_curate_corpus round 3: a pinned frame
+    // re-evaluated under composition), so the composed plan gets its
+    // own row rather than an exemption-by-argument.
+    "m_media_dedup_groups")
 
   /** Cost class of each gated query (round-17 verdict task 6): the gate
     * verdict stays per-query, but the artifact also rolls ratios up per
@@ -156,7 +164,7 @@ object ScaleSmoke {
     "d_dedup_groups" -> "dedup", "d_minhash_lsh_pairs" -> "dedup",
     "d_curate_corpus" -> "dedup",
     // the media fingerprint rides the same capped banded-pair shuffle
-    "m_media_neardup" -> "dedup",
+    "m_media_neardup" -> "dedup", "m_media_dedup_groups" -> "dedup",
     "e_knn_ivfpq_filtered" -> "embedding"
   ).withDefaultValue("relational")
 
@@ -255,11 +263,21 @@ object ScaleSmoke {
     // must move — trend-read max_ratio THROUGH worst_t_hi.
     val famJson = famRows.toSeq.sortBy(_._1).map { case (fam, qs) =>
       val (_, worst, maxR, worstHi) = qs.maxBy(_._3)
-      val prevQs = organicSubset.filter(q => costFamily(q) == fam)
-        .flatMap(prevRatios.get)
-      val prevStr = if (prevQs.isEmpty) "null" else n(prevQs.map(_._1).max)
-      val prevHiStr = if (prevQs.isEmpty) "null" else n(prevQs.map(_._2).max)
-      s""""$fam":{"n":${qs.size},"max_ratio":${n(maxR)},"worst":"$worst","worst_t_hi":${n(worstHi)},"prev_max_ratio":$prevStr,"prev_max_t_hi":$prevHiStr}"""
+      // prev_* is the prior round's max-RATIO family member — and
+      // prev_max_t_hi is THAT member's own t_hi, not the family max
+      // over all members (ADVICE r18: mixing them compared absolutes
+      // of different queries, e.g. e_spectrum_decay's ratio beside
+      // e_knn_opq's 18.7 s, reading as a phantom trend). prev_worst
+      // names the member so a cross-query comparison is visible.
+      val prevPairs = organicSubset.filter(q => costFamily(q) == fam)
+        .flatMap(q => prevRatios.get(q).map(q -> _))
+      val (prevStr, prevHiStr, prevWorst) =
+        if (prevPairs.isEmpty) ("null", "null", "null")
+        else {
+          val (q, (r, th)) = prevPairs.maxBy(_._2._1)
+          (n(r), n(th), s""""$q"""")
+        }
+      s""""$fam":{"n":${qs.size},"max_ratio":${n(maxR)},"worst":"$worst","worst_t_hi":${n(worstHi)},"prev_max_ratio":$prevStr,"prev_max_t_hi":$prevHiStr,"prev_worst":$prevWorst}"""
     }.mkString(",")
     val json = s"""{"mode":"scale_gate","fixture":"organic","mult_lo":$multLo,"mult_hi":$multHi,""" +
       s""""ratio_max":$ratioMax,"abs_floor_sec":$absFloorSec,""" +

@@ -419,6 +419,23 @@ object StreamBench {
             d.out, d.ckpt)
         }
       },
+      // round-19 (verdict task 5): the ingest-side media KEEPER
+      // ELECTION — same fingerprint + band-join shape as
+      // media_neardup_windowed plus the canonical-keeper lookup riding
+      // the calibrated table (one wider static side, zero extra joins)
+      // and the left-outer keep-all so no-match arrivals elect
+      // themselves. Calibration (pairs + components) pinned outside
+      // the timed window.
+      {
+        val calib = graft.Checkpoints.pin(
+          StreamingPipelines.mediaKeeperCalibrate(spark, "/root/testdata/sf0.001"))
+        runDocs("media_keeper_windowed", math.max(2048, n / 10)) { d =>
+          Sinks.file(StreamingPipelines.mediaKeeperStream(
+              docsStream(d.in).withWatermark("ts", "1 minute"),
+              calib, windowDur = "5 minutes"),
+            d.out, d.ckpt)
+        }
+      },
       // round-16 (verdict-r15 task 1): persisted-index ingest with ONE
       // generation swap inside the measured window — phase 1 lands into
       // g1, handoff retrains g2 and re-codes the whole ledger tail

@@ -104,8 +104,13 @@ object StreamGate {
   /** Compact JSON for the stdout gate block (cap — the consumer tails
     * the line). */
   def regsJson(regs: Seq[Regression], cap: Int = 8): String = {
+    // A drained-zero-rows cell has ratio = +Infinity, and "%.1f" would
+    // render it as unquoted `Infinity` — invalid JSON on the gate line
+    // precisely when a cell is most broken. Clamp every non-finite
+    // value to a large finite sentinel instead.
     def num(d: Double): String =
-      "%.1f".formatLocal(java.util.Locale.ROOT, d)
+      "%.1f".formatLocal(java.util.Locale.ROOT,
+        if (java.lang.Double.isFinite(d)) d else 9.0e9)
     regs.take(cap).map(r =>
       s"""{"cell":"${r.cell}","ref":${num(r.refRps)},"norm":${num(r.normRps)},"ratio":${num(r.ratio)}}""")
       .mkString("[", ",", "]")

@@ -481,6 +481,11 @@ FROM (SELECT qid, vec_id, ad,
     * rank-1 calibration + 2 extra pinned-frame scans per added stage;
     * every model object is a bounded 64-row collect. */
   private[graft] def opq3Rotated(s: SparkSession, dir: String): Option[DataFrame] =
+    cachedCalib(s, dir)(_.opq3)((e, v) => e.opq3 = Some(v))(
+      opq3RotatedUncached(s, dir))
+
+  private def opq3RotatedUncached(s: SparkSession,
+      dir: String): Option[DataFrame] =
     abttCalibrateFull(s, dir).map { case (model, centered) =>
       var frame = opqRotateXc(centered, opqHouseholderAt(model.component, 0))
         .transform(graft.Checkpoints.pin(_))
@@ -1396,6 +1401,11 @@ FROM (SELECT qid, vec_id, ad,
     * ≤(10·nprobe)-row probe frame. */
   private[graft] def opqResidualTrainParts(s: SparkSession,
       dir: String): Option[(OpqModel, IvfPqParts)] =
+    cachedCalib(s, dir)(_.residual)((e, v) => e.residual = Some(v))(
+      opqResidualTrainUncached(s, dir))
+
+  private def opqResidualTrainUncached(s: SparkSession,
+      dir: String): Option[(OpqModel, IvfPqParts)] =
     ivfCoarseStage(prepped(s, dir), coarseSteps = 0).map { case (cents, assigned) =>
       val meanRows = assigned.select(posexplode(col("rv")).as(Seq("i", "x")))
         .groupBy(col("i")).agg(round(avg(col("x")) + lit(1e-9), 6).as("m"))
@@ -2037,12 +2047,81 @@ WHERE rnk <= 3"""),
     * as a streaming transform to DualTwinInvariantSpec's reflection. */
   final case class AbttModel(mean: Seq[Double], component: Seq[Double])
 
+  // --- Shared calibration cache (round-19 verdict task 3) ---------------
+  //
+  // e_spectrum_decay, e_knn_opq3, e_knn_opq and e_knn_opq_residual each
+  // replay the SAME expensive training trajectory (mean collect + power
+  // iterations + pinned rotations / Lloyd steps) from scratch on every
+  // invocation — by design each query's ORACLE replays its own
+  // trajectory, but within one session the Spark side was recomputing
+  // ~10.5 s of identical calibration per bench sample (the r18 verdict's
+  // three biggest compute-lane lines). The calibration products are
+  // therefore memoized per (session, dir) and keyed by a CORPUS CONTENT
+  // FINGERPRINT (count + order-independent hash-sum, the IvfPqIndex
+  // discipline): a regenerated fixture at the same path misses and
+  // retrains, so no oracle can ever see a stale trajectory — the cache
+  // changes WHEN the work happens, never what any query returns. The
+  // cached frames are Checkpoints-pinned (executor-memory blocks, tiny
+  // next to the corpus: vec_id + 64 doubles/row), exactly the pins the
+  // uncached path already held; driver-side entries are one per
+  // (session, dir) with slots replaced wholesale on fingerprint change.
+  private final class CalibEntry(val fp: String) {
+    var abtt: Option[Option[(AbttModel, DataFrame)]] = None
+    var opq3: Option[Option[DataFrame]] = None
+    var residual: Option[Option[(OpqModel, IvfPqParts)]] = None
+  }
+  private val calibCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), CalibEntry]
+
+  /** ONE narrow aggregation over (vec_id, embedding): order-independent,
+    * multiplicity-sensitive (DECIMAL(38,0) hash-sum — the IvfPqIndex
+    * rationale verbatim: bit_xor self-cancels even multiplicities and
+    * BIGINT sums overflow under ANSI). */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val r = emb(s, dir).agg(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h"))
+      .head()
+    s"n=${r.getLong(0)}:h=${r.getDecimal(1)}"
+  }
+
+  /** Memoize `compute` in the (session, dir) entry's `get`/`set` slot,
+    * invalidating the whole entry when the corpus fingerprint moved.
+    * The fingerprint scan runs OUTSIDE the lock (it is a Spark job);
+    * a racing duplicate computation is benign — last write wins and
+    * both results are value-identical by construction. */
+  private def cachedCalib[T](s: SparkSession, dir: String)(
+      get: CalibEntry => Option[T])(set: (CalibEntry, T) => Unit)(
+      compute: => T): T = {
+    val key = (s, dir)
+    val fp = corpusFingerprint(s, dir)
+    val hit = calibCache.synchronized {
+      calibCache.get(key).filter(_.fp == fp).flatMap(get)
+    }
+    hit.getOrElse {
+      val v = compute
+      calibCache.synchronized {
+        val e = calibCache.get(key).filter(_.fp == fp).getOrElse {
+          val fresh = new CalibEntry(fp); calibCache(key) = fresh; fresh
+        }
+        set(e, v)
+      }
+      v
+    }
+  }
+
   /** ABTT CALIBRATE — the offline half of the calibrate/apply split
     * (dsirScore / perplexityBand convention): per-dimension 6dp-pinned
     * mean, then the two pinned power iterations for the dominant
     * component. None on an empty corpus. Bounded collects only (64 rows
-    * per step); each iteration is ONE corpus scan. */
+    * per step); each iteration is ONE corpus scan. Memoized per
+    * (session, dir, corpus-fingerprint) — see the cache note above. */
   private def abttCalibrateFull(s: SparkSession,
+      dir: String): Option[(AbttModel, DataFrame)] =
+    cachedCalib(s, dir)(_.abtt)((e, v) => e.abtt = Some(v))(
+      abttCalibrateUncached(s, dir))
+
+  private def abttCalibrateUncached(s: SparkSession,
       dir: String): Option[(AbttModel, DataFrame)] = {
     val base = prepped(s, dir)
     val meanRows = base.select(posexplode(col("ed")).as(Seq("i", "x")))

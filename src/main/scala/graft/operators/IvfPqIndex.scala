@@ -265,13 +265,20 @@ object IvfPqIndex {
     // The FLAVOR is part of the fingerprint: an ensure of one flavor
     // pointed at the other flavor's root sees a mismatch and rebuilds
     // rather than serving codes from the wrong trajectory.
-    // The label METADATA column (when the corpus has one) is hashed
-    // too: [[queryFiltered]]'s answers depend on it, so a corpus whose
-    // vectors kept their bytes but re-labeled must rebuild.
+    // The METADATA column (when the corpus has one) is hashed too:
+    // [[queryFiltered]]'s answers depend on it, so a corpus whose
+    // vectors kept their bytes but re-labeled must rebuild. The
+    // precedence MATCHES [[withAttr]] (attr preferred over label) —
+    // hashing label while serving attr would fingerprint-match a
+    // corpus whose attr values drifted and serve stale filtered
+    // answers from the reused generation.
     val t = graft.Tables.t(s, dir, "embeddings")
+    val metaCol =
+      if (t.columns.contains("attr")) Some(col("attr").cast("long"))
+      else if (t.columns.contains("label")) Some(col("label").cast("long"))
+      else None
     val hashCols = Seq(col("vec_id"), col("embedding")) ++
-      (if (t.columns.contains("label"))
-         Seq(coalesce(col("label").cast("long"), lit(-1L))) else Nil)
+      metaCol.map(c => coalesce(c, lit(-1L)))
     val r = t
       .agg(count(lit(1)).as("n"),
         coalesce(sum(xxhash64(hashCols: _*)
@@ -1188,7 +1195,67 @@ object IvfPqIndex {
         * longer hold. Default false: keep the current flavor (the
         * conservative ops stance — a flavor flip also flips the
         * fingerprint lineage). */
-      autoFlavor: Boolean = false)
+      autoFlavor: Boolean = false,
+      /** Probe-depth knobs for [[filteredNprobe]] (round-19 verdict
+        * task 7): `nprobeBase` is the unfiltered operating point,
+        * `nprobeMax` the deepest probe the selectivity rule may
+        * recommend — 8 because the RecallSweep filtered_axis receipt
+        * prices the lever exactly over nprobe 1..8 (clustered recall
+        * 0 → 0.37). */
+      nprobeBase: Int = 2,
+      nprobeMax: Int = 8)
+
+  /** SELECTIVITY-AWARE PROBE DEPTH for filtered search (round-19
+    * verdict task 7). Filtered search probes cells by query GEOMETRY
+    * alone, so a selective predicate thins each probed cell's candidate
+    * pool and recall collapses at the unfiltered operating point — the
+    * RecallSweep filtered_axis receipt prices the fix (clustered recall
+    * 0 at nprobe=1 → 0.37 at nprobe=8). The lever is cell-level
+    * overfetch: estimate the predicate's selectivity p from the
+    * generation's coded table (ONE narrow pushed-filter aggregate over
+    * the attr column — maintenance-tick cadence, not per probe) and
+    * deepen so the expected surviving candidate mass matches the
+    * unfiltered pool: nprobe = clamp(ceil(base / p), base, max). A
+    * non-selective predicate (p = 1) therefore stays at base — the
+    * "threshold" is the arithmetic itself: deepening begins exactly
+    * when p < 1 and saturates at `nprobeMax` for p <= base/max (6.25%
+    * of the corpus under the defaults). An attr unseen in the coded
+    * table returns `nprobeMax` — the answer set is empty at any depth,
+    * and max is the honest "selectivity unknown/extreme" posture. A
+    * pre-v4 generation (no attr column) returns base: there is nothing
+    * to filter on, so there is nothing to compensate for. */
+  def filteredNprobe(s: SparkSession, root: String, attrEq: Int,
+      policy: MaintenancePolicy = MaintenancePolicy()): Int = {
+    val g = currentGeneration(root).getOrElse(throw new IllegalStateException(
+      s"IvfPqIndex: no committed generation under $root — build first"))
+    val coded = codedSink(root, g)
+      .scan(s, Seq(("cell", Long.MinValue, Long.MaxValue)))
+    if (!coded.columns.contains("attr")) policy.nprobeBase
+    else {
+      val r = coded.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("attr") === attrEq, 1L).otherwise(0L)), lit(0L))
+          .as("m")).head()
+      val total = r.getLong(0)
+      val matched = r.getLong(1)
+      if (total == 0L || matched == 0L) policy.nprobeMax
+      else {
+        val p = matched.toDouble / total
+        math.min(policy.nprobeMax,
+          math.max(policy.nprobeBase,
+            math.ceil(policy.nprobeBase / p).toInt))
+      }
+    }
+  }
+
+  /** [[queryFiltered]] at the [[filteredNprobe]]-chosen depth — the
+    * policy-wired entry a maintenance loop (or a caller that knows the
+    * predicate but not the corpus) uses instead of hand-picking
+    * nprobe. */
+  def queryFilteredAuto(s: SparkSession, dir: String, root: String,
+      k: Int, attrEq: Int,
+      policy: MaintenancePolicy = MaintenancePolicy()): DataFrame =
+    queryFiltered(s, dir, root,
+      nprobe = filteredNprobe(s, root, attrEq, policy), k = k, attrEq = attrEq)
 
   /** One maintenance TICK: poll [[stats]], execute the decision table,
     * return the actions taken (empty = quiesced). The operational loop

@@ -51,6 +51,26 @@ object LayoutQueries {
     s.createDataFrame(new java.util.ArrayList(
       java.util.Arrays.asList(m.collect(): _*)), m.schema)
 
+  /** Per-stage wall times of the LAST lifecycle invocation, in seconds
+    * (round-19 verdict task 6): the 10 s maintenance lane was opaque —
+    * a regression inside it (say the recluster write doubling) was
+    * invisible behind the lane total. Each invocation overwrites the
+    * previous (Bench reads it after its final pass, so BENCH_DETAIL
+    * carries the bench fixture's stage map). Timing boundaries sit on
+    * the EAGER actions (writes, freezes/collects); the lazy plan
+    * construction between them is microseconds. */
+  private val lastStages =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Double)]](Nil)
+  def lastStageTimings: Seq[(String, Double)] = lastStages.get()
+
+  private def staged[T](buf: scala.collection.mutable.ArrayBuffer[(String, Double)],
+      name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    buf += name -> (System.nanoTime() - t0) / 1e9
+    r
+  }
+
   private val keys = Seq("l_partkey", "l_suppkey")
   // fixed literal probe box, in-range at every fixture SF (partkey
   // 0..2000*SF*100, suppkey 0..100*SF*100) and selective enough that
@@ -86,22 +106,29 @@ object LayoutQueries {
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(root, true)
         val data = workDir(dir) + "/t"
+        val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         // base (3/4 of the table) is Z-order-clustered at "write time"...
-        Layout.writeZOrdered(base, "l_partkey", "l_suppkey", data, numFiles = 16)
-        val m0 = freeze(s, Layout.buildManifest(s, data, keys))
+        staged(stages, "zorder_write")(
+          Layout.writeZOrdered(base, "l_partkey", "l_suppkey", data, numFiles = 16))
+        val m0 = staged(stages, "manifest_build")(
+          freeze(s, Layout.buildManifest(s, data, keys)))
         // ...the rest lands later as an unclustered incremental append
-        appendSlice.repartition(2).write.mode("append").parquet(data)
-        val m1 = freeze(s, Layout.updateManifest(s, data, m0, keys))
+        staged(stages, "append")(
+          appendSlice.repartition(2).write.mode("append").parquet(data))
+        val m1 = staged(stages, "reconcile")(
+          freeze(s, Layout.updateManifest(s, data, m0, keys)))
         // small-file maintenance with DERIVED stats: the post-compaction
         // manifest is arithmetic over m1's boxes (zero data scanned), and
         // the oracle hash-checks the derivation end to end
-        val (_, m2) = Layout.compactSmallFilesWithManifest(
-          s, data, m1, keys, targetBytes = 8L << 20)
+        val (_, m2) = staged(stages, "compact")(
+          Layout.compactSmallFilesWithManifest(
+            s, data, m1, keys, targetBytes = 8L << 20))
         val bounds = Seq(("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi))
         // freeze: this aggregate's lineage points at the pre-recluster
         // files, which the swap below DELETES — materialize its 3 rows
         // now or the cross-check would read ghosts
-        val viaDerived = freeze(s, result(Layout.scanPruned(s, data, m2, bounds)))
+        val viaDerived = staged(stages, "derived_scan")(
+          freeze(s, result(Layout.scanPruned(s, data, m2, bounds))))
         // RE-CLUSTER (round 13): the equi-depth rewrite + atomic dir swap
         // that repairs the box decay appends cause — the last maintenance
         // step a live table runs. Its manifest is built pre-swap and
@@ -109,14 +136,17 @@ object LayoutQueries {
         // the oracle hash-checks the rewrite + swap + remap at value
         // level. The derived-stats path must agree cell-for-cell with
         // the post-recluster path before either is trusted.
-        val (_, m3) = Layout.reclusterWithManifest(s, data, keys,
-          numFiles = 8, buckets = 256)
+        val (_, m3) = staged(stages, "recluster")(
+          Layout.reclusterWithManifest(s, data, keys,
+            numFiles = 8, buckets = 256))
         // freeze ONCE and cross-check the 3-row results driver-side: the
         // exceptAll formulation evaluated the post-recluster scan three
         // times (both except directions + the returned frame) — two full
         // scan+agg passes of pure overhead on a query that is already
         // the registry's most expensive by design
-        val viaReclustered = freeze(s, result(Layout.scanPruned(s, data, m3, bounds)))
+        val viaReclustered = staged(stages, "reclustered_scan")(
+          freeze(s, result(Layout.scanPruned(s, data, m3, bounds))))
+        lastStages.set(stages.toSeq)
         val (lhs, rhs) = (viaDerived.collect().toSet, viaReclustered.collect().toSet)
         require(lhs == rhs,
           "q_layout_lifecycle: derived-manifest scan and post-recluster " +

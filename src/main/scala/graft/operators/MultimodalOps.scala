@@ -132,7 +132,11 @@ GROUP BY 1 HAVING count(*) > 1"""),
       carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     docs
       .select(Seq(col("doc_id").as("media_id"),
-        lower(regexp_replace(col("text"), "\\s+", " ")).as("s")) ++
+        // Explicit whitespace class, NOT \s: Java's \s includes \x0B
+        // (vertical tab) while DuckDB's RE2 \s does not, so a payload
+        // carrying one would fingerprint differently per engine. The
+        // oracle twin (duckMediaFp) uses the identical class.
+        lower(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")).as("s")) ++
         carry.map(col): _*)
       .filter(length(col("s")) >= 1)
       // ONE native codegen'd pass per payload (graft_media_ahash):
@@ -159,7 +163,7 @@ GROUP BY 1 HAVING count(*) > 1"""),
   /** The shared fingerprint CTE chain, DuckDB side — the oracle twin of
     * [[mediaFingerprint]], ending in `fp(media_id, lo, hi)`. */
   private val duckMediaFp: String =
-    raw"""nrm AS (SELECT doc_id AS media_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+    raw"""nrm AS (SELECT doc_id AS media_id, lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) AS s FROM documents),
 v AS (SELECT media_id, length(s) AS len,
         list_transform(range(64), b -> ascii(substr(s, CAST(1 + (b * length(s)) // 64 AS INT), 1))) AS vals
       FROM nrm WHERE length(s) >= 1),
@@ -250,12 +254,23 @@ SELECT media_id_a, media_id_b, hd FROM mp"""),
   // recursive-CTE oracle replays the closure over the shared pair CTEs.
   // Only media that HAVE a near-dup appear (pairless payloads need no
   // election) — exactly d_dedup_groups' contract.
-  private val mMediaDedupGroups = GQuery(
-    "m_media_dedup_groups",
-    (s, dir) => graft.operators.TextOps.minLabelComponents(
+  /** The batch groups result under calibrate-friendly names —
+    * (corpus_id, keeper) — ONE implementation shared by the registered
+    * query and the streaming keeper election's calibrate half
+    * ([[graft.streaming.StreamingPipelines.mediaKeeperCalibrate]]), so
+    * the canonical set an ingest stream elects against cannot drift
+    * from the oracle-checked batch report. */
+  private[graft] def mediaKeeperMap(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.TextOps.minLabelComponents(
       mediaNeardupPairs(s, dir)
         .select(col("media_id_a").as("src"), col("media_id_b").as("dst")))
-      .select(col("doc_id").as("media_id"), col("comp").as("keeper_id")),
+      .select(col("doc_id").as("corpus_id"), col("comp").as("keeper"))
+
+  private val mMediaDedupGroups = GQuery(
+    "m_media_dedup_groups",
+    (s, dir) => mediaKeeperMap(s, dir)
+      .select(col("corpus_id").as("media_id"), col("keeper").as("keeper_id")),
     Some(s"""WITH RECURSIVE $duckMediaPairs,
 e AS (SELECT media_id_a AS src, media_id_b AS dst FROM mp
       UNION SELECT media_id_b, media_id_a FROM mp),

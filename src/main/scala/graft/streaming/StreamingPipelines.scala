@@ -669,6 +669,49 @@ object StreamingPipelines {
       .select(col("window"), col("doc_id"),
         col("best.corpus_id").as("match_id"), col("best.hd").as("hamming"))
 
+  /** CALIBRATE half of the streaming media KEEPER ELECTION (round-19
+    * verdict task 5): [[mediaNeardupCalibrate]]'s banded corpus
+    * fingerprints, each row additionally carrying its corpus item's
+    * CANONICAL keeper from the oracle-checked batch groups
+    * ([[graft.operators.MultimodalOps.mediaKeeperMap]] — the one shared
+    * implementation); a pairless corpus item is its own keeper. Pin the
+    * result before streaming, as ever. */
+  def mediaKeeperCalibrate(s: SparkSession, dir: String): DataFrame =
+    mediaNeardupCalibrate(s, dir)
+      .join(graft.operators.MultimodalOps.mediaKeeperMap(s, dir),
+        Seq("corpus_id"), "left")
+      .select(col("bi"), col("bb"), col("corpus_id"),
+        col("corpus_lo"), col("corpus_hi"),
+        coalesce(col("keeper"), col("corpus_id")).as("corpus_keeper"))
+
+  /** Streaming dual of the batch `m_media_dedup_groups` — INCREMENTAL
+    * KEEPER ELECTION, the d_ingest_neardup posture on the media ladder:
+    * an arrival is checked against the EXISTING canonical set, never
+    * against other in-flight arrivals (the in-corpus quadratic belongs
+    * to the batch pass). An arrival within `maxHamming` of any corpus
+    * item inherits that item's CANONICAL keeper — because the calibrated
+    * map already holds the converged components, a re-encode CHAIN
+    * (arrival ~ B, B ~ A canonically) still lands on A without any
+    * streaming closure; an arrival with no corpus neighbor elects
+    * itself (`is_dup` false) — it IS the new canonical copy. Shape:
+    * fingerprint map (codegen'd) + band-keyed stream-static LEFT join +
+    * one windowed per-arrival min; matches across bands collapse in the
+    * same agg that windows the report. Batch parity on a corpus replay
+    * is pinned in MediaKeeperStreamSpec. Callers watermark `ts`. */
+  def mediaKeeperStream(docsStream: DataFrame, calib: DataFrame,
+      windowDur: String = "1 hour", maxHamming: Long = 7L): DataFrame =
+    graft.operators.MultimodalOps.mediaBanded(
+        graft.operators.MultimodalOps.mediaFingerprint(docsStream, carry = Seq("ts")))
+      .join(calib, Seq("bi", "bb"), "left")
+      .withColumn("hd", when(col("corpus_id").isNotNull &&
+          col("corpus_id") =!= col("media_id"),
+        expr("cast(bit_count(lo ^ corpus_lo) + bit_count(hi ^ corpus_hi) AS bigint)")))
+      .groupBy(window(col("ts"), windowDur), col("media_id"))
+      .agg(min(when(col("hd") <= maxHamming, col("corpus_keeper"))).as("mk"))
+      .select(col("window"), col("media_id"),
+        coalesce(col("mk"), col("media_id")).as("keeper_id"),
+        col("mk").isNotNull.as("is_dup"))
+
   /** Streaming dual of the batch `t_code_detect`: code-likeness routing
     * as a STATELESS map over the document stream — the mix-splitting
     * decision (prose pipeline vs code pipeline) made inline during

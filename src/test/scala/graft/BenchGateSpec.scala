@@ -14,7 +14,7 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("a genuine 2x+ regression on a non-micro query is caught") {
     val measured = Map("q_fast" -> 0.060, "q_mid" -> 0.900, "q_heavy" -> 3.400)
-    val r = BenchGate.gate(ref, measured, Set.empty)
+    val r = BenchGate.gate(ref, measured, Set.empty[String])
     assert(r.regressions.map(_.query) === Seq("q_heavy"),
       "a heavy (>= SmallRefSec ref) doubling fails immediately")
     assert(r.regressions.head.ratio > 2.0 && r.regressions.head.refSec === 1.500)
@@ -73,6 +73,51 @@ class BenchGateSpec extends AnyFunSuite {
     val firstBig = BenchGate.gate(Map("a15_level_shift" -> 0.135),
       Map("a15_level_shift" -> 0.560), priorSuspects = Set.empty)
     assert(firstBig.regressions.isEmpty && firstBig.suspects.nonEmpty)
+  }
+
+  // --- Round-19 policy: the third escalation tier (ADVICE r18) ---
+
+  test("the mid-band blind spot closes: a 3rd consecutive 2x+ trip promotes without magnitude") {
+    // ref 0.45 regressing steadily to 1.25 s: 2.8x — under PromoteRatio
+    // (3.0) and under the 1.0 s hard floor (excess 0.8 s), the exact
+    // shape ADVICE r18 showed could stay a suspect forever
+    val ref = Map("q_midband" -> 0.450)
+    val m = Map("q_midband" -> 1.250)
+    // trip 1: fresh suspect at count 1
+    val t1 = BenchGate.gate(ref, m, Map.empty[String, Int])
+    assert(t1.regressions.isEmpty && t1.suspectCounts === Map("q_midband" -> 1))
+    // trip 2: still a suspect (ratio < PromoteRatio), count 2
+    val t2 = BenchGate.gate(ref, m, t1.suspectCounts)
+    assert(t2.regressions.isEmpty && t2.suspectCounts === Map("q_midband" -> 2))
+    // trip 3: promotes on persistence alone
+    val t3 = BenchGate.gate(ref, m, t2.suspectCounts)
+    assert(t3.regressions.map(_.query) === Seq("q_midband"),
+      "a sustained mid-band regression must eventually fail")
+    assert(t3.suspects.isEmpty)
+  }
+
+  test("suspect counts round-trip through the flags file; pre-r19 files parse at count 1") {
+    val p = java.nio.file.Files.createTempFile("bench_flags_c", ".json").toString
+    val t0 = 1000000000000L
+    val later = t0 + BenchGate.MinSampleGapMs + 1
+    BenchGate.saveFlagCounts(p, "sf0.1", Map("q_a" -> 2, "q_b" -> 1), now = t0)
+    assert(BenchGate.loadFlagCounts(p, "sf0.1", now = later) ===
+      Map("q_a" -> 2, "q_b" -> 1))
+    assert(BenchGate.loadFlags(p, "sf0.1", now = later) === Set("q_a", "q_b"),
+      "the set view stays consistent with the counts")
+    // a pre-round-19 flags file (suspects array only, no counts) must
+    // load each suspect at count 1 — it recorded exactly one trip
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      s"""{"sf":"sf0.1","written_at_ms":$t0,"suspects":["a21_last_touch","q_cdc_apply"]}""")
+    assert(BenchGate.loadFlagCounts(p, "sf0.1", now = later) ===
+      Map("a21_last_touch" -> 1, "q_cdc_apply" -> 1))
+  }
+
+  test("regsJson clamps a non-finite ratio to valid JSON (ADVICE r18)") {
+    val r = BenchGate.Regression("q_dead", 0.0, 1.0, Double.PositiveInfinity)
+    val j = BenchGate.regsJson(Seq(r))
+    assert(!j.contains("Infinity") && !j.contains("NaN"), j)
+    assert(j.contains("\"q_dead\""))
   }
 
   test("a prior suspect that measures clean is dropped (flags clear, not accumulate)") {

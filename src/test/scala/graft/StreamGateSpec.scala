@@ -26,6 +26,16 @@ class StreamGateSpec extends AnyFunSuite {
     assert(StreamGate.regressions(ref, Map("corpus_capstone" -> 2590.0)).nonEmpty)
   }
 
+  test("a drained-zero-rows cell still renders valid JSON (ADVICE r18)") {
+    // rows/s = 0 makes the ratio +Infinity; the gate line must stay
+    // parseable precisely when a cell is most broken
+    val regs = StreamGate.regressions(ref, Map("window_count" -> 0.0))
+    assert(regs.nonEmpty && regs.head.ratio.isPosInfinity)
+    val j = StreamGate.regsJson(regs)
+    assert(!j.contains("Infinity") && !j.contains("NaN"), j)
+    assert(j.contains("\"window_count\""))
+  }
+
   test("an unreferenced cell never regresses (first measurement seeds)") {
     assert(StreamGate.regressions(ref, Map("new_cell" -> 1.0)).isEmpty)
   }

@@ -100,6 +100,44 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/g1").exists(), "generation 1 survived retention")
   }
 
+  test("attr-only drift rebuilds: vectors unchanged, re-attributed corpus must not reuse (ADVICE r18)") {
+    val s = spark
+    import s.implicits._
+    val fixture = java.nio.file.Files.createTempDirectory("ivfpq_attr").toString
+    val root = tmpRoot("attrdrift")
+    // a corpus with an EXPLICIT attr column (withAttr prefers it over
+    // label) — only attr varies between the two writes; vec_id,
+    // embedding and label are bit-identical
+    def writeCorpus(attrOf: Long => Int): Unit =
+      (0L until 64L).map { id =>
+        (id, (0 until 64).map(i =>
+          (math.sin(id * 7.3 + i * 1.9)).toFloat), (id % 16).toInt, attrOf(id))
+      }.toDF("vec_id", "embedding", "label", "attr")
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixture/embeddings.parquet")
+    writeCorpus(id => (id % 2).toInt)
+    assert(IvfPqIndex.ensure(s, fixture, root).contains(1L))
+    val before = IvfPqIndex.queryFiltered(s, fixture, root, nprobe = 4, k = 3, attrEq = 1)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty, "vacuous — filtered search returned nothing")
+    // re-attribute EVERY row (complement), vectors untouched: the
+    // fingerprint must miss and ensure must build generation 2 — the
+    // pre-fix fingerprint hashed label but served attr, so this exact
+    // shape reused g1 and answered stale
+    writeCorpus(id => 1 - (id % 2).toInt)
+    assert(IvfPqIndex.ensure(s, fixture, root).contains(2L),
+      "attr-only drift must rebuild, not reuse the stale generation")
+    val after = IvfPqIndex.queryFiltered(s, fixture, root, nprobe = 4, k = 3, attrEq = 1)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the attr sets are complementary, so the served candidate sets
+    // must be disjoint on vec_id parity — stale answers would overlap
+    assert(after.nonEmpty)
+    assert(before.forall { case (_, v) => v % 2 == 1 })
+    assert(after.forall { case (_, v) => v % 2 == 0 },
+      s"filtered search served stale attrs after re-attribution: $after")
+  }
+
   test("addVectors codes with the frozen model; scanAsOf time-travels to the pre-add snapshot") {
     val s = spark
     import s.implicits._
