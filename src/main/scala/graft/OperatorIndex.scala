@@ -35,6 +35,8 @@ object OperatorIndex {
     "StreamingPipelines.dupSpanStream" -> "d_dup_span_coverage",
     "StreamingPipelines.mediaNeardupCalibrate" -> "m_media_neardup",
     "StreamingPipelines.mediaNeardupStream" -> "m_media_neardup",
+    "StreamingPipelines.mediaKeeperCalibrate" -> "m_media_dedup_groups",
+    "StreamingPipelines.mediaKeeperStream" -> "m_media_dedup_groups",
     "StreamingPipelines.dupSpanRewriteCalibrate" -> "d_dup_span_rewrite",
     "StreamingPipelines.dupSpanRewriteStream" -> "d_dup_span_rewrite",
     "StreamingPipelines.rollingActives" -> "a14_rolling_dau",
