@@ -358,6 +358,22 @@ object GraftFunctions {
       cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.pqAdcScaled(q, codes, cb)
 
+  /** Lloyd-assignment PQ encode: 6dp-ROUNDED per-subspace argmin with
+    * smallest-index tiebreak, packed 4 bits/code — the training
+    * trajectory's assignment pin as one codegen'd pass (vs the
+    * exploded broadcast join + window sort it replaces). */
+  def pqAssignRounded(v: org.apache.spark.sql.Column,
+      cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.pqAssignRounded(v, cb)
+
+  /** Coarse top-1 cell assignment: position (in ascending-cid order) of
+    * the centroid with the largest 6dp-rounded cosine, ties to the
+    * smallest cid — ivfAssign's maxRank=1 trajectory, codegen'd. */
+  def coarseAssignTop1(v: org.apache.spark.sql.Column,
+      nrm: org.apache.spark.sql.Column,
+      ces: Seq[Seq[Double]], cns: Seq[Double]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.coarseAssignTop1(v, nrm, ces, cns)
+
   /** Mergeable decimal-DDSketch quantile aggregate —
     * struct<n_vals, q50, q95, q99>. */
   def ddSketch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -76,6 +76,86 @@ object VectorUtil {
     packed
   }
 
+  /** Spark's `round(x, 6)` for a finite double, bit-for-bit:
+    * `BigDecimal(d).setScale(6, HALF_UP).toDouble` is exactly what
+    * catalyst's RoundBase evaluates for DoubleType (HALF_UP rounds a
+    * half away from zero on both signs; NaN/Inf pass through in Spark,
+    * not reachable here — distances and cosines are finite). Kept
+    * private to the two rounded-argmin kernels; every other kernel
+    * stays unrounded on purpose. */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Lloyd-assignment encode: like [[pqCodes]] but the argmin runs over
+    * the 6dp-ROUNDED subspace distance — the training trajectory's pin
+    * (`round(l2sq, 6)` then smallest-centroid-index tiebreak, exactly
+    * the `row_number OVER (ORDER BY d2, c)` the exploded-join
+    * formulation evaluated). The BigDecimal rounding only runs for
+    * candidates within 5e-7 of the incumbent ROUNDED best: for any
+    * candidate with acc >= bestR + 5e-7, round6(acc) >= acc - 5e-7 >=
+    * bestR, and rounded values are 1e-6-grid points, so it can never
+    * beat a strictly smaller incumbent — the skip is exact, not a
+    * heuristic. Ties on the rounded value keep the smaller index
+    * (strict `<` scan in index order). */
+  def pqAssignRounded(v: ArrayData, cb: Array[Array[Array[Double]]]): Int = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    checkDims(v.numElements(), m * dsub)
+    var packed = 0
+    var j = 0
+    while (j < m) {
+      val cents = cb(j)
+      val off = j * dsub
+      var best = 0
+      var bestR = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) { val d = v.getDouble(off + i) - cent(i); acc += d * d; i += 1 }
+        if (acc < bestR + 5e-7) {
+          val r = round6(acc)
+          if (r < bestR) { bestR = r; best = c }
+        }
+        c += 1
+      }
+      packed |= best << (4 * j)
+      j += 1
+    }
+    packed
+  }
+
+  /** Coarse-cell assignment: index (ascending-cid position, not the cid
+    * itself) of the centroid with the LARGEST 6dp-rounded cosine,
+    * ties to the smallest cid — [[graft.operators.EmbeddingOps.ivfAssign]]'s
+    * `row_number OVER (ORDER BY c_cos DESC, cid)` trajectory as one
+    * codegen'd scan. `ces` must be ordered by ascending cid; `cns` are
+    * the matching centroid norms; `nrm` is the row's norm. The same
+    * exact-skip bound as [[pqAssignRounded]], mirrored for argmax. */
+  def coarseAssignTop1(v: ArrayData, nrm: Double,
+      ces: Array[Array[Double]], cns: Array[Double]): Int = {
+    var best = 0
+    var bestR = Double.MinValue
+    var c = 0
+    while (c < ces.length) {
+      val ce = ces(c)
+      val n = ce.length
+      checkDims(v.numElements(), n)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * ce(i); i += 1 }
+      val cos = acc / (cns(c) * nrm)
+      if (cos > bestR - 5e-7) {
+        val r = round6(cos)
+        if (r > bestR) { bestR = r; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
   /** Asymmetric-distance (ADC) lookup against packed PQ codes, returned
     * as an exact integer micro-distance: each subspace's squared L2 to
     * the coded centroid is rounded to 1e-6 resolution and the EIGHT

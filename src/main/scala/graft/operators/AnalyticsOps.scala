@@ -421,10 +421,20 @@ FROM g WHERE gap IS NOT NULL GROUP BY 1"""),
           .groupBy(col(keyCol))
           .agg(min(when(col("cum") * 2 >= col("n"), col(valCol))).as(out))
       }
-      val med = lowerMedian(e, "event_type", "vs", "med_s")
+      // Both per-type scalar frames are PINNED (a handful of rows): the
+      // lazy `dev` subtree is referenced twice (mad's histogram + the
+      // final filter), and unpinned Catalyst re-evaluated the entire med
+      // histogram aggregation inside each copy — 18 Exchanges for a
+      // 3-pass algorithm (plans/r19/a17_mad_outliers_before.txt). With
+      // the scalars pinned, each pass re-reads only the narrow events
+      // scan and the broadcast join of a tiny pinned frame (the
+      // documented 100 TB shape, now actually the executed plan).
+      val med = graft.Checkpoints.pin(
+        lowerMedian(e, "event_type", "vs", "med_s"))
       val dev = e.join(broadcast(med), Seq("event_type"))
         .withColumn("dev_s", abs(col("vs") - col("med_s")))
-      val mad = lowerMedian(dev, "event_type", "dev_s", "mad_s")
+      val mad = graft.Checkpoints.pin(
+        lowerMedian(dev, "event_type", "dev_s", "mad_s"))
       dev.join(broadcast(mad), Seq("event_type"))
         .filter(col("dev_s") * 10000L > col("mad_s") * 44478L)
         .select(col("event_id"), col("event_type"),

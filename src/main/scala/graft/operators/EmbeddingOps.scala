@@ -235,45 +235,63 @@ FROM (SELECT qid, vec_id, ad,
     * e_knn_opq (the OPQ-rotated frame) — the two queries differ in
     * EXACTLY the input geometry, so their recall gap prices the
     * rotation. */
-  private def trainedPqTopK(s: SparkSession, base: DataFrame, k: Int): DataFrame = {
-      val seed = base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
-        .select(col("ed")).collect()
-      if (seed.length < 16) {
+  /** The two pinned Lloyd iterations over `base`'s `vecCol` 8x8
+    * subvectors, driven by the codegen'd rounded-assignment kernel
+    * ([[GraftFunctions.pqAssignRounded]]) instead of the historical
+    * exploded-broadcast-join + window-sort formulation: per iteration
+    * the corpus is read ONCE in a pure map (no 16x candidate explosion,
+    * no (vec_id, j) exchange, no sort) feeding the tiny (j, c, i)
+    * partial aggregation, and the <=1024-row mean table is folded into
+    * the codebook on the driver (the same bounded-model collect the old
+    * `cents.collect()` already did). Trajectory pins preserved exactly:
+    * assignment argmin on the 6dp-ROUNDED subspace distance with
+    * smallest-centroid-index tiebreak (the kernel's contract — verified
+    * bit-for-bit against the window formulation in PqAssignKernelSpec),
+    * means as `round(avg + 1e-9, 6)` over identical memberships, empty
+    * cells keep their previous centroid. Seeds are rows
+    * `seedLo..seedLo+15` in vec_id order; None when fewer than 16. */
+  private def lloydTrainCb(base: DataFrame, vecCol: String,
+      seedLo: Int): Option[Seq[Seq[Seq[Double]]]] = {
+    val seed = base.filter(col("vec_id").between(seedLo, seedLo + 15))
+      .orderBy(col("vec_id")).select(col(vecCol)).collect()
+    if (seed.length < 16) None
+    else {
+      var cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(8) { j =>
+        Seq.tabulate(16) { c =>
+          seed(c).getSeq[Double](0).slice(j * 8, j * 8 + 8).toSeq
+        }
+      }
+      (1 to 2).foreach { _ =>
+        val means = base
+          .select(GraftFunctions.pqAssignRounded(col(vecCol), cb).as("codes"),
+            col(vecCol).as("v"))
+          .select(explode(expr(
+            "transform(sequence(0, 7), j -> struct(cast(j AS int) AS j, " +
+              "cast(shiftright(codes, cast(4*j AS int)) & 15 AS int) AS c, " +
+              "slice(v, cast(j*8+1 AS int), 8) AS sv))")).as("s"))
+          .select(col("s.j").as("j"), col("s.c").as("c"),
+            posexplode(col("s.sv")).as(Seq("i", "x")))
+          .groupBy(col("j"), col("c"), col("i"))
+          .agg(round(avg(col("x")) + lit(1e-9), 6).as("v"))
+          .collect()
+        val upd = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (jc, rows) =>
+            jc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+          }
+        cb = Seq.tabulate(8) { j =>
+          Seq.tabulate(16)(c => upd.getOrElse((j, c), cb(j)(c)))
+        }
+      }
+      Some(cb)
+    }
+  }
+
+  private def trainedPqTopK(s: SparkSession, base: DataFrame, k: Int): DataFrame =
+    lloydTrainCb(base, "ed", 10) match {
+      case None =>
         base.limit(0).selectExpr("vec_id AS qid", "vec_id",
           "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
-      } else {
-        val sub = base.select(col("vec_id"), explode(expr(
-            "transform(sequence(0, 7), j -> struct(cast(j AS int) AS j, slice(ed, cast(j*8+1 AS int), 8) AS sv))")).as("s"))
-          .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-          .transform(graft.Checkpoints.pin(_))
-        var cents = base.filter(col("vec_id").between(10, 25))
-          .select((col("vec_id") - 10).cast("int").as("c"), explode(expr(
-            "transform(sequence(0, 7), j -> struct(cast(j AS int) AS j, slice(ed, cast(j*8+1 AS int), 8) AS cv))")).as("s"))
-          .select(col("c"), col("s.j").as("j"), col("s.cv").as("cv"))
-        val assignW = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("c"))
-        (1 to 2).foreach { _ =>
-          val assigned = sub.join(broadcast(cents), Seq("j"))
-            .withColumn("d2", round(GraftFunctions.vecL2Sq(col("sv"), col("cv")), 6))
-            .withColumn("rn", row_number().over(assignW))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("j"), col("c"))
-          val means = assigned.join(sub, Seq("vec_id", "j"))
-            .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("i", "x")))
-            .groupBy(col("j"), col("c"), col("i"))
-            .agg(round(avg(col("x")) + lit(1e-9), 6).as("v"))
-            .groupBy(col("j"), col("c"))
-            .agg(expr("transform(sort_array(collect_list(struct(i, v))), s -> s.v)").as("mcv"))
-          cents = cents.join(means, Seq("j", "c"), "left")
-            .select(col("j"), col("c"), coalesce(col("mcv"), col("cv")).as("cv"))
-            .transform(graft.Checkpoints.pin(_))
-        }
-        val cRows = cents.collect()
-        val cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(8) { j =>
-          Seq.tabulate(16) { c =>
-            cRows.find(r => r.getInt(0) == j && r.getInt(1) == c).get
-              .getSeq[Double](2).toSeq
-          }
-        }
+      case Some(cb) =>
         val coded = base.withColumn("codes", GraftFunctions.pqCodes(col("ed"), cb))
         val q = base.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("ed").as("qe"))
@@ -284,8 +302,7 @@ FROM (SELECT qid, vec_id, ad,
             Window.partitionBy("qid").orderBy(col("ad"), col("vec_id"))))
           .filter(col("rnk") <= k)
           .select(col("qid"), col("vec_id"), col("approx_d2"), col("rnk"))
-      }
-  }
+    }
 
   private val eKnnPqTrained = GQuery(
     "e_knn_pq_trained",
@@ -947,19 +964,39 @@ SELECT vec_id FROM n WHERE vec_id NOT IN (SELECT src FROM losers)"""),
   // partial agg, candidate generation touches 1/16th of the corpus per
   // query — the standard IVF recall/cost tradeoff next to e_knn_lsh's
   // hyperplane variant.
+  /** Append the top-1 coarse cell to every row of `base` via the
+    * codegen'd rounded-cosine argmax kernel
+    * ([[GraftFunctions.coarseAssignTop1]]) over the family's fixed
+    * centroid model (rows 10..25, a bounded collect) — the round-19
+    * replacement for the historical 16x broadcast-join explosion +
+    * (vec_id) window sort in every IVF diagnostic's corpus-side top-1
+    * (guide §2.4: the (vec_id) exchange + sort of the 16x frame
+    * disappears; the trajectory — 6dp-rounded cosine, smallest-cid
+    * tiebreak — is the kernel's pinned contract, PqAssignKernelSpec).
+    * Query-side nprobe > 1 rankings keep their window: they run on
+    * query-count rows. An empty model yields the empty frame, exactly
+    * the old join-with-empty-broadcast behavior. */
+  private def coarseCellsTop1(base: DataFrame): DataFrame = {
+    val rows = base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("ed"), col("nrm")).collect()
+    if (rows.isEmpty) base.limit(0).withColumn("cell", lit(null).cast("long"))
+    else {
+      val cids: Seq[Long] = rows.map(_.getLong(0)).toSeq
+      val ces: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1).toSeq).toSeq
+      val cns: Seq[Double] = rows.map(_.getDouble(2)).toSeq
+      base.withColumn("__p",
+          GraftFunctions.coarseAssignTop1(col("ed"), col("nrm"), ces, cns))
+        .withColumn("cell", element_at(typedlit(cids), col("__p") + 1))
+        .drop("__p")
+    }
+  }
+
   private val eKnnIvf = GQuery(
     "e_knn_ivf",
     (s, dir) => {
       val base = prepped(s, dir)
-      val cents = base.filter(col("vec_id").between(10, 25))
-        .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
-      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      val assigned = base.join(broadcast(cents))
-        .withColumn("c_cos",
-          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
-        .withColumn("arn", row_number().over(assignW))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("ed"), col("nrm"), col("cid").as("cell"))
+      val assigned = coarseCellsTop1(base)
+        .select(col("vec_id"), col("ed"), col("nrm"), col("cell"))
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("ed").as("qe"), col("nrm").as("qn"), col("cell"))
       val rankW = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -1003,13 +1040,17 @@ WHERE rnk <= 3"""),
       val cents = base.filter(col("vec_id").between(10, 25))
         .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
       val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      val ranked = base.join(broadcast(cents))
+      // corpus-side top-1 via the kernel; only the <=10 QUERY rows pay
+      // the nprobe=2 ranked window (identical per-row ranking — the
+      // window partitions by vec_id, so restricting its input to the
+      // query rows cannot change any rank)
+      val assigned = coarseCellsTop1(base)
+        .select(col("vec_id"), col("ed"), col("nrm"), col("cell"))
+      val q = base.filter(col("vec_id") < 10).join(broadcast(cents))
         .withColumn("c_cos",
           round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
         .withColumn("arn", row_number().over(assignW))
-      val assigned = ranked.filter(col("arn") === 1)
-        .select(col("vec_id"), col("ed"), col("nrm"), col("cid").as("cell"))
-      val q = ranked.filter(col("vec_id") < 10 && col("arn") <= 2)
+        .filter(col("arn") <= 2)
         .select(col("vec_id").as("qid"), col("ed").as("qe"),
           col("nrm").as("qn"), col("cid").as("cell"))
       val rankW = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -1055,15 +1096,8 @@ WHERE rnk <= 3"""),
     "e_ivf_balance",
     (s, dir) => {
       val base = prepped(s, dir)
-      val cents = base.filter(col("vec_id").between(10, 25))
-        .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
-      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      val sizes = base.join(broadcast(cents))
-        .withColumn("c_cos",
-          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
-        .withColumn("arn", row_number().over(assignW))
-        .filter(col("arn") === 1)
-        .groupBy(col("cid").as("cell"))
+      val sizes = coarseCellsTop1(base)
+        .groupBy(col("cell"))
         .agg(count(lit(1)).as("sz"))
       val w = Window.partitionBy()
       // sumsq in DECIMAL(38,0): a LongType sz*sz wraps (or throws under
@@ -1134,14 +1168,16 @@ FROM sz"""),
       val cents = base.filter(col("vec_id").between(10, 25))
         .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
       val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      val ranked = base.join(broadcast(cents))
+      // corpus-side top-1 via the kernel; the nprobe window ranks only
+      // the <=10 query rows (per-vec_id window — restriction-safe)
+      val assigned = coarseCellsTop1(base)
+        .select(col("vec_id"), col("cell"),
+          GraftFunctions.pqCodes(col("ed"), cb).as("codes"))
+      val q = base.filter(col("vec_id") < 10).join(broadcast(cents))
         .withColumn("c_cos",
           round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
         .withColumn("arn", row_number().over(assignW))
-      val assigned = ranked.filter(col("arn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"),
-          GraftFunctions.pqCodes(col("ed"), cb).as("codes"))
-      val q = ranked.filter(col("vec_id") < 10 && col("arn") <= nprobe)
+        .filter(col("arn") <= nprobe)
         .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cid").as("cell"))
       assigned.join(broadcast(q), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
@@ -1248,19 +1284,49 @@ FROM (SELECT qid, vec_id, ad,
   private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame,
       maxRank: Int, keepEd: Boolean = false,
       carryCols: Seq[String] = Nil): DataFrame = {
-    val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-    val ranked = vecs.join(broadcast(cents))
-      .withColumn("c_cos",
-        round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
-      .withColumn("arn", row_number().over(assignW))
-      .filter(col("arn") <= maxRank)
-    // carryCols: pass-through payload columns the caller needs beside the
-    // assignment (the OPQ index carries the PRE-rotation embedding for
-    // its raw ledger while assigning in rotated space)
-    val cols = Seq(col("vec_id"), col("cid").as("cell"),
-      expr("zip_with(ed, ce, (x, y) -> x - y)").as("rv")) ++
-      (if (keepEd) Seq(col("ed")) else Nil) ++ carryCols.map(col)
-    ranked.select(cols: _*)
+    // maxRank = 1 (training / index add — the corpus-sized path) runs
+    // the codegen'd argmax kernel over the bounded centroid model
+    // instead of the 16x broadcast-join explosion + (vec_id) window
+    // sort: one pure map, zero exchanges before the caller's next
+    // operation. Trajectory identical by the kernel's contract
+    // (6dp-rounded cosine, smallest-cid tiebreak — PqAssignKernelSpec
+    // pins it against this very window formulation). The probe path
+    // (maxRank = nprobe > 1) keeps the ranked window — it runs on
+    // query-sized frames where the explosion is the cheap part.
+    val centRows = if (maxRank == 1) {
+      val r = cents.select(col("cid").cast("long"), col("ce"), col("cn")).collect()
+      require(r.length <= 64,
+        s"ivfAssign: ${r.length} coarse centroids — the bounded-model collect " +
+          "contract (<= 64 cells) is broken; use the ranked path for large models")
+      r.sortBy(_.getLong(0))
+    } else Array.empty[org.apache.spark.sql.Row]
+    if (maxRank == 1 && centRows.nonEmpty) {
+      val cids: Seq[Long] = centRows.map(_.getLong(0)).toSeq
+      val ces: Seq[Seq[Double]] = centRows.map(_.getSeq[Double](1).toSeq).toSeq
+      val cns: Seq[Double] = centRows.map(_.getDouble(2)).toSeq
+      val withP = vecs.withColumn("__p",
+        GraftFunctions.coarseAssignTop1(col("ed"), col("nrm"), ces, cns))
+      val cols = Seq(col("vec_id"),
+        element_at(typedlit(cids), col("__p") + 1).as("cell"),
+        zip_with(col("ed"),
+          element_at(typedlit(ces), col("__p") + 1), (x, y) => x - y).as("rv")) ++
+        (if (keepEd) Seq(col("ed")) else Nil) ++ carryCols.map(col)
+      withP.select(cols: _*)
+    } else {
+      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      val ranked = vecs.join(broadcast(cents))
+        .withColumn("c_cos",
+          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
+        .withColumn("arn", row_number().over(assignW))
+        .filter(col("arn") <= maxRank)
+      // carryCols: pass-through payload columns the caller needs beside the
+      // assignment (the OPQ index carries the PRE-rotation embedding for
+      // its raw ledger while assigning in rotated space)
+      val cols = Seq(col("vec_id"), col("cid").as("cell"),
+        expr("zip_with(ed, ce, (x, y) -> x - y)").as("rv")) ++
+        (if (keepEd) Seq(col("ed")) else Nil) ++ carryCols.map(col)
+      ranked.select(cols: _*)
+    }
   }
 
   /** One spherical-Lloyd refinement of the COARSE centroids (round-15
@@ -1344,38 +1410,12 @@ FROM (SELECT qid, vec_id, ad,
   private def pqTrainFromAssigned(assigned: DataFrame,
       cents: DataFrame): IvfPqParts = {
       // --- train PQ on residual subvectors (two Lloyd steps, 6dp pins)
-      val sub = assigned.select(col("vec_id"), explode(expr(
-          "transform(sequence(0, 7), j -> struct(cast(j AS int) AS j, slice(rv, cast(j*8+1 AS int), 8) AS sv))")).as("s"))
-        .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-        .transform(graft.Checkpoints.pin(_))
-      var pqCents = assigned.filter(col("vec_id").between(26, 41))
-        .select((col("vec_id") - 26).cast("int").as("c"), explode(expr(
-          "transform(sequence(0, 7), j -> struct(cast(j AS int) AS j, slice(rv, cast(j*8+1 AS int), 8) AS cv))")).as("s"))
-        .select(col("c"), col("s.j").as("j"), col("s.cv").as("cv"))
-      val lloydW = Window.partitionBy("vec_id", "j").orderBy(col("d2"), col("c"))
-      (1 to 2).foreach { _ =>
-        val asg = sub.join(broadcast(pqCents), Seq("j"))
-          .withColumn("d2", round(GraftFunctions.vecL2Sq(col("sv"), col("cv")), 6))
-          .withColumn("rn", row_number().over(lloydW))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("j"), col("c"))
-        val means = asg.join(sub, Seq("vec_id", "j"))
-          .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("i", "x")))
-          .groupBy(col("j"), col("c"), col("i"))
-          .agg(round(avg(col("x")) + lit(1e-9), 6).as("v"))
-          .groupBy(col("j"), col("c"))
-          .agg(expr("transform(sort_array(collect_list(struct(i, v))), s -> s.v)").as("mcv"))
-        pqCents = pqCents.join(means, Seq("j", "c"), "left")
-          .select(col("j"), col("c"), coalesce(col("mcv"), col("cv")).as("cv"))
-          .transform(graft.Checkpoints.pin(_))
-      }
-      val cRows = pqCents.collect()
-      val cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(8) { j =>
-        Seq.tabulate(16) { c =>
-          cRows.find(r => r.getInt(0) == j && r.getInt(1) == c).get
-            .getSeq[Double](2).toSeq
-        }
-      }
+      // via the rounded-assignment kernel — see [[lloydTrainCb]]; the
+      // caller ([[ivfCoarseStage]]) guarantees the 16 seed rows 26..41,
+      // so the None arm is unreachable by contract
+      val cb = lloydTrainCb(assigned, "rv", 26).getOrElse(
+        throw new IllegalStateException(
+          "pqTrainFromAssigned: seed rows 26..41 missing — caller guard broken"))
       val coded = assigned.select(col("vec_id"), col("cell"),
         GraftFunctions.pqCodes(col("rv"), cb).as("codes"))
       IvfPqParts(cents, coded, cb, assigned)
@@ -2272,6 +2312,45 @@ FROM n, range(64) t(i) GROUP BY 1, 2"""),
   def centroidModel(s: SparkSession, dir: String): DataFrame =
     centroidVectors(s, dir)
 
+  /** Nearest-label-centroid assignment (the shared E-step argmin) via
+    * the rounded-argmin kernel over the collected bounded model: appends
+    * `c_label` (the winning label) and `d2` (its 6dp-rounded distance)
+    * to every row of `df`. Round-19 replacement for the historical
+    * crossJoin(broadcast(cent)) + (vec_id) window-sort top-1 — the
+    * kernel is [[GraftFunctions.pqAssignRounded]] with ONE 64-wide
+    * "subspace" whose centroids are the label means in ascending-label
+    * order, so the argmin semantics (6dp-rounded distance, smallest
+    * label on ties) are bit-identical to the window formulation
+    * (PqAssignKernelSpec pins the kernel contract; the <= 16-label
+    * bound is the kernel's 4-bit code domain, asserted loudly). The
+    * winner's d2 recomputes via the same sequential-fold kernel +
+    * `round(..., 6)` the old plan evaluated. Empty model -> empty
+    * frame (the old crossJoin-with-empty behavior). */
+  private def assignNearestLabelCentroid(df: DataFrame, cent: DataFrame): DataFrame = {
+    val rows = cent.select(col("c_label").cast("long"), col("cv")).collect()
+      .sortBy(_.getLong(0))
+    if (rows.isEmpty)
+      df.limit(0)
+        .withColumn("c_label", lit(null).cast(cent.schema("c_label").dataType))
+        .withColumn("d2", lit(null).cast("double"))
+    else {
+      require(rows.length <= 16,
+        s"assignNearestLabelCentroid: ${rows.length} labels — the kernel packs " +
+          "4-bit codes (<= 16 centroids); widen the kernel before adding labels")
+      val labels: Seq[Long] = rows.map(_.getLong(0)).toSeq
+      val cvs: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1).toSeq).toSeq
+      // cast back to the model's own label type (int32 in the fixtures)
+      // so the output schema is bit-identical to the window formulation
+      val labelType = cent.schema("c_label").dataType
+      df.withColumn("__p", GraftFunctions.pqAssignRounded(col("ed"), Seq(cvs)))
+        .withColumn("c_label",
+          element_at(typedlit(labels), col("__p") + 1).cast(labelType))
+        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"),
+          element_at(typedlit(cvs), col("__p") + 1)), 6))
+        .drop("__p")
+    }
+  }
+
   /** Same model, DuckDB side: cent + cvec CTEs over duckPrep's n. */
   private val duckCentroids =
     """cent AS (SELECT label AS c_label, i AS pos, round(avg(ed[i + 1]) + 1e-9, 6) AS c
@@ -2280,16 +2359,10 @@ cvec AS (SELECT c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1)"""
 
   private val eAssign = GQuery(
     "e_assign_confusion",
-    (s, dir) => {
-      val cent = centroidVectors(s, dir)
-      prepped(s, dir).crossJoin(broadcast(cent))
-        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
-        .filter(col("rn") === 1)
+    (s, dir) =>
+      assignNearestLabelCentroid(prepped(s, dir), centroidVectors(s, dir))
         .groupBy(col("label"), col("c_label").as("assigned"))
-        .agg(count(lit(1)).as("n"))
-    },
+        .agg(count(lit(1)).as("n")),
     Some(s"""$duckPrep,
 $duckCentroids,
 d AS (SELECT vec_id, label, c_label,
@@ -2315,12 +2388,7 @@ SELECT label, c_label AS assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1,
   private val eOodScore = GQuery(
     "e_ood_score",
     (s, dir) => {
-      val cent = centroidVectors(s, dir)
-      prepped(s, dir).crossJoin(broadcast(cent))
-        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
-        .filter(col("rn") === 1)
+      assignNearestLabelCentroid(prepped(s, dir), centroidVectors(s, dir))
         .select(col("vec_id"), col("label"), col("c_label").as("nearest_label"),
           col("d2").as("ood_score"))
         .orderBy(col("ood_score").desc, col("vec_id"))
@@ -2451,12 +2519,7 @@ GROUP BY 1"""),
   private val eInertia = GQuery(
     "e_cluster_inertia",
     (s, dir) => {
-      val cent = centroidVectors(s, dir)
-      prepped(s, dir).crossJoin(broadcast(cent))
-        .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
-        .filter(col("rn") === 1)
+      assignNearestLabelCentroid(prepped(s, dir), centroidVectors(s, dir))
         .withColumn("d2i", expr("CAST(round(d2 * 1000000e0) AS BIGINT)"))
         .groupBy(col("c_label").as("cluster"))
         .agg(count(lit(1)).as("n"), sum(col("d2i")).as("ssei"))
@@ -2493,12 +2556,7 @@ FROM a WHERE rn = 1 GROUP BY 1"""),
     * to the previous model). One corpus scan against a broadcast
     * constant, one (cluster, dim) partial agg. */
   private def kmeansNewCentroids(s: SparkSession, dir: String): DataFrame = {
-    val cent = centroidVectors(s, dir)
-    prepped(s, dir).crossJoin(broadcast(cent))
-      .withColumn("d2", round(GraftFunctions.vecL2Sq(col("ed"), col("cv")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))))
-      .filter(col("rn") === 1)
+    assignNearestLabelCentroid(prepped(s, dir), centroidVectors(s, dir))
       .select(col("c_label").as("cluster"), posexplode(col("ed")).as(Seq("pos", "v")))
       .groupBy(col("cluster"), col("pos").cast("long").as("pos"))
       .agg(round(avg(col("v")) + lit(1e-9), 6).as("centroid"), count(lit(1)).as("cnt"))

@@ -198,6 +198,16 @@ fp AS (SELECT media_id,
     * cannot drift from the pair report. Emits
     * (media_id_a < media_id_b, hd) at the hamming-<= 7 threshold. */
   private def mediaNeardupPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    // computed ONCE per (session, dir, corpus-fingerprint) and pinned:
+    // m_media_neardup, m_media_dedup_groups and the streaming keeper
+    // calibration each re-ran the fingerprint scan + banded self-join
+    // (the CorpusCache discipline — graft.CorpusCache scaladoc)
+    graft.CorpusCache.memo(s, dir, "media_pairs")(
+      graft.operators.TextOps.docsTextFp(s, dir))(
+      graft.Checkpoints.pin(mediaNeardupPairsUncached(s, dir)))
+
+  private def mediaNeardupPairsUncached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     // pinned: the banded frame feeds the hot-bucket agg AND both join
     // sides — unpinned, Catalyst re-evaluates the fingerprint scan
@@ -262,10 +272,15 @@ SELECT media_id_a, media_id_b, hd FROM mp"""),
     * from the oracle-checked batch report. */
   private[graft] def mediaKeeperMap(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.TextOps.minLabelComponents(
-      mediaNeardupPairs(s, dir)
-        .select(col("media_id_a").as("src"), col("media_id_b").as("dst")))
-      .select(col("doc_id").as("corpus_id"), col("comp").as("keeper"))
+    // the component labels are cached beside the pairs (same guard):
+    // the registered groups query and the streaming keeper calibration
+    // each ran the full propagation loop on the identical edge set
+    graft.CorpusCache.memo(s, dir, "media_keeper")(
+      graft.operators.TextOps.docsTextFp(s, dir))(
+      graft.operators.TextOps.minLabelComponents(
+        mediaNeardupPairs(s, dir)
+          .select(col("media_id_a").as("src"), col("media_id_b").as("dst")))
+        .select(col("doc_id").as("corpus_id"), col("comp").as("keeper")))
 
   private val mMediaDedupGroups = GQuery(
     "m_media_dedup_groups",

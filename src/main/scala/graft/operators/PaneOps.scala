@@ -342,17 +342,31 @@ FROM r WHERE rnk <= 5"""),
   def slidingTopkCmsPane(ev: DataFrame, k: Int = 5, m: Int = 15,
       p: PaneParams = PaneParams.default): DataFrame = {
     val base = ev.select(expr(p.paneExpr()).as("pane"), col("user_id"))
+    // per-(pane, user) exact counts — shared prefix of BOTH pane stages,
+    // PINNED so the raw scan + (pane, user) exchange run once instead of
+    // once per consumer (candidates + CMS cells). The pin holds one row
+    // per active (pane, user) — the same cardinality the exact w2d
+    // shuffles per window, distributed across executors, and it is
+    // dropped when the query ends.
+    val pc = graft.Checkpoints.pin(
+      base.groupBy("pane", "user_id").agg(count(lit(1)).as("cnt")))
     // (a) exact per-pane candidates, collapsed to <= m rows per pane
-    val cand = base.groupBy("pane", "user_id")
-      .agg(count(lit(1)).as("cnt"))
+    val cand = pc
       .groupBy("pane")
       .agg(graft.functions.GraftFunctions.topK(col("cnt"), col("user_id"), m).as("top"))
       .select(col("pane"), explode(col("top.id")).as("user_id"))
-    // (b) per-pane CMS cells: depth rows x width buckets, <= 2048/pane
-    val cells = base
-      .select(col("pane"), posexplode(array(
+    // (b) per-pane CMS cells: depth rows x width buckets, <= 2048/pane.
+    // Round-19 per-task fix (guide §1.2 step 2): the cell counts are
+    // SUMS of the per-(pane, user) counts — bit-identical to counting
+    // raw rows, since every event of one (pane, user) lands in the same
+    // 4 buckets — so the depth salted md5 hashes run once per DISTINCT
+    // (pane, user) instead of once per raw event row (4x|events| md5
+    // calls collapsed to 4x|pane-user pairs|; the oracle keeps its
+    // naive per-row form, an independent derivation of the same cells).
+    val cells = pc
+      .select(col("pane"), col("cnt"), posexplode(array(
         (0 until SketchOps.cmsDepth).map(SketchOps.cmsBucketS): _*)).as(Seq("j", "bucket")))
-      .groupBy("pane", "j", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("pane", "j", "bucket").agg(sum(col("cnt")).as("c"))
     // window union of candidates / sum of sketch cells — bounded cells only
     val wCand = cand
       .withColumn("win_start_us", explode(expr(p.coveringWindowsExpr)))

@@ -875,22 +875,35 @@ WHERE NOT EXISTS (
       val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
         .union(pairs.select(col("sn").as("src"), col("c").as("dst")))
         .transform(graft.Checkpoints.pin(_))
+      // Round-19 shape fix (guide §2.3/§2.4): the iteration previously
+      // joined the EDGE-SIZED frame against a per-round recomputed `deg`
+      // (one extra aggregation + one extra edge-sized shuffle join x5) and
+      // carried `rank` per edge row. `deg` is iteration-invariant, and
+      // deg's key set IS the node set (every node appears as a src of the
+      // symmetrized edges), so the degree rides the pinned per-node base
+      // once; `contrib = rank div deg` collapses to a per-NODE map before
+      // the edge join, and the edge exchange carries only (src, dst).
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      val base = nodes
-        .crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
-        .transform(graft.Checkpoints.pin(_))
-      var cur = base.select(col("node"), expr(s"$S div nn").as("rank"))
+      val base = {
+        val b0 = deg.select(col("src").as("node"), col("deg"))
+        b0.crossJoin(broadcast(b0.agg(count(lit(1)).as("nn"))))
+      }.transform(graft.Checkpoints.pin(_))
+      // No per-round pin: the round count is a FIXED 5 and each round's
+      // frame is referenced exactly once by the next (a linear chain, no
+      // duplicated subtrees), so lineage is statically bounded and the
+      // whole fixpoint executes as ONE action instead of five
+      // checkpoint-barrier jobs — the pinned frames are the ITERATION-
+      // INVARIANT ones (edges, base), which every round re-reads.
+      var cur = base.select(col("node"), col("deg"), expr(s"$S div nn").as("rank"))
       for (_ <- 1 to 5) {
-        val inflow = cur.join(edges, cur("node") === edges("src"))
-          .join(deg, Seq("src"))
-          .select(col("dst"), expr("rank div deg").as("contrib"))
+        val inflow = cur
+          .select(col("node"), expr("rank div deg").as("contrib"))
+          .join(edges, col("node") === edges("src"))
           .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
         cur = base
           .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"),
+          .select(col("node"), col("deg"),
             expr(s"(15 * ($S div nn)) div 100 + (85 * coalesce(inflow, 0L)) div 100").as("rank"))
-          .transform(graft.Checkpoints.pin(_))
       }
       cur.filter(col("node") >= SOff)
         .select((col("node") - SOff).as("s_suppkey"), col("rank"))

@@ -200,14 +200,26 @@ FROM documents GROUP BY 1"""),
   // per pair a compiled linear merge counts the intersection — 8 bytes
   // per shingle through the shuffle and no interpreted set ops. The
   // oracle works in the same hash domain (collision odds ~1e-12).
-  private val dNgramJaccard = GQuery(
-    "d_ngram_jaccard",
-    (s, dir) => {
-      val base = docs(s, dir)
+  /** The per-doc sorted trigram-hash sets with their (lang, length
+    * bucket) block keys, computed ONCE per (session, dir,
+    * corpus-fingerprint) and pinned: d_ngram_jaccard and
+    * d_containment_pairs each self-join this exact frame, which
+    * unpinned meant the native trigram pass ran TWICE per query (both
+    * join sides) and four times across the pair — the md5-per-shingle
+    * map is the family's dominant cost. */
+  private def trigramBlocksDF(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusCache.memo(s, dir, "trigram_blocks")(docsTextFp(s, dir))(
+      graft.Checkpoints.pin(docs(s, dir)
         .withColumn("toks", expr("split(text, ' ')"))
         .filter(expr("size(toks) >= 3"))
         .withColumn("tri", graft.functions.GraftFunctions.trigramHashes(col("toks")))
-        .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"), col("tri"))
+        .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"),
+          col("tri"))))
+
+  private val dNgramJaccard = GQuery(
+    "d_ngram_jaccard",
+    (s, dir) => {
+      val base = trigramBlocksDF(s, dir)
       val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("lb"), col("tri").as("tri_a"))
       val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("lb"), col("tri").as("tri_b"))
       a.join(b, Seq("lang", "lb"))
@@ -247,11 +259,7 @@ FROM p WHERE round(inter / (na + nb - inter)::DOUBLE, 4) >= 0.1"""),
   private val dContainmentPairs = GQuery(
     "d_containment_pairs",
     (s, dir) => {
-      val base = docs(s, dir)
-        .withColumn("toks", expr("split(text, ' ')"))
-        .filter(expr("size(toks) >= 3"))
-        .withColumn("tri", graft.functions.GraftFunctions.trigramHashes(col("toks")))
-        .select(col("doc_id"), col("lang"), expr("n_chars div 100").as("lb"), col("tri"))
+      val base = trigramBlocksDF(s, dir)
       val a = base.select(col("doc_id").as("doc_a"), col("lang"), col("lb"), col("tri").as("tri_a"))
       val b = base.select(col("doc_id").as("doc_b"), col("lang"), col("lb"), col("tri").as("tri_b"))
       a.join(b, Seq("lang", "lb"))
@@ -356,8 +364,43 @@ SELECT doc_id, concat_ws('_', ${(0 until 16).map("mh" + _).mkString(", ")}) AS s
       .agg(min(col("est_sim")).as("est_sim"))
   }
 
+  /** ONE narrow fingerprint aggregation over (doc_id, text) — the
+    * [[graft.CorpusCache]] guard for every documents-derived cached
+    * artifact below (order-independent, multiplicity-sensitive
+    * DECIMAL(38,0) hash-sum; the IvfPqIndex / OPQ-cache discipline
+    * verbatim). */
+  private[operators] def docsTextFp(s: SparkSession, dir: String): String = {
+    val r = docs(s, dir).agg(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h")).head()
+    s"n=${r.getLong(0)}:h=${r.getDecimal(1)}"
+  }
+
+  /** The docs-corpus LSH candidate pairs, computed ONCE per (session,
+    * dir, corpus-fingerprint) and Checkpoints-pinned: SIX registered
+    * queries (pair report, dedup groups, cluster profile, edit-distance
+    * verifier, split leakage, cross-source overlap) consume this exact
+    * frame and each previously re-ran the full minhash + banding +
+    * bucket self-join pipeline from the parquet scan (round-19
+    * optimization; the OPQ `calibCache` pattern, verdict-18 task 3).
+    * d_curate_corpus keeps its own `lshPairsFrom(survivors)` — a
+    * different source frame, deliberately uncached. */
   private def lshPairsDF(s: SparkSession, dir: String): DataFrame =
-    lshPairsFrom(docs(s, dir))
+    graft.CorpusCache.memo(s, dir, "lsh_pairs")(docsTextFp(s, dir))(
+      graft.Checkpoints.pin(lshPairsFrom(docs(s, dir))))
+
+  /** The est >= 0.5 near-dup component labels over [[lshPairsDF]] —
+    * shared by d_dedup_groups and d_cluster_size_profile, which
+    * previously each ran the full label-propagation loop (every
+    * iteration a join + checkpoint + convergence job) on the same edge
+    * set. Same cache discipline; the loop's own per-iteration pins are
+    * unchanged. */
+  private def dedupComponentsDF(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusCache.memo(s, dir, "lsh_components_05")(docsTextFp(s, dir))(
+      minLabelComponents(
+        lshPairsDF(s, dir)
+          .filter(col("est_sim") >= 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
 
   /** Matching DuckDB CTE body producing (doc_a, doc_b, est_sim), over any
     * source relation exposing (doc_id, text). */
@@ -450,10 +493,7 @@ SELECT doc_a, doc_b, est_sim FROM pairs"""),
 
   private val dDedupGroups = GQuery(
     "d_dedup_groups",
-    (s, dir) => minLabelComponents(
-      lshPairsDF(s, dir)
-        .filter(col("est_sim") >= 0.5)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))),
+    (s, dir) => dedupComponentsDF(s, dir),
     Some(s"""WITH RECURSIVE $lshPairsOracle,
 e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_sim >= 0.5
       UNION SELECT doc_b, doc_a FROM pairs WHERE est_sim >= 0.5),
@@ -469,10 +509,7 @@ SELECT src AS doc_id, least(src, min(dst)) AS comp FROM r GROUP BY src"""),
   // trailing aggregations run on the (small) clustered subset.
   private val dClusterSizeProfile = GQuery(
     "d_cluster_size_profile",
-    (s, dir) => minLabelComponents(
-        lshPairsDF(s, dir)
-          .filter(col("est_sim") >= 0.5)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    (s, dir) => dedupComponentsDF(s, dir)
       .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -821,7 +858,11 @@ FROM g"""),
         "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // c1 derives from c2 (C(w1) = Σ_w2 C(w1,w2), exact integer sums) —
+    // the third full evaluation of the exploded bigram stream and its
+    // w1 shuffle collapse to a tiny rollup of the already-aggregated
+    // pair table (round-19, guide §2.4)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(
@@ -842,9 +883,19 @@ lm AS (SELECT doc_id, round(avg(c2.c2 / c1.c1::DOUBLE) + 1e-9, 4) AS lm_score,
        FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
        GROUP BY doc_id)"""
 
+  /** The per-doc bigram-LM scores, computed ONCE per (session, dir,
+    * corpus-fingerprint) and pinned — t_lm_score emits the frame and
+    * d_perplexity_band filters on it; each previously rebuilt the full
+    * bigram model (explode + two model shuffles) from the scan. The
+    * one-row-per-document pin is the same size d_perplexity_band
+    * already pinned privately. */
+  private def lmScoresCached(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusCache.memo(s, dir, "lm_scores")(docsTextFp(s, dir))(
+      graft.Checkpoints.pin(lmScoresFrom(docs(s, dir))))
+
   private val tLmScore = GQuery(
     "t_lm_score",
-    (s, dir) => lmScoresFrom(docs(s, dir)),
+    (s, dir) => lmScoresCached(s, dir),
     Some(s"""WITH $lmScoreDuck
 SELECT doc_id, lm_score, n_bigrams FROM lm"""),
     "Corpus-trained bigram-LM quality score (avg conditional probability per doc).")
@@ -1137,13 +1188,13 @@ FROM term GROUP BY 1, 2"""),
   private val dPerplexityBand = GQuery(
     "d_perplexity_band",
     (s, dir) => {
-      // localCheckpoint: the scored frame feeds the histogram, the total
-      // count AND the final filter — without the pin the whole bigram-LM
-      // build (two model joins over the exploded bigram stream) would run
-      // three times. The pinned frame is one row per document.
-      val scored = lmScoresFrom(docs(s, dir))
+      // the scored frame feeds the histogram, the total count AND the
+      // final filter — it comes from the SHARED pinned lm-score cache
+      // (one row per document; `si` is a cheap map over the pin), so
+      // the bigram-LM build runs once per session, not once per
+      // consumer per invocation
+      val scored = lmScoresCached(s, dir)
         .withColumn("si", expr("CAST(round(lm_score * 10000, 0) AS BIGINT)"))
-        .transform(graft.Checkpoints.pin(_))
       val hist = scored.groupBy(col("si")).agg(count(lit(1)).as("n"))
       val wcum = Window.orderBy(col("si"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1189,14 +1240,19 @@ SELECT doc_id, lm_score FROM s, cuts WHERE si BETWEEN lo AND hi"""),
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      // per-doc argmax as a min_by hash aggregate on the ordering key
+      // (-score, term): identical winner to the historical
+      // `row_number OVER (ORDER BY score DESC, term) = 1` (max score,
+      // ties to the smallest term; double negation is exact), but with
+      // map-side partial aggregation instead of a full doc_id exchange
+      // + sort of every (doc, term) score row (round-19, guide §2.3)
       tf.join(df, Seq("term")).crossJoin(broadcast(n))
         .withColumn("score", round(col("c") * log(col("n") / col("df")) + lit(1e-9), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("term").as("top_term"),
-          round(col("score"), 4).as("tfidf"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(struct(col("term"), col("score")),
+          struct((col("score") * lit(-1d)).as("ns"), col("term"))).as("m"))
+        .select(col("doc_id"), col("m.term").as("top_term"),
+          round(col("m.score"), 4).as("tfidf"))
     },
     Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 c AS (SELECT doc_id, term, count(*) AS c FROM tf GROUP BY 1, 2),
@@ -1817,7 +1873,7 @@ UNION ALL SELECT 4, 'exact_dedup', s4 FROM a"""),
   private val dSplitLeakage = GQuery(
     "d_split_leakage",
     (s, dir) =>
-      lshPairsFrom(docs(s, dir))
+      lshPairsDF(s, dir)
         .filter(col("est_sim") >= 0.5)
         .selectExpr("doc_a", "doc_b",
           s"${splitCase("doc_a")} AS split_a",
@@ -2453,9 +2509,20 @@ w$k AS (SELECT trim(replace(replace(' ' || replace(seg, ' ', '  ') || ' ',
       rounds.reduce(_ unionByName _)
   }
 
+  /** The induced merge table (4 bounded rows + their pinned round
+    * frames), computed ONCE per (session, dir, corpus-fingerprint):
+    * t_bpe_merges, t_bpe_tokenize and t_tokenizer_fertility each
+    * replayed the identical greedy induction trajectory (word-frequency
+    * shuffle + 4 rounds of pair counts / TakeOrdered / pinned rewrite)
+    * from scratch. Streaming calibration keeps calling
+    * [[bpeMergesFrom]] on its own frames — uncached by design. */
+  private def bpeMergesCached(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusCache.memo(s, dir, "bpe_merges")(docsTextFp(s, dir))(
+      graft.Checkpoints.pin(bpeMergesFrom(docs(s, dir))))
+
   private val tBpeMerges = GQuery(
     "t_bpe_merges",
-    (s, dir) => bpeMergesFrom(docs(s, dir)),
+    (s, dir) => bpeMergesCached(s, dir),
     Some(s"""WITH w0 AS (
   SELECT array_to_string(string_split(w, ''), ' ') AS seg, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
@@ -2506,7 +2573,7 @@ ${(1 to bpeRounds).map(k =>
 
   private val tBpeTokenize = GQuery(
     "t_bpe_tokenize",
-    (s, dir) => bpeTokenizeFrom(docs(s, dir), bpeMergesFrom(docs(s, dir))),
+    (s, dir) => bpeTokenizeFrom(docs(s, dir), bpeMergesCached(s, dir)),
     Some {
       val apply4 = (1 to bpeRounds).foldLeft("doc_seg") { (acc, k) =>
         bpeApply(acc, s"b$k.l", s"b$k.r")
@@ -2544,7 +2611,7 @@ FROM d${(1 to bpeRounds).map(k => s", b$k").mkString}"""
     "t_tokenizer_fertility",
     (s, dir) => {
       val d = docs(s, dir)
-      val toks = bpeTokenizeFrom(d, bpeMergesFrom(d))
+      val toks = bpeTokenizeFrom(d, bpeMergesCached(s, dir))
       toks.join(d.selectExpr("doc_id", "lang",
           "cast(size(filter(split(text, ' '), w -> length(w) > 0)) AS long) AS n_words"),
           Seq("doc_id"))

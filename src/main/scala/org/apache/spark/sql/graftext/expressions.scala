@@ -299,6 +299,14 @@ object columns {
   def pqAdcScaled(q: Column, codes: Column, cb: Seq[Seq[Seq[Double]]]): Column =
     ExpressionUtils.column(PqAdcScaled(
       ExpressionUtils.expression(q), ExpressionUtils.expression(codes), cb))
+
+  def pqAssignRounded(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(PqAssignRounded(ExpressionUtils.expression(v), cb))
+
+  def coarseAssignTop1(v: Column, nrm: Column,
+      ces: Seq[Seq[Double]], cns: Seq[Double]): Column =
+    ExpressionUtils.column(CoarseAssignTop1(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(nrm), ces, cns))
 }
 
 case class VecDot(left: Expression, right: Expression)
@@ -368,6 +376,67 @@ case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
     copy(child = newChild)
+}
+
+/** Lloyd-assignment PQ encode: argmin per subspace over the 6dp-ROUNDED
+  * distance with smallest-index tiebreak — the training trajectory's
+  * exact pin as one codegen'd scan (see VectorUtil.pqAssignRounded). */
+case class PqAssignRounded(child: Expression, cb: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_assign"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.VectorUtil.pqAssignRounded(input.asInstanceOf[ArrayData], cbArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorUtil.pqAssignRounded($c, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssignRounded =
+    copy(child = newChild)
+}
+
+/** Coarse-cell top-1 assignment: position of the centroid with the
+  * largest 6dp-rounded cosine, ties to the smallest cid — ivfAssign's
+  * maxRank=1 trajectory as one codegen'd scan over the bounded
+  * plan-time centroid model (see VectorUtil.coarseAssignTop1). */
+case class CoarseAssignTop1(left: Expression, right: Expression,
+    ces: Seq[Seq[Double]], cns: Seq[Double])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val ceArr: Array[Array[Double]] =
+    ces.map(_.toArray).toArray
+  @transient private lazy val cnArr: Array[Double] = cns.toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.DoubleType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_coarse_assign1"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.functions.VectorUtil.coarseAssignTop1(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[Double], ceArr, cnArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ceRef = ctx.addReferenceObj("coarseCents", ceArr, "double[][]")
+    val cnRef = ctx.addReferenceObj("coarseNorms", cnArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VectorUtil.coarseAssignTop1($l, $r, $ceRef, $cnRef);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CoarseAssignTop1 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** ADC distance of a query vector against packed PQ codes, as an exact
