@@ -976,19 +976,51 @@ SELECT vec_id FROM n WHERE vec_id NOT IN (SELECT src FROM losers)"""),
     * Query-side nprobe > 1 rankings keep their window: they run on
     * query-count rows. An empty model yields the empty frame, exactly
     * the old join-with-empty-broadcast behavior. */
-  private def coarseCellsTop1(base: DataFrame): DataFrame = {
-    val rows = base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
+  /** The family's fixed coarse model (rows 10..25) as collected
+    * (cid, ce, cn) triples, in ascending-cid order — one bounded
+    * pushed-filter collect shared by the corpus-side kernel and the
+    * query-side literal probe frame. */
+  private def coarseModelRows(base: DataFrame): Array[(Long, Seq[Double], Double)] =
+    base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
       .select(col("vec_id"), col("ed"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+
+  private def coarseCellsTop1From(base: DataFrame,
+      rows: Array[(Long, Seq[Double], Double)]): DataFrame =
     if (rows.isEmpty) base.limit(0).withColumn("cell", lit(null).cast("long"))
     else {
-      val cids: Seq[Long] = rows.map(_.getLong(0)).toSeq
-      val ces: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1).toSeq).toSeq
-      val cns: Seq[Double] = rows.map(_.getDouble(2)).toSeq
+      val cids: Seq[Long] = rows.map(_._1).toSeq
+      val ces: Seq[Seq[Double]] = rows.map(_._2).toSeq
+      val cns: Seq[Double] = rows.map(_._3).toSeq
       base.withColumn("__p",
           GraftFunctions.coarseAssignTop1(col("ed"), col("nrm"), ces, cns))
         .withColumn("cell", element_at(typedlit(cids), col("__p") + 1))
         .drop("__p")
     }
+
+  private def coarseCellsTop1(base: DataFrame): DataFrame =
+    coarseCellsTop1From(base, coarseModelRows(base))
+
+  /** Query-side nprobe ranking over the COLLECTED model as a plan-time
+    * literal: explode the (cid, ce, cn) struct array against the <= 10
+    * query rows, rank by the 6dp-rounded cosine with the cid tiebreak —
+    * identical per-row ranking to the historical
+    * `base.join(broadcast(cents))` window (the window partitions by
+    * vec_id, so restricting its input to the query rows changes no
+    * rank), without re-scanning the corpus for the centroid frame or
+    * paying a broadcast-exchange job for it. */
+  private def queryProbeRanked(base: DataFrame,
+      rows: Array[(Long, Seq[Double], Double)], nprobe: Int): DataFrame = {
+    val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+    base.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("ed"), col("nrm"),
+        explode(typedlit(rows.toSeq)).as("c"))
+      .select(col("vec_id"), col("ed"), col("nrm"),
+        col("c._1").as("cid"), col("c._2").as("ce"), col("c._3").as("cn"))
+      .withColumn("c_cos",
+        round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") <= nprobe)
   }
 
   private val eKnnIvf = GQuery(
@@ -1037,20 +1069,12 @@ WHERE rnk <= 3"""),
     "e_knn_ivf_mp",
     (s, dir) => {
       val base = prepped(s, dir)
-      val cents = base.filter(col("vec_id").between(10, 25))
-        .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
-      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      // corpus-side top-1 via the kernel; only the <=10 QUERY rows pay
-      // the nprobe=2 ranked window (identical per-row ranking — the
-      // window partitions by vec_id, so restricting its input to the
-      // query rows cannot change any rank)
-      val assigned = coarseCellsTop1(base)
+      // ONE bounded model collect: corpus-side top-1 via the kernel,
+      // query-side nprobe=2 ranking over the model as a literal
+      val model = coarseModelRows(base)
+      val assigned = coarseCellsTop1From(base, model)
         .select(col("vec_id"), col("ed"), col("nrm"), col("cell"))
-      val q = base.filter(col("vec_id") < 10).join(broadcast(cents))
-        .withColumn("c_cos",
-          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
-        .withColumn("arn", row_number().over(assignW))
-        .filter(col("arn") <= 2)
+      val q = queryProbeRanked(base, model, nprobe = 2)
         .select(col("vec_id").as("qid"), col("ed").as("qe"),
           col("nrm").as("qn"), col("cid").as("cell"))
       val rankW = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -1157,27 +1181,19 @@ FROM sz"""),
   private[graft] def ivfPqUntrained(s: SparkSession, dir: String,
       nprobe: Int, k: Int): DataFrame = {
     val base = prepped(s, dir)
-    val cbRows = base.filter(col("vec_id").between(10, 25)).orderBy(col("vec_id"))
-      .select(col("ed")).collect().map(_.getSeq[Double](0).toArray)
-    if (cbRows.length < 16) {
+    // one bounded model collect feeds the PQ codebook slices, the
+    // corpus-side kernel AND the query-side literal probe
+    val model = coarseModelRows(base)
+    if (model.length < 16) {
       base.limit(0).selectExpr("vec_id AS qid", "vec_id",
         "cast(0.0 AS double) AS approx_d2", "cast(1 AS int) AS rnk")
     } else {
       val cb: Seq[Seq[Seq[Double]]] =
-        Seq.tabulate(8)(j => Seq.tabulate(16)(c => cbRows(c).slice(8 * j, 8 * j + 8).toSeq))
-      val cents = base.filter(col("vec_id").between(10, 25))
-        .select(col("vec_id").as("cid"), col("ed").as("ce"), col("nrm").as("cn"))
-      val assignW = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
-      // corpus-side top-1 via the kernel; the nprobe window ranks only
-      // the <=10 query rows (per-vec_id window — restriction-safe)
-      val assigned = coarseCellsTop1(base)
+        Seq.tabulate(8)(j => Seq.tabulate(16)(c => model(c)._2.slice(8 * j, 8 * j + 8)))
+      val assigned = coarseCellsTop1From(base, model)
         .select(col("vec_id"), col("cell"),
           GraftFunctions.pqCodes(col("ed"), cb).as("codes"))
-      val q = base.filter(col("vec_id") < 10).join(broadcast(cents))
-        .withColumn("c_cos",
-          round(GraftFunctions.vecDot(col("ce"), col("ed")) / (col("cn") * col("nrm")), 6))
-        .withColumn("arn", row_number().over(assignW))
-        .filter(col("arn") <= nprobe)
+      val q = queryProbeRanked(base, model, nprobe)
         .select(col("vec_id").as("qid"), col("ed").as("qe"), col("cid").as("cell"))
       assigned.join(broadcast(q), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
