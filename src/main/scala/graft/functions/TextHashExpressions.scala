@@ -358,6 +358,13 @@ object GraftFunctions {
       cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftext.columns.pqAdcScaled(q, codes, cb)
 
+  /** Exact-long integer dot product over two int arrays — the codegen
+    * form of the quantized-cosine HOF fold (e_knn_quant/e_knn_rerank's
+    * candidate stage). */
+  def intDotLong(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.columns.intDotLong(a, b)
+
   /** Lloyd-assignment PQ encode: 6dp-ROUNDED per-subspace argmin with
     * smallest-index tiebreak, packed 4 bits/code — the training
     * trajectory's assignment pin as one codegen'd pass (vs the

@@ -179,6 +179,22 @@ object VectorUtil {
     total
   }
 
+  /** Integer dot product in the exact long domain: sum_i a(i)*b(i) with
+    * each product widened to long — the codegen form of the quantized
+    * cosine's `aggregate(zip_with(qa, qv, ...))` SQL-HOF fold, which ran
+    * interpreted with per-element boxing in the hottest stage of
+    * e_knn_quant / e_knn_rerank (10 query rows x corpus x 64 elements).
+    * Integer addition is exact, so fold order cannot matter; this still
+    * folds sequentially like the HOF for form's sake. */
+  def dotIntLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    checkDims(n, b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getInt(i).toLong * b.getInt(i).toLong; i += 1 }
+    acc
+  }
+
   /** #{b in sorted `bounds` : b <= v} — binary upper-bound, the codegen
     * replacement for the equi-depth writer's two-level interpreted HOF
     * count (~31 boxed lambda calls per row per key column became ~log2

@@ -169,8 +169,11 @@ SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM r WHERE rn = 1"""),
       val starts = e.select(expr("t0 div 86400000000").as("d"), col("t0").as("t"), lit(1).as("delta"))
       val ends = e.select(expr("t0 div 86400000000").as("d"),
         (col("t0") + col("dur_us")).as("t"), lit(-1).as("delta"))
-      val iv = starts.unionByName(ends)
-        .withColumn("hb", expr("t div 3600000000"))
+      // pinned: the interval-delta frame feeds the local running sum AND
+      // the per-bucket offsets — unpinned, both event scans of the union
+      // ran twice each (round 19; narrow 4-column frame)
+      val iv = graft.Checkpoints.pin(starts.unionByName(ends)
+        .withColumn("hb", expr("t div 3600000000")))
       val local = iv.withColumn("lrs",
         sum(col("delta")).over(Window.partitionBy(col("d"), col("hb"))
           .orderBy(col("t"), col("delta"))
@@ -247,6 +250,10 @@ FROM r"""),
         .filter(col("to_type").isNotNull)
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
+        // pinned: the matrix feeds the row totals AND the final join —
+        // unpinned, the per-user lead() window over the full event table
+        // ran twice (round 19; the frame is #types^2 rows)
+        .transform(graft.Checkpoints.pin(_))
       val tot = nxt.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
       nxt.join(broadcast(tot), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("n"),
@@ -278,9 +285,12 @@ FROM c JOIN t USING (from_type)"""),
   private val a14RollingDau = GQuery(
     "a14_rolling_dau",
     (s, dir) => {
-      val du = events(s, dir)
+      // pinned: the distinct (day, user) frame feeds BOTH the daily
+      // counts and the 7-day explode — unpinned, the full event scan +
+      // distinct shuffle ran twice (round 19)
+      val du = graft.Checkpoints.pin(events(s, dir)
         .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
-        .distinct()
+        .distinct())
       val daily = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
       val rolled = du
         .select(explode(expr("sequence(d, d + 6)")).as("day"), col("user_id"))
@@ -496,6 +506,10 @@ WHERE d.dev_s * 10000 > mad.mad_s * 44478"""),
         .groupBy(col("epoch_day"), col("hour"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("dow", expr("epoch_day % 7"))
+        // pinned: the hourly frame feeds the slot baselines AND the
+        // scoring join — unpinned, the event scan + aggregation ran
+        // twice (round 19; #days x 24 rows)
+        .transform(graft.Checkpoints.pin(_))
       val slots = hourly.groupBy(col("dow"), col("hour"))
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
           sum(col("cnt") * col("cnt")).as("sxx"))
@@ -541,6 +555,11 @@ FROM (SELECT * FROM r ORDER BY az DESC, epoch_day, hour LIMIT 20) t"""),
   private val a19Autocorr = GQuery(
     "a19_autocorr",
     (s, dir) => {
+      // NOT pinned (round-19 measurement): the daily series is consumed
+      // twice (lag explode + pair join), but the duplicated subtree is
+      // one cheap scan + day aggregation — an eager pin's extra
+      // materialization job measured SLOWER than the re-aggregation it
+      // saves (0.32 s -> 0.54 s at sf0.1), so the duplication stays.
       val daily = events(s, dir)
         .groupBy(to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("x"))

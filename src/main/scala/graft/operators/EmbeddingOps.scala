@@ -1957,8 +1957,12 @@ zn AS (SELECT vec_id, qv,
       val q = qz.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qn").as("qan"))
       qz.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos_q", expr(
-          "round(aggregate(zip_with(qa, qv, (x, y) -> cast(x AS long) * cast(y AS long)), cast(0 as long), (acc, v) -> acc + v) / (qan * qn), 6)"))
+        // integer dot via the codegen kernel — the HOF fold it replaces
+        // ran interpreted per element in the corpus-x-queries hot stage;
+        // long addition is exact, so the value is identical
+        .withColumn("cos_q",
+          round(GraftFunctions.intDotLong(col("qa"), col("qv"))
+            / (col("qan") * col("qn")), 6))
         .select(col("qid"), col("vec_id"), col("cos_q"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_q").desc, col("vec_id"))))
@@ -1991,8 +1995,10 @@ WHERE rnk <= 3"""),
       val q = qz.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qzn").as("qan"))
       val cand = qz.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos_q", expr(
-          "round(aggregate(zip_with(qa, qv, (x, y) -> cast(x AS long) * cast(y AS long)), cast(0 as long), (acc, v) -> acc + v) / (qan * qzn), 6)"))
+        // same codegen integer-dot swap as e_knn_quant's scoring stage
+        .withColumn("cos_q",
+          round(GraftFunctions.intDotLong(col("qa"), col("qv"))
+            / (col("qan") * col("qzn")), 6))
         .withColumn("crnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_q").desc, col("vec_id"))))
         .filter(col("crnk") <= 10)

@@ -219,6 +219,9 @@ FROM events GROUP BY 1, 2, 3"""))
         .groupBy(col("event_type"),
           window(col("ts"), "5 minutes").getField("start").as("b"))
         .agg(count(lit(1)).as("cnt"))
+      // NOT pinned (round-19 measurement): the pin's extra job measured
+      // slower than re-running the cheap scan + bucket aggregation the
+      // two consumers share.
       val spine = c.groupBy(col("event_type"))
         .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
         .select(col("event_type"),
@@ -248,6 +251,7 @@ FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.b = c.b"""),
         .groupBy(col("event_type"),
           window(col("ts"), "5 minutes").getField("start").as("b"))
         .agg(round(avg(col("value")) + lit(1e-9), 2).as("v"))
+      // NOT pinned: same measured trade as a5_gapfill.
       val spine = c.groupBy(col("event_type"))
         .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
         .select(col("event_type"),

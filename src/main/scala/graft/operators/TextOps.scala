@@ -589,9 +589,12 @@ SELECT doc_a, doc_b, edit_dist FROM v WHERE edit_dist <= 30"""),
         .filter(expr("size(toks) > 0"))
         .select(col("doc_id"),
           graft.functions.GraftFunctions.simhash32(col("toks")).as("sh"))
-      val banded = base
+      // pinned: the banded frame feeds the hot-bucket agg AND both join
+      // sides — unpinned, the simhash kernel scan ran three times (the
+      // mediaNeardupPairs lesson, applied to the text twin in round 19)
+      val banded = graft.Checkpoints.pin(base
         .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 3)")).as("bi"))
-        .withColumn("bb", expr("(sh div shiftleft(1L, bi * 8)) % 256"))
+        .withColumn("bb", expr("(sh div shiftleft(1L, bi * 8)) % 256")))
       val small = banded.groupBy(col("bi"), col("bb"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, lshBucketCap))
@@ -1473,9 +1476,13 @@ FROM c"""),
         .select(col("doc_id"), col("seg_idx"), expr("size(seg)").as("seg_len"),
           graft.functions.GraftFunctions.md5Hash48(
             concat_ws("", col("seg"))).as("sh"))
-      val counts = seg.groupBy(col("sh"))
+      // pinned: the segment-hash frame feeds the distinct-doc counts AND
+      // the report join — unpinned, the split + md5 segment scan ran
+      // twice (round 19; narrow 4-column frame)
+      val segP = graft.Checkpoints.pin(seg)
+      val counts = segP.groupBy(col("sh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
-      seg.join(counts, Seq("sh"))
+      segP.join(counts, Seq("sh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_seg"),
           count(when(col("nd") >= 2, lit(1))).as("n_boiler"),
@@ -1514,8 +1521,12 @@ FROM seg JOIN c USING (sh) GROUP BY 1"""),
   private val dIngestNeardup = GQuery(
     "d_ingest_neardup",
     (s, dir) => {
-      val sig = bandedSig(docs(s, dir))
-        .withColumn("is_new", expr(s"${hS("cast(doc_id AS string)")} % 4 = 1"))
+      // pinned: the banded-signature frame feeds the arrival side, the
+      // bucket-cap agg AND the existing side — unpinned, the minhash
+      // kernel scan ran three times (round 19; the mediaNeardupPairs
+      // lesson)
+      val sig = graft.Checkpoints.pin(bandedSig(docs(s, dir))
+        .withColumn("is_new", expr(s"${hS("cast(doc_id AS string)")} % 4 = 1")))
       val newSide = sig.filter(col("is_new"))
         .select(col("doc_id").as("new_doc"), col("mharr").as("mh_n"),
           col("band_idx"), col("band_key"))

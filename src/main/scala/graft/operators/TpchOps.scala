@@ -209,6 +209,9 @@ SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count"""))
           expr("CAST(round(l_extendedprice * (1e0 - l_discount) * 10000e0) AS BIGINT)").as("v"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("v")).as("total_v"))
+        // pinned: rev feeds both the max and the winner join (twice the
+        // date-pruned scan + aggregation otherwise)
+        .transform(graft.Checkpoints.pin(_))
       val mx = rev.agg(max(col("total_v")).as("max_v"))
       val su = t("supplier")(s, dir).select(col("s_suppkey"), col("s_name"))
       rev.join(broadcast(mx), col("total_v") === col("max_v"))
@@ -268,6 +271,10 @@ GROUP BY 1, 2"""))
       val li = t("lineitem")(s, dir)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey").as("k"), col("l_quantity"), col("l_extendedprice"))
+        // pinned: li feeds both the per-part stats and the final filter
+        // join; the frame is one brand's lineitems (narrow 3 columns),
+        // orders of magnitude under the fact scan it saves re-running
+        .transform(graft.Checkpoints.pin(_))
       val stats = li.groupBy(col("k")).agg(
         sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_q"),
         count(lit(1)).as("cnt_q"))
@@ -377,6 +384,8 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
         .filter(col("c_nationkey") <= 4)
         .select(col("c_custkey"), col("c_nationkey"),
           expr("CAST(round(c_acctbal * 100e0) AS BIGINT)").as("bal_c"))
+        // pinned: c feeds both the average stats and the anti-join probe
+        .transform(graft.Checkpoints.pin(_))
       val avgStats = c.filter(col("bal_c") > 0L)
         .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("cnt_c"))
       val o = t("orders")(s, dir)
@@ -417,11 +426,17 @@ GROUP BY c_nationkey"""))
     (s, dir) => {
       val p = t("part")(s, dir).filter(col("p_size") <= 15 && col("p_type") === "LARGE")
         .select(col("p_partkey"), col("p_name"))
+      // pinned: `pl` feeds BOTH the per-part minimum and the final join,
+      // and unpinned Catalyst re-ran the lineitem scan + broadcast join
+      // + aggregation for each consumer (round-19; the frame is one row
+      // per (filtered part, supplier) — orders of magnitude smaller
+      // than lineitem at any scale)
       val pl = t("lineitem")(s, dir)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
         .agg(expr("CAST(sum(CAST(round(l_extendedprice * 100e0) AS BIGINT)) * 1000 div sum(CAST(l_quantity AS BIGINT)) AS BIGINT)")
           .as("unit_cost_scaled"))
+        .transform(graft.Checkpoints.pin(_))
       val mn = pl.groupBy(col("p_partkey").as("mk"))
         .agg(min(col("unit_cost_scaled")).as("min_cost"))
       val su = t("supplier")(s, dir).select(col("s_suppkey"), col("s_name"))
@@ -460,6 +475,9 @@ JOIN supplier ON l_suppkey = s_suppkey"""))
           expr("CAST(round(l_extendedprice * 100e0) AS BIGINT)").as("v"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("v")).as("pv"))
+        // pinned: pv feeds both the grand total and the filter join —
+        // unpinned, the full lineitem scan + part aggregation ran twice
+        .transform(graft.Checkpoints.pin(_))
       val tot = pv.agg(sum(col("pv")).as("total_v"))
       pv.join(broadcast(tot))
         .filter(col("pv") * 10000L > col("total_v") * 7L)

@@ -300,6 +300,10 @@ object columns {
     ExpressionUtils.column(PqAdcScaled(
       ExpressionUtils.expression(q), ExpressionUtils.expression(codes), cb))
 
+  def intDotLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntDotLong(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def pqAssignRounded(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
     ExpressionUtils.column(PqAssignRounded(ExpressionUtils.expression(v), cb))
 
@@ -327,6 +331,26 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+case class IntDotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    graft.functions.VectorUtil.dotIntLong(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VectorUtil.dotIntLong($l, $r);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDotLong =
     copy(left = newLeft, right = newRight)
 }
 

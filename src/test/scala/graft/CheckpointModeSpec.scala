@@ -18,6 +18,11 @@ class CheckpointModeSpec extends SparkSpec {
   }
 
   private def withMode[A](mode: String)(body: => A): A = {
+    // d_dedup_groups / d_curate_corpus artifacts may be memoized from an
+    // earlier invocation in this shared session (CorpusCache, round 19);
+    // every mode assertion must actually drive Checkpoints.pin, so each
+    // run starts from a cold cache.
+    CorpusCache.clear()
     val prev = spark.conf.getOption(Checkpoints.ModeKey)
     try { spark.conf.set(Checkpoints.ModeKey, mode); body }
     finally {
